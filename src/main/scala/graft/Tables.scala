@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated synthetic parquet tables (TESTDATA.md).
+  *
+  * These play the role of the reference's PostgreSQL tables
+  * (reference: admin/sql/create_tables.sql:1-215): `lineitem`/`orders` stand
+  * in for the `lowlevel`/`lowlevel_json` fact tables, `events` for the
+  * submission time-series, `documents`/`embeddings` for the feature-document
+  * and similarity-vector payloads.
+  *
+  * At 100 TB these would be partitioned-by-date, bucketed-by-key Parquet/Delta
+  * layouts; the loaders keep a single place to swap that in (a bucketed
+  * `spark.read.table` instead of raw parquet paths).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; read it as nanos-since-epoch and truncate to microseconds (the
+    * generator works at microsecond resolution, so this is lossless and
+    * matches what DuckDB sees). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

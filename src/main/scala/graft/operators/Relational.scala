@@ -1,0 +1,560 @@
+package graft.operators
+
+import graft.{Exprs, Tables}
+import graft.Exprs._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational operators of the engine, mapped from the reference's SQL
+  * surface (SURVEY.md §2.1–2.8) onto the driver's synthetic star schema.
+  *
+  * Each query has a DuckDB oracle with identical column names and ordering.
+  * Plans are authored Catalyst-first: filters/projections sit directly on the
+  * parquet scans (pushdown + column pruning), dimension tables are broadcast,
+  * and fact-fact joins shuffle on their natural keys — the same plan shape
+  * survives a 1000-executor scale-up.
+  */
+object Relational {
+
+  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- headline aggregation (reference A3/T1 family: grouped counts +
+    //      grouped sums; db/submission_stats.py:221-276) -------------------
+    "q1_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("2000-12-01 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          davg(col("l_quantity")).as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- 3-way join + grouped top-K (reference J2 + W5 shapes) -----------
+    "q3_shipping_priority" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-06-01 00:00:00"))
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-06-01 00:00:00"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- 6-way join, broadcast dims (reference J2: db/data.py:538-601) ---
+    "q5_nation_revenue" -> ((s, d) => {
+      val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val nat = Tables.nation(s, d)
+      val cust = Tables.customer(s, d)
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1995-01-01 00:00:00") &&
+                col("o_orderdate") < ts("1999-01-01 00:00:00"))
+      val li = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ---- JSON document parse (reference S1: db/data.py:138-184) ----------
+    "s1_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+        .filter(col("k") > 50)
+        .select("event_id", "k")
+        .orderBy("event_id")
+    }),
+
+    // ---- time-range dump slice (reference S4/P4: db/dump.py:321-333) -----
+    "s4_dump_select" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("ts") >= ts("2024-01-10 00:00:00") &&
+                col("ts") < ts("2024-01-20 00:00:00"))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
+    // ---- selective projection with defaults (reference P1:
+    //      webserver/views/api/v1/core.py:26-51) --------------------------
+    "p1_projection_defaults" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          lower(col("p_brand")).as("brand"),
+          coalesce(nullif(col("p_type"), lit("")), lit("unknown")).as("ptype"),
+          substring(col("p_name"), 1, 10).as("name10"),
+          coalesce(col("p_retailprice"), lit(0.0)).as("price"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- bulk key-set lookup (reference P2: db/data.py:460-477) ----------
+    "p2_keyset_lookup" -> ((s, d) => {
+      import s.implicits._
+      val keys = Seq((1L, 1), (2L, 1), (3L, 1), (7L, 1), (11L, 1), (42L, 1))
+        .toDF("l_orderkey", "l_linenumber")
+      Tables.lineitem(s, d)
+        .join(broadcast(keys), Seq("l_orderkey", "l_linenumber"), "left_semi")
+        .select(col("l_orderkey"), asLong(col("l_linenumber")).as("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- input normalization (reference P7: core.py:184-254) -------------
+    "p7_normalize_params" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          lower(trim(col("c_name"))).as("norm_name"),
+          greatest(lit(0.0), col("c_acctbal")).as("clamped_bal"),
+          (col("c_nationkey") >= 0 && col("c_nationkey") <= 24).as("valid"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- equi join (reference J1: db/data.py:460-470) --------------------
+    "j1_equi_join" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- anti join (reference J3: db/data.py:67-111) ---------------------
+    "j3_anti_join" -> ((s, d) => {
+      val pOrders = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+      Tables.customer(s, d)
+        .join(pOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- anti-join work queue head (reference J4: db/data.py:950-981) ----
+    "j4_queue_scan" -> ((s, d) => {
+      val discounted = Tables.lineitem(s, d).filter(col("l_discount") > 0.08)
+      Tables.part(s, d)
+        .join(discounted, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+        .limit(100)
+    }),
+
+    // ---- anti join vs filtered subquery (reference J5: db/data.py:919-947)
+    "j5_anti_filtered" -> ((s, d) => {
+      val bigQty = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+      Tables.supplier(s, d)
+        .join(bigQty, col("s_suppkey") === col("l_suppkey"), "left_anti")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- LATERAL top-1 per group as window (reference J6/W3:
+    //      db/dataset.py:166-190) -----------------------------------------
+    "j6_latest_order_per_customer" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val latest = Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+      Tables.customer(s, d)
+        .join(latest, col("c_custkey") === col("o_custkey"), "left")
+        .select("c_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- grouped map/object agg (reference J7/A5: db/similarity.py:184-226,
+    //      jsonb_object_agg ≈ ordered "k:v" string agg) -------------------
+    "j7_order_lines_agg" -> ((s, d) => {
+      val qtyCents = (col("l_quantity").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), qtyCents.as("qc"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("l_linenumber"), col("qc")))),
+            x => concat(x.getField("l_linenumber").cast(StringType), lit(":"),
+                        x.getField("qc").cast(StringType))),
+          ",").as("lines"))
+        .orderBy("l_orderkey")
+    }),
+
+    // ---- semi join (reference J8: WHERE id IN ...) -----------------------
+    "j8_semi_join" -> ((s, d) => {
+      val building = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      Tables.orders(s, d)
+        .join(broadcast(building), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- scalar count (reference A1: db/data.py:882-890) -----------------
+    "a1_count_total" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("n"))),
+
+    // ---- grouped count (reference A2: db/data.py:905-916) ----------------
+    "a2_grouped_count" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        .orderBy("l_partkey")
+    }),
+
+    // ---- count + count distinct (reference A3:
+    //      db/submission_stats.py:221-276) --------------------------------
+    "a3_count_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type")
+    }),
+
+    // ---- max per key (reference A4: db/data.py:273-288) ------------------
+    "a4_max_per_key" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(asLong(max(col("l_linenumber"))).as("max_line"),
+             max(col("l_shipdate")).as("last_ship"))
+        .orderBy("l_orderkey")
+    }),
+
+    // ---- ORDER BY ... LIMIT OFFSET (reference W1:
+    //      db/submission_stats.py:44-77) ----------------------------------
+    "w1_limit_offset" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_orderkey").desc)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .offset(10).limit(5)
+    }),
+
+    // ---- per-key sequence assignment (reference W6: db/data.py:273-288) --
+    "w6_offset_assignment" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), asLong(col("l_linenumber")).as("l_linenumber"))
+        .withColumn("submission_offset", asLong(row_number().over(w)) - 1)
+        .orderBy("l_orderkey", "l_linenumber", "submission_offset")
+    }),
+
+    // ---- sort + keep-first dedup (reference W7:
+    //      webserver/views/api/v1/similarity.py:16-67) --------------------
+    "w7_sort_dedup" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_extendedprice"))
+        .orderBy("l_partkey")
+    }),
+
+    // ---- ordered pagination (reference W8: webserver/views/datasets.py) --
+    "w8_pagination" -> ((s, d) => {
+      val w = Window.orderBy(col("c_name"), col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("rn", asLong(row_number().over(w)))
+        .filter(col("rn") > 20 && col("rn") <= 40)
+        .select("rn", "c_custkey", "c_name")
+        .orderBy("rn")
+    }),
+
+    // ---- duplicate cap per key (reference D2: db/data.py:260-262,
+    //      max 10 submissions per mbid) -----------------------------------
+    "d2_duplicate_cap" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("user_id", "event_id")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- set difference (reference D4: artistfilter.py:44-52) ------------
+    "d4_set_difference" -> ((s, d) => {
+      val shipped = Tables.lineitem(s, d).filter(col("l_discount") > 0.08)
+        .select(col("l_partkey").as("p_partkey"))
+      Tables.part(s, d).select("p_partkey")
+        .except(shipped)
+        .orderBy("p_partkey")
+    }),
+
+    // ---- date round-up + epoch millis (reference F8/F9:
+    //      db/submission_stats.py:279-317) --------------------------------
+    "f_dates_roundup" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          date_trunc("day", col("ts")).as("day_start"),
+          (date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY")).as("next_day"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .orderBy("event_id")
+    }),
+
+    // ---- slugify + mm:ss formatting (reference F10/F11:
+    //      db/dataset.py:14-21, db/data.py:1008-1009) ---------------------
+    "f_strings_slug" -> ((s, d) => {
+      val dur = floor(greatest(lit(0.0), col("c_acctbal")))
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          regexp_replace(lower(col("c_name")), "[^a-z0-9]+", "-").as("slug"),
+          asLong(length(col("c_name"))).as("name_len"),
+          concat(floor(dur / 60).cast(StringType), lit(":"),
+                 lpad((dur % 60).cast(LongType).cast(StringType), 2, "0"))
+            .as("mmss"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- math transforms (reference F15/F16: similarity/metrics.py) ------
+    "f_math_transforms" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          round(log2(col("value")), 6).as("log2_v"),
+          round(cos(col("value")), 6).as("cos_v"),
+          round(sin(col("value")), 6).as("sin_v"))
+        .orderBy("event_id")
+    }),
+
+    // ---- map-literal lookup (reference F17: similarity/metrics.py:99-117)
+    "f_map_lookup" -> ((s, d) => {
+      val codes = typedLit(Map(
+        "click" -> 1L, "view" -> 2L, "purchase" -> 3L,
+        "signup" -> 4L, "error" -> 5L))
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("code", coalesce(element_at(codes, col("event_type")), lit(-1L)))
+        .select("event_type", "code", "n")
+        .orderBy("event_type")
+    })
+  )
+
+  private val revenueSql =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         | $revenueSql AS sum_disc_price,
+         | CAST(COUNT(*) AS BIGINT) AS count_order,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, $revenueSql AS revenue, o_orderdate, o_orderpriority
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         | AND l_orderkey = o_orderkey
+         | AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+         | AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, $revenueSql AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         | AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         | AND r_name = 'ASIA'
+         | AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         | AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "s1_json_extract" ->
+      """SELECT event_id, k FROM (
+        |  SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+        |  FROM events) t
+        |WHERE k > 50 ORDER BY event_id""".stripMargin,
+
+    "s4_dump_select" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    "p1_projection_defaults" ->
+      """SELECT p_partkey, lower(p_brand) AS brand,
+        | coalesce(nullif(p_type, ''), 'unknown') AS ptype,
+        | substring(p_name, 1, 10) AS name10,
+        | coalesce(p_retailprice, 0.0) AS price
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "p2_keyset_lookup" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE (l_orderkey = 1 AND l_linenumber = 1)
+        |   OR (l_orderkey = 2 AND l_linenumber = 1)
+        |   OR (l_orderkey = 3 AND l_linenumber = 1)
+        |   OR (l_orderkey = 7 AND l_linenumber = 1)
+        |   OR (l_orderkey = 11 AND l_linenumber = 1)
+        |   OR (l_orderkey = 42 AND l_linenumber = 1)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p7_normalize_params" ->
+      """SELECT c_custkey, lower(trim(c_name)) AS norm_name,
+        | greatest(0.0, c_acctbal) AS clamped_bal,
+        | (c_nationkey >= 0 AND c_nationkey <= 24) AS valid
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "j1_equi_join" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "j3_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j4_queue_scan" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_discount > 0.08)
+        |ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "j5_anti_filtered" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey AND l_quantity >= 45)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "j6_latest_order_per_customer" ->
+      """WITH latest AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT c_custkey, l.o_orderkey, l.o_orderdate
+        |FROM customer c LEFT JOIN latest l
+        |  ON l.o_custkey = c.c_custkey AND l.rn = 1
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j7_order_lines_agg" ->
+      """SELECT l_orderkey,
+        | string_agg(l_linenumber || ':' ||
+        |   CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |   ',' ORDER BY l_linenumber,
+        |     CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "j8_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "a1_count_total" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem",
+
+    "a2_grouped_count" ->
+      """SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    "a3_count_distinct" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a4_max_per_key" ->
+      """SELECT l_orderkey, CAST(MAX(l_linenumber) AS BIGINT) AS max_line,
+        | MAX(l_shipdate) AS last_ship
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "w1_limit_offset" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |ORDER BY o_orderkey DESC LIMIT 5 OFFSET 10""".stripMargin,
+
+    "w6_offset_assignment" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | CAST(row_number() OVER (PARTITION BY l_orderkey
+        |   ORDER BY l_linenumber) AS BIGINT) - 1 AS submission_offset
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, submission_offset""".stripMargin,
+
+    "w7_sort_dedup" ->
+      """WITH ranked AS (
+        |  SELECT l_partkey, l_orderkey, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_partkey, l_orderkey, l_extendedprice FROM ranked
+        |WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
+
+    "w8_pagination" ->
+      """WITH ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY c_name, c_custkey) AS BIGINT)
+        |    AS rn, c_custkey, c_name
+        |  FROM customer)
+        |SELECT rn, c_custkey, c_name FROM ranked
+        |WHERE rn > 20 AND rn <= 40 ORDER BY rn""".stripMargin,
+
+    "d2_duplicate_cap" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id FROM ranked WHERE rn <= 5
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "d4_set_difference" ->
+      """SELECT p_partkey FROM part
+        |EXCEPT
+        |SELECT l_partkey AS p_partkey FROM lineitem WHERE l_discount > 0.08
+        |ORDER BY p_partkey""".stripMargin,
+
+    "f_dates_roundup" ->
+      """SELECT event_id, date_trunc('day', ts) AS day_start,
+        | date_trunc('day', ts) + INTERVAL 1 DAY AS next_day,
+        | epoch_ms(ts) AS ts_ms
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "f_strings_slug" ->
+      """SELECT c_custkey,
+        | regexp_replace(lower(c_name), '[^a-z0-9]+', '-', 'g') AS slug,
+        | CAST(length(c_name) AS BIGINT) AS name_len,
+        | CAST(floor(floor(greatest(0.0, c_acctbal)) / 60) AS BIGINT) || ':' ||
+        |   lpad(CAST(CAST(floor(greatest(0.0, c_acctbal)) AS BIGINT) % 60
+        |     AS VARCHAR), 2, '0') AS mmss
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "f_math_transforms" ->
+      """SELECT event_id, round(log2(value), 6) AS log2_v,
+        | round(cos(value), 6) AS cos_v, round(sin(value), 6) AS sin_v
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "f_map_lookup" ->
+      """SELECT event_type,
+        | CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+        |   WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 WHEN 'error' THEN 5
+        |   ELSE -1 END AS BIGINT) AS code,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
