@@ -10,7 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def packs: Seq[(Map[String, (SparkSession, String) => DataFrame],
                           Map[String, String])] = Seq(
-    (operators.Relational.queries, operators.Relational.oracles)
+    (operators.Relational.queries, operators.Relational.oracles),
+    (operators.TextPack.queries, operators.TextPack.oracles),
+    (operators.DedupPack.queries, operators.DedupPack.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

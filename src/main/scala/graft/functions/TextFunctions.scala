@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * All of these are pure Catalyst expressions (higher-order array functions,
+  * no UDFs) so they stay inside whole-stage codegen and scale linearly with
+  * executors — per-row work, no shuffle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Token count (whitespace). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** Distinct-token count. */
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast(LongType)
+
+  /** BPE-ish token estimate: ~4 chars per subword token, the common
+    * rule-of-thumb used when a real tokenizer is too expensive in-flight. */
+  def bpeTokenEstimate(text: Column): Column =
+    ceil(length(text) / 4.0).cast(LongType)
+
+  /** Number of tokens found in `words` (exact token match). */
+  def wordSetCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => array_contains(typedLit(words), t)))
+      .cast(LongType)
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Stopword ratio — a standard document-quality signal. */
+  def stopwordRatio(text: Column): Column =
+    wordSetCount(text, EnglishStopwords) / tokenCount(text)
+
+  /** Mean token length in characters. */
+  def meanTokenLength(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")) / tokenCount(text).cast(DoubleType)
+
+  /** Deterministic MD5 fingerprint: the minimum MD5 over all `k`-char
+    * shingles of the document (a 1-permutation MinHash — order-invariant,
+    * robust to small edits at the ends). Computed per-row with no explode. */
+  def shingleFingerprint(text: Column, k: Int): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => md5(text.substr(i, lit(k)))))
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic priority order breaks ties. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "is", "and", "of"),
+    "de" -> Seq("der", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "es", "de"),
+    "fr" -> Seq("le", "la", "est", "et"),
+    "zh" -> Seq("de", "shi", "le", "he"))
+
+  /** Language-ID heuristic: argmax of marker-word counts with fixed
+    * priority tie-break (first language in `LangMarkers` wins ties). */
+  def langGuess(text: Column): Column = {
+    val counts = LangMarkers.map { case (lang, words) =>
+      lang -> wordSetCount(text, words)
+    }
+    // CASE WHEN c_en >= all others THEN 'en' WHEN c_de >= rest ... chain:
+    // if a language's count is >= every later language's count it is the
+    // argmax among the remaining candidates (earlier = higher tie priority).
+    val exprs = counts.zipWithIndex.map { case ((lang, c), i) =>
+      val laterCounts = counts.drop(i + 1).map(_._2)
+      val cond = laterCounts.foldLeft(lit(true))((acc, o) => acc && c >= o)
+      (cond, lang)
+    }
+    exprs.dropRight(1).foldRight(lit(exprs.last._2): Column) {
+      case ((cond, lang), acc) => when(cond, lit(lang)).otherwise(acc)
+    }
+  }
+}

