@@ -12,7 +12,8 @@ object SparkEntry {
                           Map[String, String])] = Seq(
     (operators.Relational.queries, operators.Relational.oracles),
     (operators.TextPack.queries, operators.TextPack.oracles),
-    (operators.DedupPack.queries, operators.DedupPack.oracles)
+    (operators.DedupPack.queries, operators.DedupPack.oracles),
+    (operators.SimilarityPack.queries, operators.SimilarityPack.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

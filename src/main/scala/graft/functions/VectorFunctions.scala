@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dense-vector column functions over `array<float|double>` embeddings.
+  *
+  * Pure Catalyst higher-order expressions (`zip_with`/`aggregate`): the dot
+  * product folds left-to-right in a fixed order, so results are
+  * deterministic — no UDF, no driver round-trips, fully codegen-friendly.
+  * Mirrors the reference's metric-vector math (reference:
+  * similarity/metrics.py:33-96, similarity/index_model.py:226-244).
+  */
+object VectorFunctions {
+
+  /** Cast an array<float> to array<double> (all math is done in double). */
+  def asDouble(v: Column): Column = transform(v, _.cast(DoubleType))
+
+  /** Dot product, folded in index order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Annoy-style angular distance: sqrt(2 * (1 - cos)) (reference:
+    * similarity/index_model.py — Annoy 'angular' metric). */
+  def angularDistance(a: Column, b: Column): Column =
+    sqrt(lit(2.0) * (lit(1.0) - cosine(a, b)))
+
+  /** Exponentially weighted copy of a vector: element i scaled by base^i
+    * (reference F14: similarity/metrics.py:48-58, base 0.95). */
+  def expWeighted(v: Column, base: Double): Column =
+    zip_with(v, sequence(lit(0), size(v) - 1),
+      (x, i) => x * pow(lit(base), i.cast(DoubleType)))
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH, derived from MD5
+    * so every executor (and every engine) regenerates the identical family.
+    * Returns `planes` unit-free vectors of dimension `dim` in [-1, 1). */
+  def lshHyperplanes(planes: Int, dim: Int): Seq[Seq[Double]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      (0 until dim).map { k =>
+        val h = mdig.digest(s"$p:$k".getBytes("UTF-8"))
+        val v = ((h(0) & 0xffL) << 16) | ((h(1) & 0xffL) << 8) | (h(2) & 0xffL)
+        v.toDouble / (1 << 23) - 1.0 // [-1, 1)
+      }
+    }
+  }
+
+  /** Sign-LSH bucket key: one bit per hyperplane ('1' iff dot >= 0). */
+  def lshBucket(v: Column, hyperplanes: Seq[Seq[Double]]): Column = {
+    val bits = hyperplanes.map { h =>
+      when(dot(v, typedLit(h)) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+}
