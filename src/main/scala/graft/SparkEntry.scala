@@ -13,7 +13,10 @@ object SparkEntry {
     (operators.Relational.queries, operators.Relational.oracles),
     (operators.TextPack.queries, operators.TextPack.oracles),
     (operators.DedupPack.queries, operators.DedupPack.oracles),
-    (operators.SimilarityPack.queries, operators.SimilarityPack.oracles)
+    (operators.SimilarityPack.queries, operators.SimilarityPack.oracles),
+    (operators.StatsPack.queries, operators.StatsPack.oracles),
+    (operators.MLPack.queries, operators.MLPack.oracles),
+    (operators.MultimodalPack.queries, operators.MultimodalPack.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

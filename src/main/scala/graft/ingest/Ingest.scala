@@ -1,0 +1,77 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's submission-write pipeline (reference §3.2:
+  * db/data.py:138-288 — clean → validate → canonical-hash dedup → per-key
+  * submission offset → duplicate cap → append) as one deterministic batch
+  * plan over a generic (gid, payload, submitted) frame.
+  *
+  * The reference assigns offsets transactionally (MAX+1 per gid at insert);
+  * in Spark the equivalent is a micro-batch recompute: a window over
+  * union(existing, incoming) ordered by (submitted, tiebreak), which yields
+  * the same dense per-key sequence without any coordination — each gid's
+  * rows land in one shuffle partition, so this scales horizontally.
+  */
+object Ingest {
+
+  val MaxDuplicateSubmissions = 10 // reference: config.py.example:59
+
+  /** Canonical content hash of the payload column (reference F1/D1:
+    * sha256 of canonical JSON, db/data.py:250-257). Callers pass a payload
+    * column already in canonical form (e.g. to_json of a sorted-field
+    * struct; Spark's to_json emits fields in schema order, so a schema with
+    * sorted field names reproduces Python's sort_keys=True). */
+  def contentHash(payload: Column): Column = sha2(payload.cast(StringType), 256)
+
+  /** Validation: required fields present and well-formed. Returns the frame
+    * with a `valid` flag plus a `reject_reason` (reference:
+    * db/data.py:114-125 sanity_check_data). */
+  def validate(df: DataFrame, requiredCols: Seq[String]): DataFrame = {
+    val reason = requiredCols.foldRight(lit(null).cast(StringType)) {
+      (c, acc) => when(col(c).isNull, lit(s"missing:$c")).otherwise(acc)
+    }
+    df.withColumn("reject_reason", reason)
+      .withColumn("valid", col("reject_reason").isNull)
+  }
+
+  /** Ingest a micro-batch: drop exact duplicates (within the batch and
+    * against `existing`), assign dense per-gid submission offsets continuing
+    * from the existing maximum, and enforce the duplicate cap.
+    *
+    * `existing` and `incoming` need columns (gid, payload, submitted);
+    * output adds (content_hash, submission_offset).
+    */
+  def ingestBatch(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val hashedIn = incoming
+      .withColumn("content_hash", contentHash(col("payload")))
+    val hashedEx = existing
+      .withColumn("content_hash", contentHash(col("payload")))
+
+    // D1: reject exact duplicates — batch-internal (keep earliest) then
+    // against the stored table (left_anti on (gid, hash)).
+    val batchW = Window.partitionBy(col("gid"), col("content_hash"))
+      .orderBy(col("submitted"))
+    val fresh = hashedIn
+      .withColumn("rn", row_number().over(batchW))
+      .filter(col("rn") === 1).drop("rn")
+      .join(hashedEx.select("gid", "content_hash"),
+        Seq("gid", "content_hash"), "left_anti")
+
+    // W6: dense offsets continuing from existing MAX(submission_offset)+1.
+    val baseOffsets = hashedEx.groupBy(col("gid"))
+      .agg((max(col("submission_offset")) + 1).as("base"))
+    val offsetW = Window.partitionBy(col("gid")).orderBy(col("submitted"))
+    fresh
+      .join(baseOffsets, Seq("gid"), "left")
+      .withColumn("submission_offset",
+        coalesce(col("base"), lit(0L)) +
+          row_number().over(offsetW).cast(LongType) - 1)
+      .drop("base")
+      // D2: duplicate-submission cap per gid
+      .filter(col("submission_offset") < MaxDuplicateSubmissions)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.Exprs._
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Submission-statistics operators (reference T1/T2:
+  * db/submission_stats.py:80-124, 168-218) over the `events` time series,
+  * plus the composite ingest pipeline (reference §3.2: validate → dedup →
+  * per-key offset → cap) expressed as one deterministic batch plan.
+  *
+  * Scale: the daily rollup groups on (day) — a low-cardinality shuffle that
+  * AQE coalesces; the cumulative series is a window over days (thousands of
+  * rows, not billions — safe as a single partition after the rollup). At
+  * 100 TB the input would be date-partitioned parquet so the daily groupBy
+  * is partition-local (no shuffle of raw rows, partial aggregation only).
+  */
+object StatsPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- daily incremental stats + running cumulative (T1) ---------------
+    "t1_daily_stats" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          dsum(col("value")).as("total_value"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("cum_n", sum(col("n")).over(w))
+        .orderBy("day")
+    }),
+
+    // ---- per-day series for charting: epoch ms + per-type counts (T2) ----
+    "t2_stats_series" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val perType = types.map(t =>
+        count(when(col("event_type") === t, 1)).as(s"n_$t"))
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day_ts"))
+        .agg(perType.head, perType.tail: _*)
+        .select(col("day_ts").cast(DateType).as("day") +:
+          unix_millis(col("day_ts")).as("epoch_ms") +:
+          types.map(t => col(s"n_$t")): _*)
+        .orderBy("day")
+    }),
+
+    // ---- composite ingest: content-hash dedup → per-key offset → cap
+    //      (reference §3.2 / D1+W6+D2: db/data.py:211-270) -----------------
+    "s2_ingest_pipeline" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("content_hash",
+          md5(concat_ws("|", col("event_type"),
+            col("value").cast(StringType), col("props"))))
+      // D1: exact-duplicate rejection — keep earliest per (user, hash)
+      val dedupW = Window.partitionBy(col("user_id"), col("content_hash"))
+        .orderBy(col("ts"), col("event_id"))
+      val deduped = ev.withColumn("dup_rn", row_number().over(dedupW))
+        .filter(col("dup_rn") === 1)
+      // W6: per-key submission offset; D2: cap at 10 submissions per key
+      val offsetW = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      deduped.withColumn("submission_offset",
+          asLong(row_number().over(offsetW)) - 1)
+        .filter(col("submission_offset") < 10)
+        .select("user_id", "event_id", "submission_offset")
+        .orderBy("user_id", "submission_offset")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t1_daily_stats" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1)
+        |SELECT day, n, users, total_value,
+        |  CAST(SUM(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS BIGINT) AS cum_n
+        |FROM daily ORDER BY day""".stripMargin,
+
+    "t2_stats_series" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        | epoch_ms(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS epoch_ms,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+        |FROM events GROUP BY date_trunc('day', ts) ORDER BY day""".stripMargin,
+
+    "s2_ingest_pipeline" ->
+      """WITH hashed AS (
+        |  SELECT user_id, event_id, ts,
+        |    md5(event_type || '|' || CAST(value AS VARCHAR) || '|' || props)
+        |      AS content_hash
+        |  FROM events),
+        |deduped AS (
+        |  SELECT user_id, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, content_hash
+        |      ORDER BY ts, event_id) AS dup_rn
+        |  FROM hashed),
+        |offsets AS (
+        |  SELECT user_id, event_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) - 1 AS submission_offset
+        |  FROM deduped WHERE dup_rn = 1)
+        |SELECT user_id, event_id, submission_offset FROM offsets
+        |WHERE submission_offset < 10
+        |ORDER BY user_id, submission_offset""".stripMargin
+  )
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming equivalents of the reference's polling daemons
+  * (reference §2.12: hl_extractor/hl_calc.py:22,227-231 30 s sleep loops,
+  * db/submission_stats.py:103-107 daily catch-up).
+  *
+  * The reference approximates a stream with SQL polling; here each daemon is
+  * a `readStream` + `Trigger.AvailableNow` run: incremental, checkpointed,
+  * and identical in semantics to the batch rollup. Watermarking bounds state
+  * for true continuous deployment; content-hash dropDuplicates carries the
+  * reference's D1 dedup into streaming.
+  */
+object EventStream {
+
+  /** Raw schema of the events parquet (ts as nanos-since-epoch LongType —
+    * see Tables.events for why). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events table. */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // stream the table directory, selecting only the events file — a file
+    // stream source must point at a directory (at scale this is the
+    // date-partitioned landing dir new files drop into)
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Daily submission stats as a streaming aggregation (reference T1).
+    * `approx_count_distinct` replaces the exact distinct (not available in
+    * streaming aggregation); the batch path (StatsPack t1) stays exact. */
+  def dailyStats(spark: SparkSession, dir: String): DataFrame =
+    source(spark, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("w.start").cast(DateType).as("day"),
+        col("n"), col("approx_users"), col("total_value"))
+
+  /** Streaming content-hash dedup (reference D1 in streaming form):
+    * duplicates within the watermark horizon are dropped by state store. */
+  def dedupedSubmissions(spark: SparkSession, dir: String): DataFrame =
+    source(spark, dir)
+      .withColumn("content_hash",
+        md5(concat_ws("|", col("event_type"),
+          col("value").cast(StringType), col("props"))))
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("user_id", "content_hash")
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+import graft.multimodal.BinaryColumns
+import org.apache.spark.sql.functions._
+
+/** Unit-level behavior of the expression library on known inputs. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text functions on a known sentence") {
+    val df = Seq("the quick brown fox the end").toDF("text")
+    val row = df.select(
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.distinctTokenCount($"text").as("d"),
+      TextFunctions.wordSetCount($"text", Seq("the")).as("s")).collect()(0)
+    assert(row.getLong(0) == 6 && row.getLong(1) == 5 && row.getLong(2) == 2)
+  }
+
+  test("shingle fingerprint is stable and order-sensitive") {
+    val fp = (t: String) => Seq(t).toDF("text")
+      .select(TextFunctions.shingleFingerprint($"text", 8)).collect()(0).getString(0)
+    assert(fp("hello world hello") == fp("hello world hello"))
+    // disjoint shingle sets → different minima
+    assert(fp("aaaa bbbb cccc dddd") != fp("wwww xxxx yyyy zzzz"))
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    val sh = (t: String) => Seq(t).toDF("text")
+      .select(HashFunctions.simhashBits($"text")).collect()(0).getString(0)
+    val a = sh("spark window join filter scan merge sort table row column")
+    val b = sh("spark window join filter scan merge sort table row group")
+    val c = sh("completely different words entirely unrelated content here now")
+    def ham(x: String, y: String) = x.zip(y).count(p => p._1 != p._2)
+    assert(a.length == 64)
+    assert(ham(a, b) < ham(a, c))
+  }
+
+  test("vector dot/cosine/angular on known vectors") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(2.0, 0.0)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      VectorFunctions.dot($"a", $"c").as("dac"),
+      VectorFunctions.cosine($"a", $"b").as("orth"),
+      VectorFunctions.cosine($"a", $"c").as("par"),
+      VectorFunctions.angularDistance($"a", $"b").as("ang")).collect()(0)
+    assert(r.getDouble(0) == 2.0)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("LSH hyperplanes are deterministic and bucket identical vectors together") {
+    val hp1 = VectorFunctions.lshHyperplanes(8, 4)
+    val hp2 = VectorFunctions.lshHyperplanes(8, 4)
+    assert(hp1 == hp2)
+    val df = Seq((Seq(1.0, 2.0, 3.0, 4.0), Seq(1.0, 2.0, 3.0, 4.0)))
+      .toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.lshBucket($"a", hp1).as("ba"),
+      VectorFunctions.lshBucket($"b", hp1).as("bb")).collect()(0)
+    assert(r.getString(0) == r.getString(1) && r.getString(0).length == 8)
+  }
+
+  test("binary decode stub preserves ids and derives deterministic metadata") {
+    val docs = Tables.documents(spark, sfTiny).limit(20)
+    val media = BinaryColumns.withPayload(docs, "doc_id", "text")
+    val decoded = BinaryColumns.decodeStub(spark, media)
+    assert(decoded.count() == 20)
+    val joined = decoded.toDF().join(media, Seq("media_id", "n_bytes", "checksum"))
+    assert(joined.count() == 20) // ids, sizes, checksums round-trip
+    assert(decoded.filter(col("width") < 1 || col("height") < 1).count() == 0)
+  }
+}

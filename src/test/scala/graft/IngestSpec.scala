@@ -1,0 +1,64 @@
+package graft
+
+import graft.ingest.Ingest
+import org.apache.spark.sql.functions._
+
+/** Submission-ingest pipeline semantics (reference §3.2: dedup, offsets,
+  * cap, validation — db/data.py:114-288). */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(rows: Seq[(String, String, Int)]) =
+    rows.toDF("gid", "payload", "submitted")
+
+  private val empty = frame(Seq.empty)
+    .withColumn("submission_offset", lit(0L)).filter(lit(false))
+
+  test("exact duplicates within a batch are dropped, earliest kept") {
+    val in = frame(Seq(("g1", "doc-a", 1), ("g1", "doc-a", 2), ("g1", "doc-b", 3)))
+    val out = Ingest.ingestBatch(empty, in)
+    assert(out.count() == 2)
+    assert(out.filter($"payload" === "doc-a").select("submitted")
+      .collect()(0).getInt(0) == 1)
+  }
+
+  test("duplicates against the existing table are dropped") {
+    val existing = frame(Seq(("g1", "doc-a", 1)))
+      .withColumn("submission_offset", lit(0L))
+    val in = frame(Seq(("g1", "doc-a", 5), ("g1", "doc-c", 6)))
+    val out = Ingest.ingestBatch(existing, in)
+    assert(out.select("payload").as[String].collect().toSeq == Seq("doc-c"))
+  }
+
+  test("offsets are dense per gid and continue from the existing max") {
+    val existing = frame(Seq(("g1", "old-1", 1), ("g1", "old-2", 2)))
+      .withColumn("submission_offset",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("gid").orderBy("submitted")).cast("long") - 1)
+    val in = frame(Seq(("g1", "new-1", 10), ("g1", "new-2", 11), ("g2", "x", 1)))
+    val out = Ingest.ingestBatch(existing, in)
+    val g1 = out.filter($"gid" === "g1").orderBy("submission_offset")
+      .select("submission_offset").as[Long].collect().toSeq
+    assert(g1 == Seq(2L, 3L))
+    val g2 = out.filter($"gid" === "g2")
+      .select("submission_offset").as[Long].collect().toSeq
+    assert(g2 == Seq(0L))
+  }
+
+  test("duplicate-submission cap rejects offsets beyond the limit") {
+    val in = frame((1 to 15).map(i => ("g1", s"doc-$i", i)))
+    val out = Ingest.ingestBatch(empty, in)
+    assert(out.count() == Ingest.MaxDuplicateSubmissions)
+    assert(out.agg(max("submission_offset")).collect()(0).getLong(0) ==
+      Ingest.MaxDuplicateSubmissions - 1)
+  }
+
+  test("validation flags missing required fields with a reason") {
+    val in = Seq(("g1", "p", "2024"), (null, "p", "2024"), ("g2", null, "2024"))
+      .toDF("gid", "payload", "submitted")
+    val v = Ingest.validate(in, Seq("gid", "payload"))
+    assert(v.filter($"valid").count() == 1)
+    assert(v.filter($"reject_reason" === "missing:gid").count() == 1)
+    assert(v.filter($"reject_reason" === "missing:payload").count() == 1)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Engine-level invariants per operator pack, on the sf0.001 tables.
+  * (Value-level correctness is covered by the DuckDB oracle gate; these
+  * specs pin the semantic invariants that survive data changes.) */
+class OperatorInvariantsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfTiny)
+
+  test("every query has rows and every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // flagship smoke
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("w6 submission offsets are dense per key starting at zero") {
+    val df = run("w6_offset_assignment")
+      .groupBy("l_orderkey")
+      .agg(min("submission_offset").as("mn"), max("submission_offset").as("mx"),
+        count(lit(1)).as("n"))
+    assert(df.filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count() == 0)
+  }
+
+  test("d2 duplicate cap keeps at most 5 events per user") {
+    val over = run("d2_duplicate_cap")
+      .groupBy("user_id").count().filter(col("count") > 5)
+    assert(over.count() == 0)
+  }
+
+  test("q1 aggregates are deterministic across runs") {
+    val a = run("q1_pricing_summary").collect().map(_.toString).toSeq
+    val b = run("q1_pricing_summary").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("dedup: LSH candidates recall the exact-Jaccard near-dup pairs") {
+    val exact = run("dd_jaccard_pairs").select("doc_a", "doc_b")
+    val lsh = run("dd_minhash_lsh")
+    // with J >= 0.8 and 4x4 banding, P(miss) = (1-J^4)^4 <= 3% per pair
+    val missed = exact.except(lsh).count()
+    assert(missed <= math.max(1, (exact.count() * 0.1).toLong),
+      s"LSH missed $missed of ${exact.count()} near-dup pairs")
+  }
+
+  test("n4 top-k neighbours are unique per query and rank-dense") {
+    val df = run("n4_topk_cosine")
+    val byQuery = df.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("u"),
+        min("rank").as("mn"), max("rank").as("mx"))
+    assert(byQuery.filter(col("n") =!= col("u") || col("mn") =!= 1 ||
+      col("mx") =!= col("n")).count() == 0)
+  }
+
+  test("n1 normalization yields ~zero mean and ~unit std per dimension") {
+    val stats = run("n1_vector_normalize")
+      .groupBy("pos")
+      .agg(avg("norm_val").as("m"), stddev_pop(col("norm_val")).as("sd"))
+      .filter(abs(col("m")) > 1e-9 || abs(col("sd") - 1.0) > 1e-6)
+    assert(stats.count() == 0)
+  }
+
+  test("m2 split puts exactly one doc per (class, source) group into train") {
+    val docs = Tables.documents(spark, sfTiny).select("doc_id", "source")
+    val split = run("m2_artist_split")
+    val perGroup = split.join(docs, "doc_id")
+      .filter(col("split") === "train")
+      .groupBy("class", "source").count()
+    assert(perGroup.filter(col("count") =!= 1).count() == 0)
+  }
+
+  test("t1 cumulative count ends at total event count") {
+    val t1 = run("t1_daily_stats")
+    val last = t1.orderBy(col("day").desc).limit(1)
+      .select("cum_n").collect()(0).getLong(0)
+    assert(last == Tables.events(spark, sfTiny).count())
+  }
+}
