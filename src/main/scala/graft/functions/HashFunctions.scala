@@ -25,20 +25,42 @@ object HashFunctions {
     array_distinct(when(size(toks) >= n, grams).otherwise(array(text)))
   }
 
-  /** MinHash signature: element j is min over shingles of md5(j || ':' || s).
-    * A fixed family of `numHashes` deterministic hash functions. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingles,
-        s => md5(concat(j.cast(StringType), lit(":"), s)))))
+  /** 96 hex chars of deterministic hash material per shingle: three md5s of
+    * domain-separated copies of the shingle. Sliced into 16 six-hex-char
+    * (24-bit) values, this yields 16 independent hash functions from only
+    * 3 md5 evaluations — the md5 is the hot operation in minhash signature
+    * computation, so this is a 5× cut versus one md5 per hash function.
+    * Lexicographic min over fixed-width lowercase-hex slices equals numeric
+    * min, so `min(substring(...))` is a valid minhash aggregate. */
+  def hashMaterial(shingle: Column): Column =
+    concat(md5(shingle),
+      md5(concat(lit("a"), shingle)),
+      md5(concat(lit("b"), shingle)))
 
-  /** LSH band keys: md5 of each `rows`-wide slice of the signature.
-    * Two documents are candidates iff they share any band key. */
-  def bandKeys(signature: Column, bands: Int, rows: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => md5(array_join(slice(signature, b * rows + 1, lit(rows)), "|")))
+  /** The `numHashes` minhash aggregate expressions over a `hashMaterial`
+    * column: element j is `min(substring(h, j*6+1, 6))`. Used as codegen'd
+    * hash-aggregate functions (groupBy(doc).agg(...)), which evaluates the
+    * hash material exactly once per shingle — nesting the same computation
+    * inside `transform` lambdas instead re-evaluates the md5 tree once per
+    * lambda invocation after projection collapse. */
+  def minhashAggs(h: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(j => min(substring(h, j * 6 + 1, 6)).as(s"m$j"))
+
+  /** LSH band keys from the 16 signature columns `m0..m15`: md5 of each
+    * `rows`-wide group joined with '|'. Two documents are candidates iff
+    * they share any band key. */
+  def bandKeyCols(bands: Int, rows: Int): Seq[Column] =
+    (0 until bands).map(b =>
+      md5(concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)))
+
+  /** All ordered pairs (a < b) from a sorted array — local candidate-pair
+    * generation inside an LSH bucket / inverted-index posting list. Keeping
+    * pair expansion bucket-local (after a groupBy) instead of a self-join
+    * means the signature subtree is computed once, not once per join side. */
+  def pairCombos(sortedIds: Column): Column =
+    flatten(transform(sortedIds, (x, i) =>
+      transform(slice(sortedIds, i + 2, size(sortedIds)),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
 
   /** 64-bit SimHash of the document's tokens as a '0'/'1' bit string
     * (MSB-first per MD5 hex digit). Bit i is set when the sum over tokens of

@@ -42,15 +42,22 @@ object DedupPack {
         .orderBy("keep_id")
     }),
 
-    // ---- exact n-gram Jaccard near-dup pairs (inverted index join) -------
+    // ---- exact n-gram Jaccard near-dup pairs (inverted shingle index) ----
+    // Shuffle once on shingle, generate pairs inside each posting list, then
+    // aggregate shared-counts — no self-join, so the shingle computation runs
+    // once and the only wide ops are two hash aggregations. Posting lists of
+    // hot shingles are the skew risk at 100 TB (cap df there); exact
+    // semantics here, so no cap.
     "dd_jaccard_pairs" -> ((s, d) => {
       val sh = shingled(s, d)
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
       val sizes = sh.select(col("doc_id"), size(col("sh")).cast(LongType).as("n"))
-      val shared = ex.as("a")
-        .join(ex.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val shared = sh
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .groupBy(col("g"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(pairCombos(col("ids"))).as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .agg(count(lit(1)).as("shared"))
       shared
         .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -63,16 +70,25 @@ object DedupPack {
     }),
 
     // ---- MinHash + LSH banding candidate pairs ---------------------------
+    // Staged plan with Generate/Aggregate barriers so every expensive
+    // expression evaluates exactly once: explode shingles → 3 md5s per
+    // shingle (hashMaterial) → 16-column minhash via codegen'd hash
+    // aggregate → band keys → bucket groupBy → local pair expansion.
     "dd_minhash_lsh" -> ((s, d) => {
-      val banded = shingled(s, d)
+      val sig = shingled(s, d)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .select(col("doc_id"), hashMaterial(col("g")).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(minhashAggs(col("h"), NumHashes).head,
+             minhashAggs(col("h"), NumHashes).tail: _*)
+      sig
         .select(col("doc_id"),
-          bandKeys(minhashSignature(col("sh"), NumHashes), Bands, Rows).as("bk"))
-        .select(col("doc_id"), posexplode(col("bk")).as(Seq("band", "key")))
-      banded.as("a")
-        .join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          posexplode(array(bandKeyCols(Bands, Rows): _*)).as(Seq("band", "key")))
+        .groupBy(col("band"), col("key"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(pairCombos(col("ids"))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct()
         .orderBy("doc_a", "doc_b")
     }),
@@ -120,22 +136,28 @@ object DedupPack {
          |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "dd_minhash_lsh" ->
+    "dd_minhash_lsh" -> {
+      val minCols = (0 until NumHashes)
+        .map(j => s"min(substring(h, ${j * 6 + 1}, 6)) AS m$j").mkString(", ")
+      val bandExprs = (0 until Bands)
+        .map(b => (0 until Rows).map(r => s"m${b * Rows + r}")
+          .mkString("md5(", " || '|' || ", ")"))
       s"""WITH $shingleCte,
-         |sig AS (SELECT doc_id,
-         |  list_transform(generate_series(0, ${NumHashes - 1}),
-         |    j -> list_min(list_transform(sh, s -> md5(j || ':' || s)))) AS mh
-         |  FROM sh),
-         |banded AS (SELECT doc_id,
-         |  unnest(generate_series(0, ${Bands - 1})) AS band,
-         |  unnest(list_transform(generate_series(0, ${Bands - 1}),
-         |    b -> md5(array_to_string(
-         |      list_slice(mh, b * $Rows + 1, b * $Rows + $Rows), '|')))) AS key
-         |  FROM sig)
+         |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |hs AS (SELECT doc_id,
+         |  md5(g) || md5('a' || g) || md5('b' || g) AS h FROM ex),
+         |sig AS (SELECT doc_id, $minCols FROM hs GROUP BY doc_id),
+         |banded AS (SELECT doc_id, band,
+         |  CASE band ${bandExprs.zipWithIndex
+               .map { case (e, b) => s"WHEN $b THEN $e" }.mkString(" ")} END
+         |    AS key
+         |  FROM sig CROSS JOIN
+         |    (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "dd_simhash" ->
       """WITH tok AS (
