@@ -12,51 +12,81 @@ import org.apache.spark.sql.types._
   * its sha256-based exact dedup (reference: db/data.py:250-257) carried over
   * to approximate dedup. Pure Catalyst higher-order expressions: signatures
   * are computed per-row with no shuffle; only the candidate-pair join is wide.
+  *
+  * Performance note — let-binding via `transform(array(x), v => body)`:
+  * Catalyst's CollapseProject inlines a projected expression into every
+  * reference site, so an expression like `element_at(split(text), i)` used k
+  * times re-runs the regex split k times per row (measured 20× slowdown on
+  * the shingle pipeline). Wrapping the shared subexpression in a 1-element
+  * array and referencing it as a lambda variable forces single evaluation —
+  * the higher-order-function equivalent of a `let`.
   */
 object HashFunctions {
 
-  /** Distinct word n-gram shingles of a document (fallback: whole text when
-    * shorter than n tokens). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(text, "\\s+")
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
-    array_distinct(when(size(toks) >= n, grams).otherwise(array(text)))
-  }
+  /** Number of md5 evaluations per shingle backing the minhash family. */
+  val MinhashMd5s = 4
 
-  /** 96 hex chars of deterministic hash material per shingle: three md5s of
-    * domain-separated copies of the shingle. Sliced into 16 six-hex-char
-    * (24-bit) values, this yields 16 independent hash functions from only
-    * 3 md5 evaluations — the md5 is the hot operation in minhash signature
-    * computation, so this is a 5× cut versus one md5 per hash function.
+  /** Evaluate `body(x)` with `x` bound once — see class doc. */
+  def bindArray(x: Column, body: Column => Column): Column =
+    element_at(transform(array(x), body), 1)
+
+  /** Distinct word n-gram shingles of a document (fallback: whole text when
+    * shorter than n tokens). The token array is let-bound so the regex split
+    * runs once per document, not once per element_at. */
+  def wordShingles(text: Column, n: Int): Column =
+    bindArray(split(text, "\\s+"), t =>
+      array_distinct(
+        when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*)))
+          .otherwise(array(text))))
+
+  /** 128 hex chars of deterministic hash material per shingle: four md5s of
+    * domain-separated copies of the shingle. Sliced into 16 eight-hex-char
+    * (32-bit) values, this yields 16 independent hash functions from only
+    * 4 md5 evaluations — the md5 is the hot operation in minhash signature
+    * computation. Domain separators are `"<j>:"` (digit + colon), which no
+    * separator is a prefix of another's material since the colon never
+    * appears in another prefix position — unlike bare `'a'`/`'b'` prefixes,
+    * `"1:" + g` can never equal `"0:" + g2` for shingles g, g2.
     * Lexicographic min over fixed-width lowercase-hex slices equals numeric
-    * min, so `min(substring(...))` is a valid minhash aggregate. */
+    * min, so `min(substring(...))` is a valid minhash aggregate; 32-bit
+    * slices keep the per-hash collision odds ~n/2^32 — negligible even for
+    * documents with millions of distinct shingles. */
   def hashMaterial(shingle: Column): Column =
-    concat(md5(shingle),
-      md5(concat(lit("a"), shingle)),
-      md5(concat(lit("b"), shingle)))
+    concat((0 until MinhashMd5s).map(j =>
+      md5(concat(lit(s"$j:"), shingle))): _*)
 
   /** The `numHashes` minhash aggregate expressions over a `hashMaterial`
-    * column: element j is `min(substring(h, j*6+1, 6))`. Used as codegen'd
+    * column: element j is `min(substring(h, j*8+1, 8))`. Used as codegen'd
     * hash-aggregate functions (groupBy(doc).agg(...)), which evaluates the
-    * hash material exactly once per shingle — nesting the same computation
-    * inside `transform` lambdas instead re-evaluates the md5 tree once per
-    * lambda invocation after projection collapse. */
-  def minhashAggs(h: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(j => min(substring(h, j * 6 + 1, 6)).as(s"m$j"))
+    * hash material exactly once per shingle. */
+  def minhashAggs(h: Column, numHashes: Int): Seq[Column] = {
+    require(numHashes * 8 <= MinhashMd5s * 32, s"$numHashes hashes need more md5 material")
+    (0 until numHashes).map(j => min(substring(h, j * 8 + 1, 8)).as(s"m$j"))
+  }
 
-  /** LSH band keys from the 16 signature columns `m0..m15`: md5 of each
-    * `rows`-wide group joined with '|'. Two documents are candidates iff
-    * they share any band key. */
+  /** LSH band keys from the signature columns `m0..`: md5 of each
+    * `rows`-wide group joined with '|'. Uses NULL-propagating `concat` (not
+    * `concat_ws`, which silently skips NULLs): a document with a NULL
+    * signature gets NULL band keys — same as the SQL `||` operator — instead
+    * of silently colliding with every other NULL-signature document. Two
+    * documents are candidates iff they share a non-NULL band key. */
   def bandKeyCols(bands: Int, rows: Int): Seq[Column] =
-    (0 until bands).map(b =>
-      md5(concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)))
+    (0 until bands).map { b =>
+      val parts = (0 until rows).flatMap { r =>
+        val c = col(s"m${b * rows + r}")
+        if (r == 0) Seq(c) else Seq(lit("|"), c)
+      }
+      md5(concat(parts: _*))
+    }
 
   /** All ordered pairs (a < b) from a sorted array — local candidate-pair
     * generation inside an LSH bucket / inverted-index posting list. Keeping
     * pair expansion bucket-local (after a groupBy) instead of a self-join
-    * means the signature subtree is computed once, not once per join side. */
+    * means the signature subtree is computed once, not once per join side.
+    * Callers must cap the list size (bucket/document-frequency cap) — an
+    * uncapped hot bucket materializes O(k²) structs in one row. */
   def pairCombos(sortedIds: Column): Column =
     flatten(transform(sortedIds, (x, i) =>
       transform(slice(sortedIds, i + 2, size(sortedIds)),
@@ -64,20 +94,22 @@ object HashFunctions {
 
   /** 64-bit SimHash of the document's tokens as a '0'/'1' bit string
     * (MSB-first per MD5 hex digit). Bit i is set when the sum over tokens of
-    * (bit_i(md5(token)) * 2 - 1) is positive. */
-  def simhashBits(text: Column): Column = {
-    val hashes = transform(split(text, "\\s+"), t => md5(t))
-    val bits = transform(sequence(lit(0), lit(63)), i => {
-      val digitPos = (floor(i / 4) + 1).cast(IntegerType)
-      val contrib = (h: Column) => {
-        val digit = conv(h.substr(digitPos, lit(1)), 16, 10).cast(LongType)
-        val bit = floor(digit / pow(lit(2), lit(3) - pmod(i, lit(4))))
-          .cast(LongType) % 2
-        bit * 2 - 1
-      }
-      when(aggregate(hashes, lit(0L), (acc, h) => acc + contrib(h)) > 0,
-        lit("1")).otherwise(lit("0"))
+    * (bit_i(md5(token)) * 2 - 1) is positive. The token-hash array is
+    * let-bound so the tokens are split+hashed once per document, not once
+    * per bit. */
+  def simhashBits(text: Column): Column =
+    bindArray(transform(split(text, "\\s+"), t => md5(t)), hashes => {
+      val bits = transform(sequence(lit(0), lit(63)), i => {
+        val digitPos = (floor(i / 4) + 1).cast(IntegerType)
+        val contrib = (h: Column) => {
+          val digit = conv(h.substr(digitPos, lit(1)), 16, 10).cast(LongType)
+          val bit = floor(digit / pow(lit(2), lit(3) - pmod(i, lit(4))))
+            .cast(LongType) % 2
+          bit * 2 - 1
+        }
+        when(aggregate(hashes, lit(0L), (acc, h) => acc + contrib(h)) > 0,
+          lit("1")).otherwise(lit("0"))
+      })
+      array_join(bits, "")
     })
-    array_join(bits, "")
-  }
 }

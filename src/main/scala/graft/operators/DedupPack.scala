@@ -15,10 +15,14 @@ import org.apache.spark.sql.types._
   * driver involvement). Candidate generation never cross-joins — Jaccard
   * uses an inverted shingle index (shuffle on shingle), LSH groups by
   * (band, key). Both plans keep the quadratic blow-up bounded to documents
-  * that actually collide, which is what makes them viable at 100 TB where a
-  * naive pairwise comparison is impossible. Hot-key guard for web-scale
-  * corpora: drop shingles with document frequency above a cap before the
-  * self-join (boilerplate shingles otherwise create quadratic skew).
+  * that actually collide — AND both are capped: shingles with document
+  * frequency above [[MaxShingleDf]] are dropped (boilerplate shingles carry
+  * no near-dup signal but produce O(df²) pairs — the classic hot-key skew at
+  * web scale), and LSH buckets above [[MaxLshBucket]] are skipped (a
+  * degenerate bucket of k identical docs would otherwise materialize k²/2
+  * structs in a single aggregation row and OOM an executor). Both caps are
+  * mirrored in the DuckDB oracles, so capped semantics are the *defined*
+  * semantics, not a silent divergence.
   */
 object DedupPack {
 
@@ -27,6 +31,13 @@ object DedupPack {
   private val Rows = 4
   private val ShingleN = 3
   private val JaccardThreshold = 0.8
+
+  /** Document-frequency cap: shingles appearing in more documents than this
+    * are excluded from the Jaccard universe (and from per-doc sizes). */
+  val MaxShingleDf = 1000
+
+  /** LSH buckets larger than this are skipped (hot-bucket guard). */
+  val MaxLshBucket = 1000
 
   /** (doc_id, shingles) with distinct word-3-gram shingles. */
   private def shingled(s: SparkSession, d: String): DataFrame =
@@ -43,18 +54,22 @@ object DedupPack {
     }),
 
     // ---- exact n-gram Jaccard near-dup pairs (inverted shingle index) ----
-    // Shuffle once on shingle, generate pairs inside each posting list, then
-    // aggregate shared-counts — no self-join, so the shingle computation runs
-    // once and the only wide ops are two hash aggregations. Posting lists of
-    // hot shingles are the skew risk at 100 TB (cap df there); exact
-    // semantics here, so no cap.
+    // Shuffle once on shingle, generate pairs inside each df-capped posting
+    // list, then aggregate shared-counts — no self-join. Per-doc sizes are
+    // derived from the SAME df-filtered posting lists (one exchange, reused
+    // by both branches), so Jaccard is computed consistently over the capped
+    // shingle universe.
     "dd_jaccard_pairs" -> ((s, d) => {
-      val sh = shingled(s, d)
-      val sizes = sh.select(col("doc_id"), size(col("sh")).cast(LongType).as("n"))
-      val shared = sh
+      val postings = shingled(s, d)
         .select(col("doc_id"), explode(col("sh")).as("g"))
         .groupBy(col("g"))
         .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) <= MaxShingleDf)
+      val sizes = postings
+        .select(explode(col("ids")).as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"))
+      val shared = postings
         .filter(size(col("ids")) >= 2)
         .select(explode(pairCombos(col("ids"))).as("p"))
         .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
@@ -71,9 +86,10 @@ object DedupPack {
 
     // ---- MinHash + LSH banding candidate pairs ---------------------------
     // Staged plan with Generate/Aggregate barriers so every expensive
-    // expression evaluates exactly once: explode shingles → 3 md5s per
+    // expression evaluates exactly once: explode shingles → 4 md5s per
     // shingle (hashMaterial) → 16-column minhash via codegen'd hash
-    // aggregate → band keys → bucket groupBy → local pair expansion.
+    // aggregate → band keys → bucket groupBy (NULL keys dropped, hot
+    // buckets capped) → local pair expansion.
     "dd_minhash_lsh" -> ((s, d) => {
       val sig = shingled(s, d)
         .select(col("doc_id"), explode(col("sh")).as("g"))
@@ -84,9 +100,10 @@ object DedupPack {
       sig
         .select(col("doc_id"),
           posexplode(array(bandKeyCols(Bands, Rows): _*)).as(Seq("band", "key")))
+        .filter(col("key").isNotNull)
         .groupBy(col("band"), col("key"))
         .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) >= 2)
+        .filter(size(col("ids")).between(2, MaxLshBucket))
         .select(explode(pairCombos(col("ids"))).as("p"))
         .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct()
@@ -122,11 +139,15 @@ object DedupPack {
     "dd_jaccard_pairs" ->
       s"""WITH $shingleCte,
          |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-         |sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sh),
+         |dfk AS (SELECT g, COUNT(*) AS c FROM ex GROUP BY g),
+         |keep AS (SELECT doc_id, ex.g FROM ex JOIN dfk USING (g)
+         |         WHERE c <= $MaxShingleDf),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |          FROM keep GROUP BY doc_id),
          |shared AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    CAST(COUNT(*) AS BIGINT) AS shared
-         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  FROM keep a JOIN keep b ON a.g = b.g AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT doc_a, doc_b, shared,
          |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
@@ -137,25 +158,31 @@ object DedupPack {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd_minhash_lsh" -> {
+      val mats = (0 until MinhashMd5s).map(j => s"md5('$j:' || g)")
+        .mkString(" || ")
       val minCols = (0 until NumHashes)
-        .map(j => s"min(substring(h, ${j * 6 + 1}, 6)) AS m$j").mkString(", ")
+        .map(j => s"min(substring(h, ${j * 8 + 1}, 8)) AS m$j").mkString(", ")
       val bandExprs = (0 until Bands)
         .map(b => (0 until Rows).map(r => s"m${b * Rows + r}")
           .mkString("md5(", " || '|' || ", ")"))
       s"""WITH $shingleCte,
          |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-         |hs AS (SELECT doc_id,
-         |  md5(g) || md5('a' || g) || md5('b' || g) AS h FROM ex),
+         |hs AS (SELECT doc_id, $mats AS h FROM ex),
          |sig AS (SELECT doc_id, $minCols FROM hs GROUP BY doc_id),
          |banded AS (SELECT doc_id, band,
          |  CASE band ${bandExprs.zipWithIndex
                .map { case (e, b) => s"WHEN $b THEN $e" }.mkString(" ")} END
          |    AS key
          |  FROM sig CROSS JOIN
-         |    (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b)
+         |    (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b),
+         |buckets AS (SELECT band, key FROM banded
+         |  WHERE key IS NOT NULL GROUP BY band, key
+         |  HAVING COUNT(*) BETWEEN 2 AND $MaxLshBucket)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM banded a JOIN banded b
-         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |FROM banded a
+         |JOIN buckets k ON a.band = k.band AND a.key = k.key
+         |JOIN banded b ON a.band = b.band AND a.key = b.key
+         |  AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 

@@ -1,0 +1,53 @@
+package graft.tools
+
+import graft.Tables
+import graft.functions.HashFunctions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dev-only stage bisection for the dedup pipeline hotspots. */
+object ProfileStages {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val s = spark
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[stage] $name rows=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+
+    time("warmup")(Tables.documents(s, d).count())
+    time("shingled")(sh.count())
+    time("shingled_again")(sh.count())
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    time("exploded")(ex.count())
+    val grouped = ex.groupBy(col("g"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    time("grouped")(grouped.count())
+    val pairs = grouped.select(explode(pairCombos(col("ids"))).as("p"))
+    time("pairs")(pairs.count())
+    val shared = pairs
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    time("shared")(shared.count())
+    // minhash side
+    val hm = ex.select(col("doc_id"), hashMaterial(col("g")).as("h"))
+    time("hash_material")(hm.count())
+    val sig = hm.groupBy(col("doc_id"))
+      .agg(minhashAggs(col("h"), 16).head, minhashAggs(col("h"), 16).tail: _*)
+    time("signatures")(sig.count())
+    spark.stop()
+  }
+}
