@@ -75,6 +75,62 @@ object MLPack {
         .select(col("doc_id"), col("lang"))
         .limit(50)
         .orderBy("doc_id")
+    }),
+
+    // ---- class-probability vector assembly via pivot (reference F18:
+    //      similarity/metrics.py:151-237 — sorted class names, missing
+    //      class → zero) --------------------------------------------------
+    "f18_class_probs" -> ((s, d) => {
+      val classes = Seq("de", "en", "es", "fr", "zh") // sorted, fixed
+      val counts = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .pivot("lang", classes)
+        .agg(count(lit(1)))
+      val total = classes.map(c => coalesce(col(c), lit(0L)))
+        .reduce(_ + _).cast(DoubleType)
+      counts.select(col("source") +:
+        classes.map(c =>
+          (coalesce(col(c), lit(0L)).cast(DoubleType) / total).as(s"p_$c")): _*)
+        .orderBy("source")
+    }),
+
+    // ---- dataset snapshot as deterministic JSON (reference M6:
+    //      db/dataset.py:247-291 — freeze dataset contents at eval time) ---
+    "m6_snapshot_json" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("r"))
+        .select(col("lang").as("class"),
+          concat(lit("{\"class\":\""), col("lang"),
+            lit("\",\"recordings\":["),
+            array_join(transform(col("r"), _.cast(StringType)), ","),
+            lit("]}")).as("snapshot"))
+        .orderBy("class")
+    }),
+
+    // ---- model training + confusion-matrix eval (reference M4/A8:
+    //      dataset_eval/gaia_wrapper.py:22-119 SVM grid search → accuracy +
+    //      confusion matrix). spark.ml LogisticRegression stands in for the
+    //      RBF-SVM (documented deviation, SURVEY §7.4); the relational
+    //      shape — deterministic split, fit on train, per-(label, predicted)
+    //      counts — is the contract. Rows-only driver check (model weights
+    //      are iterative, not oracle-expressible in SQL). ------------------
+    "m4_train_eval" -> ((s, d) => {
+      import org.apache.spark.ml.classification.LogisticRegression
+      import org.apache.spark.ml.functions.array_to_vector
+      val data = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast(DoubleType).as("label"),
+          array_to_vector(col("embedding")).as("features"))
+      val train = data.filter(col("vec_id") % 5 =!= 0)
+      val test = data.filter(col("vec_id") % 5 === 0)
+      val model = new LogisticRegression()
+        .setMaxIter(25).setRegParam(0.01).setTol(1e-6)
+        .fit(train)
+      model.transform(test)
+        .groupBy(col("label").cast("long").as("label"),
+          col("prediction").cast("long").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "predicted")
     })
   )
 
@@ -113,6 +169,24 @@ object MLPack {
       s"""SELECT doc_id, lang FROM
          |  (SELECT doc_id, lang FROM documents
          |   ORDER BY $orderSql, doc_id LIMIT 50) t
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "f18_class_probs" -> {
+      val classes = Seq("de", "en", "es", "fr", "zh")
+      val cols = classes.map(c =>
+        s"CAST(COUNT(*) FILTER (WHERE lang = '$c') AS DOUBLE) / COUNT(*) AS p_$c")
+        .mkString(",\n ")
+      s"""SELECT source,
+         | $cols
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "m6_snapshot_json" ->
+      """SELECT lang AS class,
+        | '{"class":"' || lang || '","recordings":[' ||
+        |   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) ||
+        | ']}' AS snapshot
+        |FROM documents GROUP BY lang ORDER BY class""".stripMargin
+    // m4_train_eval: iterative spark.ml model — rows-only driver check.
   )
 }

@@ -345,6 +345,80 @@ object Relational {
         .withColumn("code", coalesce(element_at(codes, col("event_type")), lit(-1L)))
         .select("event_type", "code", "n")
         .orderBy("event_type")
+    }),
+
+    // ---- 3-way equi join, fact + two broadcast dims (reference J2:
+    //      db/data.py:538-601 highlevel ⋈ highlevel_meta ⋈ lowlevel) -------
+    "j2_threeway_join" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("o_orderkey", "c_name", "n_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- get-or-insert dedup: rows of the incoming batch not already in
+    //      the existing dimension (reference A9: db/data.py:187-208 version
+    //      row reuse keyed by sha) ----------------------------------------
+    "a9_get_or_insert" -> ((s, d) => {
+      val existing = Tables.part(s, d).filter(col("p_partkey") <= 500)
+        .select(col("p_brand").as("brand"), col("p_type").as("container"))
+        .distinct()
+      Tables.part(s, d)
+        .select(col("p_brand").as("brand"), col("p_type").as("container"))
+        .distinct()
+        .join(existing, Seq("brand", "container"), "left_anti")
+        .orderBy("brand", "container")
+    }),
+
+    // ---- min/max-by-sort as aggregates (reference W2: ORDER BY … LIMIT 1
+    //      for earliest/latest submission, db/submission_stats.py:285-305) -
+    "w2_minmax_sort" -> ((s, d) => {
+      Tables.events(s, d)
+        .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- FIFO queue head: oldest pending item (reference W4:
+    //      db/dataset_eval.py:167-187 ORDER BY created ASC LIMIT 1) --------
+    "w4_fifo_head" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_type") === "signup")
+        .orderBy(col("ts"), col("event_id"))
+        .select("event_id", "user_id", "ts")
+        .limit(1)
+    }),
+
+    // ---- tag-whitelist map filter (reference P3: db/data.py:128-135 drop
+    //      non-whitelisted keys from the metadata.tags map) ----------------
+    "p3_tag_whitelist" -> ((s, d) => {
+      val tags = map(
+        lit("lang"), col("lang"),
+        lit("source"), col("source"),
+        lit("internal_debug"), lit("drop-me"))
+      val whitelist = array(lit("lang"), lit("source"))
+      val kept = map_filter(tags, (k, _) => array_contains(whitelist, k))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_join(
+            transform(array_sort(map_entries(kept)),
+              e => concat(e.getField("key"), lit("="), e.getField("value"))),
+            ",").as("kept_tags"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- circular encoding [cos 2πv, sin 2πv] of a fractional feature
+    //      (reference F15: similarity/metrics.py:89-96) -------------------
+    "f15_circular" -> ((s, d) => {
+      val frac = col("value") - floor(col("value"))
+      val twoPi = lit(2.0 * math.Pi)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          round(cos(twoPi * frac), 6).as("circ_cos"),
+          round(sin(twoPi * frac), 6).as("circ_sin"))
+        .orderBy("event_id")
     })
   )
 
@@ -555,6 +629,40 @@ object Relational {
         |   WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 WHEN 'error' THEN 5
         |   ELSE -1 END AS BIGINT) AS code,
         | CAST(COUNT(*) AS BIGINT) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "j2_threeway_join" ->
+      """SELECT o_orderkey, c_name, n_name, o_totalprice
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "a9_get_or_insert" ->
+      """SELECT DISTINCT p_brand AS brand, p_type AS container FROM part
+        |EXCEPT
+        |SELECT DISTINCT p_brand AS brand, p_type AS container FROM part
+        |WHERE p_partkey <= 500
+        |ORDER BY brand, container""".stripMargin,
+
+    "w2_minmax_sort" ->
+      """SELECT min(ts) AS first_ts, max(ts) AS last_ts,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events""".stripMargin,
+
+    "w4_fifo_head" ->
+      """SELECT event_id, user_id, ts FROM events
+        |WHERE event_type = 'signup'
+        |ORDER BY ts, event_id LIMIT 1""".stripMargin,
+
+    "p3_tag_whitelist" ->
+      """SELECT doc_id, 'lang=' || lang || ',source=' || source AS kept_tags
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "f15_circular" ->
+      """SELECT event_id,
+        | round(cos(2 * pi() * (value - floor(value))), 6) AS circ_cos,
+        | round(sin(2 * pi() * (value - floor(value))), 6) AS circ_sin
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

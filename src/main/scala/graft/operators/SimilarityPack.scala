@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.Exprs.asLong
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -134,6 +135,86 @@ object SimilarityPack {
         .orderBy("vec_id", "pos")
     }),
 
+    // ---- distance-threshold post-filter (reference P6/N6:
+    //      webserver/views/api/v1/similarity.py:26-35 — clamp threshold,
+    //      keep neighbours with distance <= t) ---------------------------
+    "p6_distance_threshold" -> ((s, d) => {
+      val rawThreshold = 1.38
+      val t = math.min(2.0, math.max(0.0, rawThreshold)) // reference clamp
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      emb.filter(col("vec_id") > 0)
+        .crossJoin(broadcast(q))
+        .withColumn("dist", angularDistance(col("qv"), col("v")))
+        .filter(col("dist") <= t)
+        .select(col("vec_id"), round(col("dist"), 8).as("angular_dist"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- embedding-cosine near-duplicate pairs, label-blocked ------------
+    // The dedup family's vector member: exact pairwise cosine inside each
+    // block (here the label; at 100 TB the block is an LSH bucket / IVF
+    // cell), never a full cross-join. Join keys are the block id, so the
+    // shuffle is bounded by block size, and each pair's dot product is one
+    // codegen'd fold over the two arrays.
+    "dd_embedding_cosine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", l2Norm(col("v")))
+      val a = emb.select(col("label"), col("vec_id").as("doc_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = emb.select(col("label"), col("vec_id").as("doc_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("label"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cosine") >= 0.25)
+        .select(col("doc_a"), col("doc_b"), asLong(col("label")).as("label"),
+          round(col("cosine"), 8).as("cosine"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- IVF-style ANN: coarse quantizer (per-label centroids) → assign
+    //      query to nearest centroid → probe only that cell ----------------
+    // The scale path for similarity search: the corpus is partitioned into
+    // cells (here by label; in production by trained centroids), each query
+    // scores one cell instead of the full corpus. Centroids use exact
+    // decimal sums so the quantizer is bit-identical across engines.
+    "ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val centroids = Tables.embeddings(s, d)
+        .select(col("label"),
+          posexplode(asDouble(col("embedding"))).as(Seq("pos", "val")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("val").cast(dec9)).cast(DoubleType) / count(lit(1)))
+          .as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cv"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wAssign = Window.partitionBy(col("query_id"))
+        .orderBy(col("cc").desc, col("label"))
+      val assigned = q.crossJoin(broadcast(centroids))
+        .withColumn("cc", cosine(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("qv"), col("label"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      assigned.join(emb, Seq("label"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), asLong(col("label")).as("cell"),
+          col("vec_id").as("neighbor_id"),
+          cosine(col("qv"), col("v")).as("cos"))
+        .withColumn("rank", asLong(row_number().over(wRank)))
+        .filter(col("rank") <= 5)
+        .select("query_id", "cell", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- sign-LSH bucketed ANN (the 100 TB scale path; approximate, so
     //      rows-only driver check — no SQL oracle) -------------------------
     "ann_lsh_bucketed" -> ((s, d) => {
@@ -243,7 +324,83 @@ object SimilarityPack {
       s"""WITH $exCte
          |SELECT vec_id, CAST(pos AS BIGINT) AS pos,
          |  round(val * power(0.95, CAST(pos - 1 AS DOUBLE)), 8) AS wval
-         |FROM ex WHERE vec_id < 5 ORDER BY vec_id, pos""".stripMargin
+         |FROM ex WHERE vec_id < 5 ORDER BY vec_id, pos""".stripMargin,
+
+    "p6_distance_threshold" ->
+      s"""WITH $exCte,
+         |norms AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
+         |          FROM ex GROUP BY vec_id),
+         |dots AS (SELECT c.vec_id, SUM(q.val * c.val) AS dp
+         |         FROM ex q JOIN ex c ON q.pos = c.pos
+         |         WHERE q.vec_id = 0 AND c.vec_id > 0
+         |         GROUP BY c.vec_id)
+         |SELECT d.vec_id,
+         |  round(sqrt(2.0 * (1.0 - dp / (nq.nrm * nc.nrm))), 8)
+         |    AS angular_dist
+         |FROM dots d
+         |JOIN norms nq ON nq.vec_id = 0
+         |JOIN norms nc ON nc.vec_id = d.vec_id
+         |WHERE sqrt(2.0 * (1.0 - dp / (nq.nrm * nc.nrm))) <= 1.38
+         |ORDER BY d.vec_id""".stripMargin,
+
+    "dd_embedding_cosine" ->
+      """WITH exi AS (SELECT vec_id, label,
+        |  unnest(generate_series(1, len(embedding))) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS val
+        |FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
+        |          FROM exi GROUP BY vec_id),
+        |dots AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |           a.label AS label, SUM(a.val * b.val) AS dp
+        |         FROM exi a JOIN exi b
+        |           ON a.pos = b.pos AND a.label = b.label
+        |           AND a.vec_id < b.vec_id
+        |         GROUP BY 1, 2, 3)
+        |SELECT doc_a, doc_b, CAST(label AS BIGINT) AS label,
+        |  round(dp / (na.nrm * nb.nrm), 8) AS cosine
+        |FROM dots
+        |JOIN norms na ON doc_a = na.vec_id
+        |JOIN norms nb ON doc_b = nb.vec_id
+        |WHERE dp / (na.nrm * nb.nrm) >= 0.25
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "ann_ivf" ->
+      """WITH exi AS (SELECT vec_id, label,
+        |  unnest(generate_series(1, len(embedding))) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS val
+        |FROM embeddings),
+        |cent AS (SELECT label, pos,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+        |  FROM exi GROUP BY label, pos),
+        |qn AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
+        |       FROM exi GROUP BY vec_id),
+        |cn AS (SELECT label, sqrt(SUM(c * c)) AS nrm FROM cent GROUP BY label),
+        |cdot AS (SELECT e.vec_id AS query_id, c.label, SUM(e.val * c.c) AS dp
+        |         FROM exi e JOIN cent c ON e.pos = c.pos
+        |         WHERE e.vec_id < 10 GROUP BY 1, 2),
+        |assigned AS (SELECT query_id, label FROM (
+        |  SELECT query_id, cdot.label,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dp / (qn.nrm * cn.nrm) DESC, cdot.label) AS rn
+        |  FROM cdot
+        |  JOIN qn ON qn.vec_id = query_id
+        |  JOIN cn ON cn.label = cdot.label) t WHERE rn = 1),
+        |ndot AS (SELECT a.query_id, a.label, e.vec_id AS neighbor_id,
+        |           SUM(q.val * e.val) AS dp
+        |         FROM assigned a
+        |         JOIN exi q ON q.vec_id = a.query_id
+        |         JOIN exi e ON e.label = a.label AND e.pos = q.pos
+        |           AND e.vec_id <> a.query_id
+        |         GROUP BY 1, 2, 3),
+        |ranked AS (SELECT query_id, label, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dp / (nq.nrm * ne.nrm) DESC, neighbor_id) AS rank
+        |  FROM ndot
+        |  JOIN qn nq ON nq.vec_id = query_id
+        |  JOIN qn ne ON ne.vec_id = neighbor_id)
+        |SELECT query_id, CAST(label AS BIGINT) AS cell,
+        |  CAST(rank AS BIGINT) AS rank, neighbor_id
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     // ann_lsh_bucketed: approximate operator, rows-only driver check.
   )
 }
