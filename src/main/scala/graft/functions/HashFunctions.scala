@@ -94,22 +94,14 @@ object HashFunctions {
 
   /** 64-bit SimHash of the document's tokens as a '0'/'1' bit string
     * (MSB-first per MD5 hex digit). Bit i is set when the sum over tokens of
-    * (bit_i(md5(token)) * 2 - 1) is positive. The token-hash array is
-    * let-bound so the tokens are split+hashed once per document, not once
-    * per bit. */
+    * (bit_i(md5(token)) * 2 - 1) is positive.
+    *
+    * The per-token md5 stays a built-in expression; the 64-bit majority
+    * vote is the engine's native `simhash64` expression
+    * (graft.plans.SimHash64, registered via SparkSessionExtensions) — a
+    * codegen'd byte loop. The pure-built-in formulation (a 64-step
+    * higher-order aggregate) evaluated interpreted at ~0.8 ms/document,
+    * which made signature computation the dedup pipeline's hot spot. */
   def simhashBits(text: Column): Column =
-    bindArray(transform(split(text, "\\s+"), t => md5(t)), hashes => {
-      val bits = transform(sequence(lit(0), lit(63)), i => {
-        val digitPos = (floor(i / 4) + 1).cast(IntegerType)
-        val contrib = (h: Column) => {
-          val digit = conv(h.substr(digitPos, lit(1)), 16, 10).cast(LongType)
-          val bit = floor(digit / pow(lit(2), lit(3) - pmod(i, lit(4))))
-            .cast(LongType) % 2
-          bit * 2 - 1
-        }
-        when(aggregate(hashes, lit(0L), (acc, h) => acc + contrib(h)) > 0,
-          lit("1")).otherwise(lit("0"))
-      })
-      array_join(bits, "")
-    })
+    call_function("simhash64", transform(split(text, "\\s+"), t => md5(t)))
 }

@@ -62,21 +62,34 @@ object TextFunctions {
     "zh" -> Seq("de", "shi", "le", "he"))
 
   /** Language-ID heuristic: argmax of marker-word counts with fixed
-    * priority tie-break (first language in `LangMarkers` wins ties). */
-  def langGuess(text: Column): Column = {
-    val counts = LangMarkers.map { case (lang, words) =>
-      lang -> wordSetCount(text, words)
-    }
-    // CASE WHEN c_en >= all others THEN 'en' WHEN c_de >= rest ... chain:
-    // if a language's count is >= every later language's count it is the
-    // argmax among the remaining candidates (earlier = higher tie priority).
-    val exprs = counts.zipWithIndex.map { case ((lang, c), i) =>
-      val laterCounts = counts.drop(i + 1).map(_._2)
-      val cond = laterCounts.foldLeft(lit(true))((acc, o) => acc && c >= o)
-      (cond, lang)
-    }
-    exprs.dropRight(1).foldRight(lit(exprs.last._2): Column) {
-      case ((cond, lang), acc) => when(cond, lit(lang)).otherwise(acc)
-    }
-  }
+    * priority tie-break (first language in `LangMarkers` wins ties).
+    *
+    * Both the token array and the per-language count array are let-bound
+    * (HashFunctions.bindArray): the CASE chain references each count up to
+    * |languages| times, and without binding Catalyst would re-run the
+    * regex split + filter at every reference site — ~14 splits per row. */
+  def langGuess(text: Column): Column =
+    HashFunctions.bindArray(tokens(text), toks => {
+      val countArr = array(LangMarkers.map { case (_, words) =>
+        size(filter(toks, t => array_contains(typedLit(words), t)))
+          .cast(LongType)
+      }: _*)
+      HashFunctions.bindArray(countArr, cs => {
+        val counts = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+          lang -> element_at(cs, i + 1)
+        }
+        // CASE WHEN c_en >= all others THEN 'en' WHEN c_de >= rest ...:
+        // if a language's count is >= every later language's count it is
+        // the argmax among the remaining candidates (earlier = higher tie
+        // priority).
+        val exprs = counts.zipWithIndex.map { case ((lang, c), i) =>
+          val laterCounts = counts.drop(i + 1).map(_._2)
+          val cond = laterCounts.foldLeft(lit(true))((acc, o) => acc && c >= o)
+          (cond, lang)
+        }
+        exprs.dropRight(1).foldRight(lit(exprs.last._2): Column) {
+          case ((cond, lang), acc) => when(cond, lit(lang)).otherwise(acc)
+        }
+      })
+    })
 }

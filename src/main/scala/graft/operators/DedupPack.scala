@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.Exprs.asLong
 import graft.functions.HashFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -38,6 +39,12 @@ object DedupPack {
 
   /** LSH buckets larger than this are skipped (hot-bucket guard). */
   val MaxLshBucket = 1000
+
+  /** SimHash banding: 4 blocks of 16 bits guarantee recall for pairs with
+    * Hamming distance <= 3 (pigeonhole: 3 differing bits can dirty at most
+    * 3 of the 4 blocks). */
+  val SimhashBlocks = 4
+  val MaxHamming = 3
 
   /** (doc_id, shingles) with distinct word-3-gram shingles. */
   private def shingled(s: SparkSession, d: String): DataFrame =
@@ -115,6 +122,39 @@ object DedupPack {
       Tables.documents(s, d)
         .select(col("doc_id"), simhashBits(col("text")).as("simhash"))
         .orderBy("doc_id")
+    }),
+
+    // ---- SimHash near-dup pairs: block-banded candidates + native
+    //      hamming verification ------------------------------------------
+    // The 64-bit signature splits into 4 16-bit blocks; by pigeonhole, any
+    // pair with Hamming distance <= 3 shares at least one identical block,
+    // so grouping on (block index, block value) finds all such pairs without
+    // a self-join — the same bounded-bucket plan as MinHash LSH. Candidates
+    // are verified with the engine's native `hamming_distance` expression
+    // (graft.plans.HammingDistance, registered via SparkSessionExtensions):
+    // a codegen'd byte loop, not a UDF.
+    "dd_simhash_pairs" -> ((s, d) => {
+      val sigs = Tables.documents(s, d)
+        .select(col("doc_id"), simhashBits(col("text")).as("sh"))
+      val blockCols = (0 until SimhashBlocks).map(b =>
+        substring(col("sh"), b * 16 + 1, 16))
+      val pairs = sigs
+        .select(col("doc_id"), col("sh"),
+          posexplode(array(blockCols: _*)).as(Seq("blk", "key")))
+        .groupBy(col("blk"), col("key"))
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("sh"))))
+          .as("items"))
+        .filter(size(col("items")).between(2, MaxLshBucket))
+        .select(explode(pairCombos(col("items"))).as("p"))
+        .select(col("p.doc_a.doc_id").as("doc_a"), col("p.doc_a.sh").as("sa"),
+          col("p.doc_b.doc_id").as("doc_b"), col("p.doc_b.sh").as("sb"))
+        .distinct()
+      pairs
+        .withColumn("hamming",
+          asLong(call_function("hamming_distance", col("sa"), col("sb"))))
+        .filter(col("hamming") <= MaxHamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -129,6 +169,27 @@ object DedupPack {
       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
       |         ELSE [text] END AS sh
       |       FROM toks)""".stripMargin
+
+  /** DuckDB CTE chain producing sims(doc_id, simhash) — mirrors
+    * `simhashBits`. */
+  private val simhashCte =
+    """tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tk
+      |  FROM documents),
+      |th AS (SELECT doc_id, md5(tk) AS h FROM tok),
+      |bt AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN SUM(
+      |      (CAST(floor(
+      |         (strpos('0123456789abcdef',
+      |            substring(h, CAST(i // 4 AS INTEGER) + 1, 1)) - 1)
+      |         / power(2, 3 - (i % 4))) AS BIGINT) % 2) * 2 - 1) > 0
+      |    THEN '1' ELSE '0' END AS b
+      |  FROM th CROSS JOIN
+      |    (SELECT unnest(generate_series(0, 63)) AS i) bits
+      |  GROUP BY doc_id, i),
+      |sims AS (SELECT doc_id, string_agg(b, '' ORDER BY i) AS simhash
+      |  FROM bt GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dd_exact_hash" ->
@@ -187,22 +248,29 @@ object DedupPack {
     },
 
     "dd_simhash" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tk
-        |  FROM documents),
-        |th AS (SELECT doc_id, md5(tk) AS h FROM tok),
-        |bt AS (
-        |  SELECT doc_id, i,
-        |    CASE WHEN SUM(
-        |      (CAST(floor(
-        |         (strpos('0123456789abcdef',
-        |            substring(h, CAST(i // 4 AS INTEGER) + 1, 1)) - 1)
-        |         / power(2, 3 - (i % 4))) AS BIGINT) % 2) * 2 - 1) > 0
-        |    THEN '1' ELSE '0' END AS b
-        |  FROM th CROSS JOIN
-        |    (SELECT unnest(generate_series(0, 63)) AS i) bits
-        |  GROUP BY doc_id, i)
-        |SELECT doc_id, string_agg(b, '' ORDER BY i) AS simhash
-        |FROM bt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
+
+    "dd_simhash_pairs" ->
+      s"""WITH $simhashCte,
+         |blocks AS (SELECT doc_id, simhash, blk,
+         |  substring(simhash, blk * 16 + 1, 16) AS key
+         |  FROM sims CROSS JOIN
+         |    (SELECT unnest(generate_series(0, ${SimhashBlocks - 1})) AS blk) bl),
+         |buckets AS (SELECT blk, key FROM blocks GROUP BY blk, key
+         |  HAVING COUNT(*) BETWEEN 2 AND $MaxLshBucket),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+         |    b.doc_id AS doc_b, b.simhash AS sb
+         |  FROM blocks a
+         |  JOIN buckets k ON a.blk = k.blk AND a.key = k.key
+         |  JOIN blocks b ON a.blk = b.blk AND a.key = b.key
+         |    AND a.doc_id < b.doc_id),
+         |ham AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_filter(generate_series(1, 64),
+         |    i -> substring(sa, CAST(i AS INTEGER), 1)
+         |      <> substring(sb, CAST(i AS INTEGER), 1))) AS BIGINT) AS hamming
+         |  FROM cand)
+         |SELECT doc_a, doc_b, hamming FROM ham
+         |WHERE hamming <= $MaxHamming ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -266,11 +266,19 @@ object Relational {
     }),
 
     // ---- ordered pagination (reference W8: webserver/views/datasets.py) --
+    // Scale-safe global pagination: take the page's upper bound first via
+    // orderBy+limit (TakeOrderedAndProject — a distributed partial top-K,
+    // no global sort), then run the global row_number window over only
+    // those pageEnd rows. A bare global window would funnel the whole
+    // table through one partition.
     "w8_pagination" -> ((s, d) => {
+      val (pageStart, pageEnd) = (20, 40)
       val w = Window.orderBy(col("c_name"), col("c_custkey"))
       Tables.customer(s, d)
+        .orderBy(col("c_name"), col("c_custkey"))
+        .limit(pageEnd)
         .withColumn("rn", asLong(row_number().over(w)))
-        .filter(col("rn") > 20 && col("rn") <= 40)
+        .filter(col("rn") > pageStart && col("rn") <= pageEnd)
         .select("rn", "c_custkey", "c_name")
         .orderBy("rn")
     }),

@@ -1,0 +1,31 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point (`SparkSessionExtensions`): registers the native
+  * expressions the built-in function library can't express efficiently.
+  * Installed by [[graft.Engine]] on every session (and usable standalone via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("hamming_distance"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"hamming_distance expects 2 arguments, got ${children.length}")
+        HammingDistance(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"simhash64 expects 1 argument, got ${children.length}")
+        SimHash64(children.head)
+      }))
+  }
+}

@@ -10,12 +10,7 @@ import org.apache.spark.sql.types._
 object ProfileStages {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Engine.session("32")
     val s = spark
 
     def time(name: String)(f: => Long): Unit = {
@@ -48,6 +43,18 @@ object ProfileStages {
     val sig = hm.groupBy(col("doc_id"))
       .agg(minhashAggs(col("h"), 16).head, minhashAggs(col("h"), 16).tail: _*)
     time("signatures")(sig.count())
+    val sh2 = Tables.documents(s, d)
+      .select(col("doc_id"), simhashBits(col("text")).as("sh"))
+    time("simhash_sigs")({sh2.agg(max(md5(col("sh")))).collect(); 1L})
+    val blocks = sh2.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(b => substring(col("sh"), b * 16 + 1, 16)): _*))
+        .as(Seq("blk", "key")))
+    val buckets = blocks.groupBy(col("blk"), col("key"))
+      .agg(count(lit(1)).as("n"))
+    time("simhash_bucket_pairs")({
+      val r = buckets.agg(sum(col("n") * (col("n") - 1) / 2)).collect()(0)
+      r.get(0).toString.toDouble.toLong
+    })
     spark.stop()
   }
 }

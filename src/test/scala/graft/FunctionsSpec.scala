@@ -62,6 +62,24 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getString(0) == r.getString(1) && r.getString(0).length == 8)
   }
 
+  test("native hamming_distance matches a reference implementation") {
+    val df = Seq(
+      ("0000", "0000", 0), ("0000", "1111", 4), ("0101", "0110", 2),
+      ("abc", "abd", 1), ("ab", "abcd", 2)).toDF("a", "b", "want")
+    // registered via GraftExtensions (SQL + call_function path)
+    val got = df.select(call_function("hamming_distance", $"a", $"b").as("h"),
+      $"want").collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // interpreted path (no codegen) must agree
+    val e = graft.plans.HammingDistance
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(e.hamming(u("0101"), u("0110")) == 2)
+    // null propagation
+    val nulls = Seq((null.asInstanceOf[String], "x")).toDF("a", "b")
+      .select(call_function("hamming_distance", $"a", $"b")).collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
   test("binary decode stub preserves ids and derives deterministic metadata") {
     val docs = Tables.documents(spark, sfTiny).limit(20)
     val media = BinaryColumns.withPayload(docs, "doc_id", "text")

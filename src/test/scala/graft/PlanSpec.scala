@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan invariants: the properties that make these plans survive a
+  * 100 TB / 1000-executor scale-up. Value-level correctness is the oracle
+  * gate's job; these specs pin the plan *shapes* — broadcasts where a dim
+  * is small, pushed filters and pruned schemas on the scans, no accidental
+  * cartesian products, no global-sort funnels where a partial top-K
+  * suffices. Assertions run on the final (post-AQE) executed-plan text. */
+class PlanSpec extends SparkSpec {
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfTiny)
+
+  /** Final physical plan text (AQE re-plans at runtime, so execute first). */
+  private def planText(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("dimension joins broadcast instead of shuffling the fact table") {
+    for (q <- Seq("j1_equi_join", "j2_threeway_join", "q5_nation_revenue")) {
+      val plan = planText(run(q))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: expected a broadcast hash join in:\n$plan")
+    }
+  }
+
+  test("no accidental cartesian products in any query plan") {
+    // intended broadcast-cross plans (tiny single-row / query-set side):
+    val allowedCross = Set("n5_pairwise_distance", "p6_distance_threshold",
+      "ann_ivf", "n4_topk_cosine", "ann_lsh_bucketed")
+    for ((name, fn) <- SparkEntry.queries if !allowedCross(name)) {
+      val plan = planText(fn(spark, sfTiny))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: unexpected CartesianProduct")
+    }
+  }
+
+  test("time-range dump filter is pushed down to the parquet scan") {
+    val plan = planText(run("s4_dump_select"))
+    assert(plan.contains("PushedFilters: [IsNotNull"),
+      s"pushed filters missing in:\n$plan")
+  }
+
+  test("projection queries prune the parquet read schema") {
+    // p1 selects 5 of part's columns; the scan must not read the rest
+    val plan = planText(run("p1_projection_defaults"))
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("p_size"), s"scan reads unneeded p_size:\n$plan")
+  }
+
+  test("w8 pagination takes a partial top-K, not a global sort+window funnel") {
+    val plan = planText(run("w8_pagination"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+  }
+
+  test("group-by aggregations use partial (map-side) aggregation") {
+    val plan = planText(run("a2_grouped_count"))
+    val nAggs = "HashAggregate".r.findAllIn(plan).size
+    assert(nAggs >= 2, s"expected partial+final agg, got $nAggs in:\n$plan")
+    assert(plan.contains("Exchange"))
+  }
+
+  test("semi/anti join lookups stay joins (no collect-to-driver IN lists)") {
+    for (q <- Seq("j8_semi_join", "j3_anti_join", "p2_keyset_lookup")) {
+      val plan = planText(run(q))
+      assert(plan.contains("Join LeftSemi") || plan.contains("Join LeftAnti") ||
+        plan.contains("BroadcastHashJoin"),
+        s"$q: expected a semi/anti/broadcast join in:\n$plan")
+    }
+  }
+}
