@@ -22,10 +22,32 @@ object Ingest {
 
   /** Canonical content hash of the payload column (reference F1/D1:
     * sha256 of canonical JSON, db/data.py:250-257). Callers pass a payload
-    * column already in canonical form (e.g. to_json of a sorted-field
-    * struct; Spark's to_json emits fields in schema order, so a schema with
-    * sorted field names reproduces Python's sort_keys=True). */
+    * column already in canonical form (e.g. [[canonicalJson]]). */
   def contentHash(payload: Column): Column = sha2(payload.cast(StringType), 256)
+
+  /** Canonical JSON of a struct column: fields sorted recursively by name,
+    * compact separators — byte-identical to the reference's
+    * `json.dumps(data, sort_keys=True, separators=(',',':'))`
+    * (db/data.py:250) for int/string/bool/array/struct payloads (pinned by
+    * a golden-hash test). Spark's `to_json` emits fields in schema order
+    * with compact separators, so canonicalization = recursively re-building
+    * the struct with sorted field names. Caveat (SURVEY §7.4): float
+    * formatting differs between Python repr and Java — documents carrying
+    * non-integral doubles hash consistently *within* this engine but not
+    * byte-identically to the Python reference. */
+  def canonicalJson(payload: Column, schema: StructType): Column = {
+    def sortedStruct(c: Column, st: StructType): Column =
+      struct(st.fields.sortBy(_.name).map { f =>
+        val child = c.getField(f.name)
+        (f.dataType match {
+          case nested: StructType => sortedStruct(child, nested)
+          case ArrayType(nested: StructType, _) =>
+            transform(child, e => sortedStruct(e, nested))
+          case _ => child
+        }).as(f.name)
+      }.toIndexedSeq: _*)
+    to_json(sortedStruct(payload, schema))
+  }
 
   /** Validation: required fields present and well-formed. Returns the frame
     * with a `valid` flag plus a `reject_reason` (reference:

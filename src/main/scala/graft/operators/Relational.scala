@@ -417,6 +417,18 @@ object Relational {
         .orderBy("doc_id")
     }),
 
+    // ---- join on a JSON-extracted key (reference J10:
+    //      dataset_eval/artistfilter.py:137-158 — recordings joined to the
+    //      artist id pulled out of the document's tag map) ----------------
+    "j10_json_key_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      ev.join(Tables.orders(s, d), col("k") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- circular encoding [cos 2πv, sin 2πv] of a fractional feature
     //      (reference F15: similarity/metrics.py:89-96) -------------------
     "f15_circular" -> ((s, d) => {
@@ -671,6 +683,15 @@ object Relational {
       """SELECT event_id,
         | round(cos(2 * pi() * (value - floor(value))), 6) AS circ_cos,
         | round(sin(2 * pi() * (value - floor(value))), 6) AS circ_sin
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "j10_json_key_join" ->
+      """WITH ev AS (
+        |  SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k, value
+        |  FROM events)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM ev JOIN orders ON k = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -69,6 +69,44 @@ object StatsPack {
         .filter(col("submission_offset") < 10)
         .select("user_id", "event_id", "submission_offset")
         .orderBy("user_id", "submission_offset")
+    }),
+
+    // ---- upsert / MERGE semantics as a deterministic batch plan
+    //      (reference D5: ON CONFLICT DO UPDATE, db/similarity.py:501-513;
+    //      on Delta this is a MERGE — here the equivalent full-outer
+    //      coalesce, which is what MERGE compiles to) ---------------------
+    "d5_upsert" -> ((s, d) => {
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      def latestPerUser(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      }
+      val ev = Tables.events(s, d)
+      val existing = latestPerUser(ev.filter(col("ts") < cut))
+        .select(col("user_id"), col("value").as("e_value"))
+      val updates = latestPerUser(ev.filter(col("ts") >= cut))
+        .select(col("user_id"), col("value").as("u_value"))
+      existing.join(updates, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("u_value"), col("e_value")).as("value"),
+          when(col("u_value").isNull, "keep")
+            .when(col("e_value").isNull, "insert")
+            .otherwise("update").as("action"))
+        .orderBy("user_id")
+    }),
+
+    // ---- job-queue status scan (reference M5: db/dataset_eval.py:167-187 —
+    //      latest status per job, oldest pending first) -------------------
+    "m5_queue_status" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("event_type") === "error")
+        .select("user_id", "event_id", "ts")
+        .orderBy("ts", "event_id")
+        .limit(10)
     })
   )
 
@@ -113,6 +151,36 @@ object StatsPack {
         |  FROM deduped WHERE dup_rn = 1)
         |SELECT user_id, event_id, submission_offset FROM offsets
         |WHERE submission_offset < 10
-        |ORDER BY user_id, submission_offset""".stripMargin
+        |ORDER BY user_id, submission_offset""".stripMargin,
+
+    "d5_upsert" ->
+      """WITH latest_e AS (
+        |  SELECT user_id, value FROM (
+        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00') t
+        |  WHERE rn = 1),
+        |latest_u AS (
+        |  SELECT user_id, value FROM (
+        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') t
+        |  WHERE rn = 1)
+        |SELECT COALESCE(e.user_id, u.user_id) AS user_id,
+        |  COALESCE(u.value, e.value) AS value,
+        |  CASE WHEN u.user_id IS NULL THEN 'keep'
+        |       WHEN e.user_id IS NULL THEN 'insert'
+        |       ELSE 'update' END AS action
+        |FROM latest_e e FULL OUTER JOIN latest_u u ON e.user_id = u.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "m5_queue_status" ->
+      """SELECT user_id, event_id, ts FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 AND event_type = 'error'
+        |ORDER BY ts, event_id LIMIT 10""".stripMargin
   )
 }

@@ -62,4 +62,31 @@ object EventStream {
           col("value").cast(StringType), col("props"))))
       .withWatermark("ts", "1 day")
       .dropDuplicates("user_id", "content_hash")
+
+  /** The reference's transactional per-key submission counter (W6:
+    * db/data.py:273-288, MAX+1 per gid at insert time) in TRUE streaming
+    * form: `flatMapGroupsWithState` keeps one long of state per key — the
+    * next offset — and assigns dense offsets to each micro-batch's rows in
+    * (ts, event_id) order. Batch recompute (StatsPack w6) and this stream
+    * agree whenever events arrive in timestamp order per key; state is one
+    * long per key, so the state store stays tiny at any corpus size. */
+  def offsetAssignments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    source(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[Long]) => {
+          val base = state.getOption.getOrElse(0L)
+          val sorted = rows.toIndexedSeq.sortBy(r => (r._3.getTime, r._2))
+          state.update(base + sorted.size)
+          sorted.iterator.zipWithIndex.map { case ((u, e, _), i) =>
+            (u, e, base + i)
+          }
+        })
+      .toDF("user_id", "event_id", "submission_offset")
+  }
 }

@@ -14,6 +14,34 @@ class IngestSpec extends SparkSpec {
   private val empty = frame(Seq.empty)
     .withColumn("submission_offset", lit(0L)).filter(lit(false))
 
+  test("canonical JSON + sha256 match Python json.dumps sort_keys golden") {
+    // golden: python3 json.dumps({'b':'x','a':1,'c':[1,2],'d':{'z':True,
+    // 'y':'u'}}, sort_keys=True, separators=(',',':')) → sha256
+    val df = Seq((1L, "x", Seq(1L, 2L), ("u", true)))
+      .toDF("a", "b", "c", "d")
+      .select(struct($"a", $"b", $"c",
+        $"d".cast("struct<y:string,z:boolean>").as("d")).as("payload"))
+    val schema = df.schema("payload").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val out = df.select(
+      Ingest.canonicalJson($"payload", schema).as("canon"),
+      Ingest.contentHash(Ingest.canonicalJson($"payload", schema)).as("h"))
+      .collect()(0)
+    assert(out.getString(0) ==
+      """{"a":1,"b":"x","c":[1,2],"d":{"y":"u","z":true}}""")
+    assert(out.getString(1) ==
+      "4859732872295bf143d94e384748020bcd734955594631426af3134500556ce9")
+    // field order of the INPUT struct must not matter
+    val shuffled = Seq((("u", true), "x", 1L, Seq(1L, 2L)))
+      .toDF("d", "b", "a", "c")
+      .select(struct($"d".cast("struct<y:string,z:boolean>").as("d"),
+        $"b", $"a", $"c").as("payload"))
+    val schema2 = shuffled.schema("payload").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(shuffled.select(Ingest.canonicalJson($"payload", schema2))
+      .collect()(0).getString(0) == out.getString(0))
+  }
+
   test("exact duplicates within a batch are dropped, earliest kept") {
     val in = frame(Seq(("g1", "doc-a", 1), ("g1", "doc-a", 2), ("g1", "doc-b", 3)))
     val out = Ingest.ingestBatch(empty, in)

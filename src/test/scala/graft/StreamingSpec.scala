@@ -23,6 +23,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming per-key offset counter matches the batch window recompute") {
+    val q = EventStream.offsetAssignments(spark, sfTiny)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("offsets_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("offsets_out")
+      .orderBy("user_id", "submission_offset")
+      .collect().map(_.toString).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = Tables.events(spark, sfTiny)
+      .withColumn("submission_offset",
+        row_number().over(w).cast("long") - 1)
+      .select("user_id", "event_id", "submission_offset")
+      .orderBy("user_id", "submission_offset")
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming dedup drops same-content submissions per user") {
     val q = EventStream.dedupedSubmissions(spark, sfTiny)
       .select("user_id", "content_hash")
