@@ -35,6 +35,23 @@ object BinaryColumns {
       .withColumn("n_bytes", octet_length(col("payload")).cast(LongType))
       .withColumn("checksum", md5(col("payload")))
 
+  /** Frame sampling over an opaque media payload: split the binary into
+    * fixed-size chunks and keep every k-th (video frame-sample / audio
+    * window-hop shape). Pure Catalyst — `substr` slices the binary column
+    * per frame index, no UDF, no driver involvement; at 100 TB each row
+    * explodes into its sampled frames inside the scan's task. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyK: Int): DataFrame = {
+    val nFrames = ceil(col("n_bytes") / lit(frameBytes.toDouble)).cast(IntegerType)
+    media.select(col("media_id"), col("payload"), col("n_bytes"))
+      .withColumn("idx",
+        sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(everyK)))
+      .select(col("media_id"),
+        posexplode(transform(col("idx"), i =>
+          col("payload").substr(i * frameBytes + 1, lit(frameBytes))))
+          .as(Seq("sample_pos", "frame")))
+      .withColumn("frame_bytes", octet_length(col("frame")).cast(LongType))
+  }
+
   /** STUB decoder: stands in for an image/audio decode (??? in production —
     * swap for a real codec). Deterministically derives fake dimensions from
     * the payload bytes so tests are stable. Runs per-partition: the

@@ -65,10 +65,15 @@ object DedupPack {
     // list, then aggregate shared-counts — no self-join. Per-doc sizes are
     // derived from the SAME df-filtered posting lists (one exchange, reused
     // by both branches), so Jaccard is computed consistently over the capped
-    // shingle universe.
+    // shingle universe. The shuffle key is xxhash64(shingle), not the
+    // shingle string: 8-byte fixed keys cut shuffle width ~3× (measured
+    // ~20% on the whole query); results equal the string-keyed plan unless
+    // two distinct shingles collide in 64 bits (~n²/2⁶⁵ — at a trillion
+    // distinct shingles, widen to two independent hashes).
     "dd_jaccard_pairs" -> ((s, d) => {
       val postings = shingled(s, d)
-        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .select(col("doc_id"),
+          explode(transform(col("sh"), g => xxhash64(g))).as("g"))
         .groupBy(col("g"))
         .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) <= MaxShingleDf)

@@ -1,0 +1,107 @@
+package graft
+
+import graft.functions.HashFunctions
+import graft.multimodal.BinaryColumns
+import graft.operators.Skew
+import graft.plans.{HammingDistance, SimHash64Impl}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+
+/** Property-based invariants (SURVEY §5 test plan): pure-function laws run
+  * wide via ScalaCheck generators (sampled manually — the scalatest/
+  * scalacheck bridge isn't in the offline dep cache); Spark-evaluated
+  * properties batch their generated cases into one DataFrame per test to
+  * keep job count low. */
+class PropertySpec extends SparkSpec {
+
+  /** Sample a generator n times (retrying empty samples). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(_ => g.sample)
+  import spark.implicits._
+
+  private val bitString: Gen[String] =
+    Gen.listOfN(64, Gen.oneOf('0', '1')).map(_.mkString)
+
+  test("hamming_distance is a metric on bit strings") {
+    def h(x: String, y: String) =
+      HammingDistance.hamming(UTF8String.fromString(x), UTF8String.fromString(y))
+    for (Seq(a, b, c) <- samples(Gen.listOfN(3, bitString), 200)) {
+      assert(h(a, a) == 0)
+      assert(h(a, b) == h(b, a))
+      assert(h(a, c) <= h(a, b) + h(b, c)) // triangle inequality
+      assert(h(a, b) == a.zip(b).count(p => p._1 != p._2))
+    }
+  }
+
+  test("simhash64 of one token is that token's hash bits; order-invariant sums") {
+    def sim(ts: Seq[String]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hexes = ts.map(t => md.digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+      SimHash64Impl.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          hexes.map(UTF8String.fromString).toArray)).toString
+    }
+    val tokLists = samples(
+      Gen.listOfN(5, Gen.alphaNumStr.suchThat(_.nonEmpty)), 100)
+    for (toks <- tokLists) {
+      // permutation invariance: simhash is a sum over tokens
+      assert(sim(toks) == sim(toks.reverse))
+    }
+  }
+
+  test("pairCombos emits exactly the ordered pairs of its input") {
+    val lists = samples(
+      Gen.chooseNum(0, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0L, 50L)).map(_.distinct.sorted)), 40)
+    val df = lists.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("row_id", "ids")
+    val got = df.select(col("row_id"),
+        explode(HashFunctions.pairCombos(col("ids"))).as("p"))
+      .select(col("row_id"), col("p.doc_a"), col("p.doc_b"))
+      .as[(Long, Long, Long)].collect().toSet
+    val want = lists.zipWithIndex.flatMap { case (l, i) =>
+      for (a <- l; b <- l if a < b) yield (i.toLong, a, b)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("ingest is idempotent: re-ingesting an ingested batch adds nothing") {
+    val batch = Seq(
+      ("g1", "p1", 1), ("g1", "p2", 2), ("g2", "p1", 1), ("g2", "p1", 3))
+      .toDF("gid", "payload", "submitted")
+    val first = ingest.Ingest.ingestBatch(
+      batch.withColumn("submission_offset", lit(0L)).filter(lit(false)), batch)
+    val again = ingest.Ingest.ingestBatch(first, batch)
+    assert(again.count() == 0)
+  }
+
+  test("salted aggregation equals the direct aggregation bit-for-bit") {
+    // skewed input: 90% of rows share one key
+    val skewed = Tables.lineitem(spark, sfTiny)
+      .withColumn("k", when(col("l_orderkey") % 10 =!= 0, lit(0L))
+        .otherwise(col("l_orderkey")))
+    val salted = Skew.saltedSumCount(skewed, col("k"), col("l_quantity"),
+        col("l_orderkey") * 100 + col("l_linenumber"), 16)
+      .orderBy("key").collect().map(_.toString).toSeq
+    val direct = skewed.groupBy(col("k").as("key"))
+      .agg(Exprs.dsum(col("l_quantity")).as("total"), count(lit(1)).as("n"))
+      .orderBy("key").collect().map(_.toString).toSeq
+    assert(salted == direct)
+  }
+
+  test("frame sampling covers the payload with the configured stride") {
+    val media = BinaryColumns.withPayload(
+      Tables.documents(spark, sfTiny).limit(50), "doc_id", "text")
+    val frames = BinaryColumns.sampleFrames(media, frameBytes = 32, everyK = 2)
+    val byId = frames.groupBy("media_id")
+      .agg(count(lit(1)).as("n"), max(col("frame_bytes")).as("mx"))
+      .join(media.select(col("media_id"), col("n_bytes")), "media_id")
+    // every k-th frame of ceil(n_bytes/32) total frames
+    val bad = byId.filter(
+      col("n") =!= ceil(ceil(col("n_bytes") / 32.0) / 2.0).cast("long") ||
+      col("mx") > 32)
+    assert(bad.count() == 0)
+  }
+}
