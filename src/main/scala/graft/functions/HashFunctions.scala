@@ -58,9 +58,13 @@ object HashFunctions {
       md5(concat(lit(s"$j:"), shingle))): _*)
 
   /** The `numHashes` minhash aggregate expressions over a `hashMaterial`
-    * column: element j is `min(substring(h, j*8+1, 8))`. Used as codegen'd
-    * hash-aggregate functions (groupBy(doc).agg(...)), which evaluates the
-    * hash material exactly once per shingle. */
+    * column: element j is `min(substring(h, j*8+1, 8))`. Used as aggregate
+    * functions (groupBy(doc).agg(...)), which evaluates the hash material
+    * exactly once per shingle. min over fixed-width lowercase-hex slices
+    * equals numeric min, so this is a valid minhash aggregate. (A numeric
+    * variant — conv each slice to long for a codegen'd HashAggregate
+    * instead of min(string)'s SortAggregate — measured ~20% SLOWER at
+    * sf0.1: 16 per-row hex parses cost more than the sort.) */
   def minhashAggs(h: Column, numHashes: Int): Seq[Column] = {
     require(numHashes * 8 <= MinhashMd5s * 32, s"$numHashes hashes need more md5 material")
     (0 until numHashes).map(j => min(substring(h, j * 8 + 1, 8)).as(s"m$j"))

@@ -43,16 +43,31 @@ object ProfileStages {
     val sig = hm.groupBy(col("doc_id"))
       .agg(minhashAggs(col("h"), 16).head, minhashAggs(col("h"), 16).tail: _*)
     time("signatures")(sig.count())
+    val sig2 = ex.select(col("doc_id"), hashMaterial(col("g")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(minhashAggs(col("h"), 16).head, minhashAggs(col("h"), 16).tail: _*)
+    time("sig_warm")(sig2.count())
+    val banded = sig2.select(col("doc_id"),
+      posexplode(array(bandKeyCols(4, 4): _*)).as(Seq("band", "key")))
+      .filter(col("key").isNotNull)
+    val buckets = banded.groupBy(col("band"), col("key"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 1000))
+    time("buckets")(buckets.count())
+    val cand = buckets.select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    time("cand_pairs")(cand.count())
+    time("cand_distinct")(cand.distinct().count())
     val sh2 = Tables.documents(s, d)
       .select(col("doc_id"), simhashBits(col("text")).as("sh"))
     time("simhash_sigs")({sh2.agg(max(md5(col("sh")))).collect(); 1L})
     val blocks = sh2.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(b => substring(col("sh"), b * 16 + 1, 16)): _*))
         .as(Seq("blk", "key")))
-    val buckets = blocks.groupBy(col("blk"), col("key"))
+    val shBuckets = blocks.groupBy(col("blk"), col("key"))
       .agg(count(lit(1)).as("n"))
     time("simhash_bucket_pairs")({
-      val r = buckets.agg(sum(col("n") * (col("n") - 1) / 2)).collect()(0)
+      val r = shBuckets.agg(sum(col("n") * (col("n") - 1) / 2)).collect()(0)
       r.get(0).toString.toDouble.toLong
     })
     spark.stop()
