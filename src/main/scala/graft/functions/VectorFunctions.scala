@@ -17,9 +17,11 @@ object VectorFunctions {
   /** Cast an array<float> to array<double> (all math is done in double). */
   def asDouble(v: Column): Column = transform(v, _.cast(DoubleType))
 
-  /** Dot product, folded in index order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product, accumulated in index order. Uses the engine's native
+    * `vec_dot` expression (graft.plans.VecDot, a codegen'd primitive loop);
+    * bit-identical to the higher-order-function fold
+    * `aggregate(zip_with(a, b, *), 0.0, +)` it replaces. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

@@ -27,5 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"simhash64 expects 1 argument, got ${children.length}")
         SimHash64(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"vec_dot expects 2 arguments, got ${children.length}")
+        VecDot(children.head, children(1))
+      }))
   }
 }
