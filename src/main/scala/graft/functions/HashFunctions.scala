@@ -52,10 +52,13 @@ object HashFunctions {
     * Lexicographic min over fixed-width lowercase-hex slices equals numeric
     * min, so `min(substring(...))` is a valid minhash aggregate; 32-bit
     * slices keep the per-hash collision odds ~n/2^32 — negligible even for
-    * documents with millions of distinct shingles. */
-  def hashMaterial(shingle: Column): Column =
-    concat((0 until MinhashMd5s).map(j =>
-      md5(concat(lit(s"$j:"), shingle))): _*)
+    * documents with millions of distinct shingles.
+    *
+    * Computed by the native `md5x4` expression (graft.plans.Md5x4):
+    * byte-identical to `concat(md5('0:'||s), …, md5('3:'||s))` but with one
+    * reused digest and no intermediate allocations — the shingle stream is
+    * the widest point of the pipeline. */
+  def hashMaterial(shingle: Column): Column = call_function("md5x4", shingle)
 
   /** The `numHashes` minhash aggregate expressions over a `hashMaterial`
     * column: element j is `min(substring(h, j*8+1, 8))`. Used as aggregate

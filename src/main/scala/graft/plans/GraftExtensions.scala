@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash64(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("md5x4"),
+      new ExpressionInfo(classOf[Md5x4].getName, "md5x4"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"md5x4 expects 1 argument, got ${children.length}")
+        Md5x4(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => {

@@ -80,6 +80,24 @@ class FunctionsSpec extends SparkSpec {
     assert(nulls(0).isNullAt(0))
   }
 
+  test("native md5x4 is byte-identical to the built-in 4-md5 concat") {
+    val df = Seq("hello world", "", "a b c", "ünïcödé").toDF("s")
+    val builtin = concat((0 until 4).map(j =>
+      md5(concat(lit(s"$j:"), $"s"))): _*)
+    val rows = df.select(call_function("md5x4", $"s").as("native"),
+      builtin.as("builtin")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+    assert(rows.head.getString(0).length == 128)
+  }
+
+  test("native vec_dot equals the higher-order fold") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val fold = aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val r = df.select(call_function("vec_dot", $"a", $"b"), fold).collect()(0)
+    assert(r.getDouble(0) == 32.0 && r.getDouble(1) == 32.0)
+  }
+
   test("binary decode stub preserves ids and derives deterministic metadata") {
     val docs = Tables.documents(spark, sfTiny).limit(20)
     val media = BinaryColumns.withPayload(docs, "doc_id", "text")
