@@ -46,9 +46,11 @@ object DedupPack {
   val SimhashBlocks = 4
   val MaxHamming = 3
 
-  /** (doc_id, shingles) with distinct word-3-gram shingles. */
+  /** (doc_id, shingles) with distinct word-3-gram shingles. Spread across
+    * cores first: shingling + hashing is the pipeline's expression-bound
+    * map stage (see Tables.spread). */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d), s)
       .select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sh"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -124,7 +126,7 @@ object DedupPack {
 
     // ---- SimHash signatures ---------------------------------------------
     "dd_simhash" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d), s)
         .select(col("doc_id"), simhashBits(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
@@ -139,7 +141,7 @@ object DedupPack {
     // (graft.plans.HammingDistance, registered via SparkSessionExtensions):
     // a codegen'd byte loop, not a UDF.
     "dd_simhash_pairs" -> ((s, d) => {
-      val sigs = Tables.documents(s, d)
+      val sigs = Tables.spread(Tables.documents(s, d), s)
         .select(col("doc_id"), simhashBits(col("text")).as("sh"))
       val blockCols = (0 until SimhashBlocks).map(b =>
         substring(col("sh"), b * 16 + 1, 16))

@@ -80,7 +80,7 @@ object TextPack {
     // ---- confusion matrix actual-vs-predicted (reference A8:
     //      dataset_eval/gaia_wrapper.py:80-119) ---------------------------
     "a8_confusion_matrix" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d), s)
         .select(col("lang"), langGuess(col("text")).as("pred_lang"))
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
