@@ -124,7 +124,7 @@ object MLPack {
       val train = data.filter(col("vec_id") % 5 =!= 0)
       val test = data.filter(col("vec_id") % 5 === 0)
       val model = new LogisticRegression()
-        .setMaxIter(25).setRegParam(0.01).setTol(1e-6)
+        .setMaxIter(10).setRegParam(0.01).setTol(1e-4)
         .fit(train)
       model.transform(test)
         .groupBy(col("label").cast("long").as("label"),

@@ -44,6 +44,38 @@ class OperatorInvariantsSpec extends SparkSpec {
       s"LSH missed $missed of ${exact.count()} near-dup pairs")
   }
 
+  test("simhash block banding finds every pair within the hamming bound") {
+    // pigeonhole completeness: every pair with hamming <= 3 shares a block
+    val sigs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"),
+        graft.functions.HashFunctions.simhashBits(col("text")).as("sh"))
+    val a = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sb"))
+    val exact = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        call_function("hamming_distance", col("sa"), col("sb")).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+    val banded = run("dd_simhash_pairs")
+    assert(exact.exceptAll(banded).count() == 0,
+      "banding missed a pair within the hamming bound")
+    assert(banded.exceptAll(exact).count() == 0,
+      "banding emitted a pair beyond the hamming bound")
+  }
+
+  test("d5 upsert actions partition the key space correctly") {
+    val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val ev = Tables.events(spark, sfTiny)
+    val before = ev.filter(col("ts") < cut).select("user_id").distinct()
+    val after = ev.filter(col("ts") >= cut).select("user_id").distinct()
+    val d5 = run("d5_upsert")
+    assert(d5.filter(col("action") === "insert")
+      .join(before, "user_id", "left_semi").count() == 0)
+    assert(d5.filter(col("action") === "keep")
+      .join(after, "user_id", "left_semi").count() == 0)
+    assert(d5.count() == before.union(after).distinct().count())
+  }
+
   test("n4 top-k neighbours are unique per query and rank-dense") {
     val df = run("n4_topk_cosine")
     val byQuery = df.groupBy("query_id")
