@@ -71,6 +71,18 @@ object StatsPack {
         .orderBy("user_id", "submission_offset")
     }),
 
+    // ---- exact grouped percentiles (the stats layer's distribution
+    //      summary; Spark `percentile` and DuckDB `quantile_cont` share the
+    //      linear-interpolation definition and match bit-for-bit) ---------
+    "a10_percentiles" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.95)).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // ---- upsert / MERGE semantics as a deterministic batch plan
     //      (reference D5: ON CONFLICT DO UPDATE, db/similarity.py:501-513;
     //      on Delta this is a MERGE — here the equivalent full-outer
@@ -152,6 +164,13 @@ object StatsPack {
         |SELECT user_id, event_id, submission_offset FROM offsets
         |WHERE submission_offset < 10
         |ORDER BY user_id, submission_offset""".stripMargin,
+
+    "a10_percentiles" ->
+      """SELECT event_type,
+        | quantile_cont(value, 0.5) AS p50,
+        | quantile_cont(value, 0.95) AS p95,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "d5_upsert" ->
       """WITH latest_e AS (
