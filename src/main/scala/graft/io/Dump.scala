@@ -29,6 +29,10 @@ object Dump {
     df.write.mode(SaveMode.Overwrite)
       .option("sep", "\t").option("header", "true")
       .option("maxRecordsPerFile", RowsPerFile)
+      // reference dumps are zstd (db/dump.py:631); hadoop's zstd text codec
+      // needs native libs absent here, so gzip locally — swap via config
+      // where the cluster ships libzstd.
+      .option("compression", "gzip")
       .csv(path)
 
   /** S5 — TSV import with an explicit schema (the reference checks the
