@@ -27,7 +27,7 @@ object BulkParams {
   def parse(param: String): Result = {
     val raw = param.split(";").map(_.trim).filter(_.nonEmpty)
     val parsed = raw.map { item =>
-      item.split(":").toSeq match {
+      item.split(":", -1).toSeq match {
         case Seq(id) => parseOne(id, "0")
         case Seq(id, off) => parseOne(id, off)
         case _ => Left(s"invalid item: $item")

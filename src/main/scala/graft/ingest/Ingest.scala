@@ -25,28 +25,35 @@ object Ingest {
     * column already in canonical form (e.g. [[canonicalJson]]). */
   def contentHash(payload: Column): Column = sha2(payload.cast(StringType), 256)
 
-  /** Canonical JSON of a struct column: fields sorted recursively by name,
-    * compact separators — byte-identical to the reference's
-    * `json.dumps(data, sort_keys=True, separators=(',',':'))`
-    * (db/data.py:250) for int/string/bool/array/struct payloads (pinned by
-    * a golden-hash test). Spark's `to_json` emits fields in schema order
-    * with compact separators, so canonicalization = recursively re-building
-    * the struct with sorted field names. Caveat (SURVEY §7.4): float
-    * formatting differs between Python repr and Java — documents carrying
-    * non-integral doubles hash consistently *within* this engine but not
-    * byte-identically to the Python reference. */
+  /** Canonical JSON of a struct column: struct fields sorted recursively by
+    * name, map entries sorted by key, compact separators — byte-identical
+    * to the reference's `json.dumps(data, sort_keys=True,
+    * separators=(',',':'))` (db/data.py:250) for
+    * int/string/bool/array/struct/map payloads (pinned by a golden-hash
+    * test). Spark's `to_json` emits struct fields in schema order and map
+    * entries in map order with compact separators, so canonicalization =
+    * recursively re-building structs with sorted field names and maps with
+    * sorted entries. Caveat (SURVEY §7.4): float formatting differs between
+    * Python repr and Java — documents carrying non-integral doubles hash
+    * consistently *within* this engine but not byte-identically to the
+    * Python reference. */
   def canonicalJson(payload: Column, schema: StructType): Column = {
-    def sortedStruct(c: Column, st: StructType): Column =
-      struct(st.fields.sortBy(_.name).map { f =>
-        val child = c.getField(f.name)
-        (f.dataType match {
-          case nested: StructType => sortedStruct(child, nested)
-          case ArrayType(nested: StructType, _) =>
-            transform(child, e => sortedStruct(e, nested))
-          case _ => child
-        }).as(f.name)
-      }.toIndexedSeq: _*)
-    to_json(sortedStruct(payload, schema))
+    def canon(c: Column, dt: DataType): Column = dt match {
+      case st: StructType =>
+        struct(st.fields.sortBy(_.name).map { f =>
+          canon(c.getField(f.name), f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+      case ArrayType(et, _) => transform(c, e => canon(e, et))
+      case MapType(_, vt, _) =>
+        // array_sort over struct(key, value) orders by key — the map is
+        // re-built with entries in sorted-key order (json.dumps sort_keys
+        // sorts map keys too, not just object fields).
+        map_from_entries(array_sort(transform(map_entries(c),
+          e => struct(e.getField("key").as("key"),
+            canon(e.getField("value"), vt).as("value")))))
+      case _ => c
+    }
+    to_json(canon(payload, schema))
   }
 
   /** Validation: required fields present and well-formed. Returns the frame

@@ -70,7 +70,7 @@ object Dump {
         .when(c0.startsWith("description:"), lit("class_description"))
         .otherwise(lit("member")).as("kind"),
       when(c0.startsWith("description:"),
-          trim(expr(s"substring(split_part($lineCol, ',', 1), 13)")))
+          trim(substring(c0, 13, 1000000)))
         .when(c0 === "description", lit(null))
         .otherwise(c0).as("id"),
       rest.as("cls"))

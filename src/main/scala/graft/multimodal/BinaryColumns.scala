@@ -44,7 +44,9 @@ object BinaryColumns {
     val nFrames = ceil(col("n_bytes") / lit(frameBytes.toDouble)).cast(IntegerType)
     media.select(col("media_id"), col("payload"), col("n_bytes"))
       .withColumn("idx",
-        sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(everyK)))
+        when(col("n_bytes") > 0,
+          sequence(lit(0), nFrames - 1, lit(everyK)))
+          .otherwise(typedLit(Seq.empty[Int])))
       .select(col("media_id"),
         posexplode(transform(col("idx"), i =>
           col("payload").substr(i * frameBytes + 1, lit(frameBytes))))

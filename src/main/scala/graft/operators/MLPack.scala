@@ -82,7 +82,11 @@ object MLPack {
     //      class → zero) --------------------------------------------------
     "f18_class_probs" -> ((s, d) => {
       val classes = Seq("de", "en", "es", "fr", "zh") // sorted, fixed
+      // restrict the universe to the known classes FIRST so the Spark
+      // denominator (sum of pivoted counts) and the oracle's COUNT(*)
+      // agree even if the data ever grows an out-of-vocabulary class
       val counts = Tables.documents(s, d)
+        .filter(col("lang").isin(classes: _*))
         .groupBy(col("source"))
         .pivot("lang", classes)
         .agg(count(lit(1)))
@@ -178,7 +182,8 @@ object MLPack {
         .mkString(",\n ")
       s"""SELECT source,
          | $cols
-         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+         |FROM documents WHERE lang IN ('de','en','es','fr','zh')
+         |GROUP BY source ORDER BY source""".stripMargin
     },
 
     "m6_snapshot_json" ->

@@ -18,7 +18,10 @@ import org.apache.spark.sql.types._
   */
 object Relational {
 
-  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+  /** Session-timezone-safe timestamp literal. (A java.sql.Timestamp
+    * literal parses in the JVM default zone, which can diverge from the
+    * session's UTC and silently shift every time-range filter.) */
+  private def ts(s: String): Column = to_timestamp(lit(s))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- headline aggregation (reference A3/T1 family: grouped counts +

@@ -88,22 +88,30 @@ object StatsPack {
     //      on Delta this is a MERGE — here the equivalent full-outer
     //      coalesce, which is what MERGE compiles to) ---------------------
     "d5_upsert" -> ((s, d) => {
-      val cut = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      // session-timezone-safe literal (a java.sql.Timestamp literal would
+      // parse in the JVM default zone, diverging from the naive-UTC oracle)
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
       def latestPerUser(df: DataFrame): DataFrame = {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts").desc, col("event_id").desc)
         df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       }
       val ev = Tables.events(s, d)
+      // presence markers, not value-nullness: a NULL-valued update row must
+      // still win the merge (MERGE updates to NULL, it doesn't resurrect
+      // the stale row)
       val existing = latestPerUser(ev.filter(col("ts") < cut))
-        .select(col("user_id"), col("value").as("e_value"))
+        .select(col("user_id"), col("value").as("e_value"),
+          lit(true).as("in_e"))
       val updates = latestPerUser(ev.filter(col("ts") >= cut))
-        .select(col("user_id"), col("value").as("u_value"))
+        .select(col("user_id"), col("value").as("u_value"),
+          lit(true).as("in_u"))
       existing.join(updates, Seq("user_id"), "full_outer")
         .select(col("user_id"),
-          coalesce(col("u_value"), col("e_value")).as("value"),
-          when(col("u_value").isNull, "keep")
-            .when(col("e_value").isNull, "insert")
+          when(col("in_u").isNotNull, col("u_value"))
+            .otherwise(col("e_value")).as("value"),
+          when(col("in_u").isNull, "keep")
+            .when(col("in_e").isNull, "insert")
             .otherwise("update").as("action"))
         .orderBy("user_id")
     }),
@@ -186,7 +194,7 @@ object StatsPack {
         |    FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') t
         |  WHERE rn = 1)
         |SELECT COALESCE(e.user_id, u.user_id) AS user_id,
-        |  COALESCE(u.value, e.value) AS value,
+        |  CASE WHEN u.user_id IS NULL THEN e.value ELSE u.value END AS value,
         |  CASE WHEN u.user_id IS NULL THEN 'keep'
         |       WHEN e.user_id IS NULL THEN 'insert'
         |       ELSE 'update' END AS action

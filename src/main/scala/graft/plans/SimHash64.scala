@@ -41,9 +41,12 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64Impl {
-  /** Hex digit value; lowercase hex only (md5 output). */
+  /** Hex digit value; accepts both cases (md5 emits lowercase, but the
+    * function is registered session-wide and callers may pass uppercase). */
   private def hexVal(b: Byte): Int =
-    if (b <= '9') b - '0' else b - 'a' + 10
+    if (b <= '9') b - '0'
+    else if (b >= 'a') b - 'a' + 10
+    else b - 'A' + 10
 
   def compute(hashes: ArrayData): UTF8String = {
     val counts = new Array[Int](64)

@@ -31,7 +31,10 @@ object Metrics {
     * (CircularMetric, metrics.py:88-95). */
   def circular(value: Column): Column = {
     val angle = value * (2 * math.Pi)
-    array(cos(angle), sin(angle))
+    // NULL input (unknown key/scale, missing bpm) must yield a NULL VECTOR,
+    // not array(null, null) — callers' zero-fill guard keys on vector
+    // nullness (db/similarity.py:335-338)
+    when(value.isNotNull, array(cos(angle), sin(angle)))
   }
 
   /** log2 then circular (LogCircularMetric, metrics.py:119-124) — bpm and

@@ -25,6 +25,9 @@ class BulkParamsSpec extends AnyFunSuite {
   test("rejects malformed uuids, offsets, and oversized requests") {
     assert(BulkParams.parse("not-a-uuid").isInstanceOf[Invalid])
     assert(BulkParams.parse(s"$U1:xyz").isInstanceOf[Invalid])
+    // trailing colon = empty offset = invalid (reference int('') raises)
+    assert(BulkParams.parse(s"$U1:").isInstanceOf[Invalid])
+    assert(BulkParams.parse(s"$U1::").isInstanceOf[Invalid])
     val many = (0 until 26).map(i => f"$U1%.24s${i}%012d").mkString(";")
     assert(BulkParams.parse(many).isInstanceOf[Invalid])
   }

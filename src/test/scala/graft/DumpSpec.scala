@@ -43,7 +43,7 @@ class DumpSpec extends SparkSpec {
   test("S9: dataset CSV import parses member and description rows") {
     val lines = Seq(
       "description,My dataset",
-      "description:rock,Rock songs",
+      "  description:rock,Rock songs", // leading whitespace must not shift parse
       "0dad432b-16cc-4bf0-8961-fd31d124b01b,rock",
       "e8afe383-1478-497e-90b1-7885c7f37f6e,jazz").toDF("line")
     val parsed = Dump.parseDatasetCsv(lines, "line").collect()

@@ -42,6 +42,27 @@ class IngestSpec extends SparkSpec {
       .collect()(0).getString(0) == out.getString(0))
   }
 
+  test("canonical JSON sorts MAP keys too, matching Python sort_keys") {
+    // golden: json.dumps({'tags':{'zz key':['2'],'a':['1'],'m':['x','y']},
+    // 'id':7}, sort_keys=True, separators=(',',':')) → sha256
+    val df = Seq("""{"tags":{"zz key":["2"],"a":["1"],"m":["x","y"]},"id":7}""")
+      .toDF("raw")
+      .select(from_json($"raw",
+        org.apache.spark.sql.types.DataType.fromDDL(
+          "struct<id: bigint, tags: map<string, array<string>>>"))
+        .as("payload"))
+    val schema = df.schema("payload").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val out = df.select(
+      Ingest.canonicalJson($"payload", schema).as("canon"),
+      Ingest.contentHash(Ingest.canonicalJson($"payload", schema)).as("h"))
+      .collect()(0)
+    assert(out.getString(0) ==
+      """{"id":7,"tags":{"a":["1"],"m":["x","y"],"zz key":["2"]}}""")
+    assert(out.getString(1) ==
+      "bf7feb1a9b0f62f282a4b3395fad6ba2f0f4bacff7a9b55dcabbca9321839d21")
+  }
+
   test("exact duplicates within a batch are dropped, earliest kept") {
     val in = frame(Seq(("g1", "doc-a", 1), ("g1", "doc-a", 2), ("g1", "doc-b", 3)))
     val out = Ingest.ingestBatch(empty, in)

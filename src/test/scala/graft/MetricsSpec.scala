@@ -78,6 +78,14 @@ class MetricsSpec extends SparkSpec {
     assert(vec("instruments") == Seq(0.0, 0.0, 0.0))
   }
 
+  test("unknown key/scale yields a NULL vector (not array of nulls)") {
+    val r = Seq(("H", "dorian")).toDF("k", "s")
+      .select(Metrics.keyMetric($"k", $"s").as("v"),
+        Metrics.logCircular(lit(null).cast("double")).as("b"))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("single classifier: sorted class order; absent model -> zero vector") {
     val r = vec("rosamerica")
     assert(r == Seq(0.5, 0.2, 0.1, 0.05, 0.05, 0.04, 0.03, 0.03))

@@ -91,6 +91,12 @@ class PropertySpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("frame sampling of an empty payload emits zero frames") {
+    val media = Seq((1L, Array.empty[Byte])).toDF("media_id", "payload")
+      .withColumn("n_bytes", lit(0L))
+    assert(BinaryColumns.sampleFrames(media, 32, 1).count() == 0)
+  }
+
   test("frame sampling covers the payload with the configured stride") {
     val media = BinaryColumns.withPayload(
       Tables.documents(spark, sfTiny).limit(50), "doc_id", "text")
