@@ -11,12 +11,24 @@ object Bench {
     Tables.documents(spark, sfDir).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // Evaluate through the noop sink, NOT count(): count() lets Catalyst
+      // prune every projected column and eliminate sorts, so map-only
+      // queries would time a near-empty footer scan instead of their
+      // actual expression work. The noop write materializes every output
+      // row without writing bytes.
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        false
+      }
+      // failures record the sentinel -1 (never a fast-looking near-zero)
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

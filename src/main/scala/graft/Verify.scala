@@ -21,6 +21,13 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // remove any stale output from a previous run so a now-broken
+          // query can never be graded against its old results
+          val dir = new java.io.File(s"$outDir/$name")
+          if (dir.exists()) {
+            dir.listFiles().foreach(_.delete())
+            dir.delete()
+          }
         }
       }
     }

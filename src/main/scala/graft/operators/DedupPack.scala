@@ -46,6 +46,8 @@ object DedupPack {
   val SimhashBlocks = 4
   val MaxHamming = 3
 
+  private val minhashAggsList = minhashAggs(col("h"), NumHashes)
+
   /** (doc_id, shingles) with distinct word-3-gram shingles. Spread across
     * cores first: shingling + hashing is the pipeline's expression-bound
     * map stage (see Tables.spread). */
@@ -109,8 +111,7 @@ object DedupPack {
         .select(col("doc_id"), explode(col("sh")).as("g"))
         .select(col("doc_id"), hashMaterial(col("g")).as("h"))
         .groupBy(col("doc_id"))
-        .agg(minhashAggs(col("h"), NumHashes).head,
-             minhashAggs(col("h"), NumHashes).tail: _*)
+        .agg(minhashAggsList.head, minhashAggsList.tail: _*)
       sig
         .select(col("doc_id"),
           posexplode(array(bandKeyCols(Bands, Rows): _*)).as(Seq("band", "key")))

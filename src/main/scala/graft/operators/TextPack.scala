@@ -40,7 +40,7 @@ object TextPack {
     // ---- token counting (whitespace + distinct + BPE estimate) -----------
     "tx_token_stats" -> ((s, d) => {
       val t = col("text")
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d), s)
         .select(
           col("doc_id"),
           tokenCount(t).as("n_tokens"),
@@ -53,7 +53,7 @@ object TextPack {
     // ---- quality scoring (length / stopword / token-shape ratios) --------
     "tx_quality_score" -> ((s, d) => {
       val t = col("text")
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d), s)
         .select(
           col("doc_id"),
           tokenCount(t).as("n_tokens"),
@@ -65,14 +65,14 @@ object TextPack {
 
     // ---- language-ID heuristic ------------------------------------------
     "tx_lang_id" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d), s)
         .select(col("doc_id"), col("lang"), langGuess(col("text")).as("pred_lang"))
         .orderBy("doc_id")
     }),
 
     // ---- document fingerprint (min-MD5 over 8-char shingles) -------------
     "tx_fingerprint" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d), s)
         .select(col("doc_id"), shingleFingerprint(col("text"), 8).as("fp"))
         .orderBy("doc_id")
     }),

@@ -58,8 +58,8 @@ object EventStream {
   def dedupedSubmissions(spark: SparkSession, dir: String): DataFrame =
     source(spark, dir)
       .withColumn("content_hash",
-        md5(concat_ws("|", col("event_type"),
-          col("value").cast(StringType), col("props"))))
+        md5(concat(col("event_type"), lit("|"),
+          col("value").cast(StringType), lit("|"), col("props"))))
       .withWatermark("ts", "1 day")
       .dropDuplicates("user_id", "content_hash")
 
@@ -81,7 +81,12 @@ object EventStream {
         (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
          state: GroupState[Long]) => {
           val base = state.getOption.getOrElse(0L)
-          val sorted = rows.toIndexedSeq.sortBy(r => (r._3.getTime, r._2))
+          // order by FULL microsecond precision: Timestamp.getTime truncates
+          // to millis, which would let the event_id tiebreak override a real
+          // sub-millisecond ts ordering and diverge from the batch window
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime * 1000 + (t.getNanos / 1000) % 1000
+          val sorted = rows.toIndexedSeq.sortBy(r => (micros(r._3), r._2))
           state.update(base + sorted.size)
           sorted.iterator.zipWithIndex.map { case ((u, e, _), i) =>
             (u, e, base + i)
