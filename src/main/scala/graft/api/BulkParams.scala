@@ -35,12 +35,10 @@ object BulkParams {
     }
     parsed.collectFirst { case Left(err) => Invalid(err) }.getOrElse {
       // order-preserving dedup (reference core.py:253-254)
-      val items = parsed.collect { case Right(p) => p }
-      val seen = scala.collection.mutable.LinkedHashSet[(String, Int)]()
-      items.foreach(seen += _)
-      if (seen.size > MaxItemsPerBulkRequest)
-        Invalid(s"too many items: ${seen.size} > $MaxItemsPerBulkRequest")
-      else Parsed(seen.toSeq)
+      val items = parsed.collect { case Right(p) => p }.distinct
+      if (items.size > MaxItemsPerBulkRequest)
+        Invalid(s"too many items: ${items.size} > $MaxItemsPerBulkRequest")
+      else Parsed(items)
     }
   }
 

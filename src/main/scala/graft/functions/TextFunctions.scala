@@ -13,8 +13,13 @@ import org.apache.spark.sql.types._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization. */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  /** Whitespace tokenization. Empty tokens are dropped: a regex split
+    * keeps a leading empty string for text with leading whitespace and
+    * yields [""] for empty text, which would inflate token counts and
+    * deflate every ratio built on them. Mirrored in the DuckDB oracles via
+    * list_filter(..., x -> x <> ''). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
 
   /** Token count (whitespace). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)

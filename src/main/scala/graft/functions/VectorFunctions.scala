@@ -54,10 +54,14 @@ object VectorFunctions {
     }
   }
 
-  /** Sign-LSH bucket key: one bit per hyperplane ('1' iff dot >= 0). */
+  /** Sign-LSH bucket key: one bit per hyperplane ('1' iff dot >= 0).
+    * NULL vectors get a NULL key (dropped by the bucket equi-join), not the
+    * all-zeros bucket — otherwise every NULL-embedding row would collide
+    * into one giant spurious candidate bucket. */
   def lshBucket(v: Column, hyperplanes: Seq[Seq[Double]]): Column = {
     val bits = hyperplanes.map { h =>
-      when(dot(v, typedLit(h)) >= 0, lit("1")).otherwise(lit("0"))
+      val dp = dot(v, typedLit(h))
+      when(dp >= 0, lit("1")).when(dp < 0, lit("0")) // NULL stays NULL
     }
     concat(bits: _*)
   }

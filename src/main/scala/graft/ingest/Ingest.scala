@@ -53,7 +53,10 @@ object Ingest {
             canon(e.getField("value"), vt).as("value")))))
       case _ => c
     }
-    to_json(canon(payload, schema))
+    // ignoreNullFields=false: json.dumps emits "field":null; dropping the
+    // field would both break reference parity and hash-collide {"a":1,
+    // "b":null} with {"a":1}
+    to_json(canon(payload, schema), Map("ignoreNullFields" -> "false"))
   }
 
   /** Validation: required fields present and well-formed. Returns the frame
@@ -71,14 +74,20 @@ object Ingest {
     * against `existing`), assign dense per-gid submission offsets continuing
     * from the existing maximum, and enforce the duplicate cap.
     *
-    * `existing` and `incoming` need columns (gid, payload, submitted);
-    * output adds (content_hash, submission_offset).
+    * `incoming` needs columns (gid, payload, submitted); `existing` is a
+    * previous output of this method — (gid, payload, submitted,
+    * submission_offset) plus optionally content_hash (reused if present, so
+    * an append-only store is NOT re-hashed every micro-batch). Output adds
+    * (content_hash, submission_offset). All window orders carry the
+    * content_hash tiebreak so equal-timestamp rows rank deterministically
+    * across runs and task retries.
     */
   def ingestBatch(existing: DataFrame, incoming: DataFrame): DataFrame = {
     val hashedIn = incoming
       .withColumn("content_hash", contentHash(col("payload")))
-    val hashedEx = existing
-      .withColumn("content_hash", contentHash(col("payload")))
+    val hashedEx =
+      if (existing.columns.contains("content_hash")) existing
+      else existing.withColumn("content_hash", contentHash(col("payload")))
 
     // D1: reject exact duplicates — batch-internal (keep earliest) then
     // against the stored table (left_anti on (gid, hash)).
@@ -93,7 +102,8 @@ object Ingest {
     // W6: dense offsets continuing from existing MAX(submission_offset)+1.
     val baseOffsets = hashedEx.groupBy(col("gid"))
       .agg((max(col("submission_offset")) + 1).as("base"))
-    val offsetW = Window.partitionBy(col("gid")).orderBy(col("submitted"))
+    val offsetW = Window.partitionBy(col("gid"))
+      .orderBy(col("submitted"), col("content_hash"))
     fresh
       .join(baseOffsets, Seq("gid"), "left")
       .withColumn("submission_offset",

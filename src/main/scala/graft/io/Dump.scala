@@ -63,8 +63,11 @@ object Dump {
     * conditional row parser (webserver/views/datasets.py:457-535). Returns
     * (kind, id, cls): kind = 'description' | 'class_description' | 'member'. */
   def parseDatasetCsv(lines: DataFrame, lineCol: String): DataFrame = {
+    // simple unquoted grammar (the reference's rows are plain `<id>,<class>`;
+    // quoted fields with embedded commas would need spark.read.csv)
     val c0 = trim(substring_index(col(lineCol), ",", 1))
-    val rest = trim(expr(s"substring($lineCol, instr($lineCol, ',') + 1)"))
+    val rest = when(instr(col(lineCol), ",") === 0, lit(null))
+      .otherwise(trim(expr(s"substring($lineCol, instr($lineCol, ',') + 1)")))
     lines.select(
       when(c0 === "description", lit("description"))
         .when(c0.startsWith("description:"), lit("class_description"))

@@ -65,7 +65,8 @@ object BinaryColumns {
       .as[(Long, Array[Byte], Long, String)]
       .mapPartitions { rows =>
         // real codec init would happen once per partition, here
-        rows.map { case (id, bytes, n, sum) =>
+        rows.map { case (id, bytesOrNull, n, sum) =>
+          val bytes = if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
           val h = if (bytes.isEmpty) 1 else (bytes(0) & 0x7f) + 1
           val w = if (bytes.length < 2) 1 else (bytes(1) & 0x7f) + 1
           MediaMeta(id, n, sum, w, h, (n / 64L).toInt + 1)

@@ -18,6 +18,10 @@ import org.apache.spark.sql.types._
   */
 object TextPack {
 
+  /** Empty-filtered whitespace token list — mirrors TextFunctions.tokens. */
+  private val toksSql =
+    """list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"""
+
   /** DuckDB SQL for the marker-word count of one language (must mirror
     * TextFunctions.wordSetCount). */
   private def countSql(words: Seq[String]): String = {
@@ -90,22 +94,21 @@ object TextPack {
 
   val oracles: Map[String, String] = Map(
     "tx_token_stats" ->
-      """SELECT doc_id,
-        | CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
-        | CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT)
-        |   AS n_distinct,
-        | CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
-        | CAST(length(text) AS BIGINT) AS n_chars_actual
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         | CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         | CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct,
+         | CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+         | CAST(length(text) AS BIGINT) AS n_chars_actual
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "tx_quality_score" ->
       s"""SELECT doc_id,
-         | CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         | CAST(len($toksSql) AS BIGINT) AS n_tokens,
          | ${countSql(EnglishStopwords)} AS n_stop,
          | CAST(${countSql(EnglishStopwords)} AS DOUBLE)
-         |   / len(regexp_split_to_array(text, '\\s+')) AS stop_ratio,
+         |   / len($toksSql) AS stop_ratio,
          | CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-         |   / len(regexp_split_to_array(text, '\\s+')) AS mean_tok_len
+         |   / len($toksSql) AS mean_tok_len
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "tx_lang_id" ->

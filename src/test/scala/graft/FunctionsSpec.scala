@@ -17,6 +17,12 @@ class FunctionsSpec extends SparkSpec {
     assert(row.getLong(0) == 6 && row.getLong(1) == 5 && row.getLong(2) == 2)
   }
 
+  test("tokenization ignores leading/trailing whitespace and empty text") {
+    val rows = Seq("  hello   world  ", "", "   ").toDF("text")
+      .select(TextFunctions.tokenCount($"text")).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 0L, 0L))
+  }
+
   test("shingle fingerprint is stable and order-sensitive") {
     val fp = (t: String) => Seq(t).toDF("text")
       .select(TextFunctions.shingleFingerprint($"text", 8)).collect()(0).getString(0)
