@@ -99,6 +99,16 @@ object HashFunctions {
       transform(slice(sortedIds, i + 2, size(sortedIds)),
         y => struct(x.as("doc_a"), y.as("doc_b")))))
 
+  /** pairCombos packed into single longs `(a << 32) | b` — requires ids in
+    * [0, 2³¹). One fixed-width group key makes the candidate-pair
+    * aggregation (the widest stage of the Jaccard plan) a primitive-long
+    * hash aggregate instead of a struct compare. Unpack with
+    * `shiftright(k, 32)` / `k & 0xffffffff`. */
+  def pairCombosPacked(sortedIds: Column): Column =
+    flatten(transform(sortedIds, (x, i) =>
+      transform(slice(sortedIds, i + 2, size(sortedIds)),
+        y => shiftleft(x, 32).bitwiseOR(y))))
+
   /** 64-bit SimHash of the document's tokens as a '0'/'1' bit string
     * (MSB-first per MD5 hex digit). Bit i is set when the sum over tokens of
     * (bit_i(md5(token)) * 2 - 1) is positive.

@@ -85,11 +85,17 @@ object DedupPack {
         .select(explode(col("ids")).as("doc_id"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n"))
+      // candidate pairs aggregate as ONE packed long (doc_a << 32 | doc_b)
+      // instead of a two-field struct: cheaper hash/compare on the widest
+      // aggregation of the query (one group per candidate pair)
       val shared = postings
         .filter(size(col("ids")) >= 2)
-        .select(explode(pairCombos(col("ids"))).as("p"))
-        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .select(explode(pairCombosPacked(col("ids"))).as("pk"))
+        .groupBy(col("pk"))
         .agg(count(lit(1)).as("shared"))
+        .select(shiftright(col("pk"), 32).as("doc_a"),
+          col("pk").bitwiseAND(lit(0xffffffffL)).as("doc_b"),
+          col("shared"))
       shared
         .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
