@@ -61,16 +61,18 @@ object HashFunctions {
   def hashMaterial(shingle: Column): Column = call_function("md5x4", shingle)
 
   /** The `numHashes` minhash aggregate expressions over a `hashMaterial`
-    * column: element j is `min(substring(h, j*8+1, 8))`. Used as aggregate
-    * functions (groupBy(doc).agg(...)), which evaluates the hash material
-    * exactly once per shingle. min over fixed-width lowercase-hex slices
-    * equals numeric min, so this is a valid minhash aggregate. (A numeric
-    * variant — conv each slice to long for a codegen'd HashAggregate
-    * instead of min(string)'s SortAggregate — measured ~20% SLOWER at
-    * sf0.1: 16 per-row hex parses cost more than the sort.) */
+    * column: element j is `min(hex32(h, j*8))` — each 8-hex slice parsed to
+    * a long by the native hex32 expression so the 16 mins run as one
+    * codegen'd fixed-width HashAggregate. (min(string) fell back to an
+    * interpreted SortAggregate; the built-in `conv` parse was ~20% slower
+    * than the sort — the native byte-loop parse beats both.) Numeric min
+    * over the parsed value equals lexicographic min over the fixed-width
+    * hex slice, so signature semantics are unchanged; the DuckDB oracle
+    * mirrors with min(CAST('0x' || substring(...) AS BIGINT)). */
   def minhashAggs(h: Column, numHashes: Int): Seq[Column] = {
     require(numHashes * 8 <= MinhashMd5s * 32, s"$numHashes hashes need more md5 material")
-    (0 until numHashes).map(j => min(substring(h, j * 8 + 1, 8)).as(s"m$j"))
+    (0 until numHashes).map(j =>
+      min(call_function("hex32", h, lit(j * 8))).as(s"m$j"))
   }
 
   /** LSH band keys from the signature columns `m0..`: md5 of each
@@ -82,7 +84,10 @@ object HashFunctions {
   def bandKeyCols(bands: Int, rows: Int): Seq[Column] =
     (0 until bands).map { b =>
       val parts = (0 until rows).flatMap { r =>
-        val c = col(s"m${b * rows + r}")
+        // explicit string cast: signature slices are longs (hex32) and
+        // concat needs homogeneous string args; matches DuckDB's implicit
+        // BIGINT || VARCHAR cast in the oracle
+        val c = col(s"m${b * rows + r}").cast(StringType)
         if (r == 0) Seq(c) else Seq(lit("|"), c)
       }
       md5(concat(parts: _*))

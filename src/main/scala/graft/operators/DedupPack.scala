@@ -236,7 +236,8 @@ object DedupPack {
       val mats = (0 until MinhashMd5s).map(j => s"md5('$j:' || g)")
         .mkString(" || ")
       val minCols = (0 until NumHashes)
-        .map(j => s"min(substring(h, ${j * 8 + 1}, 8)) AS m$j").mkString(", ")
+        .map(j => s"min(CAST('0x' || substring(h, ${j * 8 + 1}, 8) AS BIGINT)) AS m$j")
+        .mkString(", ")
       val bandExprs = (0 until Bands)
         .map(b => (0 until Rows).map(r => s"m${b * Rows + r}")
           .mkString("md5(", " || '|' || ", ")"))

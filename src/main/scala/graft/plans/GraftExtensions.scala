@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Md5x4(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("hex32"),
+      new ExpressionInfo(classOf[Hex32].getName, "hex32"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"hex32 expects 2 arguments, got ${children.length}")
+        Hex32(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => {
