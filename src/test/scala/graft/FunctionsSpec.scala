@@ -96,6 +96,15 @@ class FunctionsSpec extends SparkSpec {
     assert(rows.head.getString(0).length == 128)
   }
 
+  test("native hex32 parses slices like conv and nulls invalid input") {
+    val df = Seq(("0000001adeadbeef", 0), ("0000001ADEADBEEF", 8),
+      ("xyz", 0), ("ab", 0)).toDF("h", "off")
+    val got = df.select(call_function("hex32", $"h", $"off")).collect()
+    assert(got(0).getLong(0) == 26L)
+    assert(got(1).getLong(0) == 0xdeadbeefL)
+    assert(got(2).isNullAt(0) && got(3).isNullAt(0))
+  }
+
   test("native vec_dot equals the higher-order fold") {
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
     val fold = aggregate(zip_with($"a", $"b", (x, y) => x * y),
