@@ -70,10 +70,24 @@ object SimilarityPack {
 
     // ---- vector ETL: population-normalized vectors (reference N1/F13,
     //      zero-std guard per similarity/metrics.py:33-45) -----------------
+    // Single pass: per-dimension stats as whole-partition window aggregates
+    // over the same exploded scan (the aggregate+broadcast-join formulation
+    // scanned the embeddings twice). Same exact integer-grid arithmetic as
+    // dimStats, so the normalized values are bit-identical.
     "n1_vector_normalize" -> ((s, d) => {
-      val stats = dimStats(s, d).select("pos", "mean", "std")
-      exploded(s, d)
-        .join(broadcast(stats), "pos")
+      val w = Window.partitionBy(col("pos"))
+      val ex = exploded(s, d)
+        .withColumn("iv", round(col("val") * 1e9, 0).cast(LongType))
+      ex
+        .withColumn("sd", sum(col("iv")).over(w).cast(DoubleType) / 1e9)
+        .withColumn("sq",
+          sum(col("iv").cast(DecimalType(19, 0)) *
+              col("iv").cast(DecimalType(19, 0))).over(w)
+            .cast(DoubleType) / 1e18)
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("mean", col("sd") / col("n"))
+        .withColumn("std",
+          sqrt((col("sq") - col("sd") * col("sd") / col("n")) / col("n")))
         .select(col("vec_id"), col("pos"),
           when(col("std") === 0.0, col("val"))
             .otherwise((col("val") - col("mean")) / col("std")).as("norm_val"))
