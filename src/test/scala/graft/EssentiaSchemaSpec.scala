@@ -18,7 +18,7 @@ class EssentiaSchemaSpec extends SparkSpec {
       |"lossless":false,"sample_rate":44100,"analysis_sample_rate":44100,
       |"md5_encoded":"abc"},
       |"tags":{"musicbrainz_recordingid":["0dad432b-16cc-4bf0-8961-fd31d124b01b"],
-      |"musicbrainz album release country":["GB"],"file_name":["t.mp3"],
+      |"musicbrainz album release country":["GB"],"File_Name":["t.mp3"],
       |"not_whitelisted_junk":["zzz"]}},
       |"lowlevel":{"average_loudness":0.93,"dynamic_complexity":4.2,
       |"mfcc":{"mean":[1,2,3,4,5,6,7,8,9,10,11,12,13]}},
@@ -48,7 +48,8 @@ class EssentiaSchemaSpec extends SparkSpec {
     val kept = parsed.select(map_filter($"doc.metadata.tags",
       (k, _) => array_contains(whitelist, lower(k))).as("tags"))
       .select(map_keys($"tags")).collect()(0).getSeq[String](0).toSet
-    assert(kept == Set("musicbrainz_recordingid", "file_name",
+    // File_Name is kept via lower(k) — the case-insensitivity under test
+    assert(kept == Set("musicbrainz_recordingid", "File_Name",
       "musicbrainz album release country"))
   }
 

@@ -22,8 +22,8 @@ class MetricsSpec extends SparkSpec {
   private val hlJson =
     """{"mood_happy":{"all":{"happy":0.8,"not_happy":0.2}},
       |"mood_sad":{"all":{"not_sad":0.9,"sad":0.1}},
-      |"genre_rosamerica":{"all":{"cla":0.5,"dan":0.2,"hip":0.1,"jaz":0.05,
-      |"pop":0.05,"rhy":0.04,"roc":0.03,"spe":0.03}}}""".stripMargin
+      |"genre_rosamerica":{"all":{"roc":0.03,"dan":0.2,"cla":0.5,"jaz":0.05,
+      |"pop":0.05,"rhy":0.04,"hip":0.1,"spe":0.03}}}""".stripMargin
       .replace("\n", "")
 
   private val hlType = "map<string, struct<all: map<string, double>>>"

@@ -9,18 +9,27 @@ class OperatorInvariantsSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sfTiny)
 
-  test("every query has rows and every oracle key has a query") {
+  test("oracle keys map to queries; flagship and invariant inputs have rows") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // flagship smoke
     assert(SparkEntry.entry(spark).count() > 0)
+    // the queries whose invariants are asserted below must be non-empty,
+    // or those tests pass vacuously
+    for (q <- Seq("w6_offset_assignment", "d2_duplicate_cap",
+        "q1_pricing_summary", "n4_topk_cosine", "n1_vector_normalize",
+        "m2_artist_split", "t1_daily_stats", "d5_upsert"))
+      assert(run(q).count() > 0, s"$q returned no rows at sfTiny")
   }
 
-  test("w6 submission offsets are dense per key starting at zero") {
+  test("w6 submission offsets are dense AND unique per key starting at zero") {
     val df = run("w6_offset_assignment")
       .groupBy("l_orderkey")
       .agg(min("submission_offset").as("mn"), max("submission_offset").as("mx"),
-        count(lit(1)).as("n"))
-    assert(df.filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count() == 0)
+        count(lit(1)).as("n"),
+        countDistinct(col("submission_offset")).as("u"))
+    // uniqueness guard: rank()-style ties would satisfy mn/mx but not u==n
+    assert(df.filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1 ||
+      col("u") =!= col("n")).count() == 0)
   }
 
   test("d2 duplicate cap keeps at most 5 events per user") {
@@ -38,9 +47,10 @@ class OperatorInvariantsSpec extends SparkSpec {
   test("dedup: LSH candidates recall the exact-Jaccard near-dup pairs") {
     val exact = run("dd_jaccard_pairs").select("doc_a", "doc_b")
     val lsh = run("dd_minhash_lsh")
-    // with J >= 0.8 and 4x4 banding, P(miss) = (1-J^4)^4 <= 3% per pair
+    // with 4x4 banding, P(miss) = (1-J^4)^4: ~12% per pair AT J=0.8, far
+    // lower for the higher-J pairs the fixture contains — allow 25%
     val missed = exact.except(lsh).count()
-    assert(missed <= math.max(1, (exact.count() * 0.1).toLong),
+    assert(missed <= math.max(1, (exact.count() * 0.25).toLong),
       s"LSH missed $missed of ${exact.count()} near-dup pairs")
   }
 
@@ -80,9 +90,11 @@ class OperatorInvariantsSpec extends SparkSpec {
     val df = run("n4_topk_cosine")
     val byQuery = df.groupBy("query_id")
       .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("u"),
-        min("rank").as("mn"), max("rank").as("mx"))
+        min("rank").as("mn"), max("rank").as("mx"),
+        countDistinct(col("rank")).as("ur"))
+    // ur==n rejects rank()-style duplicate/skipped ranks, not just bounds
     assert(byQuery.filter(col("n") =!= col("u") || col("mn") =!= 1 ||
-      col("mx") =!= col("n")).count() == 0)
+      col("mx") =!= col("n") || col("ur") =!= col("n")).count() == 0)
   }
 
   test("n1 normalization yields ~zero mean and ~unit std per dimension") {

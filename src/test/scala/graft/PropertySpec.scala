@@ -101,13 +101,17 @@ class PropertySpec extends SparkSpec {
     val media = BinaryColumns.withPayload(
       Tables.documents(spark, sfTiny).limit(50), "doc_id", "text")
     val frames = BinaryColumns.sampleFrames(media, frameBytes = 32, everyK = 2)
-    val byId = frames.groupBy("media_id")
-      .agg(count(lit(1)).as("n"), max(col("frame_bytes")).as("mx"))
-      .join(media.select(col("media_id"), col("n_bytes")), "media_id")
+    // LEFT join from media so a payload with wrongly-zero frames is a
+    // violation (coalesce to 0), not a silently-excluded row
+    val byId = media.select(col("media_id"), col("n_bytes"))
+      .join(frames.groupBy("media_id")
+        .agg(count(lit(1)).as("n"), max(col("frame_bytes")).as("mx")),
+        Seq("media_id"), "left")
     // every k-th frame of ceil(n_bytes/32) total frames
     val bad = byId.filter(
-      col("n") =!= ceil(ceil(col("n_bytes") / 32.0) / 2.0).cast("long") ||
-      col("mx") > 32)
+      coalesce(col("n"), lit(0L)) =!=
+        ceil(ceil(col("n_bytes") / 32.0) / 2.0).cast("long") ||
+      coalesce(col("mx"), lit(0L)) > 32)
     assert(bad.count() == 0)
   }
 }

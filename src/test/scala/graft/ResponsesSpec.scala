@@ -23,9 +23,11 @@ class ResponsesSpec extends SparkSpec {
   }
 
   test("assembly is deterministic regardless of input row order") {
+    // doc_id as the offset: unique per gid by construction (duplicate map
+    // keys would make map_from_entries throw, not test determinism)
     val base = Tables.documents(spark, sfTiny).limit(30)
       .select(col("source").as("gid"),
-        (col("doc_id") % 7).as("offset"),
+        col("doc_id").as("offset"),
         struct(col("doc_id"), col("lang")).as("doc"))
     val a = Responses.bulkResponse(base, col("gid"), col("offset"), col("doc"))
       .collect()(0).getString(0)

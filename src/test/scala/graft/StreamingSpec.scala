@@ -57,5 +57,13 @@ class StreamingSpec extends SparkSpec {
     val out = spark.table("dedup_out")
     assert(out.groupBy("user_id", "content_hash").count()
       .filter(col("count") > 1).count() == 0)
+    // non-vacuous: the stream must emit exactly the batch-distinct count
+    val batchDistinct = Tables.events(spark, sfTiny)
+      .select(col("user_id"),
+        md5(concat(col("event_type"), lit("|"),
+          col("value").cast("string"), lit("|"), col("props")))
+          .as("content_hash"))
+      .distinct().count()
+    assert(out.count() == batchDistinct && out.count() > 0)
   }
 }
