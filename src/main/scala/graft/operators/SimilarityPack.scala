@@ -26,11 +26,9 @@ object SimilarityPack {
   private val Dim = 64
   private val dec9 = DecimalType(18, 9)
 
-  /** (vec_id, pos [1-based], val double) exploded view of the embeddings.
-    * Spread first: the explode fans each vector into 64 rows — expression-
-    * bound map work over a single-row-group input (see Tables.spread). */
+  /** (vec_id, pos [1-based], val double) exploded view of the embeddings. */
   private def exploded(s: SparkSession, d: String): DataFrame =
-    Tables.spread(Tables.embeddings(s, d), s)
+    Tables.embeddings(s, d)
       .select(col("vec_id"),
         posexplode(asDouble(col("embedding"))).as(Seq("p0", "val")))
       .select(col("vec_id"), (col("p0") + 1).cast(LongType).as("pos"),
