@@ -29,7 +29,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
+    // Detailed line first (for humans / archaeology) …
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // … then a SHORT summary as the very LAST stdout line: the driver's
+    // tail capture head-truncates long lines, so the parseable record must
+    // be compact and final (after spark.stop(), which can itself log).
+    System.out.flush()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -22,11 +22,21 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           // remove any stale output from a previous run so a now-broken
-          // query can never be graded against its old results
-          val dir = new java.io.File(s"$outDir/$name")
-          if (dir.exists()) {
-            dir.listFiles().foreach(_.delete())
-            dir.delete()
+          // query can never be graded against its old results — recursively:
+          // a write that dies mid-job leaves a _temporary/ subtree, and
+          // File#delete silently no-ops on non-empty directories
+          val dir = Paths.get(s"$outDir/$name")
+          if (Files.exists(dir)) {
+            val walk = Files.walk(dir)
+            try {
+              walk.sorted(java.util.Comparator.reverseOrder())
+                .forEach { p =>
+                  try Files.deleteIfExists(p)
+                  catch { case io: java.io.IOException =>
+                    System.err.println(s"[verify] could not delete $p: $io")
+                  }
+                }
+            } finally walk.close()
           }
         }
       }

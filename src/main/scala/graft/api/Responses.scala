@@ -34,6 +34,36 @@ object Responses {
       .agg(map_from_entries(array_sort(collect_list(
         struct(col("gid").cast("string").as("key"),
           col("by_offset").as("value"))), byKey)).as("m"))
-      .select(to_json(col("m")).as("response"))
+      // ignoreNullFields=false: a selected-but-absent feature must render
+      // as an explicit null (the reference jsonifies Python None), not
+      // disappear from the response
+      .select(to_json(col("m"), Map("ignoreNullFields" -> "false"))
+        .as("response"))
+  }
+
+  /** As [[bulkResponse]], plus the reference's `mbid_mapping` top-level key
+    * (core.py:335-347: `{original: normalised}` for every request mbid the
+    * client did not send in canonical form, `{}` when all were canonical —
+    * the key is ALWAYS present). The mapping is request-derived (≤25
+    * driver-side entries, see BulkParams.mbidMapping), so it is spliced
+    * into the JSON next to the mbid keys — it can't live inside the typed
+    * outer map, whose values are offset→document maps. */
+  def bulkResponseWithMapping(rows: DataFrame, gid: Column, offset: Column,
+      doc: Column, mapping: Map[String, String]): DataFrame = {
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    val mappingJson = mapping.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    bulkResponse(rows, gid, offset, doc).select(
+      concat(
+        col("response").substr(lit(1), length(col("response")) - 1),
+        when(length(col("response")) > 2, lit(",")).otherwise(lit("")),
+        lit("\"mbid_mapping\":" + mappingJson + "}")).as("response"))
   }
 }

@@ -40,19 +40,26 @@ object VectorFunctions {
     zip_with(v, sequence(lit(0), size(v) - 1),
       (x, i) => x * pow(lit(base), i.cast(DoubleType)))
 
-  /** Deterministic pseudo-random hyperplanes for sign-LSH, derived from MD5
-    * so every executor (and every engine) regenerates the identical family.
-    * Returns `planes` unit-free vectors of dimension `dim` in [-1, 1). */
-  def lshHyperplanes(planes: Int, dim: Int): Seq[Seq[Double]] = {
+  /** Raw 24-bit integers behind [[lshHyperplanes]]. Exposed so the DuckDB
+    * oracle can regenerate the identical family from exact integer
+    * literals: v/2²³ and the subsequent −1 are both exact in binary
+    * (numerators stay below 2²⁴), so `CAST(v AS DOUBLE)/8388608.0 - 1.0`
+    * reproduces each plane component bit-for-bit in any engine. */
+  def lshHyperplaneInts(planes: Int, dim: Int): Seq[Seq[Long]] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
     (0 until planes).map { p =>
       (0 until dim).map { k =>
         val h = mdig.digest(s"$p:$k".getBytes("UTF-8"))
-        val v = ((h(0) & 0xffL) << 16) | ((h(1) & 0xffL) << 8) | (h(2) & 0xffL)
-        v.toDouble / (1 << 23) - 1.0 // [-1, 1)
+        ((h(0) & 0xffL) << 16) | ((h(1) & 0xffL) << 8) | (h(2) & 0xffL)
       }
     }
   }
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH, derived from MD5
+    * so every executor (and every engine) regenerates the identical family.
+    * Returns `planes` unit-free vectors of dimension `dim` in [-1, 1). */
+  def lshHyperplanes(planes: Int, dim: Int): Seq[Seq[Double]] =
+    lshHyperplaneInts(planes, dim).map(_.map(v => v.toDouble / (1 << 23) - 1.0))
 
   /** Sign-LSH bucket key: one bit per hyperplane ('1' iff dot >= 0).
     * NULL vectors get a NULL key (dropped by the bucket equi-join), not the

@@ -41,6 +41,7 @@ object EssentiaSchema {
     StructField("length", DoubleType),
     StructField("lossless", BooleanType),
     StructField("md5_encoded", StringType),
+    StructField("replay_gain", DoubleType),
     StructField("sample_rate", IntegerType)))
 
   val metadata: StructType = StructType(Seq(
@@ -89,6 +90,7 @@ object EssentiaSchema {
     StructField("key_scale", StringType),
     StructField("key_strength", DoubleType),
     StructField("thpcp", doubleArray),                     // 36 dims
+    StructField("tuning_equal_tempered_deviation", DoubleType),
     StructField("tuning_frequency", DoubleType)))
 
   /** The full document (top-level sections sorted, like every level). */
@@ -98,11 +100,34 @@ object EssentiaSchema {
     StructField("rhythm", rhythm),
     StructField("tonal", tonal)))
 
-  /** Required key paths enforced at ingest (db/data.py:20-34). */
+  /** Struct-field required paths from the reference's 13 SANITY_CHECK_KEYS
+    * (db/data.py:20-34), in reference order. The two `metadata.tags.*` keys
+    * are MAP keys — dotted col() paths can't address them — and live in
+    * [[requiredTagKeys]]; [[requiredChecks]] interleaves both sets back
+    * into the reference's check order. */
   val requiredPaths: Seq[String] = Seq(
-    "metadata.version.essentia", "metadata.audio_properties.length",
-    "metadata.audio_properties.bit_rate", "metadata.audio_properties.codec",
-    "metadata.audio_properties.lossless", "lowlevel", "rhythm", "tonal")
+    "metadata.version.essentia", "metadata.version.essentia_git_sha",
+    "metadata.version.extractor", "metadata.version.essentia_build_sha",
+    "metadata.audio_properties.length", "metadata.audio_properties.bit_rate",
+    "metadata.audio_properties.codec", "metadata.audio_properties.lossless",
+    "lowlevel", "rhythm", "tonal")
+
+  /** Required keys of the dynamic `metadata.tags` map (db/data.py:28-29). */
+  val requiredTagKeys: Seq[String] = Seq("file_name", "musicbrainz_recordingid")
+
+  /** All 13 sanity checks as (path, column) pairs over a document struct
+    * column rooted at `prefix`, in the reference's SANITY_CHECK_KEYS order
+    * (tag keys between audio_properties and the lowlevel section) so the
+    * first-missing-key reject reason matches db/data.py:114-125. */
+  def requiredChecks(prefix: String)
+      : Seq[(String, org.apache.spark.sql.Column)] = {
+    import org.apache.spark.sql.functions.{col, element_at}
+    val (front, back) = requiredPaths.splitAt(8)
+    front.map(p => p -> col(s"$prefix.$p")) ++
+      requiredTagKeys.map(k => s"metadata.tags.$k" ->
+        element_at(col(s"$prefix.metadata.tags"), k)) ++
+      back.map(p => p -> col(s"$prefix.$p"))
+  }
 
   /** Fixed dimensionalities validated at ingest (not expressible in the
     * parquet type system). */

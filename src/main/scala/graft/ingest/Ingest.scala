@@ -59,12 +59,25 @@ object Ingest {
     to_json(canon(payload, schema), Map("ignoreNullFields" -> "false"))
   }
 
+  /** sha1 hex digest of a binary/string column (reference F2:
+    * hl_extractor/hl_calc.py:161-169 — sha1 of the SVM models file used to
+    * sanity-check the extractor profile). */
+  def binarySha1(payload: Column): Column = sha1(payload)
+
   /** Validation: required fields present and well-formed. Returns the frame
     * with a `valid` flag plus a `reject_reason` (reference:
     * db/data.py:114-125 sanity_check_data). */
-  def validate(df: DataFrame, requiredCols: Seq[String]): DataFrame = {
-    val reason = requiredCols.foldRight(lit(null).cast(StringType)) {
-      (c, acc) => when(col(c).isNull, lit(s"missing:$c")).otherwise(acc)
+  def validate(df: DataFrame, requiredCols: Seq[String]): DataFrame =
+    validateChecks(df, requiredCols.map(c => c -> col(c)))
+
+  /** As [[validate]], but with arbitrary check columns — needed for paths
+    * the dotted col() syntax can't address (map keys like the reference's
+    * `metadata.tags.file_name`; see EssentiaSchema.requiredChecks). The
+    * reject reason is the FIRST failing check, like the reference's ordered
+    * SANITY_CHECK_KEYS walk. */
+  def validateChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val reason = checks.foldRight(lit(null).cast(StringType)) {
+      case ((name, c), acc) => when(c.isNull, lit(s"missing:$name")).otherwise(acc)
     }
     df.withColumn("reject_reason", reason)
       .withColumn("valid", col("reject_reason").isNull)

@@ -112,30 +112,62 @@ object MLPack {
         .orderBy("class")
     }),
 
-    // ---- model training + confusion-matrix eval (reference M4/A8:
-    //      dataset_eval/gaia_wrapper.py:22-119 SVM grid search → accuracy +
-    //      confusion matrix). spark.ml LogisticRegression stands in for the
-    //      RBF-SVM (documented deviation, SURVEY §7.4); the relational
-    //      shape — deterministic split, fit on train, per-(label, predicted)
-    //      counts — is the contract. Rows-only driver check (model weights
-    //      are iterative, not oracle-expressible in SQL). ------------------
+    // ---- grid-search training + confusion-matrix eval (reference M4/A8:
+    //      db/dataset_eval.py:43-45 + dataset_eval/gaia_wrapper.py:22-119 —
+    //      a C × gamma × preprocessing grid, cross-validated, best model by
+    //      accuracy, then a confusion matrix). spark.ml LogisticRegression
+    //      stands in for the RBF-SVM (documented deviation, SURVEY §7.4),
+    //      so the grid axes are regParam × elasticNetParam; the pipeline
+    //      shape — grid, CV fold selection, best-model refit, per-(label,
+    //      predicted) counts, winning params in the output — is the
+    //      contract. Rows-only driver check (model weights are iterative,
+    //      not oracle-expressible in SQL); the deterministic split sizes
+    //      are oracle-checked separately (`m4_split_sizes`). ---------------
     "m4_train_eval" -> ((s, d) => {
-      import org.apache.spark.ml.classification.LogisticRegression
+      import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+      import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
       import org.apache.spark.ml.functions.array_to_vector
+      import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
       val data = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label").cast(DoubleType).as("label"),
           array_to_vector(col("embedding")).as("features"))
       val train = data.filter(col("vec_id") % 5 =!= 0)
       val test = data.filter(col("vec_id") % 5 === 0)
-      val model = new LogisticRegression()
-        .setMaxIter(10).setRegParam(0.01).setTol(1e-4)
-        .fit(train)
-      model.transform(test)
+      val lr = new LogisticRegression().setMaxIter(10).setTol(1e-4)
+      val grid = new ParamGridBuilder()
+        .addGrid(lr.regParam, Array(0.001, 0.01, 0.1))
+        .addGrid(lr.elasticNetParam, Array(0.0, 0.5))
+        .build()
+      val cv = new CrossValidator()
+        .setEstimator(lr)
+        .setEvaluator(
+          new MulticlassClassificationEvaluator().setMetricName("accuracy"))
+        .setEstimatorParamMaps(grid)
+        .setNumFolds(3)
+        .setParallelism(8) // grid fits are independent — run them concurrently
+        .setSeed(42L)
+      val fitted = cv.fit(train)
+      val best = fitted.bestModel.asInstanceOf[LogisticRegressionModel]
+      best.transform(test)
         .groupBy(col("label").cast("long").as("label"),
           col("prediction").cast("long").as("predicted"))
         .agg(count(lit(1)).as("n"))
+        .withColumn("grid_size", lit(grid.length.toLong))
+        .withColumn("best_reg_param", lit(best.getRegParam))
+        .withColumn("best_elastic_net", lit(best.getElasticNetParam))
         .orderBy("label", "predicted")
-    })
+    }),
+
+    // ---- deterministic train/test split sizes per class (the
+    //      oracle-checkable half of M4: the 80/20 vec_id-hash split that
+    //      m4_train_eval consumes, counted per (label, split)) -------------
+    "m4_split_sizes" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label").cast(LongType).as("label"),
+          when(col("vec_id") % 5 === 0, "test").otherwise("train").as("split"))
+        .groupBy("label", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "split"))
   )
 
   private val orderSql = "md5('seed42:' || CAST(doc_id AS VARCHAR))"
@@ -191,7 +223,13 @@ object MLPack {
         | '{"class":"' || lang || '","recordings":[' ||
         |   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) ||
         | ']}' AS snapshot
-        |FROM documents GROUP BY lang ORDER BY class""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY class""".stripMargin,
+
+    "m4_split_sizes" ->
+      """SELECT CAST(label AS BIGINT) AS label,
+        | CASE WHEN vec_id % 5 = 0 THEN 'test' ELSE 'train' END AS split,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM embeddings GROUP BY 1, 2 ORDER BY label, split""".stripMargin
     // m4_train_eval: iterative spark.ml model — rows-only driver check.
   )
 }

@@ -23,6 +23,16 @@ object Relational {
     * session's UTC and silently shift every time-range filter.) */
   private def ts(s: String): Column = to_timestamp(lit(s))
 
+  /** A similar-recordings result-set stand-in for the W7 dedup modes:
+    * (mbid, offset, distance) with plenty of same-distance ties
+    * (l_discount has 11 distinct values), mirroring the shape the
+    * reference's `_sort_and_remove_duplicate_submissions` consumes. */
+  private def neighborResults(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_partkey").as("mbid"),
+      asLong(col("l_linenumber")).as("offset"),
+      col("l_discount").as("distance"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- headline aggregation (reference A3/T1 family: grouped counts +
     //      grouped sums; db/submission_stats.py:221-276) -------------------
@@ -268,6 +278,34 @@ object Relational {
         .orderBy("l_partkey")
     }),
 
+    // ---- similar-recording dedup modes (reference W7:
+    //      webserver/views/api/v1/similarity.py:16-67). The result set is
+    //      sorted by (distance, mbid, offset); `samescore` drops later
+    //      offsets of the same (mbid, distance) pair, `all` keeps only each
+    //      mbid's single closest row, `none` (= no dedup) is the plain sort
+    //      (w4/w1 shapes). Both modes reduce to a keep-first window over
+    //      the right partition key — no global pass, unlike the
+    //      reference's sequential scan over the sorted list. -------------
+    "w7_dedup_samescore" -> ((s, d) => {
+      val w = Window.partitionBy(col("mbid"), col("distance"))
+        .orderBy(col("offset"))
+      neighborResults(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("mbid", "offset", "distance")
+        .orderBy("distance", "mbid", "offset")
+    }),
+
+    "w7_dedup_all" -> ((s, d) => {
+      val w = Window.partitionBy(col("mbid"))
+        .orderBy(col("distance"), col("offset"))
+      neighborResults(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("mbid", "offset", "distance")
+        .orderBy("distance", "mbid", "offset")
+    }),
+
     // ---- ordered pagination (reference W8: webserver/views/datasets.py) --
     // Scale-safe global pagination: take the page's upper bound first via
     // orderBy+limit (TakeOrderedAndProject — a distributed partial top-K,
@@ -403,14 +441,16 @@ object Relational {
     }),
 
     // ---- tag-whitelist map filter (reference P3: db/data.py:128-135 drop
-    //      non-whitelisted keys from the metadata.tags map) ----------------
+    //      non-whitelisted keys from the metadata.tags map; the whitelist
+    //      check is CASE-INSENSITIVE — `tag.lower() in whitelist` — but the
+    //      surviving keys keep their original case, db/data.py:131-134) ----
     "p3_tag_whitelist" -> ((s, d) => {
       val tags = map(
         lit("lang"), col("lang"),
-        lit("source"), col("source"),
+        lit("Source"), col("source"), // mixed case: kept via lower(k)
         lit("internal_debug"), lit("drop-me"))
       val whitelist = array(lit("lang"), lit("source"))
-      val kept = map_filter(tags, (k, _) => array_contains(whitelist, k))
+      val kept = map_filter(tags, (k, _) => array_contains(whitelist, lower(k)))
       Tables.documents(s, d)
         .select(col("doc_id"),
           array_join(
@@ -439,10 +479,13 @@ object Relational {
     "f15_circular" -> ((s, d) => {
       val frac = col("value") - floor(col("value"))
       val twoPi = lit(2.0 * math.Pi)
+      // `+ 0.0` normalizes IEEE negative zero: cos(2π·0.75) ≈ -1.8e-16
+      // rounds to -0.0 under C-style round (DuckDB) but +0.0 under
+      // Spark's BigDecimal round — the oracle applies the same `+ 0.0`.
       Tables.events(s, d)
         .select(col("event_id"),
-          round(cos(twoPi * frac), 6).as("circ_cos"),
-          round(sin(twoPi * frac), 6).as("circ_sin"))
+          (round(cos(twoPi * frac), 6) + lit(0.0)).as("circ_cos"),
+          (round(sin(twoPi * frac), 6) + lit(0.0)).as("circ_sin"))
         .orderBy("event_id")
     })
   )
@@ -605,6 +648,26 @@ object Relational {
         |SELECT l_partkey, l_orderkey, l_extendedprice FROM ranked
         |WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
 
+    "w7_dedup_samescore" ->
+      """WITH nb AS (SELECT l_partkey AS mbid,
+        |  CAST(l_linenumber AS BIGINT) AS "offset", l_discount AS distance
+        |  FROM lineitem),
+        |ranked AS (SELECT mbid, "offset", distance,
+        |  row_number() OVER (PARTITION BY mbid, distance
+        |    ORDER BY "offset") AS rn FROM nb)
+        |SELECT mbid, "offset", distance FROM ranked WHERE rn = 1
+        |ORDER BY distance, mbid, "offset"""".stripMargin,
+
+    "w7_dedup_all" ->
+      """WITH nb AS (SELECT l_partkey AS mbid,
+        |  CAST(l_linenumber AS BIGINT) AS "offset", l_discount AS distance
+        |  FROM lineitem),
+        |ranked AS (SELECT mbid, "offset", distance,
+        |  row_number() OVER (PARTITION BY mbid
+        |    ORDER BY distance, "offset") AS rn FROM nb)
+        |SELECT mbid, "offset", distance FROM ranked WHERE rn = 1
+        |ORDER BY distance, mbid, "offset"""".stripMargin,
+
     "w8_pagination" ->
       """WITH ranked AS (
         |  SELECT CAST(row_number() OVER (ORDER BY c_name, c_custkey) AS BIGINT)
@@ -681,13 +744,13 @@ object Relational {
         |ORDER BY ts, event_id LIMIT 1""".stripMargin,
 
     "p3_tag_whitelist" ->
-      """SELECT doc_id, 'lang=' || lang || ',source=' || source AS kept_tags
+      """SELECT doc_id, 'Source=' || source || ',lang=' || lang AS kept_tags
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "f15_circular" ->
       """SELECT event_id,
-        | round(cos(2 * pi() * (value - floor(value))), 6) AS circ_cos,
-        | round(sin(2 * pi() * (value - floor(value))), 6) AS circ_sin
+        | round(cos(2 * pi() * (value - floor(value))), 6) + 0.0 AS circ_cos,
+        | round(sin(2 * pi() * (value - floor(value))), 6) + 0.0 AS circ_sin
         |FROM events ORDER BY event_id""".stripMargin,
 
     "j10_json_key_join" ->

@@ -68,24 +68,16 @@ object SimilarityPack {
 
     // ---- vector ETL: population-normalized vectors (reference N1/F13,
     //      zero-std guard per similarity/metrics.py:33-45) -----------------
-    // Single pass: per-dimension stats as whole-partition window aggregates
-    // over the same exploded scan (the aggregate+broadcast-join formulation
-    // scanned the embeddings twice). Same exact integer-grid arithmetic as
-    // dimStats, so the normalized values are bit-identical.
+    // Two-scan formulation, deliberately: the per-dimension stats collapse
+    // to `dim` rows (a tiny aggregate, broadcast back), so parallelism and
+    // per-task memory stay bounded by the fact scan at any corpus size. The
+    // one-scan `Window.partitionBy(pos)` alternative caps parallelism at
+    // `dim` tasks and funnels 1/dim of the whole exploded corpus through a
+    // single task's sort buffer — fine at sf0.1, spill/OOM at 100×.
     "n1_vector_normalize" -> ((s, d) => {
-      val w = Window.partitionBy(col("pos"))
-      val ex = exploded(s, d)
-        .withColumn("iv", round(col("val") * 1e9, 0).cast(LongType))
-      ex
-        .withColumn("sd", sum(col("iv")).over(w).cast(DoubleType) / 1e9)
-        .withColumn("sq",
-          sum(col("iv").cast(DecimalType(19, 0)) *
-              col("iv").cast(DecimalType(19, 0))).over(w)
-            .cast(DoubleType) / 1e18)
-        .withColumn("n", count(lit(1)).over(w))
-        .withColumn("mean", col("sd") / col("n"))
-        .withColumn("std",
-          sqrt((col("sq") - col("sd") * col("sd") / col("n")) / col("n")))
+      val stats = dimStats(s, d).select(col("pos"), col("mean"), col("std"))
+      exploded(s, d)
+        .join(broadcast(stats), Seq("pos"))
         .select(col("vec_id"), col("pos"),
           when(col("std") === 0.0, col("val"))
             .otherwise((col("val") - col("mean")) / col("std")).as("norm_val"))
@@ -229,8 +221,10 @@ object SimilarityPack {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- sign-LSH bucketed ANN (the 100 TB scale path; approximate, so
-    //      rows-only driver check — no SQL oracle) -------------------------
+    // ---- sign-LSH bucketed ANN (the 100 TB scale path). Approximate as a
+    //      *kNN recall* matter, but fully deterministic — the hyperplanes
+    //      are MD5-derived constants — so it IS oracle-checked: the oracle
+    //      inlines the exact integer hyperplane literals. ------------------
     "ann_lsh_bucketed" -> ((s, d) => {
       val hp = lshHyperplanes(8, Dim)
       val emb = Tables.embeddings(s, d)
@@ -414,7 +408,43 @@ object SimilarityPack {
         |  JOIN qn ne ON ne.vec_id = neighbor_id)
         |SELECT query_id, CAST(label AS BIGINT) AS cell,
         |  CAST(rank AS BIGINT) AS rank, neighbor_id
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    // ann_lsh_bucketed: approximate operator, rows-only driver check.
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // The MD5-derived hyperplane family as exact integer literals (p 0-based
+    // plane, pos 1-based dimension, v the 24-bit integer; w = v/2²³ − 1
+    // is exact — see VectorFunctions.lshHyperplaneInts).
+    "ann_lsh_bucketed" -> {
+      val hpValues = graft.functions.VectorFunctions
+        .lshHyperplaneInts(8, Dim).zipWithIndex.flatMap { case (row, p) =>
+          row.zipWithIndex.map { case (v, k) => s"($p,${k + 1},$v)" }
+        }.mkString(",")
+      s"""WITH $exCte,
+         |hp AS (SELECT p, pos, CAST(v AS DOUBLE) / 8388608.0 - 1.0 AS w
+         |  FROM (VALUES $hpValues) t(p, pos, v)),
+         |bdot AS (SELECT e.vec_id, h.p, SUM(e.val * h.w) AS dp
+         |         FROM ex e JOIN hp h ON e.pos = h.pos GROUP BY 1, 2),
+         |buckets AS (SELECT vec_id,
+         |  string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, ''
+         |    ORDER BY p) AS bucket
+         |  FROM bdot GROUP BY vec_id),
+         |norms AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
+         |          FROM ex GROUP BY vec_id),
+         |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |         FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+         |         WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |dots AS (SELECT cd.query_id, cd.neighbor_id, SUM(a.val * b.val) AS dp
+         |         FROM cand cd
+         |         JOIN ex a ON a.vec_id = cd.query_id
+         |         JOIN ex b ON b.vec_id = cd.neighbor_id AND b.pos = a.pos
+         |         GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dp / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+         |  FROM dots
+         |  JOIN norms nq ON nq.vec_id = query_id
+         |  JOIN norms nc ON nc.vec_id = neighbor_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    }
   )
 }

@@ -72,6 +72,23 @@ class EssentiaSchemaSpec extends SparkSpec {
     assert(h(doc) == h(shuffledSource))
   }
 
+  test("all 13 SANITY_CHECK_KEYS are enforced, map keys included") {
+    // the spec doc's tags carry "File_Name" (capital) but not "file_name" —
+    // the reference's _has_key walk is case-sensitive (db/data.py:114-125),
+    // so the first missing key is the tags map key, reported in the
+    // reference's SANITY_CHECK_KEYS order (before lowlevel/rhythm/tonal)
+    val v = Ingest.validateChecks(parsed, EssentiaSchema.requiredChecks("doc"))
+      .select("valid", "reject_reason").collect()(0)
+    assert(!v.getBoolean(0) &&
+      v.getString(1) == "missing:metadata.tags.file_name")
+    // with the key present the document passes all 13 checks
+    val fixed = Seq(doc.replace(""""File_Name":["t.mp3"]""",
+      """"file_name":["t.mp3"]""")).toDF("raw")
+      .select(from_json($"raw", EssentiaSchema.document).as("doc"))
+    assert(Ingest.validateChecks(fixed, EssentiaSchema.requiredChecks("doc"))
+      .select("valid").collect()(0).getBoolean(0))
+  }
+
   test("nested projection prunes the parquet read schema to selected paths") {
     val dir = java.nio.file.Files.createTempDirectory("graft_essentia").toString
     parsed.write.mode("overwrite").parquet(dir)

@@ -102,6 +102,14 @@ class IngestSpec extends SparkSpec {
       Ingest.MaxDuplicateSubmissions - 1)
   }
 
+  test("binary sha1 matches the reference digest (F2: hl_calc.py:161-169)") {
+    // golden: python3 hashlib.sha1(b'abc').hexdigest()
+    val out = Seq("abc").toDF("payload")
+      .select(Ingest.binarySha1($"payload".cast("binary")))
+      .collect()(0).getString(0)
+    assert(out == "a9993e364706816aba3e25717850c26c9cd0d89d")
+  }
+
   test("validation flags missing required fields with a reason") {
     val in = Seq(("g1", "p", "2024"), (null, "p", "2024"), ("g2", null, "2024"))
       .toDF("gid", "payload", "submitted")

@@ -1,0 +1,64 @@
+package graft
+
+import graft.ingest.PipeExtractor
+import org.apache.spark.sql.functions._
+
+/** The external-binary extraction contract (reference M8:
+  * hl_calc.py:50-129): ≤20 docs per process call, and silent/failed docs
+  * marked processed with an empty `{}` result. */
+class PipeExtractorSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Stub extractor: awk echoes each id with the SIZE of the batch it
+    * arrived in (so the test can observe per-call batching), and stays
+    * silent about ids divisible by 7 (simulating per-doc extractor
+    * failures — missing output files in the reference). */
+  private lazy val stub: String = {
+    val f = java.nio.file.Files.createTempFile("graft_stub_extractor", ".sh")
+    java.nio.file.Files.writeString(f,
+      """#!/bin/sh
+        |exec awk -F'\t' '{ids[NR]=$1}
+        |  END {for(i=1;i<=NR;i++) if (ids[i] % 7 != 0)
+        |    print ids[i] "\t{\"batch\":" NR "}"}'
+        |""".stripMargin)
+    f.toFile.setExecutable(true)
+    f.toString
+  }
+
+  private def run(nDocs: Int, partitions: Int) = {
+    // coalesce for the single-partition case: unlike repartition it keeps
+    // ascending id order, making the batch boundaries exactly 1-20/21-40/…
+    val ranged = spark.range(1, nDocs + 1L)
+    val docs = (if (partitions == 1) ranged.coalesce(1)
+                else ranged.repartition(partitions))
+      .select(col("id"), concat(lit("doc payload "), col("id")).as("payload"))
+    PipeExtractor.extract(spark, docs, Seq(stub))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  test("batches are at most 20 docs per process call, boundaries exact") {
+    // single partition: 50 docs must arrive as calls of 20, 20, 10
+    val out = run(50, 1)
+    assert(out.size == 50)
+    // ids divisible by 7 are silent (7 of them in 1..50); the rest report
+    // the size of the call that carried them: 35 rode the two full
+    // 20-doc calls, 8 the final 10-doc call
+    assert(out.values.count(_ == "{\"batch\":20}") == 35)
+    assert(out.values.count(_ == "{\"batch\":10}") == 8)
+    assert(out.values.count(_ == "{}") == 7)
+  }
+
+  test("every doc is answered; extractor-silent docs are marked {} (processed)") {
+    val out = run(50, 4) // multi-partition: sizes vary but the cap holds
+    assert(out.keySet == (1L to 50L).toSet)
+    val (failed, succeeded) = out.partition(_._1 % 7 == 0)
+    // ids the stub dropped come back as the empty document — the
+    // processed-but-failed marking that keeps them out of the J4 queue
+    assert(failed.values.toSet == Set("{}"))
+    assert(succeeded.values.forall(_.startsWith("{\"batch\":")))
+    // the ≤20 cap holds on every call regardless of partitioning
+    val sizes = succeeded.values
+      .map(_.stripPrefix("{\"batch\":").stripSuffix("}").toInt)
+    assert(sizes.forall(s => s >= 1 && s <= PipeExtractor.MaxItemsPerProcess))
+  }
+}
