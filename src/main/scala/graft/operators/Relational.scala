@@ -474,6 +474,59 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- full high-level document reassembly (reference S8:
+    //      db/dump.py:699-841 — join the meta row with the per-model rows,
+    //      collapse the models into one sorted-key JSON object, emit one
+    //      document per recording). Exact integer domains (cents) keep the
+    //      JSON bytes identical across engines; the per-recording map agg
+    //      shuffles once on the recording key and the meta join broadcasts
+    //      nothing — both sides are pre-aggregated fact-size. ------------
+    "s8_hl_reassembly" -> ((s, d) => {
+      val qtyCents = (col("l_quantity").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType)
+      val perModel = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), asLong(col("l_linenumber")).as("m"),
+          qtyCents.as("qc"))
+        .groupBy(col("l_orderkey"), col("m"))
+        .agg(sum(col("qc")).as("qc"))
+      val hl = perModel
+        .groupBy(col("l_orderkey"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("m"), col("qc")))),
+            x => concat(lit("\"m"), x.getField("m").cast(StringType),
+              lit("\":{\"qc\":"), x.getField("qc").cast(StringType),
+              lit("}"))), ",").as("models"))
+      Tables.orders(s, d)
+        .join(hl, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"),
+          concat(lit("{\"highlevel\":{"), col("models"),
+            lit("},\"metadata\":{\"price_cents\":"),
+            (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+              .cast(LongType).cast(StringType),
+            lit(",\"status\":\""), col("o_orderstatus"),
+            lit("\"}}")).as("doc"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- dedicated high-level write (reference S3: db/data.py:351-417 —
+    //      explode the per-model outputs map into highlevel_model rows,
+    //      reusing version rows by get-or-insert). The version dimension is
+    //      the row_number over the DISTINCT (model, data) pairs — a
+    //      dim-table-sized global window, not a fact-table funnel — then
+    //      broadcast-joined back to the exploded fact. ---------------------
+    "s3_highlevel_write" -> ((s, d) => {
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(map(lit("lang"), col("lang"), lit("src"), col("source")))
+            .as(Seq("model", "data")))
+      val w = Window.orderBy(col("model"), col("data"))
+      val vdim = rows.select("model", "data").distinct()
+        .withColumn("version_id", asLong(row_number().over(w)))
+      rows.join(broadcast(vdim), Seq("model", "data"))
+        .select(col("doc_id"), col("model"), col("data"), col("version_id"))
+        .orderBy("doc_id", "model")
+    }),
+
     // ---- circular encoding [cos 2πv, sin 2πv] of a fractional feature
     //      (reference F15: similarity/metrics.py:89-96) -------------------
     "f15_circular" -> ((s, d) => {
@@ -746,6 +799,34 @@ object Relational {
     "p3_tag_whitelist" ->
       """SELECT doc_id, 'Source=' || source || ',lang=' || lang AS kept_tags
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "s8_hl_reassembly" ->
+      """WITH pm AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS m,
+        |  SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qc
+        |  FROM lineitem GROUP BY 1, 2),
+        |hl AS (SELECT l_orderkey,
+        |  string_agg('"m' || m || '":{"qc":' || qc || '}', ',' ORDER BY m)
+        |    AS models
+        |  FROM pm GROUP BY l_orderkey)
+        |SELECT o_orderkey,
+        |  '{"highlevel":{' || models || '},"metadata":{"price_cents":' ||
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) ||
+        |  ',"status":"' || o_orderstatus || '"}}' AS doc
+        |FROM orders JOIN hl ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "s3_highlevel_write" ->
+      """WITH hlrows AS (
+        |  SELECT doc_id, 'lang' AS model, lang AS data FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'src' AS model, source AS data FROM documents),
+        |vdim AS (SELECT model, data,
+        |  CAST(row_number() OVER (ORDER BY model, data) AS BIGINT)
+        |    AS version_id
+        |  FROM (SELECT DISTINCT model, data FROM hlrows) t)
+        |SELECT r.doc_id, r.model, r.data, v.version_id
+        |FROM hlrows r JOIN vdim v USING (model, data)
+        |ORDER BY doc_id, model""".stripMargin,
 
     "f15_circular" ->
       """SELECT event_id,

@@ -85,23 +85,7 @@ object SimilarityPack {
     }),
 
     // ---- brute-force top-K cosine neighbours (reference N4/W5) -----------
-    "n4_topk_cosine" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("nrm", l2Norm(col("v")))
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"))
-      val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w).cast(LongType))
-        .filter(col("rank") <= 10)
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
-    }),
+    "n4_topk_cosine" -> ((s, d) => topkExact(s, d)),
 
     // ---- pairwise angular distance (reference N5:
     //      similarity/index_model.py:226-244) -----------------------------
@@ -225,26 +209,97 @@ object SimilarityPack {
     //      *kNN recall* matter, but fully deterministic — the hyperplanes
     //      are MD5-derived constants — so it IS oracle-checked: the oracle
     //      inlines the exact integer hyperplane literals. ------------------
-    "ann_lsh_bucketed" -> ((s, d) => {
-      val hp = lshHyperplanes(8, Dim)
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("bucket", lshBucket(col("v"), hp))
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("bucket").as("qbucket"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      emb.join(broadcast(q),
-          col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cosine(col("qv"), col("v")).as("cosine"))
-        .withColumn("rank", row_number().over(w).cast(LongType))
-        .filter(col("rank") <= 10)
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
+    "ann_lsh_bucketed" -> ((s, d) => lshTopk(s, d, multiProbe = false)),
+
+    // ---- multi-probe sign-LSH: each query also probes the 8 buckets at
+    //      Hamming distance 1 from its own (single-bit key flips) — the
+    //      standard recall lever when buckets are sparse; candidate volume
+    //      grows 9×, still O(bucket), never a corpus scan ------------------
+    "ann_lsh_multiprobe" -> ((s, d) => lshTopk(s, d, multiProbe = true)),
+
+    // ---- LSH recall against the exact contract ---------------------------
+    // Per query: how many of the exact top-10 each LSH variant recovered.
+    // The approximate path's quality is thereby MEASURED and oracle-gated,
+    // not asserted — at production scale this same query is the recall
+    // monitor run on a sampled slice. --------------------------------------
+    "ann_recall" -> ((s, d) => {
+      val exact = topkExact(s, d).select(col("query_id"), col("neighbor_id"))
+      val qs = exact.select("query_id").distinct()
+      def hitsOf(approx: DataFrame, name: String): DataFrame =
+        exact.join(approx.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+      qs.join(hitsOf(lshTopk(s, d, multiProbe = false), "hits_single"),
+          Seq("query_id"), "left")
+        .join(hitsOf(lshTopk(s, d, multiProbe = true), "hits_multi"),
+          Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits_single"), lit(0L)).as("hits_single"),
+          coalesce(col("hits_multi"), lit(0L)).as("hits_multi"))
+        .orderBy("query_id")
     })
   )
+
+  /** Exact brute-force top-10 cosine neighbours of queries vec_id < 10
+    * (N4's contract; the broadcast-query + window plan). */
+  private def topkExact(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  private val LshPlanes = 8
+
+  /** Sign-LSH bucketed top-10 (N3's scale path): each query scores only its
+    * own bucket — or, with `multiProbe`, also the [[LshPlanes]] buckets one
+    * key-bit away (query-side probe expansion: the probe set explodes on
+    * the tiny broadcast query side, the corpus is hashed once). A candidate
+    * lives in exactly one bucket and the probe keys are pairwise distinct,
+    * so no candidate dedup is needed. */
+  private def lshTopk(s: SparkSession, d: String,
+      multiProbe: Boolean): DataFrame = {
+    val hp = lshHyperplanes(LshPlanes, Dim)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), hp))
+    val q0 = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("bucket").as("qbucket"))
+    val q =
+      if (!multiProbe) q0.select(col("query_id"), col("qv"),
+        col("qbucket").as("probe"))
+      else {
+        val flips = (1 to LshPlanes).map(i =>
+          concat(substring(col("qbucket"), 1, i - 1),
+            when(substring(col("qbucket"), i, 1) === "1", lit("0"))
+              .otherwise(lit("1")),
+            substring(col("qbucket"), i + 1, LshPlanes - i)))
+        q0.select(col("query_id"), col("qv"),
+          explode(array(col("qbucket") +: flips: _*)).as("probe"))
+      }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    emb.join(broadcast(q),
+        col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
 
   /** Exploded (vec_id, pos, val) CTE shared by the vector oracles. */
   private val exCte =
@@ -413,38 +468,119 @@ object SimilarityPack {
     // The MD5-derived hyperplane family as exact integer literals (p 0-based
     // plane, pos 1-based dimension, v the 24-bit integer; w = v/2²³ − 1
     // is exact — see VectorFunctions.lshHyperplaneInts).
-    "ann_lsh_bucketed" -> {
-      val hpValues = graft.functions.VectorFunctions
-        .lshHyperplaneInts(8, Dim).zipWithIndex.flatMap { case (row, p) =>
-          row.zipWithIndex.map { case (v, k) => s"($p,${k + 1},$v)" }
-        }.mkString(",")
+    "ann_lsh_bucketed" ->
       s"""WITH $exCte,
-         |hp AS (SELECT p, pos, CAST(v AS DOUBLE) / 8388608.0 - 1.0 AS w
-         |  FROM (VALUES $hpValues) t(p, pos, v)),
-         |bdot AS (SELECT e.vec_id, h.p, SUM(e.val * h.w) AS dp
-         |         FROM ex e JOIN hp h ON e.pos = h.pos GROUP BY 1, 2),
-         |buckets AS (SELECT vec_id,
-         |  string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, ''
-         |    ORDER BY p) AS bucket
-         |  FROM bdot GROUP BY vec_id),
-         |norms AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
-         |          FROM ex GROUP BY vec_id),
-         |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-         |         FROM buckets q JOIN buckets c ON q.bucket = c.bucket
-         |         WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
-         |dots AS (SELECT cd.query_id, cd.neighbor_id, SUM(a.val * b.val) AS dp
-         |         FROM cand cd
-         |         JOIN ex a ON a.vec_id = cd.query_id
-         |         JOIN ex b ON b.vec_id = cd.neighbor_id AND b.pos = a.pos
-         |         GROUP BY 1, 2),
-         |ranked AS (SELECT query_id, neighbor_id,
-         |  row_number() OVER (PARTITION BY query_id
-         |    ORDER BY dp / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
-         |  FROM dots
-         |  JOIN norms nq ON nq.vec_id = query_id
-         |  JOIN norms nc ON nc.vec_id = neighbor_id)
+         |${lshTopkCtes("", multiProbe = false)}
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
-         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-    }
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_lsh_multiprobe" ->
+      s"""WITH $exCte,
+         |${lshTopkCtes("", multiProbe = true)}
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_recall" ->
+      s"""WITH $exCte,
+         |${exactTopkCtes("e")},
+         |${lshTopkCtes("l", multiProbe = false)},
+         |${lshTopkCtes("m", multiProbe = true)},
+         |exact AS (SELECT query_id, neighbor_id FROM eranked WHERE rank <= 10),
+         |sapprox AS (SELECT query_id, neighbor_id FROM lranked
+         |            WHERE rank <= 10),
+         |mapprox AS (SELECT query_id, neighbor_id FROM mranked
+         |            WHERE rank <= 10),
+         |shits AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+         |         FROM exact e JOIN sapprox a
+         |           ON e.query_id = a.query_id
+         |           AND e.neighbor_id = a.neighbor_id
+         |         GROUP BY e.query_id),
+         |mhits AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+         |         FROM exact e JOIN mapprox a
+         |           ON e.query_id = a.query_id
+         |           AND e.neighbor_id = a.neighbor_id
+         |         GROUP BY e.query_id),
+         |qs AS (SELECT DISTINCT query_id FROM exact)
+         |SELECT q.query_id,
+         |  CAST(COALESCE(sh.hits, 0) AS BIGINT) AS hits_single,
+         |  CAST(COALESCE(mh.hits, 0) AS BIGINT) AS hits_multi
+         |FROM qs q
+         |LEFT JOIN shits sh ON q.query_id = sh.query_id
+         |LEFT JOIN mhits mh ON q.query_id = mh.query_id
+         |ORDER BY q.query_id""".stripMargin
   )
+
+  /** The MD5 hyperplane family as exact integer VALUES literals. */
+  private lazy val hpValues: String = graft.functions.VectorFunctions
+    .lshHyperplaneInts(8, Dim).zipWithIndex.flatMap { case (row, p) =>
+      row.zipWithIndex.map { case (v, k) => s"($p,${k + 1},$v)" }
+    }.mkString(",")
+
+  /** CTE chain ranking each query's LSH bucket-mates by cosine (mirrors
+    * [[lshTopk]], incl. the Hamming-1 probe expansion when `multiProbe`).
+    * Every CTE name carries prefix `p` so several chains can coexist in one
+    * query (the recall oracle). Requires `ex` in scope. */
+  private def lshTopkCtes(p: String, multiProbe: Boolean): String = {
+    val cand =
+      if (!multiProbe)
+        s"""${p}cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           |         FROM ${p}buckets q JOIN ${p}buckets c
+           |           ON q.bucket = c.bucket
+           |         WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),""".stripMargin
+      else
+        s"""${p}probes AS (SELECT b.vec_id AS query_id,
+           |    CASE WHEN i = 0 THEN bucket
+           |         ELSE substring(bucket, 1, CAST(i - 1 AS INTEGER)) ||
+           |           (CASE WHEN substring(bucket, CAST(i AS INTEGER), 1) = '1'
+           |             THEN '0' ELSE '1' END) ||
+           |           substring(bucket, CAST(i + 1 AS INTEGER),
+           |             CAST($LshPlanes - i AS INTEGER)) END AS probe
+           |  FROM ${p}buckets b CROSS JOIN
+           |    (SELECT unnest(generate_series(0, $LshPlanes)) AS i) gi
+           |  WHERE b.vec_id < 10),
+           |${p}cand AS (SELECT pr.query_id, c.vec_id AS neighbor_id
+           |         FROM ${p}probes pr JOIN ${p}buckets c
+           |           ON c.bucket = pr.probe
+           |         WHERE c.vec_id <> pr.query_id),""".stripMargin
+    s"""${p}hp AS (SELECT p, pos, CAST(v AS DOUBLE) / 8388608.0 - 1.0 AS w
+       |  FROM (VALUES $hpValues) t(p, pos, v)),
+       |${p}bdot AS (SELECT e.vec_id, h.p, SUM(e.val * h.w) AS dp
+       |         FROM ex e JOIN ${p}hp h ON e.pos = h.pos GROUP BY 1, 2),
+       |${p}buckets AS (SELECT vec_id,
+       |  string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, ''
+       |    ORDER BY p) AS bucket
+       |  FROM ${p}bdot GROUP BY vec_id),
+       |${p}norms AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
+       |          FROM ex GROUP BY vec_id),
+       |$cand
+       |${p}dots AS (SELECT cd.query_id, cd.neighbor_id,
+       |           SUM(a.val * b.val) AS dp
+       |         FROM ${p}cand cd
+       |         JOIN ex a ON a.vec_id = cd.query_id
+       |         JOIN ex b ON b.vec_id = cd.neighbor_id AND b.pos = a.pos
+       |         GROUP BY 1, 2),
+       |${p}ranked AS (SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dp / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+       |  FROM ${p}dots
+       |  JOIN ${p}norms nq ON nq.vec_id = query_id
+       |  JOIN ${p}norms nc ON nc.vec_id = neighbor_id)""".stripMargin
+  }
+
+  /** CTE chain for the exact brute-force top-K (mirrors [[topkExact]]),
+    * prefixed like [[lshTopkCtes]]. Requires `ex` in scope. */
+  private def exactTopkCtes(p: String): String =
+    s"""${p}norms AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
+       |          FROM ex GROUP BY vec_id),
+       |${p}dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           SUM(q.val * c.val) AS dp
+       |         FROM ex q JOIN ex c ON q.pos = c.pos
+       |         WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |         GROUP BY q.vec_id, c.vec_id),
+       |${p}ranked AS (SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dp / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+       |  FROM ${p}dots
+       |  JOIN ${p}norms nq ON nq.vec_id = query_id
+       |  JOIN ${p}norms nc ON nc.vec_id = neighbor_id)""".stripMargin
 }

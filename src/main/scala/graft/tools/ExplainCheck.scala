@@ -1,0 +1,26 @@
+package graft.tools
+
+/** Dev tool: count/shape the exchanges of selected queries (plan audit). */
+object ExplainCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Engine.session("4")
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("s8_hl_reassembly", "s3_highlevel_write", "w7_dedup_all",
+        "w7_dedup_samescore", "ann_recall", "ann_lsh_multiprobe",
+        "n1_vector_normalize")
+    for (q <- names) {
+      val plan = graft.SparkEntry.queries(q)(spark, d)
+        .queryExecution.executedPlan.toString
+      val exchanges =
+        "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
+          .findAllIn(plan).toSeq
+      println(s"== $q: ${exchanges.size} exchanges " +
+        s"(${exchanges.groupBy(identity).map { case (k, v) => s"${v.size}x $k" }.mkString(", ")})")
+      if (plan.contains("CartesianProduct")) println(s"   !! CARTESIAN in $q")
+      if (plan.contains("BroadcastNestedLoopJoin"))
+        println(s"   (BroadcastNestedLoopJoin present)")
+    }
+    spark.stop()
+  }
+}
