@@ -69,23 +69,43 @@ object BulkParams {
       case None => Left(s"'$mbid' is not a valid UUID")
       case Some(norm) =>
         // `if offset:` — None and '' both fall through to 0; a non-numeric
-        // offset becomes 0; negatives clamp to 0
+        // offset becomes 0; negatives clamp to 0. Python's int() is
+        // unbounded and allows digit-group underscores, so parse as BigInt
+        // (an offset above Int.MaxValue must stay huge — it matches no
+        // stored document — not wrap to 0 and serve the offset-0 doc);
+        // anything beyond Int range clamps to Int.MaxValue, which is
+        // equally unmatchable.
         val off = offset.filter(_.nonEmpty)
-          .flatMap(o => o.trim.toIntOption)
-          .map(n => math.max(n, 0))
+          .flatMap(parsePythonInt)
+          .map(n => n.max(BigInt(0)).min(BigInt(Int.MaxValue)).toInt)
           .getOrElse(0)
         Right(Item(mbid, norm, off))
     }
 
+  private val PyIntRe = "^[+-]?[0-9](?:_?[0-9])*$".r
+
+  /** Python `int(str)`: surrounding whitespace tolerated, optional sign,
+    * single underscores allowed between digits, unbounded magnitude. */
+  private def parsePythonInt(s: String): Option[BigInt] = {
+    val t = s.trim
+    if (PyIntRe.findFirstIn(t).isEmpty) None
+    else Some(BigInt(t.replace("_", "")))
+  }
+
+  private val AsciiHex = "0123456789abcdefABCDEF".toSet
+
   /** Python `str(uuid.UUID(x))`: strip `urn:`/`uuid:` prefixes and
     * surrounding braces, drop hyphens wherever they were, require exactly
-    * 32 hex digits, re-emit canonical lower-case hyphenated form. */
+    * 32 hex digits, re-emit canonical lower-case hyphenated form. ASCII
+    * hex only: `Character.digit` would also accept Unicode digits (e.g.
+    * fullwidth ０) and emit them verbatim into the "canonical" form,
+    * whereas Python re-encodes through the integer back to ASCII. */
   private def normalizeUuid(s: String): Option[String] = {
     val hex = s.replace("urn:", "").replace("uuid:", "")
       .dropWhile(c => c == '{' || c == '}')
       .reverse.dropWhile(c => c == '{' || c == '}').reverse
       .replace("-", "")
-    if (hex.length == 32 && hex.forall(c => Character.digit(c, 16) >= 0)) {
+    if (hex.length == 32 && hex.forall(AsciiHex.contains)) {
       val h = hex.toLowerCase
       Some(s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
         s"${h.substring(16, 20)}-${h.substring(20)}")

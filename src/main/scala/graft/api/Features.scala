@@ -57,10 +57,13 @@ object Features {
 
   /** Parse the `features` request param (`;`-separated aliases): keep known
     * aliases, append the two always-on sections, dedup preserving order
-    * (core.py:405-450). */
-  def parseFeatureParam(param: String): Seq[String] =
-    (param.split(";").toSeq.filter(availableFeatures.contains) ++
-      Seq("metadata.version", "metadata.audio_properties")).distinct
+    * (core.py:405-450). A FALSY (null/empty) param yields None — the
+    * reference returns None there and the caller serves the FULL document
+    * with no projection (core.py:430-432), not a two-section stub. */
+  def parseFeatureParam(param: String): Option[Seq[String]] =
+    if (param == null || param.isEmpty) None
+    else Some((param.split(";").toSeq.filter(availableFeatures.contains) ++
+      Seq("metadata.version", "metadata.audio_properties")).distinct)
 
   /** Resolve an alias to its DataType by walking [[EssentiaSchema.document]]
     * (the segment after `metadata.tags` would be a map key — none of the

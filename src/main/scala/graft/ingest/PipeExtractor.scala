@@ -32,10 +32,13 @@ object PipeExtractor {
     * doc (payload newlines pre-escaped by the caller); the binary emits
     * `id\tresult` lines; ids it stays silent about come back as `{}`.
     *
-    * Write-then-read is deadlock-safe here because a batch is ≤20 bounded
-    * lines — well under the pipe buffer; an unbounded variant would need a
-    * writer thread. A non-zero exit fails the task (retries preserve
-    * correctness: output depends only on input rows). */
+    * Deadlock posture: stderr is discarded (the reference pipes the
+    * extractor's output to devnull, hl_calc.py:107-110 — an undrained
+    * stderr pipe would block a chatty binary), and stdin is fed from a
+    * writer thread while this thread reads stdout, so a binary that
+    * streams results while consuming input can't wedge both pipes however
+    * large the documents are. A non-zero exit fails the task (retries
+    * preserve correctness: output depends only on input rows). */
   def extract(spark: SparkSession, docs: DataFrame,
       command: Seq[String]): DataFrame = {
     import spark.implicits._
@@ -44,14 +47,23 @@ object PipeExtractor {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.grouped(MaxItemsPerProcess).flatMap { batch =>
-          val proc = new ProcessBuilder(cmd: _*).start()
-          val stdin = new java.io.BufferedWriter(
-            new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
-          batch.foreach { case (id, payload) =>
-            stdin.write(s"$id\t${payload.replace("\n", " ")}")
-            stdin.newLine()
-          }
-          stdin.close()
+          val proc = new ProcessBuilder(cmd: _*)
+            .redirectError(ProcessBuilder.Redirect.DISCARD)
+            .start()
+          @volatile var writeError: Throwable = null
+          val writer = new Thread(() => {
+            try {
+              val stdin = new java.io.BufferedWriter(
+                new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
+              batch.foreach { case (id, payload) =>
+                stdin.write(s"$id\t${payload.replace("\n", " ")}")
+                stdin.newLine()
+              }
+              stdin.close()
+            } catch { case t: Throwable => writeError = t }
+          }, "graft-pipe-writer")
+          writer.setDaemon(true)
+          writer.start()
           val results = scala.io.Source
             .fromInputStream(proc.getInputStream, "UTF-8")
             .getLines().flatMap { line =>
@@ -59,9 +71,13 @@ object PipeExtractor {
               if (i <= 0) None
               else line.substring(0, i).toLongOption.map(_ -> line.substring(i + 1))
             }.toMap
+          writer.join()
           val exit = proc.waitFor()
           if (exit != 0)
             throw new IllegalStateException(s"extractor exited with $exit")
+          if (writeError != null)
+            throw new IllegalStateException("failed feeding extractor stdin",
+              writeError)
           // every input id is answered: missing output → "{}" marks the doc
           // processed-but-failed, mirroring db/data.py:393-404
           batch.map { case (id, _) => (id, results.getOrElse(id, "{}")) }

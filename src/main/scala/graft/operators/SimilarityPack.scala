@@ -211,6 +211,37 @@ object SimilarityPack {
     //      inlines the exact integer hyperplane literals. ------------------
     "ann_lsh_bucketed" -> ((s, d) => lshTopk(s, d, multiProbe = false)),
 
+    // ---- IVF with TRAINED centroids: one Lloyd iteration ----------------
+    // Closes the label-stand-in caveat of `ann_ivf`: cent0 = per-label
+    // means (init), E-step reassigns every vector to its nearest cent0,
+    // M-step recomputes the cell means (cent1), and both the inverted
+    // lists and query routing use the trained cent1 assignment. Each
+    // step is a broadcast of K centroid vectors against a linear corpus
+    // scan — no shuffle grows with the corpus beyond the K-row centroid
+    // aggregates, so further Lloyd iterations are O(corpus) each. --------
+    "ann_ivf_kmeans" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast(LongType).as("cell"),
+          asDouble(col("embedding")).as("v"))
+      val vecs = emb.select(col("vec_id"), col("v"))
+      val cent0 = cellCentroids(emb.select(col("cell"), col("v")))
+      val a0 = assignCells(vecs, cent0)
+      val cent1 = cellCentroids(a0.select(col("cell"), col("v")))
+      val a1 = assignCells(vecs, cent1)
+      val q = a1.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      a1.join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("cell"), col("vec_id").as("neighbor_id"),
+          cosine(col("qv"), col("v")).as("cos"))
+        .withColumn("rank", asLong(row_number().over(wRank)))
+        .filter(col("rank") <= 5)
+        .select("query_id", "cell", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- multi-probe sign-LSH: each query also probes the 8 buckets at
     //      Hamming distance 1 from its own (single-bit key flips) — the
     //      standard recall lever when buckets are sparse; candidate volume
@@ -258,6 +289,30 @@ object SimilarityPack {
       .filter(col("rank") <= 10)
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
+  }
+
+  /** Per-cell mean vectors from (cell, v) rows — exact decimal sums so the
+    * quantizer is bit-identical across engines (same arithmetic as
+    * `sim_label_centroid`). */
+  private def cellCentroids(df: DataFrame): DataFrame =
+    df.select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("val").cast(dec9)).cast(DoubleType) / count(lit(1)))
+        .as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+
+  /** Nearest-centroid assignment by cosine (ties → lower cell id): K
+    * centroids broadcast against a linear scan of (vec_id, v). */
+  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cc").desc, col("cell"))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("cc", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cell"))
   }
 
   private val LshPlanes = 8
@@ -465,6 +520,58 @@ object SimilarityPack {
         |  CAST(rank AS BIGINT) AS rank, neighbor_id
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "ann_ivf_kmeans" ->
+      """WITH exi AS (SELECT vec_id, CAST(label AS BIGINT) AS cell,
+        |  unnest(generate_series(1, len(embedding))) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS val
+        |FROM embeddings),
+        |vnorms AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
+        |           FROM exi GROUP BY vec_id),
+        |cent0 AS (SELECT cell, pos,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+        |  FROM exi GROUP BY cell, pos),
+        |c0n AS (SELECT cell, sqrt(SUM(c * c)) AS nrm FROM cent0 GROUP BY cell),
+        |a0dot AS (SELECT e.vec_id, c.cell, SUM(e.val * c.c) AS dp
+        |          FROM exi e JOIN cent0 c ON e.pos = c.pos GROUP BY 1, 2),
+        |assign0 AS (SELECT vec_id, cell FROM (
+        |  SELECT a.vec_id, a.cell,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY a.dp / (n.nrm * cn.nrm) DESC, a.cell) AS rn
+        |  FROM a0dot a
+        |  JOIN vnorms n ON n.vec_id = a.vec_id
+        |  JOIN c0n cn ON cn.cell = a.cell) t WHERE rn = 1),
+        |cent1 AS (SELECT s.cell, e.pos,
+        |  CAST(SUM(CAST(e.val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+        |  FROM exi e JOIN assign0 s ON s.vec_id = e.vec_id
+        |  GROUP BY s.cell, e.pos),
+        |c1n AS (SELECT cell, sqrt(SUM(c * c)) AS nrm FROM cent1 GROUP BY cell),
+        |a1dot AS (SELECT e.vec_id, c.cell, SUM(e.val * c.c) AS dp
+        |          FROM exi e JOIN cent1 c ON e.pos = c.pos GROUP BY 1, 2),
+        |assign1 AS (SELECT vec_id, cell FROM (
+        |  SELECT a.vec_id, a.cell,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY a.dp / (n.nrm * cn.nrm) DESC, a.cell) AS rn
+        |  FROM a1dot a
+        |  JOIN vnorms n ON n.vec_id = a.vec_id
+        |  JOIN c1n cn ON cn.cell = a.cell) t WHERE rn = 1),
+        |qrys AS (SELECT vec_id AS query_id, cell FROM assign1
+        |         WHERE vec_id < 10),
+        |ndot AS (SELECT q.query_id, q.cell, a.vec_id AS neighbor_id,
+        |           SUM(eq.val * ea.val) AS dp
+        |  FROM qrys q
+        |  JOIN assign1 a ON a.cell = q.cell AND a.vec_id <> q.query_id
+        |  JOIN exi eq ON eq.vec_id = q.query_id
+        |  JOIN exi ea ON ea.vec_id = a.vec_id AND ea.pos = eq.pos
+        |  GROUP BY 1, 2, 3),
+        |ranked AS (SELECT query_id, cell, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dp / (nq.nrm * nn.nrm) DESC, neighbor_id) AS rank
+        |  FROM ndot
+        |  JOIN vnorms nq ON nq.vec_id = query_id
+        |  JOIN vnorms nn ON nn.vec_id = neighbor_id)
+        |SELECT query_id, cell, CAST(rank AS BIGINT) AS rank, neighbor_id
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // The MD5-derived hyperplane family as exact integer literals (p 0-based
     // plane, pos 1-based dimension, v the 24-bit integer; w = v/2²³ − 1
     // is exact — see VectorFunctions.lshHyperplaneInts).
@@ -510,9 +617,11 @@ object SimilarityPack {
          |ORDER BY q.query_id""".stripMargin
   )
 
-  /** The MD5 hyperplane family as exact integer VALUES literals. */
+  /** The MD5 hyperplane family as exact integer VALUES literals — generated
+    * from [[LshPlanes]] so the oracle can never desynchronize from the
+    * engine's plane count. */
   private lazy val hpValues: String = graft.functions.VectorFunctions
-    .lshHyperplaneInts(8, Dim).zipWithIndex.flatMap { case (row, p) =>
+    .lshHyperplaneInts(LshPlanes, Dim).zipWithIndex.flatMap { case (row, p) =>
       row.zipWithIndex.map { case (v, k) => s"($p,${k + 1},$v)" }
     }.mkString(",")
 

@@ -49,6 +49,19 @@ class BulkParamsSpec extends AnyFunSuite {
     assert(BulkParams.parse("") == Parsed(Seq()))
   }
 
+  test("offset parsing follows Python int(): unbounded, underscores, no unicode") {
+    // beyond Int range stays huge-and-unmatchable (clamped to Int.MaxValue),
+    // NOT wrapped to 0 — wrapping would serve the offset-0 document
+    assert(BulkParams.parse(s"$U1:2147483648") ==
+      Parsed(Seq(Item(U1, U1, Int.MaxValue))))
+    // Python int() accepts single underscores between digits
+    assert(BulkParams.parse(s"$U1:1_0") == Parsed(Seq(Item(U1, U1, 10))))
+    // a fullwidth Unicode digit is not ASCII hex → mbid reject (stricter
+    // than Python, which re-encodes through the integer; documented)
+    assert(BulkParams.parse("０" + U1.substring(1))
+      .isInstanceOf[Invalid])
+  }
+
   test("rejects malformed uuids, double colons, and oversized requests") {
     assert(BulkParams.parse("not-a-uuid").isInstanceOf[Invalid])
     assert(BulkParams.parse(s" $U1").isInstanceOf[Invalid]) // space ≠ uuid

@@ -64,7 +64,10 @@ class FeaturesSpec extends SparkSpec {
     val keys = items.map(i => (i.mbid, i.offset))
       .toDF("gid", "submission_offset")
     val features = Features.parseFeatureParam(
-      (Features.availableFeatures :+ "lowlevel.not_a_feature").mkString(";"))
+      (Features.availableFeatures :+ "lowlevel.not_a_feature").mkString(";")).get
+    // a falsy features param means NO projection (full document), not a
+    // two-section stub — core.py:430-432 returns None
+    assert(Features.parseFeatureParam("").isEmpty)
     val selected = store
       .join(broadcast(keys), Seq("gid", "submission_offset"), "left_semi")
       .select($"gid", $"submission_offset",
@@ -119,8 +122,8 @@ class FeaturesSpec extends SparkSpec {
     val selected = store
       .join(broadcast(keys), Seq("gid", "submission_offset"), "left_semi")
       .select($"gid", $"submission_offset",
-        Features.projectDoc($"doc", Features.parseFeatureParam("rhythm.bpm"))
-          .as("fdoc"))
+        Features.projectDoc($"doc",
+          Features.parseFeatureParam("rhythm.bpm").get).as("fdoc"))
     val out = Responses.bulkResponseWithMapping(selected, $"gid",
       $"submission_offset", $"fdoc", BulkParams.mbidMapping(items))
       .collect()(0).getString(0)
@@ -139,7 +142,8 @@ class FeaturesSpec extends SparkSpec {
     store.write.mode("overwrite").parquet(dir)
     val q = spark.read.parquet(dir)
       .select(Features.projectDoc(col("doc"),
-        Features.parseFeatureParam("rhythm.bpm;tonal.key_key")).as("fdoc"))
+        Features.parseFeatureParam("rhythm.bpm;tonal.key_key").get)
+        .as("fdoc"))
     q.collect()
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema"))
