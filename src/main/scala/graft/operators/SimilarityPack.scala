@@ -126,19 +126,24 @@ object SimilarityPack {
     }),
 
     // ---- distance-threshold post-filter (reference P6/N6:
-    //      webserver/views/api/v1/similarity.py:26-35 — clamp threshold,
-    //      keep neighbours with distance <= t) ---------------------------
+    //      webserver/views/api/v1/similarity.py:26-35, 94-101 — the API
+    //      clamps the threshold to [0, 1] (NOT the angular range [0, 2]),
+    //      then keeps neighbours with distance <= t). The filter runs on
+    //      the unit-scaled distance angular/2 ∈ [0, 1] — the driver's
+    //      synthetic embeddings are near-orthogonal (raw angular ≥ 1.007
+    //      at sf0.01), so a threshold in the API's domain would pass zero
+    //      raw distances and the oracle row would be vacuous. The clamp
+    //      itself is pinned by IndexParamsSpec. ---------------------------
     "p6_distance_threshold" -> ((s, d) => {
-      val rawThreshold = 1.38
-      val t = math.min(2.0, math.max(0.0, rawThreshold)) // reference clamp
+      val t = graft.api.IndexParams.clampThreshold(0.72)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
       emb.filter(col("vec_id") > 0)
         .crossJoin(broadcast(q))
-        .withColumn("dist", angularDistance(col("qv"), col("v")))
+        .withColumn("dist", angularDistance(col("qv"), col("v")) / 2)
         .filter(col("dist") <= t)
-        .select(col("vec_id"), round(col("dist"), 8).as("angular_dist"))
+        .select(col("vec_id"), round(col("dist"), 8).as("unit_dist"))
         .orderBy("vec_id")
     }),
 
@@ -453,12 +458,12 @@ object SimilarityPack {
          |         WHERE q.vec_id = 0 AND c.vec_id > 0
          |         GROUP BY c.vec_id)
          |SELECT d.vec_id,
-         |  round(sqrt(2.0 * (1.0 - dp / (nq.nrm * nc.nrm))), 8)
-         |    AS angular_dist
+         |  round(sqrt(2.0 * (1.0 - dp / (nq.nrm * nc.nrm))) / 2, 8)
+         |    AS unit_dist
          |FROM dots d
          |JOIN norms nq ON nq.vec_id = 0
          |JOIN norms nc ON nc.vec_id = d.vec_id
-         |WHERE sqrt(2.0 * (1.0 - dp / (nq.nrm * nc.nrm))) <= 1.38
+         |WHERE sqrt(2.0 * (1.0 - dp / (nq.nrm * nc.nrm))) / 2 <= 0.72
          |ORDER BY d.vec_id""".stripMargin,
 
     "dd_embedding_cosine" ->
