@@ -40,4 +40,13 @@ object Exprs {
   /** Cast any integral column to BIGINT so Spark output schema matches the
     * DuckDB oracle (DuckDB windows/counts are BIGINT; Spark row_number is INT). */
   def asLong(c: Column): Column = c.cast(LongType)
+
+  /** D1 content hash of an event row — ONE definition shared by the batch
+    * ingest pipeline (s2), the streaming dedup daemon, and their specs, so
+    * the three can never silently diverge on delimiter/field order. Plain
+    * `concat` (not `concat_ws`): a NULL field must NULL the whole hash like
+    * the oracle's `||` operator, not drop out of the hash input. */
+  def eventContentHash(eventType: Column, value: Column,
+      props: Column): Column =
+    md5(concat(eventType, lit("|"), value.cast(StringType), lit("|"), props))
 }

@@ -29,12 +29,19 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects; read it as nanos-since-epoch and truncate to microseconds (the
     * generator works at microsecond resolution, so this is lossless and
-    * matches what DuckDB sees). */
-  def events(s: SparkSession, d: String): DataFrame = {
+    * matches what DuckDB sees). Shared by the batch loader and the streaming
+    * source (EventStream) so both read timestamps at the SAME resolution. */
+  def nanosTsToMicros(s: SparkSession, df: => DataFrame): DataFrame = {
+    // conf FIRST, then force the frame: spark.read.parquet infers the
+    // footer schema at call time, which is exactly what rejects
+    // TIMESTAMP(NANOS) unless nanosAsLong is already set — hence the
+    // by-name parameter
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    nanosTsToMicros(s, table(s, d, "events"))
   /** Spread a table across all cores before an expression-heavy map stage
     * (shingling, per-token hashing). The test files are single-row-group
     * parquet, which Spark cannot split — without an explicit spread the

@@ -54,9 +54,14 @@ object Dump {
       .option("maxRecordsPerFile", RowsPerFile)
       .json(path)
 
-  /** Read-back of a sharded JSON dump (partition columns restored). */
-  def readJsonSharded(spark: SparkSession, path: String): DataFrame =
-    spark.read.json(path)
+  /** Read-back of a sharded JSON dump (partition columns restored). The
+    * schema is explicit, like [[readTsv]]: schema inference would scan every
+    * JSON file once BEFORE the real read (doubling I/O on a dump with
+    * millions of shard files) and can silently widen types so the
+    * round-trip frame no longer matches what was written. */
+  def readJsonSharded(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 
   /** S9 — dataset CSV import: `<id>,<class>` rows plus optional
     * `description[:<class>],<text>` header rows, mirroring the reference's
@@ -64,16 +69,19 @@ object Dump {
     * (kind, id, cls): kind = 'description' | 'class_description' | 'member'. */
   def parseDatasetCsv(lines: DataFrame, lineCol: String): DataFrame = {
     // simple unquoted grammar (the reference's rows are plain `<id>,<class>`;
-    // quoted fields with embedded commas would need spark.read.csv)
-    val c0 = trim(substring_index(col(lineCol), ",", 1))
-    val rest = when(instr(col(lineCol), ",") === 0, lit(null))
-      .otherwise(trim(expr(s"substring($lineCol, instr($lineCol, ',') + 1)")))
+    // quoted fields with embedded commas would need spark.read.csv).
+    // Column API throughout — no expr() string splicing, so a column name
+    // needing backticks can't break (or change) the parse.
+    val line = col(lineCol)
+    val c0 = trim(substring_index(line, ",", 1))
+    val rest = when(instr(line, ",") === 0, lit(null))
+      .otherwise(trim(line.substr(instr(line, ",") + 1, length(line))))
     lines.select(
       when(c0 === "description", lit("description"))
         .when(c0.startsWith("description:"), lit("class_description"))
         .otherwise(lit("member")).as("kind"),
       when(c0.startsWith("description:"),
-          trim(substring(c0, 13, 1000000)))
+          trim(c0.substr(lit(13), length(c0))))
         .when(c0 === "description", lit(null))
         .otherwise(c0).as("id"),
       rest.as("cls"))

@@ -25,7 +25,7 @@ object Skew {
     val partial = df
       .withColumn("_salt", pmod(xxhash64(rowId), lit(buckets)))
       .groupBy(key.as("key"), col("_salt"))
-      .agg(sum(value.cast(DecimalType(18, 4))).as("_psum"),
+      .agg(sum(graft.Exprs.dec(value)).as("_psum"),
         count(lit(1)).as("_pcnt"))
     partial
       .groupBy(col("key"))

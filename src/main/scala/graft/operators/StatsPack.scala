@@ -52,12 +52,9 @@ object StatsPack {
     // ---- composite ingest: content-hash dedup → per-key offset → cap
     //      (reference §3.2 / D1+W6+D2: db/data.py:211-270) -----------------
     "s2_ingest_pipeline" -> ((s, d) => {
-      // concat (not concat_ws): NULL fields must NULL the hash like the
-      // oracle's || operator, not silently drop out of the hash input
       val ev = Tables.events(s, d)
         .withColumn("content_hash",
-          md5(concat(col("event_type"), lit("|"),
-            col("value").cast(StringType), lit("|"), col("props"))))
+          eventContentHash(col("event_type"), col("value"), col("props")))
       // D1: exact-duplicate rejection — keep earliest per (user, hash)
       val dedupW = Window.partitionBy(col("user_id"), col("content_hash"))
         .orderBy(col("ts"), col("event_id"))

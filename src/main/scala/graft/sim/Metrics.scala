@@ -52,12 +52,17 @@ object Metrics {
   /** Population-normalize (NormalizedLowLevelMetric, metrics.py:33-45):
     * (x − mean) / std per dimension — UNLESS every stddev is zero, in which
     * case the data passes through untouched (the reference's all-or-nothing
-    * guard, metrics.py:41-45). */
+    * guard, metrics.py:41-45). A SINGLE zero stddev among nonzero ones also
+    * passes that dimension through raw (the n1 query's per-dim guard):
+    * numpy would emit inf there, but Spark's non-ANSI divide yields NULL,
+    * which would silently NULL every downstream dot product — the raw value
+    * is the engine-stable choice, pinned by the n1 oracle. */
   def normalized(vec: Column, means: Seq[Double], stds: Seq[Double]): Column =
     if (stds.forall(_ == 0.0)) vec
     else zip_with(vec,
       typedLit(means.zip(stds)),
-      (x, ms) => (x - ms.getField("_1")) / ms.getField("_2"))
+      (x, ms) => when(ms.getField("_2") === 0.0, x)
+        .otherwise((x - ms.getField("_1")) / ms.getField("_2")))
 
   /** Exponential 0.95^i weighting on top of normalization
     * (WeightedNormalizedLowLevelMetric, metrics.py:47-57). */
@@ -76,12 +81,17 @@ object Metrics {
   /** Single-classifier probability vector (SingleClassifierMetric,
     * metrics.py:200-217): all class probabilities ordered by SORTED class
     * name (the reference's dictionary-order guard); absent model → zero
-    * vector of the model's arity. */
-  def singleClassifier(hl: Column, model: String, size: Int): Column =
-    when(element_at(hl, model).isNotNull,
-      transform(array_sort(map_entries(element_at(hl, model).getField("all"))),
-        e => e.getField("value")))
-      .otherwise(array_repeat(lit(0.0), size))
+    * vector of the model's arity. A PRESENT model with the wrong number of
+    * classes (partial classifier output) also zero-fills: the reference's
+    * per-class indexing raises there and the caller zero-fills
+    * (db/similarity.py:335-338); emitting a short vector instead would mix
+    * arities in one column and NULL-pad downstream zip_with math. */
+  def singleClassifier(hl: Column, model: String, arity: Int): Column = {
+    val all = element_at(hl, model).getField("all")
+    when(element_at(hl, model).isNotNull && size(map_entries(all)) === arity,
+      transform(array_sort(map_entries(all)), e => e.getField("value")))
+      .otherwise(array_repeat(lit(0.0), arity))
+  }
 
   val MoodsModels: Seq[(String, String)] = Seq(
     "mood_happy" -> "happy", "mood_sad" -> "sad",

@@ -28,14 +28,15 @@ object EventStream {
 
   /** Streaming source over the events table. */
   def source(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // stream the table directory, selecting only the events file — a file
     // stream source must point at a directory (at scale this is the
-    // date-partitioned landing dir new files drop into)
-    spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // date-partitioned landing dir new files drop into). Timestamp handling
+    // is Tables.nanosTsToMicros, SHARED with the batch loader so streaming
+    // and batch read ts at the same resolution by construction.
+    graft.Tables.nanosTsToMicros(spark,
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Daily submission stats as a streaming aggregation (reference T1).
@@ -48,20 +49,27 @@ object EventStream {
       .agg(
         count(lit(1)).as("n"),
         approx_count_distinct(col("user_id")).as("approx_users"),
-        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+        // graft.Exprs policy: exact decimal sum, double at the edge
+        sum(graft.Exprs.dec(col("value"))).cast(DoubleType)
           .as("total_value"))
       .select(col("w.start").cast(DateType).as("day"),
         col("n"), col("approx_users"), col("total_value"))
 
   /** Streaming content-hash dedup (reference D1 in streaming form):
-    * duplicates within the watermark horizon are dropped by state store. */
+    * duplicates within the watermark horizon are dropped by state store.
+    * `dropDuplicatesWithinWatermark` — NOT plain `dropDuplicates`, which
+    * only evicts state when the event-time column is part of the key, so a
+    * continuous deployment would accumulate one state row per distinct
+    * (user, hash) forever. The hash recipe is Exprs.eventContentHash,
+    * shared with the batch pipeline (s2) so batch and stream drop the same
+    * rows by construction. */
   def dedupedSubmissions(spark: SparkSession, dir: String): DataFrame =
     source(spark, dir)
       .withColumn("content_hash",
-        md5(concat(col("event_type"), lit("|"),
-          col("value").cast(StringType), lit("|"), col("props"))))
+        graft.Exprs.eventContentHash(col("event_type"), col("value"),
+          col("props")))
       .withWatermark("ts", "1 day")
-      .dropDuplicates("user_id", "content_hash")
+      .dropDuplicatesWithinWatermark("user_id", "content_hash")
 
   /** The reference's transactional per-key submission counter (W6:
     * db/data.py:273-288, MAX+1 per gid at insert time) in TRUE streaming

@@ -30,7 +30,15 @@ class DumpSpec extends SparkSpec {
     // shard dirs exist: shard1=<2 hex chars>/shard2=<1 hex char>
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.nonEmpty && dirs.forall(_.matches("shard1=[0-9a-f]{2}")))
-    val back = Dump.readJsonSharded(spark, out)
+    // explicit read schema = written data columns + the shard partition
+    // columns (restored as strings from the directory names)
+    val readSchema = org.apache.spark.sql.types.StructType(
+      src.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("shard1",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("shard2",
+          org.apache.spark.sql.types.StringType)))
+    val back = Dump.readJsonSharded(spark, out, readSchema)
     assert(back.count() == src.count())
     // partition pruning fires on the shard column
     val firstShard = dirs.head.stripPrefix("shard1=")

@@ -58,10 +58,10 @@ class StreamingSpec extends SparkSpec {
     assert(out.groupBy("user_id", "content_hash").count()
       .filter(col("count") > 1).count() == 0)
     // non-vacuous: the stream must emit exactly the batch-distinct count
+    // (same shared hash recipe — Exprs.eventContentHash — as the stream)
     val batchDistinct = Tables.events(spark, sfTiny)
       .select(col("user_id"),
-        md5(concat(col("event_type"), lit("|"),
-          col("value").cast("string"), lit("|"), col("props")))
+        Exprs.eventContentHash(col("event_type"), col("value"), col("props"))
           .as("content_hash"))
       .distinct().count()
     assert(out.count() == batchDistinct && out.count() > 0)
