@@ -50,15 +50,8 @@ object Responses {
     * outer map, whose values are offset→document maps. */
   def bulkResponseWithMapping(rows: DataFrame, gid: Column, offset: Column,
       doc: Column, mapping: Map[String, String]): DataFrame = {
-    def esc(s: String): String =
-      s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
     val mappingJson = mapping.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .map { case (k, v) => s"${graft.JsonUtil.str(k)}:${graft.JsonUtil.str(v)}" }
       .mkString("{", ",", "}")
     bulkResponse(rows, gid, offset, doc).select(
       concat(

@@ -123,7 +123,9 @@ object HashFunctions {
     when(inRange,
       flatten(transform(sortedIds, (x, i) =>
         transform(slice(sortedIds, i + 2, size(sortedIds)),
-          y => shiftleft(x, 32).bitwiseOR(y)))))
+          // cast BEFORE shifting: Java masks the shift count to 5 bits for
+          // Int, so shiftleft(int, 32) would be a silent no-op
+          y => shiftleft(x.cast(LongType), 32).bitwiseOR(y.cast(LongType))))))
       .otherwise(raise_error(concat(
         lit("pairCombosPacked: id outside [0, 2^31): min="),
         element_at(sortedIds, 1).cast(StringType),

@@ -41,9 +41,14 @@ object TextFunctions {
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
-  /** Stopword ratio — a standard document-quality signal. */
+  /** Stopword ratio — a standard document-quality signal. The token array
+    * is let-bound (HashFunctions.bindArray) so the regex split runs once
+    * per row, not once for the numerator and again for the denominator
+    * (the CollapseProject re-evaluation documented on HashFunctions). */
   def stopwordRatio(text: Column): Column =
-    wordSetCount(text, EnglishStopwords) / tokenCount(text)
+    HashFunctions.bindArray(tokens(text), toks =>
+      size(filter(toks, t => array_contains(typedLit(EnglishStopwords), t)))
+        .cast(LongType) / size(toks).cast(LongType))
 
   /** Mean token length in characters. */
   def meanTokenLength(text: Column): Column =

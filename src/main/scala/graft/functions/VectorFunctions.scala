@@ -35,10 +35,16 @@ object VectorFunctions {
     sqrt(lit(2.0) * (lit(1.0) - cosine(a, b)))
 
   /** Exponentially weighted copy of a vector: element i scaled by base^i
-    * (reference F14: similarity/metrics.py:48-58, base 0.95). */
+    * (reference F14: similarity/metrics.py:48-58, base 0.95). Guarded for
+    * the empty vector: `sequence(0, -1)` defaults its step to -1 and yields
+    * [0, -1], which zip_with would null-pad into [null, null] instead of
+    * []. NULL input stays NULL (metric zero-fill guards key on vector
+    * nullness). */
   def expWeighted(v: Column, base: Double): Column =
-    zip_with(v, sequence(lit(0), size(v) - 1),
-      (x, i) => x * pow(lit(base), i.cast(DoubleType)))
+    when(size(v) > 0,
+      zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, i) => x * pow(lit(base), i.cast(DoubleType))))
+      .when(size(v) === 0, typedLit(Seq.empty[Double]))
 
   /** Raw 24-bit integers behind [[lshHyperplanes]]. Exposed so the DuckDB
     * oracle can regenerate the identical family from exact integer

@@ -61,7 +61,13 @@ object BinaryColumns {
     * across the batch, exactly like a Pandas-UDF `mapInPandas` would. */
   def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
-    media.select("media_id", "payload", "n_bytes", "checksum")
+    // coalesce the derived columns: a NULL payload makes n_bytes NULL too,
+    // and the primitive-Long tuple encoder would NPE on it before the
+    // null-payload branch below ever ran
+    media.select(col("media_id"),
+        col("payload"),
+        coalesce(col("n_bytes"), lit(0L)).as("n_bytes"),
+        coalesce(col("checksum"), lit("")).as("checksum"))
       .as[(Long, Array[Byte], Long, String)]
       .mapPartitions { rows =>
         // real codec init would happen once per partition, here
