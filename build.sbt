@@ -15,6 +15,12 @@ run / fork := true
 // the logger prefixes every line with "[info] ", which breaks any consumer
 // parsing Bench's single JSON result line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: …" epilogue: it prints
+// AFTER the forked program exits (BENCH_r03's captured tail shows it as
+// the final stdout line), so a consumer that parses the last line would
+// read sbt's banner instead of Bench's JSON record.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -30,5 +36,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default on the 128 GiB box: 8g left local[32] decimal-heavy
+  // aggregations GC-bound (observed multi-second pause outliers in bench)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

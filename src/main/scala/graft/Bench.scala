@@ -26,7 +26,9 @@ object Bench {
       // failures record the sentinel -1 (never a fast-looking near-zero)
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the detailed line well under tail-capture
+    // truncation windows (~2.9 KB at full double precision vs ~2.0 KB).
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     // Detailed line first (for humans / archaeology) …

@@ -164,7 +164,7 @@ object SimilarityPack {
       a.join(b, Seq("label"))
         .filter(col("doc_a") < col("doc_b"))
         .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .filter(col("cosine") >= 0.25)
+        .filter(col("cosine") >= NearDupCosine)
         .select(col("doc_a"), col("doc_b"), asLong(col("label")).as("label"),
           round(col("cosine"), 8).as("cosine"))
         .orderBy("doc_a", "doc_b")
@@ -253,6 +253,43 @@ object SimilarityPack {
     //      grows 9×, still O(bucket), never a corpus scan ------------------
     "ann_lsh_multiprobe" -> ((s, d) => lshTopk(s, d, multiProbe = true)),
 
+    // ---- multi-TABLE sign-LSH: L independent 6-plane tables, candidates
+    //      unioned across tables (classic (k,L) LSH). Independent tables
+    //      beat same-table probing on recall because each re-partitions the
+    //      space from scratch: a true neighbour split from its query by one
+    //      table's hyperplane gets L−1 fresh chances instead of needing the
+    //      query to guess which bit to flip. Corpus cost: L bucket keys per
+    //      row (still one scan, no shuffle grows with L beyond the keyed
+    //      exchange); candidates stay O(L · bucket). ------------------------
+    "ann_lsh_multitable" -> ((s, d) => lshTablesTopk(s, d)),
+
+    // ---- LSH-bucketed embedding near-dup: the 100 TB swap documented on
+    //      `dd_embedding_cosine` made real — blocks are sign-LSH buckets
+    //      (content-derived, no label needed), pairwise cosine only inside
+    //      a bucket, hot buckets capped like the dedup pack's. -------------
+    "dd_embedding_lsh" -> ((s, d) => {
+      val hp = lshHyperplanes(LshPlanes, Dim)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("bucket", lshBucket(col("v"), hp))
+        .filter(col("bucket").isNotNull)
+        .withColumn("nrm", l2Norm(col("v")))
+      val sizes = emb.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+        .filter(col("bn").between(2, MaxCosineBucket))
+      val keep = emb.join(sizes.select("bucket"), Seq("bucket"))
+      val a = keep.select(col("bucket"), col("vec_id").as("doc_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = keep.select(col("bucket"), col("vec_id").as("doc_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cosine") >= NearDupCosine)
+        .select(col("doc_a"), col("doc_b"), col("bucket"),
+          round(col("cosine"), 8).as("cosine"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ---- LSH recall against the exact contract ---------------------------
     // Per query: how many of the exact top-10 each LSH variant recovered.
     // The approximate path's quality is thereby MEASURED and oracle-gated,
@@ -269,9 +306,12 @@ object SimilarityPack {
           Seq("query_id"), "left")
         .join(hitsOf(lshTopk(s, d, multiProbe = true), "hits_multi"),
           Seq("query_id"), "left")
+        .join(hitsOf(lshTablesTopk(s, d), "hits_tables"),
+          Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("hits_single"), lit(0L)).as("hits_single"),
-          coalesce(col("hits_multi"), lit(0L)).as("hits_multi"))
+          coalesce(col("hits_multi"), lit(0L)).as("hits_multi"),
+          coalesce(col("hits_tables"), lit(0L)).as("hits_tables"))
         .orderBy("query_id")
     })
   )
@@ -321,6 +361,64 @@ object SimilarityPack {
   }
 
   private val LshPlanes = 8
+
+  /** Independent hash tables for `ann_lsh_multitable` (the (k, L) scheme).
+    * Table t uses planes [t·k, (t+1)·k) of one MD5 family — engine and
+    * oracle regenerate all L·k planes from the same integer literals. */
+  private val LshTables = 4
+
+  /** Planes per table for the multi-table variant — SHORTER keys than the
+    * single-table path's [[LshPlanes]], deliberately: 2^6 = 64 buckets per
+    * table keeps each candidate list ~16× larger than an 8-bit bucket, and
+    * recall ≈ 1−(1−p^k)^L is far more sensitive to k than to L when the
+    * per-plane agreement p is low (near-orthogonal corpora). Each query
+    * still scans only ~L/2^k ≈ 6 % of the corpus. Table 0's 6-plane key is
+    * a prefix of the 8-plane key, so the single-table candidate set stays a
+    * subset — the recall-dominance invariant in OperatorInvariantsSpec. */
+  private val LshTablePlanes = 6
+
+  /** Near-dup cosine threshold shared by the embedding near-dup variants. */
+  private val NearDupCosine = 0.25
+
+  /** Hot-bucket cap for `dd_embedding_lsh` (same guard as the dedup pack's
+    * [[DedupPack.MaxLshBucket]]: a degenerate bucket of k near-identical
+    * vectors would otherwise score k²/2 pairs in one task). Mirrored in the
+    * oracle, so capped semantics are the defined semantics. */
+  private val MaxCosineBucket = 1000
+
+  /** Multi-table sign-LSH top-10: L independent bucket keys per vector, one
+    * candidate union across tables, exact cosine rank over the deduped
+    * candidates. The candidate set is small (O(queries · L · bucket)), so
+    * both scoring joins broadcast it — the corpus is scanned, never
+    * shuffled. */
+  private def lshTablesTopk(s: SparkSession, d: String): DataFrame = {
+    val tables = lshHyperplanes(LshTables * LshTablePlanes, Dim)
+      .grouped(LshTablePlanes).toSeq
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val keyCols = tables.map(hp => lshBucket(col("v"), hp))
+    val keyed = emb
+      .select(col("vec_id"), posexplode(array(keyCols: _*)).as(Seq("tbl", "key")))
+      .filter(col("key").isNotNull)
+    val qKeys = keyed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("tbl"), col("key"))
+    val cand = keyed.join(broadcast(qKeys), Seq("tbl", "key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    emb.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
 
   /** Sign-LSH bucketed top-10 (N3's scale path): each query scores only its
     * own bucket — or, with `multiProbe`, also the [[LshPlanes]] buckets one
@@ -592,15 +690,55 @@ object SimilarityPack {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    "ann_lsh_multitable" ->
+      s"""WITH $exCte,
+         |${lshTablesCtes("")}
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "dd_embedding_lsh" ->
+      s"""WITH $exCte,
+         |hp AS (SELECT p, pos, CAST(v AS DOUBLE) / 8388608.0 - 1.0 AS w
+         |  FROM (VALUES $hpValues) t(p, pos, v)),
+         |bdot AS (SELECT e.vec_id, h.p, SUM(e.val * h.w) AS dp
+         |         FROM ex e JOIN hp h ON e.pos = h.pos GROUP BY 1, 2),
+         |buckets AS (SELECT vec_id,
+         |  string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, ''
+         |    ORDER BY p) AS bucket
+         |  FROM bdot GROUP BY vec_id),
+         |keep AS (SELECT bucket FROM buckets GROUP BY bucket
+         |         HAVING COUNT(*) BETWEEN 2 AND $MaxCosineBucket),
+         |norms AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
+         |          FROM ex GROUP BY vec_id),
+         |cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.bucket
+         |  FROM buckets a JOIN keep USING (bucket)
+         |  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |dots AS (SELECT cd.doc_a, cd.doc_b, cd.bucket,
+         |           SUM(x.val * y.val) AS dp
+         |         FROM cand cd
+         |         JOIN ex x ON x.vec_id = cd.doc_a
+         |         JOIN ex y ON y.vec_id = cd.doc_b AND y.pos = x.pos
+         |         GROUP BY 1, 2, 3)
+         |SELECT doc_a, doc_b, bucket,
+         |  round(dp / (na.nrm * nb.nrm), 8) AS cosine
+         |FROM dots
+         |JOIN norms na ON doc_a = na.vec_id
+         |JOIN norms nb ON doc_b = nb.vec_id
+         |WHERE dp / (na.nrm * nb.nrm) >= $NearDupCosine
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "ann_recall" ->
       s"""WITH $exCte,
          |${exactTopkCtes("e")},
          |${lshTopkCtes("l", multiProbe = false)},
          |${lshTopkCtes("m", multiProbe = true)},
+         |${lshTablesCtes("t")},
          |exact AS (SELECT query_id, neighbor_id FROM eranked WHERE rank <= 10),
          |sapprox AS (SELECT query_id, neighbor_id FROM lranked
          |            WHERE rank <= 10),
          |mapprox AS (SELECT query_id, neighbor_id FROM mranked
+         |            WHERE rank <= 10),
+         |tapprox AS (SELECT query_id, neighbor_id FROM tranked
          |            WHERE rank <= 10),
          |shits AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
          |         FROM exact e JOIN sapprox a
@@ -612,23 +750,71 @@ object SimilarityPack {
          |           ON e.query_id = a.query_id
          |           AND e.neighbor_id = a.neighbor_id
          |         GROUP BY e.query_id),
+         |thits AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+         |         FROM exact e JOIN tapprox a
+         |           ON e.query_id = a.query_id
+         |           AND e.neighbor_id = a.neighbor_id
+         |         GROUP BY e.query_id),
          |qs AS (SELECT DISTINCT query_id FROM exact)
          |SELECT q.query_id,
          |  CAST(COALESCE(sh.hits, 0) AS BIGINT) AS hits_single,
-         |  CAST(COALESCE(mh.hits, 0) AS BIGINT) AS hits_multi
+         |  CAST(COALESCE(mh.hits, 0) AS BIGINT) AS hits_multi,
+         |  CAST(COALESCE(th.hits, 0) AS BIGINT) AS hits_tables
          |FROM qs q
          |LEFT JOIN shits sh ON q.query_id = sh.query_id
          |LEFT JOIN mhits mh ON q.query_id = mh.query_id
+         |LEFT JOIN thits th ON q.query_id = th.query_id
          |ORDER BY q.query_id""".stripMargin
   )
 
   /** The MD5 hyperplane family as exact integer VALUES literals — generated
     * from [[LshPlanes]] so the oracle can never desynchronize from the
     * engine's plane count. */
-  private lazy val hpValues: String = graft.functions.VectorFunctions
-    .lshHyperplaneInts(LshPlanes, Dim).zipWithIndex.flatMap { case (row, p) =>
+  private lazy val hpValues: String = hpValuesFor(LshPlanes)
+
+  /** Same family extended to all [[LshTables]]·[[LshTablePlanes]] planes
+    * (the multi-table variant slices this one family, so its first table's
+    * key is a prefix of the single-table key). */
+  private lazy val hpTableValues: String =
+    hpValuesFor(LshTables * LshTablePlanes)
+
+  private def hpValuesFor(planes: Int): String = graft.functions
+    .VectorFunctions.lshHyperplaneInts(planes, Dim).zipWithIndex
+    .flatMap { case (row, p) =>
       row.zipWithIndex.map { case (v, k) => s"($p,${k + 1},$v)" }
     }.mkString(",")
+
+  /** CTE chain mirroring [[lshTablesTopk]] — per-table bucket keys from the
+    * sliced plane family, candidate union across tables, exact cosine rank.
+    * Prefixed like [[lshTopkCtes]]; requires `ex` in scope. */
+  private def lshTablesCtes(p: String): String =
+    s"""${p}hp AS (SELECT p, pos, CAST(v AS DOUBLE) / 8388608.0 - 1.0 AS w
+       |  FROM (VALUES $hpTableValues) t(p, pos, v)),
+       |${p}bdot AS (SELECT e.vec_id, h.p, SUM(e.val * h.w) AS dp
+       |         FROM ex e JOIN ${p}hp h ON e.pos = h.pos GROUP BY 1, 2),
+       |${p}buckets AS (SELECT vec_id, p // $LshTablePlanes AS tbl,
+       |  string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+       |    AS bucket
+       |  FROM ${p}bdot GROUP BY vec_id, p // $LshTablePlanes),
+       |${p}cand AS (SELECT DISTINCT q.vec_id AS query_id,
+       |    c.vec_id AS neighbor_id
+       |  FROM ${p}buckets q JOIN ${p}buckets c
+       |    ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |${p}norms AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
+       |          FROM ex GROUP BY vec_id),
+       |${p}dots AS (SELECT cd.query_id, cd.neighbor_id,
+       |           SUM(a.val * b.val) AS dp
+       |         FROM ${p}cand cd
+       |         JOIN ex a ON a.vec_id = cd.query_id
+       |         JOIN ex b ON b.vec_id = cd.neighbor_id AND b.pos = a.pos
+       |         GROUP BY 1, 2),
+       |${p}ranked AS (SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dp / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+       |  FROM ${p}dots
+       |  JOIN ${p}norms nq ON nq.vec_id = query_id
+       |  JOIN ${p}norms nc ON nc.vec_id = neighbor_id)""".stripMargin
 
   /** CTE chain ranking each query's LSH bucket-mates by cosine (mirrors
     * [[lshTopk]], incl. the Hamming-1 probe expansion when `multiProbe`).

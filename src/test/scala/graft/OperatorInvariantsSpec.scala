@@ -54,6 +54,48 @@ class OperatorInvariantsSpec extends SparkSpec {
       s"LSH missed $missed of ${exact.count()} near-dup pairs")
   }
 
+  test("multi-table LSH recall dominates single-table recall per query") {
+    // table 0's 6-plane key is a prefix of the single-table 8-plane key
+    // (equal 8-bit buckets => equal 6-bit buckets), so the multi-table
+    // candidate set is a superset — and any exact-top-10
+    // member in a candidate set always survives exact-cosine re-ranking
+    // (only globally-higher-cosine candidates can displace it, and there
+    // are at most 9 of those). Dominance is therefore an invariant, not a
+    // statistical expectation.
+    val rec = run("ann_recall").collect()
+    assert(rec.nonEmpty)
+    for (r <- rec) {
+      val (single, tables) =
+        (r.getAs[Long]("hits_single"), r.getAs[Long]("hits_tables"))
+      assert(tables >= single,
+        s"query ${r.get(0)}: hits_tables $tables < hits_single $single")
+    }
+    assert(rec.map(_.getAs[Long]("hits_tables")).sum > 0)
+  }
+
+  test("dd_embedding_lsh emits exactly the in-bucket near-dup pairs") {
+    val got = run("dd_embedding_lsh")
+    // ordered pairs, threshold respected
+    assert(got.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(got.filter(col("cosine") < 0.25).count() == 0)
+    // precision 1 vs brute force: every emitted pair really is >= threshold
+    // (unrounded), verified against the full pairwise cosine at sfTiny
+    import graft.functions.VectorFunctions._
+    val emb = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val a = emb.select(col("vec_id").as("doc_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("doc_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val brute = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.25)
+      .select("doc_a", "doc_b")
+    assert(got.select("doc_a", "doc_b").exceptAll(brute).count() == 0,
+      "emitted a pair below the true threshold")
+  }
+
   test("simhash block banding finds every pair within the hamming bound") {
     // pigeonhole completeness: every pair with hamming <= 3 shares a block
     val sigs = Tables.documents(spark, sfTiny)
