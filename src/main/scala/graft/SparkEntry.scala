@@ -16,7 +16,8 @@ object SparkEntry {
     (operators.SimilarityPack.queries, operators.SimilarityPack.oracles),
     (operators.StatsPack.queries, operators.StatsPack.oracles),
     (operators.MLPack.queries, operators.MLPack.oracles),
-    (operators.MultimodalPack.queries, operators.MultimodalPack.oracles)
+    (operators.MultimodalPack.queries, operators.MultimodalPack.oracles),
+    (operators.PipelinePack.queries, operators.PipelinePack.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

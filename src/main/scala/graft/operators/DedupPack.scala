@@ -107,29 +107,9 @@ object DedupPack {
     }),
 
     // ---- MinHash + LSH banding candidate pairs ---------------------------
-    // Staged plan with Generate/Aggregate barriers so every expensive
-    // expression evaluates exactly once: explode shingles → 4 md5s per
-    // shingle (hashMaterial) → 16-column minhash via codegen'd hash
-    // aggregate → band keys → bucket groupBy (NULL keys dropped, hot
-    // buckets capped) → local pair expansion.
-    "dd_minhash_lsh" -> ((s, d) => {
-      val sig = shingled(s, d)
-        .select(col("doc_id"), explode(col("sh")).as("g"))
-        .select(col("doc_id"), hashMaterial(col("g")).as("h"))
-        .groupBy(col("doc_id"))
-        .agg(minhashAggsList.head, minhashAggsList.tail: _*)
-      sig
-        .select(col("doc_id"),
-          posexplode(array(bandKeyCols(Bands, Rows): _*)).as(Seq("band", "key")))
-        .filter(col("key").isNotNull)
-        .groupBy(col("band"), col("key"))
-        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")).between(2, MaxLshBucket))
-        .select(explode(pairCombos(col("ids"))).as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    }),
+    "dd_minhash_lsh" -> ((s, d) =>
+      minhashPairs(Tables.spread(Tables.documents(s, d), s))
+        .orderBy("doc_a", "doc_b")),
 
     // ---- SimHash signatures ---------------------------------------------
     "dd_simhash" -> ((s, d) => {
@@ -172,17 +152,77 @@ object DedupPack {
     })
   )
 
-  /** DuckDB CTE producing (doc_id, sh) distinct word-3-gram shingle lists —
-    * mirrors `wordShingles`. */
-  private val shingleCte =
-    """toks AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS t
-      |         FROM documents),
-      |sh AS (SELECT doc_id,
-      |         CASE WHEN len(t) >= 3 THEN
-      |           list_distinct(list_transform(generate_series(1, len(t) - 2),
-      |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-      |         ELSE [text] END AS sh
-      |       FROM toks)""".stripMargin
+  /** MinHash+LSH candidate pairs (doc_a < doc_b, distinct) over any
+    * (doc_id, text, …) frame — the staged plan with Generate/Aggregate
+    * barriers so every expensive expression evaluates exactly once: explode
+    * shingles → 4 md5s per shingle (hashMaterial) → 16-column minhash via
+    * codegen'd hash aggregate → band keys → bucket groupBy (NULL keys
+    * dropped, hot buckets capped) → local pair expansion. Shared by
+    * `dd_minhash_lsh` (whole table) and PipelinePack's corpus prep
+    * (filtered corpus). */
+  private[operators] def minhashPairs(docs: DataFrame): DataFrame = {
+    val sig = docs
+      .select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), hashMaterial(col("g")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(minhashAggsList.head, minhashAggsList.tail: _*)
+    sig
+      .select(col("doc_id"),
+        posexplode(array(bandKeyCols(Bands, Rows): _*)).as(Seq("band", "key")))
+      .filter(col("key").isNotNull)
+      .groupBy(col("band"), col("key"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, MaxLshBucket))
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+  }
+
+  /** DuckDB CTE producing (doc_id, sh) distinct word-3-gram shingle lists
+    * from any (doc_id, text, …) relation — mirrors `wordShingles`. */
+  private def shingleCteFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS t
+       |         FROM $src),
+       |sh AS (SELECT doc_id,
+       |         CASE WHEN len(t) >= 3 THEN
+       |           list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       |         ELSE [text] END AS sh
+       |       FROM toks)""".stripMargin
+
+  private val shingleCte = shingleCteFrom("documents")
+
+  /** DuckDB CTE chain mirroring [[minhashPairs]] over relation `src`, ending
+    * in `mhpairs(doc_a, doc_b)` (distinct, doc_a < doc_b). */
+  private[operators] def minhashPairCtes(src: String): String = {
+    val mats = (0 until MinhashMd5s).map(j => s"md5('$j:' || g)")
+      .mkString(" || ")
+    val minCols = (0 until NumHashes)
+      .map(j => s"min(CAST('0x' || substring(h, ${j * 8 + 1}, 8) AS BIGINT)) AS m$j")
+      .mkString(", ")
+    val bandExprs = (0 until Bands)
+      .map(b => (0 until Rows).map(r => s"m${b * Rows + r}")
+        .mkString("md5(", " || '|' || ", ")"))
+    s"""${shingleCteFrom(src)},
+       |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+       |hs AS (SELECT doc_id, $mats AS h FROM ex),
+       |sig AS (SELECT doc_id, $minCols FROM hs GROUP BY doc_id),
+       |banded AS (SELECT doc_id, band,
+       |  CASE band ${bandExprs.zipWithIndex
+            .map { case (e, b) => s"WHEN $b THEN $e" }.mkString(" ")} END
+       |    AS key
+       |  FROM sig CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b),
+       |buckets AS (SELECT band, key FROM banded
+       |  WHERE key IS NOT NULL GROUP BY band, key
+       |  HAVING COUNT(*) BETWEEN 2 AND $MaxLshBucket),
+       |mhpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM banded a
+       |JOIN buckets k ON a.band = k.band AND a.key = k.key
+       |JOIN banded b ON a.band = b.band AND a.key = b.key
+       |  AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   /** DuckDB CTE chain producing sims(doc_id, simhash) — mirrors
     * `simhashBits`. */
@@ -232,36 +272,10 @@ object DedupPack {
          |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "dd_minhash_lsh" -> {
-      val mats = (0 until MinhashMd5s).map(j => s"md5('$j:' || g)")
-        .mkString(" || ")
-      val minCols = (0 until NumHashes)
-        .map(j => s"min(CAST('0x' || substring(h, ${j * 8 + 1}, 8) AS BIGINT)) AS m$j")
-        .mkString(", ")
-      val bandExprs = (0 until Bands)
-        .map(b => (0 until Rows).map(r => s"m${b * Rows + r}")
-          .mkString("md5(", " || '|' || ", ")"))
-      s"""WITH $shingleCte,
-         |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-         |hs AS (SELECT doc_id, $mats AS h FROM ex),
-         |sig AS (SELECT doc_id, $minCols FROM hs GROUP BY doc_id),
-         |banded AS (SELECT doc_id, band,
-         |  CASE band ${bandExprs.zipWithIndex
-               .map { case (e, b) => s"WHEN $b THEN $e" }.mkString(" ")} END
-         |    AS key
-         |  FROM sig CROSS JOIN
-         |    (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b),
-         |buckets AS (SELECT band, key FROM banded
-         |  WHERE key IS NOT NULL GROUP BY band, key
-         |  HAVING COUNT(*) BETWEEN 2 AND $MaxLshBucket)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM banded a
-         |JOIN buckets k ON a.band = k.band AND a.key = k.key
-         |JOIN banded b ON a.band = b.band AND a.key = b.key
-         |  AND a.doc_id < b.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
-
+    "dd_minhash_lsh" ->
+      s"""WITH ${minhashPairCtes("documents")}
+         |SELECT doc_a, doc_b FROM mhpairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,

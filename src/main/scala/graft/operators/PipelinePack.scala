@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The training-data corpus-prep pipeline as ONE declarative plan — the
+  * composition the individual operators exist for: language filter →
+  * quality filter → exact dedup → MinHash-LSH near-dup removal → token
+  * accounting. At 100 TB this is the nightly corpus build; expressing it as
+  * a single DataFrame lets Catalyst fuse the per-row stages (lang-ID,
+  * quality, hashing are one codegen'd pass over `text`) and schedule the
+  * two wide stages (content-hash groupBy, LSH bucket groupBy) back to back
+  * on the already-filtered minority of rows.
+  *
+  * Stage semantics (each deterministic, mirrored in the oracle):
+  *  1. keep docs whose n-gram language guess is 'en'
+  *     (TextFunctions.langGuess — reference-shaped validation gate,
+  *     db/data.py:114-135);
+  *  2. keep docs with >= [[MinTokens]] whitespace tokens and stopword
+  *     ratio >= [[MinStopRatio]] (the classic Gopher-style quality cuts);
+  *  3. exact dedup: keep the lowest doc_id per md5(text) group (reference
+  *     D1's content-hash dedup, db/data.py:250-257);
+  *  4. near-dup removal: greedy keep-lowest — drop any surviving doc that
+  *     appears as `doc_b` (the higher id) in a MinHash-LSH candidate pair
+  *     over the SURVIVING corpus ([[DedupPack.minhashPairs]]). Greedy-by-id
+  *     is order-deterministic and needs no connected components; chains
+  *     a<b<c drop both b and c.
+  */
+object PipelinePack {
+
+  /** Minimum whitespace-token count to survive the quality cut. */
+  val MinTokens = 15
+
+  /** Minimum stopword ratio (stopword-looking docs are prose, not noise). */
+  val MinStopRatio = 0.01
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_corpus_prep" -> ((s, d) => {
+      val t = col("text")
+      val scored = Tables.spread(Tables.documents(s, d), s)
+        .select(col("doc_id"), t,
+          tokenCount(t).as("n_tokens"),
+          stopwordRatio(t).as("stop_ratio"),
+          langGuess(t).as("pred_lang"),
+          bpeTokenEstimate(t).as("est_bpe_tokens"))
+      val filt = scored
+        .filter(col("pred_lang") === "en" &&
+          col("n_tokens") >= MinTokens && col("stop_ratio") >= MinStopRatio)
+      val exactKeep = filt
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val corpus = filt.join(exactKeep.select("doc_id"), Seq("doc_id"))
+      val nearDupLosers = DedupPack.minhashPairs(corpus.select("doc_id", "text"))
+        .select(col("doc_b").as("doc_id"))
+        .distinct()
+      corpus.join(nearDupLosers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_tokens"), col("est_bpe_tokens"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pipe_corpus_prep" -> {
+      import TextPack.{countSql, langCaseSql, toksSql}
+      import graft.functions.TextFunctions.EnglishStopwords
+      s"""WITH scored AS (SELECT doc_id, text,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  CAST(${countSql(EnglishStopwords)} AS DOUBLE)
+         |    / len($toksSql) AS stop_ratio,
+         |  $langCaseSql AS pred_lang,
+         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+         |FROM documents),
+         |filt AS (SELECT doc_id, text, n_tokens, est_bpe_tokens FROM scored
+         |  WHERE pred_lang = 'en' AND n_tokens >= $MinTokens
+         |    AND stop_ratio >= $MinStopRatio),
+         |exact_keep AS (SELECT min(doc_id) AS doc_id FROM filt
+         |  GROUP BY md5(text)),
+         |corpus AS (SELECT f.doc_id, f.text, f.n_tokens, f.est_bpe_tokens
+         |  FROM filt f JOIN exact_keep USING (doc_id)),
+         |${DedupPack.minhashPairCtes("corpus")}
+         |SELECT doc_id, n_tokens, est_bpe_tokens FROM corpus
+         |WHERE doc_id NOT IN (SELECT doc_b FROM mhpairs)
+         |ORDER BY doc_id""".stripMargin
+    }
+  )
+}

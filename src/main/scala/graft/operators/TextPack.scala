@@ -19,18 +19,18 @@ import org.apache.spark.sql.types._
 object TextPack {
 
   /** Empty-filtered whitespace token list — mirrors TextFunctions.tokens. */
-  private val toksSql =
+  private[operators] val toksSql =
     """list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"""
 
   /** DuckDB SQL for the marker-word count of one language (must mirror
     * TextFunctions.wordSetCount). */
-  private def countSql(words: Seq[String]): String = {
+  private[operators] def countSql(words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
     s"CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> list_contains($lst, x))) AS BIGINT)"
   }
 
   /** DuckDB CASE expression mirroring TextFunctions.langGuess. */
-  private val langCaseSql: String = {
+  private[operators] val langCaseSql: String = {
     val counts = LangMarkers.map { case (l, ws) => l -> countSql(ws) }
     val whens = counts.zipWithIndex.dropRight(1).map { case ((lang, c), i) =>
       val conds = counts.drop(i + 1)

@@ -96,6 +96,19 @@ class OperatorInvariantsSpec extends SparkSpec {
       "emitted a pair below the true threshold")
   }
 
+  test("pipe_corpus_prep survivors pass every stage's postcondition") {
+    val out = run("pipe_corpus_prep")
+    assert(out.count() > 0, "pipeline dropped the whole corpus at sfTiny")
+    // quality gate held
+    assert(out.filter(col("n_tokens") < 15).count() == 0)
+    // survivor ids unique, and exact-dedup held: no two survivors share text
+    assert(out.select("doc_id").distinct().count() == out.count())
+    val texts = out.join(Tables.documents(spark, sfTiny), Seq("doc_id"))
+      .select("text")
+    assert(texts.distinct().count() == texts.count(),
+      "two surviving documents share identical text")
+  }
+
   test("simhash block banding finds every pair within the hamming bound") {
     // pigeonhole completeness: every pair with hamming <= 3 shares a block
     val sigs = Tables.documents(spark, sfTiny)
