@@ -176,39 +176,14 @@ object SimilarityPack {
     // cells (here by label; in production by trained centroids), each query
     // scores one cell instead of the full corpus. Centroids use exact
     // decimal sums so the quantizer is bit-identical across engines.
-    "ann_ivf" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      val centroids = Tables.embeddings(s, d)
-        .select(col("label"),
-          posexplode(asDouble(col("embedding"))).as(Seq("pos", "val")))
-        .groupBy(col("label"), col("pos"))
-        .agg((sum(col("val").cast(dec9)).cast(DoubleType) / count(lit(1)))
-          .as("c"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          x => x.getField("c")).as("cv"))
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val wAssign = Window.partitionBy(col("query_id"))
-        .orderBy(col("cc").desc, col("label"))
-      val assigned = q.crossJoin(broadcast(centroids))
-        .withColumn("cc", cosine(col("qv"), col("cv")))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("qv"), col("label"))
-      val wRank = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      assigned.join(emb, Seq("label"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), asLong(col("label")).as("cell"),
-          col("vec_id").as("neighbor_id"),
-          cosine(col("qv"), col("v")).as("cos"))
-        .withColumn("rank", asLong(row_number().over(wRank)))
-        .filter(col("rank") <= 5)
-        .select("query_id", "cell", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
-    }),
+    "ann_ivf" -> ((s, d) => ivfTopk(s, d, nprobe = 1)),
+
+    // ---- IVF with multi-cell probe: each query scores its `nprobe`
+    //      nearest cells instead of one — IVF's recall lever (a true
+    //      neighbour just across a cell boundary is recovered by the
+    //      second-nearest cell). Candidate volume grows linearly in
+    //      nprobe, still O(nprobe · cell), never a corpus scan. ------------
+    "ann_ivf_nprobe" -> ((s, d) => ivfTopk(s, d, nprobe = 2)),
 
     // ---- sign-LSH bucketed ANN (the 100 TB scale path). Approximate as a
     //      *kNN recall* matter, but fully deterministic — the hyperplanes
@@ -333,6 +308,45 @@ object SimilarityPack {
     scored.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= 10)
       .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-style ANN top-5 (reference N3's index shape): coarse quantizer =
+    * per-label centroids (exact decimal sums, bit-identical across
+    * engines), each query probes its `nprobe` nearest cells and scores only
+    * their members. Cells partition the corpus, so multi-cell candidates
+    * never duplicate. */
+  private def ivfTopk(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val centroids = Tables.embeddings(s, d)
+      .select(col("label"),
+        posexplode(asDouble(col("embedding"))).as(Seq("pos", "val")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("val").cast(dec9)).cast(DoubleType) / count(lit(1)))
+        .as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wAssign = Window.partitionBy(col("query_id"))
+      .orderBy(col("cc").desc, col("label"))
+    val assigned = q.crossJoin(broadcast(centroids))
+      .withColumn("cc", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("label"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.join(emb, Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), asLong(col("label")).as("cell"),
+        col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", asLong(row_number().over(wRank)))
+      .filter(col("rank") <= 5)
+      .select("query_id", "cell", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }
 
@@ -585,43 +599,9 @@ object SimilarityPack {
         |WHERE dp / (na.nrm * nb.nrm) >= 0.25
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "ann_ivf" ->
-      """WITH exi AS (SELECT vec_id, label,
-        |  unnest(generate_series(1, len(embedding))) AS pos,
-        |  CAST(unnest(embedding) AS DOUBLE) AS val
-        |FROM embeddings),
-        |cent AS (SELECT label, pos,
-        |  CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
-        |  FROM exi GROUP BY label, pos),
-        |qn AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
-        |       FROM exi GROUP BY vec_id),
-        |cn AS (SELECT label, sqrt(SUM(c * c)) AS nrm FROM cent GROUP BY label),
-        |cdot AS (SELECT e.vec_id AS query_id, c.label, SUM(e.val * c.c) AS dp
-        |         FROM exi e JOIN cent c ON e.pos = c.pos
-        |         WHERE e.vec_id < 10 GROUP BY 1, 2),
-        |assigned AS (SELECT query_id, label FROM (
-        |  SELECT query_id, cdot.label,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dp / (qn.nrm * cn.nrm) DESC, cdot.label) AS rn
-        |  FROM cdot
-        |  JOIN qn ON qn.vec_id = query_id
-        |  JOIN cn ON cn.label = cdot.label) t WHERE rn = 1),
-        |ndot AS (SELECT a.query_id, a.label, e.vec_id AS neighbor_id,
-        |           SUM(q.val * e.val) AS dp
-        |         FROM assigned a
-        |         JOIN exi q ON q.vec_id = a.query_id
-        |         JOIN exi e ON e.label = a.label AND e.pos = q.pos
-        |           AND e.vec_id <> a.query_id
-        |         GROUP BY 1, 2, 3),
-        |ranked AS (SELECT query_id, label, neighbor_id,
-        |  row_number() OVER (PARTITION BY query_id
-        |    ORDER BY dp / (nq.nrm * ne.nrm) DESC, neighbor_id) AS rank
-        |  FROM ndot
-        |  JOIN qn nq ON nq.vec_id = query_id
-        |  JOIN qn ne ON ne.vec_id = neighbor_id)
-        |SELECT query_id, CAST(label AS BIGINT) AS cell,
-        |  CAST(rank AS BIGINT) AS rank, neighbor_id
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf" -> ivfOracleSql(nprobe = 1),
+
+    "ann_ivf_nprobe" -> ivfOracleSql(nprobe = 2),
 
     "ann_ivf_kmeans" ->
       """WITH exi AS (SELECT vec_id, CAST(label AS BIGINT) AS cell,
@@ -766,6 +746,45 @@ object SimilarityPack {
          |LEFT JOIN thits th ON q.query_id = th.query_id
          |ORDER BY q.query_id""".stripMargin
   )
+
+  /** DuckDB oracle mirroring [[ivfTopk]] at the given probe width. */
+  private def ivfOracleSql(nprobe: Int): String =
+    s"""WITH exi AS (SELECT vec_id, label,
+       |  unnest(generate_series(1, len(embedding))) AS pos,
+       |  CAST(unnest(embedding) AS DOUBLE) AS val
+       |FROM embeddings),
+       |cent AS (SELECT label, pos,
+       |  CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM exi GROUP BY label, pos),
+       |qn AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
+       |       FROM exi GROUP BY vec_id),
+       |cn AS (SELECT label, sqrt(SUM(c * c)) AS nrm FROM cent GROUP BY label),
+       |cdot AS (SELECT e.vec_id AS query_id, c.label, SUM(e.val * c.c) AS dp
+       |         FROM exi e JOIN cent c ON e.pos = c.pos
+       |         WHERE e.vec_id < 10 GROUP BY 1, 2),
+       |assigned AS (SELECT query_id, label FROM (
+       |  SELECT query_id, cdot.label,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dp / (qn.nrm * cn.nrm) DESC, cdot.label) AS rn
+       |  FROM cdot
+       |  JOIN qn ON qn.vec_id = query_id
+       |  JOIN cn ON cn.label = cdot.label) t WHERE rn <= $nprobe),
+       |ndot AS (SELECT a.query_id, a.label, e.vec_id AS neighbor_id,
+       |           SUM(q.val * e.val) AS dp
+       |         FROM assigned a
+       |         JOIN exi q ON q.vec_id = a.query_id
+       |         JOIN exi e ON e.label = a.label AND e.pos = q.pos
+       |           AND e.vec_id <> a.query_id
+       |         GROUP BY 1, 2, 3),
+       |ranked AS (SELECT query_id, label, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dp / (nq.nrm * ne.nrm) DESC, neighbor_id) AS rank
+       |  FROM ndot
+       |  JOIN qn nq ON nq.vec_id = query_id
+       |  JOIN qn ne ON ne.vec_id = neighbor_id)
+       |SELECT query_id, CAST(label AS BIGINT) AS cell,
+       |  CAST(rank AS BIGINT) AS rank, neighbor_id
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** The MD5 hyperplane family as exact integer VALUES literals — generated
     * from [[LshPlanes]] so the oracle can never desynchronize from the

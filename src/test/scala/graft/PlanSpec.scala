@@ -30,7 +30,7 @@ class PlanSpec extends SparkSpec {
   test("no accidental cartesian products in any query plan") {
     // intended broadcast-cross plans (tiny single-row / query-set side):
     val allowedCross = Set("n5_pairwise_distance", "p6_distance_threshold",
-      "ann_ivf", "n4_topk_cosine", "ann_lsh_bucketed")
+      "ann_ivf", "ann_ivf_nprobe", "n4_topk_cosine", "ann_lsh_bucketed")
     for ((name, fn) <- SparkEntry.queries if !allowedCross(name)) {
       val plan = planText(fn(spark, sfTiny))
       assert(!plan.contains("CartesianProduct"),
