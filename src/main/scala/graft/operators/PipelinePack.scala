@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The training-data corpus-prep pipeline as ONE declarative plan — the
@@ -27,6 +28,15 @@ import org.apache.spark.sql.functions._
   *     over the SURVIVING corpus ([[DedupPack.minhashPairs]]). Greedy-by-id
   *     is order-deterministic and needs no connected components; chains
   *     a<b<c drop both b and c.
+  *
+  * Scale note: exact dedup is a `row_number` window over the content hash
+  * (one shuffle, no join-back — the groupBy+self-join formulation scans the
+  * filtered corpus twice). The deduped-corpus subtree is still referenced
+  * twice (LSH pair generation + final output), and Spark recomputes an
+  * unpersisted subtree per reference; at benchmark scale that is cheaper
+  * than a cache write, but on a real 100 TB corpus build the deduped corpus
+  * (a minority of the input) should be persisted or checkpointed between
+  * stages — the plan shape is otherwise unchanged.
   */
 object PipelinePack {
 
@@ -48,10 +58,15 @@ object PipelinePack {
       val filt = scored
         .filter(col("pred_lang") === "en" &&
           col("n_tokens") >= MinTokens && col("stop_ratio") >= MinStopRatio)
-      val exactKeep = filt
-        .groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      val corpus = filt.join(exactKeep.select("doc_id"), Seq("doc_id"))
+      // exact dedup as a window (keep lowest doc_id per content hash): one
+      // shuffle on the hash and NO join back — the groupBy+self-join
+      // formulation scans the filtered corpus twice
+      val wHash = Window.partitionBy(md5(col("text")))
+        .orderBy(col("doc_id"))
+      val corpus = filt
+        .withColumn("rn", row_number().over(wHash))
+        .filter(col("rn") === 1)
+        .drop("rn")
       val nearDupLosers = DedupPack.minhashPairs(corpus.select("doc_id", "text"))
         .select(col("doc_b").as("doc_id"))
         .distinct()
@@ -75,10 +90,10 @@ object PipelinePack {
          |filt AS (SELECT doc_id, text, n_tokens, est_bpe_tokens FROM scored
          |  WHERE pred_lang = 'en' AND n_tokens >= $MinTokens
          |    AND stop_ratio >= $MinStopRatio),
-         |exact_keep AS (SELECT min(doc_id) AS doc_id FROM filt
-         |  GROUP BY md5(text)),
-         |corpus AS (SELECT f.doc_id, f.text, f.n_tokens, f.est_bpe_tokens
-         |  FROM filt f JOIN exact_keep USING (doc_id)),
+         |corpus AS (SELECT doc_id, text, n_tokens, est_bpe_tokens FROM (
+         |  SELECT f.*, row_number() OVER (PARTITION BY md5(text)
+         |    ORDER BY doc_id) AS rn
+         |  FROM filt f) t WHERE rn = 1),
          |${DedupPack.minhashPairCtes("corpus")}
          |SELECT doc_id, n_tokens, est_bpe_tokens FROM corpus
          |WHERE doc_id NOT IN (SELECT doc_b FROM mhpairs)

@@ -72,7 +72,12 @@ object StatsPack {
 
     // ---- exact grouped percentiles (the stats layer's distribution
     //      summary; Spark `percentile` and DuckDB `quantile_cont` share the
-    //      linear-interpolation definition and match bit-for-bit) ---------
+    //      linear-interpolation definition and match bit-for-bit).
+    //      Scale note: exact percentile buffers every value of a group in
+    //      one aggregation buffer — with few groups that is the 100 TB
+    //      memory wall; the swap there is `approx_percentile` (t-digest,
+    //      bounded memory), kept out of the oracle gate because its merge
+    //      result is partition-order dependent. -------------------------
     "a10_percentiles" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(col("event_type"))

@@ -66,4 +66,30 @@ class StreamingSpec extends SparkSpec {
       .distinct().count()
     assert(out.count() == batchDistinct && out.count() > 0)
   }
+
+  test("streaming corpus gate matches the batch gates + exact dedup") {
+    import graft.functions.TextFunctions._
+    import graft.streaming.DocStream
+    val q = DocStream.corpusGate(spark, sfTiny)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gate_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("gate_out")
+    // batch equivalent of the gates (same shared constants/expressions)
+    val gated = Tables.documents(spark, sfTiny)
+      .filter(langGuess(col("text")) === "en" &&
+        tokenCount(col("text")) >= operators.PipelinePack.MinTokens &&
+        stopwordRatio(col("text")) >= operators.PipelinePack.MinStopRatio)
+    // every survivor passed the gates …
+    assert(streamed.select("doc_id")
+      .exceptAll(gated.select("doc_id")).count() == 0)
+    // … and dedup kept exactly one doc per distinct surviving text
+    val batchDistinct = gated.select(md5(col("text"))).distinct().count()
+    assert(streamed.count() == batchDistinct && streamed.count() > 0)
+    assert(streamed.select("content_hash").distinct().count()
+      == streamed.count())
+  }
 }
