@@ -28,9 +28,12 @@ object Bench {
     }
     // Millisecond precision keeps the detailed line well under tail-capture
     // truncation windows (~2.9 KB at full double precision vs ~2.0 KB).
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
+    // total = sum of the REPORTED (rounded) per-query values, so the record
+    // is internally consistent for any consumer cross-checking the sum
+    val total = ms(results.map(_._2).filter(_ >= 0).map(ms).sum)
     // Detailed line first (for humans / archaeology) …
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

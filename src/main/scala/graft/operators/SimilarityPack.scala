@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   */
 object SimilarityPack {
 
-  private val Dim = 64
+  private[graft] val Dim = 64
   private val dec9 = DecimalType(18, 9)
 
   /** (vec_id, pos [1-based], val double) exploded view of the embeddings. */
@@ -374,7 +374,7 @@ object SimilarityPack {
       .select(col("vec_id"), col("v"), col("cell"))
   }
 
-  private val LshPlanes = 8
+  private[graft] val LshPlanes = 8
 
   /** Independent hash tables for `ann_lsh_multitable` (the (k, L) scheme).
     * Table t uses planes [t·k, (t+1)·k) of one MD5 family — engine and
@@ -392,13 +392,14 @@ object SimilarityPack {
   private val LshTablePlanes = 6
 
   /** Near-dup cosine threshold shared by the embedding near-dup variants. */
-  private val NearDupCosine = 0.25
+  private[graft] val NearDupCosine = 0.25
 
-  /** Hot-bucket cap for `dd_embedding_lsh` (same guard as the dedup pack's
-    * [[DedupPack.MaxLshBucket]]: a degenerate bucket of k near-identical
-    * vectors would otherwise score k²/2 pairs in one task). Mirrored in the
-    * oracle, so capped semantics are the defined semantics. */
-  private val MaxCosineBucket = 1000
+  /** Hot-bucket cap for `dd_embedding_lsh` — literally the dedup pack's
+    * [[DedupPack.MaxLshBucket]] guard (a degenerate bucket of k
+    * near-identical vectors would otherwise score k²/2 pairs in one task),
+    * referenced so the two packs can never cap at different sizes. Mirrored
+    * in the oracle, so capped semantics are the defined semantics. */
+  private val MaxCosineBucket = DedupPack.MaxLshBucket
 
   /** Multi-table sign-LSH top-10: L independent bucket keys per vector, one
     * candidate union across tables, exact cosine rank over the deduped
@@ -579,7 +580,7 @@ object SimilarityPack {
          |ORDER BY d.vec_id""".stripMargin,
 
     "dd_embedding_cosine" ->
-      """WITH exi AS (SELECT vec_id, label,
+      s"""WITH exi AS (SELECT vec_id, label,
         |  unnest(generate_series(1, len(embedding))) AS pos,
         |  CAST(unnest(embedding) AS DOUBLE) AS val
         |FROM embeddings),
@@ -596,7 +597,7 @@ object SimilarityPack {
         |FROM dots
         |JOIN norms na ON doc_a = na.vec_id
         |JOIN norms nb ON doc_b = nb.vec_id
-        |WHERE dp / (na.nrm * nb.nrm) >= 0.25
+        |WHERE dp / (na.nrm * nb.nrm) >= $NearDupCosine
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "ann_ivf" -> ivfOracleSql(nprobe = 1),

@@ -15,8 +15,13 @@ import org.apache.spark.sql.types._
   * the MinHash-LSH near-dup sweep stays a periodic batch pass over the
   * accumulated corpus ([[graft.operators.PipelinePack]] `pipe_corpus_prep`)
   * — LSH bucketing needs the whole corpus, so it has no bounded-state
-  * streaming form. Gate constants are shared with the batch pipeline, so a
-  * document stream and a batch rebuild accept the same rows by construction.
+  * streaming form. Gate constants are shared with the batch pipeline, so
+  * the GATES accept the same rows by construction. The dedup tie-break
+  * differs by design: the stream keeps the first-ARRIVED copy of a
+  * duplicate (arrival order — there is no "lowest id so far" in an
+  * unbounded stream), while the batch rebuild keeps the lowest doc_id; the
+  * surviving sets have identical content hashes, but a consumer reconciling
+  * stream vs batch output must compare by content hash, not doc_id.
   */
 object DocStream {
 

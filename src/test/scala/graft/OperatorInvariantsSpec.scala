@@ -74,33 +74,50 @@ class OperatorInvariantsSpec extends SparkSpec {
   }
 
   test("dd_embedding_lsh emits exactly the in-bucket near-dup pairs") {
+    import graft.functions.VectorFunctions._
+    import operators.{DedupPack, SimilarityPack}
+    val threshold = SimilarityPack.NearDupCosine
     val got = run("dd_embedding_lsh")
     // ordered pairs, threshold respected
     assert(got.filter(col("doc_a") >= col("doc_b")).count() == 0)
-    assert(got.filter(col("cosine") < 0.25).count() == 0)
-    // precision 1 vs brute force: every emitted pair really is >= threshold
-    // (unrounded), verified against the full pairwise cosine at sfTiny
-    import graft.functions.VectorFunctions._
+    assert(got.filter(col("cosine") < threshold).count() == 0)
+    // brute-force ground truth at sfTiny: all pairs >= threshold, plus each
+    // side's LSH bucket (same plane family as the engine)
+    val hp = lshHyperplanes(SimilarityPack.LshPlanes, SimilarityPack.Dim)
     val emb = Tables.embeddings(spark, sfTiny)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    val a = emb.select(col("vec_id").as("doc_a"), col("v").as("va"),
-      col("nrm").as("na"))
+      .withColumn("bucket", lshBucket(col("v"), hp))
     val b = emb.select(col("vec_id").as("doc_b"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    val brute = a.join(b, col("doc_a") < col("doc_b"))
+      col("nrm").as("nb"), col("bucket").as("bb"))
+    val brute = emb.select(col("vec_id").as("doc_a"), col("v").as("va"),
+        col("nrm").as("na"), col("bucket").as("ba"))
+      .join(b, col("doc_a") < col("doc_b"))
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= 0.25)
-      .select("doc_a", "doc_b")
-    assert(got.select("doc_a", "doc_b").exceptAll(brute).count() == 0,
+      .filter(col("cosine") >= threshold)
+    // precision: every emitted pair really is >= threshold (unrounded)
+    assert(got.select("doc_a", "doc_b")
+      .exceptAll(brute.select("doc_a", "doc_b")).count() == 0,
       "emitted a pair below the true threshold")
+    // completeness: every qualifying pair whose docs share an uncapped
+    // bucket is emitted — a silent candidate drop cannot pass this
+    val bucketSizes = emb.groupBy(col("bucket")).count()
+      .filter(col("count").between(2, DedupPack.MaxLshBucket))
+      .select(col("bucket").as("ba"))
+    val wanted = brute.filter(col("ba") === col("bb"))
+      .join(bucketSizes, Seq("ba"), "left_semi")
+      .select("doc_a", "doc_b")
+    assert(wanted.exceptAll(got.select("doc_a", "doc_b")).count() == 0,
+      "missed an in-bucket pair above the threshold")
+    assert(wanted.count() > 0, "completeness check is vacuous at sfTiny")
   }
 
   test("pipe_corpus_prep survivors pass every stage's postcondition") {
     val out = run("pipe_corpus_prep")
     assert(out.count() > 0, "pipeline dropped the whole corpus at sfTiny")
     // quality gate held
-    assert(out.filter(col("n_tokens") < 15).count() == 0)
+    assert(out.filter(col("n_tokens") < operators.PipelinePack.MinTokens)
+      .count() == 0)
     // survivor ids unique, and exact-dedup held: no two survivors share text
     assert(out.select("doc_id").distinct().count() == out.count())
     val texts = out.join(Tables.documents(spark, sfTiny), Seq("doc_id"))
