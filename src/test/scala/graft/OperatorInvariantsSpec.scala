@@ -73,6 +73,27 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(rec.map(_.getAs[Long]("hits_tables")).sum > 0)
   }
 
+  test("ivf nprobe=2 recall of the exact top-5 dominates nprobe=1 per query") {
+    // top-2 cells contain the top-1 cell, so the nprobe=2 candidate set is
+    // a superset — the same survival argument as the LSH dominance test
+    // makes per-query dominance an invariant, not an expectation
+    val exact = run("n4_topk_cosine").filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id")
+    def hits(q: String) = run(q)
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+    val joined = hits("ann_ivf").as("one")
+      .join(hits("ann_ivf_nprobe").as("two"), Seq("query_id"), "full")
+      .select(col("query_id"),
+        coalesce(col("one.h"), lit(0L)).as("h1"),
+        coalesce(col("two.h"), lit(0L)).as("h2"))
+      .collect()
+    assert(joined.nonEmpty)
+    for (r <- joined)
+      assert(r.getAs[Long]("h2") >= r.getAs[Long]("h1"),
+        s"query ${r.get(0)}: nprobe=2 hits ${r.get(2)} < nprobe=1 ${r.get(1)}")
+  }
+
   test("dd_embedding_lsh emits exactly the in-bucket near-dup pairs") {
     import graft.functions.VectorFunctions._
     import operators.{DedupPack, SimilarityPack}
