@@ -67,6 +67,48 @@ class PropertySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("pairCombosPacked unpacks to exactly pairCombos; out-of-range raises") {
+    val lists = samples(
+      Gen.chooseNum(0, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0L, (1L << 31) - 1))
+          .map(_.distinct.sorted)), 40)
+    val df = lists.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("row_id", "ids")
+    val got = df.select(col("row_id"),
+        explode(HashFunctions.pairCombosPacked(col("ids"))).as("pk"))
+      .select(col("row_id"), shiftright(col("pk"), 32),
+        col("pk").bitwiseAND(lit(0xffffffffL)))
+      .as[(Long, Long, Long)].collect().toSet
+    val want = lists.zipWithIndex.flatMap { case (l, i) =>
+      for (a <- l; b <- l if a < b) yield (i.toLong, a, b)
+    }.toSet
+    assert(got == want)
+    // the documented precondition is enforced, not silently corrupting
+    val bad = Seq((0L, Seq(1L, 1L << 31))).toDF("row_id", "ids")
+    intercept[Exception] {
+      bad.select(explode(HashFunctions.pairCombosPacked(col("ids"))))
+        .collect()
+    }
+  }
+
+  test("wordShingles: n-gram count, distinctness, and short-text fallback") {
+    val texts = samples(Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "cc", "ddd"))
+        .map(_.mkString(" "))), 60)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("row_id", "text")
+    val got = df.select(col("row_id"),
+        HashFunctions.wordShingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect()
+    for ((i, sh) <- got) {
+      val toks = texts(i.toInt).split("\\s+").toSeq
+      if (toks.length >= 3) {
+        val want = toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+        assert(sh == want, s"text '${texts(i.toInt)}'")
+      } else assert(sh == Seq(texts(i.toInt)), "short-text fallback")
+    }
+  }
+
   test("ingest is idempotent: re-ingesting an ingested batch adds nothing") {
     val batch = Seq(
       ("g1", "p1", 1), ("g1", "p2", 2), ("g2", "p1", 1), ("g2", "p1", 3))
