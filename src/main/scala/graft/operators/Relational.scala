@@ -760,7 +760,11 @@ object Relational {
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "f_math_transforms" ->
-      """SELECT event_id, round(log2(value), 6) AS log2_v,
+      // log2 guarded: Spark returns NULL for log of a non-positive value,
+      // DuckDB RAISES — the sf0.01 gate data has no non-positive values,
+      // but the mirror must stay total at every scale factor
+      """SELECT event_id,
+        | CASE WHEN value > 0 THEN round(log2(value), 6) END AS log2_v,
         | round(cos(value), 6) AS cos_v, round(sin(value), 6) AS sin_v
         |FROM events ORDER BY event_id""".stripMargin,
 
