@@ -543,8 +543,13 @@ object Relational {
     })
   )
 
+  // The sum is DECIMAL(38,8); above ~2^53 scaled units DuckDB's direct
+  // decimal->double cast is NOT correctly rounded (off by 1-2 ulp at sf0.1
+  // magnitudes) while Spark's BigDecimal.doubleValue is. Routing through
+  // VARCHAR forces DuckDB's correctly-rounded string parse, so both engines
+  // produce the identical double at every scale factor.
   private val revenueSql =
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)"
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -24,7 +24,13 @@ import org.apache.spark.sql.types._
 object SimilarityPack {
 
   private[graft] val Dim = 64
-  private val dec9 = DecimalType(18, 9)
+
+  /** Exact grid mean: round to the 1e-9 integer grid, sum as BIGINT (exact),
+    * one correctly-rounded double division chain — bit-identical across
+    * engines and partitionings (see `dimStats`). */
+  private def gridMean(val_ : org.apache.spark.sql.Column) =
+    sum(round(val_ * 1e9, 0).cast(LongType)).cast(DoubleType) / 1e9 /
+      count(lit(1))
 
   /** (vec_id, pos [1-based], val double) exploded view of the embeddings. */
   private def exploded(s: SparkSession, d: String): DataFrame =
@@ -101,14 +107,18 @@ object SimilarityPack {
         .orderBy("vec_id")
     }),
 
-    // ---- grouped centroids (reference N2 per-class variant) --------------
+    // ---- grouped centroids (reference N2 per-class variant). Means use
+    //      the 1e-9 integer grid (dimStats' recipe), NOT decimal(18,9)
+    //      sums: the two engines' double->decimal casts disagree on ~0.5 %
+    //      of values at the 10th digit, which showed up as 1e-12-level
+    //      centroid drift at sf0.1; integer round + BIGINT sum is
+    //      bit-identical everywhere. -----------------------------------
     "sim_label_centroid" -> ((s, d) => {
       Tables.embeddings(s, d)
         .select(col("label"),
           posexplode(asDouble(col("embedding"))).as(Seq("p0", "val")))
         .groupBy(col("label"), (col("p0") + 1).cast(LongType).as("pos"))
-        .agg((sum(col("val").cast(dec9)).cast(DoubleType) / count(lit(1)))
-          .as("centroid"))
+        .agg(gridMean(col("val")).as("centroid"))
         .orderBy("label", "pos")
     }),
 
@@ -323,8 +333,7 @@ object SimilarityPack {
       .select(col("label"),
         posexplode(asDouble(col("embedding"))).as(Seq("pos", "val")))
       .groupBy(col("label"), col("pos"))
-      .agg((sum(col("val").cast(dec9)).cast(DoubleType) / count(lit(1)))
-        .as("c"))
+      .agg(gridMean(col("val")).as("c"))
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("cv"))
@@ -356,8 +365,7 @@ object SimilarityPack {
   private def cellCentroids(df: DataFrame): DataFrame =
     df.select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
       .groupBy(col("cell"), col("pos"))
-      .agg((sum(col("val").cast(dec9)).cast(DoubleType) / count(lit(1)))
-        .as("c"))
+      .agg(gridMean(col("val")).as("c"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("cv"))
@@ -482,7 +490,11 @@ object SimilarityPack {
       |FROM embeddings)""".stripMargin
 
   /** Per-dimension stats CTE mirroring `dimStats` (exact integer sums on the
-    * 1e-9 grid; see dimStats scaladoc for why). */
+    * 1e-9 grid; see dimStats scaladoc for why). sq0 exceeds 2^53 scaled
+    * units at sf0.1, where DuckDB's direct decimal->double cast is not
+    * correctly rounded (1-2 ulp off) — the VARCHAR route forces its
+    * correctly-rounded string parse, matching Spark's
+    * BigDecimal.doubleValue at every scale factor. */
   private val statsCte =
     """iex AS (SELECT pos, val,
       |  CAST(round(val * 1000000000.0) AS BIGINT) AS iv FROM ex),
@@ -492,7 +504,7 @@ object SimilarityPack {
       |FROM iex GROUP BY pos),
       |sums2 AS (SELECT pos, n, vmin, vmax,
       |  CAST(s9 AS DOUBLE) / 1e9 AS sd,
-      |  CAST(sq0 AS DOUBLE) / 1e18 AS sq FROM sums),
+      |  CAST(CAST(sq0 AS VARCHAR) AS DOUBLE) / 1e18 AS sq FROM sums),
       |stats AS (SELECT pos, sd / n AS mean,
       |  sqrt((sq - sd * sd / n) / n) AS std, vmin, vmax FROM sums2)""".stripMargin
 
@@ -552,7 +564,7 @@ object SimilarityPack {
          |  CAST(unnest(embedding) AS DOUBLE) AS val
          |FROM embeddings)
          |SELECT label, CAST(pos AS BIGINT) AS pos,
-         |  CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+         |  CAST(SUM(CAST(round(val * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*)
          |    AS centroid
          |FROM exl GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
@@ -612,7 +624,7 @@ object SimilarityPack {
         |vnorms AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
         |           FROM exi GROUP BY vec_id),
         |cent0 AS (SELECT cell, pos,
-        |  CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+        |  CAST(SUM(CAST(round(val * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS c
         |  FROM exi GROUP BY cell, pos),
         |c0n AS (SELECT cell, sqrt(SUM(c * c)) AS nrm FROM cent0 GROUP BY cell),
         |a0dot AS (SELECT e.vec_id, c.cell, SUM(e.val * c.c) AS dp
@@ -625,7 +637,7 @@ object SimilarityPack {
         |  JOIN vnorms n ON n.vec_id = a.vec_id
         |  JOIN c0n cn ON cn.cell = a.cell) t WHERE rn = 1),
         |cent1 AS (SELECT s.cell, e.pos,
-        |  CAST(SUM(CAST(e.val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+        |  CAST(SUM(CAST(round(e.val * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS c
         |  FROM exi e JOIN assign0 s ON s.vec_id = e.vec_id
         |  GROUP BY s.cell, e.pos),
         |c1n AS (SELECT cell, sqrt(SUM(c * c)) AS nrm FROM cent1 GROUP BY cell),
@@ -755,7 +767,7 @@ object SimilarityPack {
        |  CAST(unnest(embedding) AS DOUBLE) AS val
        |FROM embeddings),
        |cent AS (SELECT label, pos,
-       |  CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+       |  CAST(SUM(CAST(round(val * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS c
        |  FROM exi GROUP BY label, pos),
        |qn AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
        |       FROM exi GROUP BY vec_id),
