@@ -15,6 +15,7 @@ object SparkEntry {
     (operators.DedupPack.queries, operators.DedupPack.oracles),
     (operators.SimilarityPack.queries, operators.SimilarityPack.oracles),
     (operators.StatsPack.queries, operators.StatsPack.oracles),
+    (operators.EventsPack.queries, operators.EventsPack.oracles),
     (operators.MLPack.queries, operators.MLPack.oracles),
     (operators.MultimodalPack.queries, operators.MultimodalPack.oracles),
     (operators.PipelinePack.queries, operators.PipelinePack.oracles)

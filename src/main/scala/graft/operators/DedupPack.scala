@@ -111,6 +111,20 @@ object DedupPack {
       minhashPairs(Tables.spread(Tables.documents(s, d), s))
         .orderBy("doc_a", "doc_b")),
 
+    // ---- near-dup pairs → canonical groups (connected components) --------
+    // The step after every pair generator: pairs are edges, a dup GROUP is
+    // a connected component, and the canonical representative is the
+    // component's minimum doc_id (the reference keeps the earliest
+    // submission as canonical — db/data.py:250-262 — so min id is the same
+    // policy lifted to groups). Pairs alone under-merge: {A,B} and {B,C}
+    // from different LSH bands are one group even though (A,C) was never a
+    // candidate pair.
+    "dd_components" -> ((s, d) => {
+      connectedComponents(
+        minhashPairs(Tables.spread(Tables.documents(s, d), s)))
+        .orderBy("doc_id")
+    }),
+
     // ---- SimHash signatures ---------------------------------------------
     "dd_simhash" -> ((s, d) => {
       Tables.spread(Tables.documents(s, d), s)
@@ -151,6 +165,53 @@ object DedupPack {
         .orderBy("doc_a", "doc_b")
     })
   )
+
+  /** Connected components over an undirected edge list `(doc_a, doc_b)` →
+    * `(doc_id, rep)` where `rep` is the component's minimum id — one row per
+    * node that appears in any edge. Deterministic regardless of
+    * partitioning (min is order-free).
+    *
+    * Algorithm: min-label propagation to a fixpoint — each iteration every
+    * node takes the min of its own label and its neighbours' labels; stop
+    * when no label changed. O(component diameter) iterations, each ONE
+    * shuffle join on id (this is the GraphX/Pregel pattern expressed in
+    * DataFrames). Near-dup components are dense (LSH buckets emit cliques),
+    * so the diameter — and the iteration count — is small in practice.
+    *
+    * Scale notes: (a) `localCheckpoint(eager)` each iteration truncates the
+    * lineage, without which iteration k re-plans k nested joins and the
+    * driver OOMs long before the executors do; (b) the per-iteration state
+    * is (node, label) — two longs per node, far smaller than the input
+    * corpus; (c) at extreme skew (one giant component) the upgrade is
+    * large-star/small-star [Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"], which converges in O(log² n) with the same
+    * join-per-iteration shape. */
+  private[graft] def connectedComponents(
+      edges: DataFrame): DataFrame = {
+    val e = edges.persist() // re-read every iteration
+    val adj = e.select(col("doc_a").as("id"), col("doc_b").as("nbr"))
+      .union(e.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
+    var labels = adj.select(col("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrRep = adj
+        .join(labels.select(col("id").as("nid"), col("rep")),
+          col("nbr") === col("nid"))
+        .select(col("id"), col("rep"))
+      val next = labels.select(col("id"), col("rep")).union(nbrRep)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .localCheckpoint(true)
+      // monotone: labels only decrease, so "changed" = any strict decrease
+      changed = next
+        .join(labels.select(col("id"), col("rep").as("old")), "id")
+        .filter(col("rep") < col("old")).count()
+      labels = next
+    }
+    e.unpersist()
+    labels.select(col("id").as("doc_id"), col("rep"))
+  }
 
   /** MinHash+LSH candidate pairs (doc_a < doc_b, distinct) over any
     * (doc_id, text, …) frame — the staged plan with Generate/Aggregate
@@ -276,6 +337,20 @@ object DedupPack {
       s"""WITH ${minhashPairCtes("documents")}
          |SELECT doc_a, doc_b FROM mhpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // component minimum via transitive closure (UNION-dedup bounds the
+    // recursion; near-dup components are tiny at oracle scale)
+    "dd_components" ->
+      s"""WITH RECURSIVE ${minhashPairCtes("documents")},
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mhpairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM mhpairs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src AS id, rc.r FROM edges e
+         |  JOIN reach rc ON rc.id = e.dst)
+         |SELECT id AS doc_id, MIN(r) AS rep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "dd_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,

@@ -81,6 +81,44 @@ object TextPack {
         .orderBy("doc_id")
     }),
 
+    // ---- repetition quality signals (Gopher-style repeated-content
+    //      filters: top-token mass + duplicate-bigram fraction; repetitive
+    //      boilerplate is the highest-volume junk class at web scale) ------
+    // Top-token frequency needs a per-(doc, token) count — an explode +
+    // two-level combinable aggregate (shuffle keys are (doc_id, token):
+    // high cardinality, no skew). Bigram distinctness stays a pure array
+    // expression — no second explode, no shuffle.
+    "tx_repetition" -> ((s, d) => {
+      import graft.functions.HashFunctions.bindArray
+      val docs = Tables.spread(Tables.documents(s, d), s)
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+        .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max_tf"), sum(col("c")).as("n"))
+      val bg = docs.select(col("doc_id"),
+        bindArray(tokens(col("text")), t =>
+          struct(
+            size(t).as("nt"),
+            when(size(t) >= 2,
+              size(array_distinct(transform(sequence(lit(1), size(t) - 1),
+                i => concat(element_at(t, i), lit(" "),
+                  element_at(t, i + 1))))))
+              .otherwise(lit(0)).as("nbgd"))).as("b"))
+        .select(col("doc_id"), col("b.nt").as("nt"), col("b.nbgd").as("nbgd"))
+      // left join from bg (one row per doc): a zero-token doc has no tf row
+      bg.join(tf, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).as("n_tokens"),
+          when(col("n").isNull, lit(0.0))
+            .otherwise(col("max_tf").cast(DoubleType) / col("n"))
+            .as("top_token_ratio"),
+          when(col("nt") >= 2,
+            lit(1.0) - col("nbgd").cast(DoubleType) / (col("nt") - 1))
+            .otherwise(lit(0.0)).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
     // ---- confusion matrix actual-vs-predicted (reference A8:
     //      dataset_eval/gaia_wrapper.py:80-119) ---------------------------
     "a8_confusion_matrix" -> ((s, d) => {
@@ -121,6 +159,28 @@ object TextPack {
         |        unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
         |      FROM documents) shingles
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "tx_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tf AS (SELECT doc_id, tk, COUNT(*) AS c
+         |       FROM (SELECT doc_id, unnest(t) AS tk FROM toks) x
+         |       GROUP BY doc_id, tk),
+         |agg AS (SELECT doc_id, MAX(c) AS max_tf, SUM(c) AS n
+         |        FROM tf GROUP BY doc_id),
+         |bg AS (SELECT doc_id, len(t) AS nt,
+         |  CASE WHEN len(t) >= 2 THEN len(list_distinct(list_transform(
+         |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])))
+         |  ELSE 0 END AS nbgd
+         |  FROM toks)
+         |SELECT b.doc_id,
+         |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+         |  CASE WHEN a.n IS NULL THEN 0.0
+         |       ELSE CAST(a.max_tf AS DOUBLE) / a.n END AS top_token_ratio,
+         |  CASE WHEN b.nt >= 2
+         |       THEN 1.0 - CAST(b.nbgd AS DOUBLE) / (b.nt - 1)
+         |       ELSE 0.0 END AS dup_bigram_frac
+         |FROM bg b LEFT JOIN agg a ON a.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     "a8_confusion_matrix" ->
       s"""SELECT lang, $langCaseSql AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n

@@ -213,4 +213,43 @@ class OperatorInvariantsSpec extends SparkSpec {
       .select("cum_n").collect()(0).getLong(0)
     assert(last == Tables.events(spark, sfTiny).count())
   }
+
+  test("connected components: min-label fixpoint on a path needs >1 hop") {
+    import spark.implicits._
+    // path 10-11-...-17 (diameter 7 forces several propagation rounds),
+    // a triangle {30,31,32}, an isolated edge (50,51)
+    val edges = ((10L to 16L).map(i => (i, i + 1)) ++
+      Seq((30L, 31L), (31L, 32L), (30L, 32L), (50L, 51L)))
+      .toDF("doc_a", "doc_b")
+    val got = operators.DedupPack.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ((10L to 17L).map(_ -> 10L) ++
+      (30L to 32L).map(_ -> 30L) ++ Seq(50L -> 50L, 51L -> 50L)).toMap
+    assert(got == want)
+  }
+
+  test("ev_asof_join: every match is the latest view at or before the click") {
+    val asof = run("ev_asof_join")
+    assert(asof.count() > 0)
+    // matched views never postdate their click
+    assert(asof.filter(col("view_ts") > col("click_ts")).count() == 0)
+    // no view event between the matched view and the click for that user
+    val views = Tables.events(spark, sfTiny)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    val gaps = asof.filter(col("view_id").isNotNull).join(views, "user_id")
+      .filter(col("v_ts") > col("view_ts") && col("v_ts") <= col("click_ts"))
+    assert(gaps.count() == 0)
+  }
+
+  test("ev_sessionize: sessions partition events; durations within bounds") {
+    val sess = run("ev_sessionize")
+    // every event lands in exactly one session
+    val total = sess.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, sfTiny).count())
+    // non-negative duration; a session's span is bounded by gap*(n-1)
+    assert(sess.filter(col("duration_us") < 0).count() == 0)
+    assert(sess.filter(col("duration_us") >
+      (col("n_events") - 1) * operators.EventsPack.SessionGapUs).count() == 0)
+  }
 }
