@@ -209,28 +209,7 @@ object SimilarityPack {
     // step is a broadcast of K centroid vectors against a linear corpus
     // scan — no shuffle grows with the corpus beyond the K-row centroid
     // aggregates, so further Lloyd iterations are O(corpus) each. --------
-    "ann_ivf_kmeans" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label").cast(LongType).as("cell"),
-          asDouble(col("embedding")).as("v"))
-      val vecs = emb.select(col("vec_id"), col("v"))
-      val cent0 = cellCentroids(emb.select(col("cell"), col("v")))
-      val a0 = assignCells(vecs, cent0)
-      val cent1 = cellCentroids(a0.select(col("cell"), col("v")))
-      val a1 = assignCells(vecs, cent1)
-      val q = a1.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
-      val wRank = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      a1.join(broadcast(q), Seq("cell"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("cell"), col("vec_id").as("neighbor_id"),
-          cosine(col("qv"), col("v")).as("cos"))
-        .withColumn("rank", asLong(row_number().over(wRank)))
-        .filter(col("rank") <= 5)
-        .select("query_id", "cell", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
-    }),
+    "ann_ivf_kmeans" -> ((s, d) => kmeansTopk(s, d, k = 5)),
 
     // ---- multi-probe sign-LSH: each query also probes the 8 buckets at
     //      Hamming distance 1 from its own (single-bit key flips) — the
@@ -275,11 +254,13 @@ object SimilarityPack {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // ---- LSH recall against the exact contract ---------------------------
-    // Per query: how many of the exact top-10 each LSH variant recovered.
-    // The approximate path's quality is thereby MEASURED and oracle-gated,
-    // not asserted — at production scale this same query is the recall
-    // monitor run on a sampled slice. --------------------------------------
+    // ---- ANN recall against the exact contract ---------------------------
+    // Per query: how many of the exact top-10 each approximate variant
+    // (three LSH, three IVF) recovered. The approximate path's quality is
+    // thereby MEASURED and oracle-gated, not asserted — at production scale
+    // this same query is the recall monitor run on a sampled slice.
+    // Tuned headline: `hits_tables` (k=4, L=12 multi-table LSH) reaches
+    // 79/100 recall@10 at sf0.01. --------------------------------------
     "ann_recall" -> ((s, d) => {
       val exact = topkExact(s, d).select(col("query_id"), col("neighbor_id"))
       val qs = exact.select("query_id").distinct()
@@ -287,16 +268,17 @@ object SimilarityPack {
         exact.join(approx.select(col("query_id"), col("neighbor_id")),
             Seq("query_id", "neighbor_id"), "left_semi")
           .groupBy(col("query_id")).agg(count(lit(1)).as(name))
-      qs.join(hitsOf(lshTopk(s, d, multiProbe = false), "hits_single"),
-          Seq("query_id"), "left")
-        .join(hitsOf(lshTopk(s, d, multiProbe = true), "hits_multi"),
-          Seq("query_id"), "left")
-        .join(hitsOf(lshTablesTopk(s, d), "hits_tables"),
-          Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("hits_single"), lit(0L)).as("hits_single"),
-          coalesce(col("hits_multi"), lit(0L)).as("hits_multi"),
-          coalesce(col("hits_tables"), lit(0L)).as("hits_tables"))
+      val variants = Seq(
+        "hits_single" -> lshTopk(s, d, multiProbe = false),
+        "hits_multi" -> lshTopk(s, d, multiProbe = true),
+        "hits_tables" -> lshTablesTopk(s, d),
+        "hits_ivf" -> ivfTopk(s, d, nprobe = 1, k = 10),
+        "hits_ivf2" -> ivfTopk(s, d, nprobe = 2, k = 10),
+        "hits_kmeans" -> kmeansTopk(s, d, k = 10))
+      variants.foldLeft(qs) { case (acc, (name, approx)) =>
+        acc.join(hitsOf(approx, name), Seq("query_id"), "left")
+      }.select(col("query_id") +: variants.map { case (name, _) =>
+          coalesce(col(name), lit(0L)).as(name) }: _*)
         .orderBy("query_id")
     })
   )
@@ -321,12 +303,13 @@ object SimilarityPack {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-style ANN top-5 (reference N3's index shape): coarse quantizer =
+  /** IVF-style ANN top-k (reference N3's index shape): coarse quantizer =
     * per-label centroids (exact decimal sums, bit-identical across
     * engines), each query probes its `nprobe` nearest cells and scores only
     * their members. Cells partition the corpus, so multi-cell candidates
     * never duplicate. */
-  private def ivfTopk(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+  private def ivfTopk(s: SparkSession, d: String, nprobe: Int,
+      k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     val centroids = Tables.embeddings(s, d)
@@ -354,7 +337,35 @@ object SimilarityPack {
         col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("v")).as("cos"))
       .withColumn("rank", asLong(row_number().over(wRank)))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
+      .select("query_id", "cell", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF with TRAINED centroids, top-k: one Lloyd iteration — cent0 =
+    * per-label means (init), E-step reassigns every vector to its nearest
+    * cent0, M-step recomputes the cell means (cent1), and both the inverted
+    * lists and query routing use the trained cent1 assignment. Each step is
+    * a broadcast of K centroid vectors against a linear corpus scan. */
+  private def kmeansTopk(s: SparkSession, d: String, k: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast(LongType).as("cell"),
+        asDouble(col("embedding")).as("v"))
+    val vecs = emb.select(col("vec_id"), col("v"))
+    val cent0 = cellCentroids(emb.select(col("cell"), col("v")))
+    val a0 = assignCells(vecs, cent0)
+    val cent1 = cellCentroids(a0.select(col("cell"), col("v")))
+    val a1 = assignCells(vecs, cent1)
+    val q = a1.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    a1.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cell"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", asLong(row_number().over(wRank)))
+      .filter(col("rank") <= k)
       .select("query_id", "cell", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }
@@ -386,18 +397,26 @@ object SimilarityPack {
 
   /** Independent hash tables for `ann_lsh_multitable` (the (k, L) scheme).
     * Table t uses planes [t·k, (t+1)·k) of one MD5 family — engine and
-    * oracle regenerate all L·k planes from the same integer literals. */
-  private val LshTables = 4
+    * oracle regenerate all L·k planes from the same integer literals.
+    *
+    * Sizing (the usable-recall tune): with the corpus's true top-10
+    * neighbours at cos ≈ 0.24–0.49, per-plane sign agreement is
+    * p = 1 − acos(cos)/π ≈ 0.58–0.66, so recall ≈ 1 − (1 − p^k)^L gives
+    * ~0.11 at the old (k=6, L=4) and ~0.79 at (k=4, L=12) — measured
+    * 79/100 recall@10 at sf0.01 against the exact contract. Candidates
+    * stay O(L · bucket) (~L/2^k of a structureless corpus; far less once
+    * real data clusters), and the corpus is still hashed in one scan. */
+  private val LshTables = 12
 
   /** Planes per table for the multi-table variant — SHORTER keys than the
-    * single-table path's [[LshPlanes]], deliberately: 2^6 = 64 buckets per
+    * single-table path's [[LshPlanes]], deliberately: 2^4 = 16 buckets per
     * table keeps each candidate list ~16× larger than an 8-bit bucket, and
     * recall ≈ 1−(1−p^k)^L is far more sensitive to k than to L when the
-    * per-plane agreement p is low (near-orthogonal corpora). Each query
-    * still scans only ~L/2^k ≈ 6 % of the corpus. Table 0's 6-plane key is
-    * a prefix of the 8-plane key, so the single-table candidate set stays a
-    * subset — the recall-dominance invariant in OperatorInvariantsSpec. */
-  private val LshTablePlanes = 6
+    * per-plane agreement p is low (near-orthogonal corpora). Table 0's
+    * 4-plane key is a prefix of the 8-plane key, so the single-table
+    * candidate set stays a subset — the recall-dominance invariant in
+    * OperatorInvariantsSpec. */
+  private val LshTablePlanes = 4
 
   /** Near-dup cosine threshold shared by the embedding near-dup variants. */
   private[graft] val NearDupCosine = 0.25
@@ -617,56 +636,10 @@ object SimilarityPack {
     "ann_ivf_nprobe" -> ivfOracleSql(nprobe = 2),
 
     "ann_ivf_kmeans" ->
-      """WITH exi AS (SELECT vec_id, CAST(label AS BIGINT) AS cell,
-        |  unnest(generate_series(1, len(embedding))) AS pos,
-        |  CAST(unnest(embedding) AS DOUBLE) AS val
-        |FROM embeddings),
-        |vnorms AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
-        |           FROM exi GROUP BY vec_id),
-        |cent0 AS (SELECT cell, pos,
-        |  CAST(SUM(CAST(round(val * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS c
-        |  FROM exi GROUP BY cell, pos),
-        |c0n AS (SELECT cell, sqrt(SUM(c * c)) AS nrm FROM cent0 GROUP BY cell),
-        |a0dot AS (SELECT e.vec_id, c.cell, SUM(e.val * c.c) AS dp
-        |          FROM exi e JOIN cent0 c ON e.pos = c.pos GROUP BY 1, 2),
-        |assign0 AS (SELECT vec_id, cell FROM (
-        |  SELECT a.vec_id, a.cell,
-        |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY a.dp / (n.nrm * cn.nrm) DESC, a.cell) AS rn
-        |  FROM a0dot a
-        |  JOIN vnorms n ON n.vec_id = a.vec_id
-        |  JOIN c0n cn ON cn.cell = a.cell) t WHERE rn = 1),
-        |cent1 AS (SELECT s.cell, e.pos,
-        |  CAST(SUM(CAST(round(e.val * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS c
-        |  FROM exi e JOIN assign0 s ON s.vec_id = e.vec_id
-        |  GROUP BY s.cell, e.pos),
-        |c1n AS (SELECT cell, sqrt(SUM(c * c)) AS nrm FROM cent1 GROUP BY cell),
-        |a1dot AS (SELECT e.vec_id, c.cell, SUM(e.val * c.c) AS dp
-        |          FROM exi e JOIN cent1 c ON e.pos = c.pos GROUP BY 1, 2),
-        |assign1 AS (SELECT vec_id, cell FROM (
-        |  SELECT a.vec_id, a.cell,
-        |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY a.dp / (n.nrm * cn.nrm) DESC, a.cell) AS rn
-        |  FROM a1dot a
-        |  JOIN vnorms n ON n.vec_id = a.vec_id
-        |  JOIN c1n cn ON cn.cell = a.cell) t WHERE rn = 1),
-        |qrys AS (SELECT vec_id AS query_id, cell FROM assign1
-        |         WHERE vec_id < 10),
-        |ndot AS (SELECT q.query_id, q.cell, a.vec_id AS neighbor_id,
-        |           SUM(eq.val * ea.val) AS dp
-        |  FROM qrys q
-        |  JOIN assign1 a ON a.cell = q.cell AND a.vec_id <> q.query_id
-        |  JOIN exi eq ON eq.vec_id = q.query_id
-        |  JOIN exi ea ON ea.vec_id = a.vec_id AND ea.pos = eq.pos
-        |  GROUP BY 1, 2, 3),
-        |ranked AS (SELECT query_id, cell, neighbor_id,
-        |  row_number() OVER (PARTITION BY query_id
-        |    ORDER BY dp / (nq.nrm * nn.nrm) DESC, neighbor_id) AS rank
-        |  FROM ndot
-        |  JOIN vnorms nq ON nq.vec_id = query_id
-        |  JOIN vnorms nn ON nn.vec_id = neighbor_id)
-        |SELECT query_id, cell, CAST(rank AS BIGINT) AS rank, neighbor_id
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      s"""WITH $exiCte,
+         |${kmeansCtes("")}
+         |SELECT query_id, cell, CAST(rank AS BIGINT) AS rank, neighbor_id
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // The MD5-derived hyperplane family as exact integer literals (p 0-based
     // plane, pos 1-based dimension, v the 24-bit integer; w = v/2²³ − 1
@@ -722,79 +695,150 @@ object SimilarityPack {
 
     "ann_recall" ->
       s"""WITH $exCte,
+         |$exiCte,
          |${exactTopkCtes("e")},
          |${lshTopkCtes("l", multiProbe = false)},
          |${lshTopkCtes("m", multiProbe = true)},
          |${lshTablesCtes("t")},
+         |${ivfCtes("i1", nprobe = 1)},
+         |${ivfCtes("i2", nprobe = 2)},
+         |${kmeansCtes("km")},
          |exact AS (SELECT query_id, neighbor_id FROM eranked WHERE rank <= 10),
-         |sapprox AS (SELECT query_id, neighbor_id FROM lranked
-         |            WHERE rank <= 10),
-         |mapprox AS (SELECT query_id, neighbor_id FROM mranked
-         |            WHERE rank <= 10),
-         |tapprox AS (SELECT query_id, neighbor_id FROM tranked
-         |            WHERE rank <= 10),
-         |shits AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
-         |         FROM exact e JOIN sapprox a
-         |           ON e.query_id = a.query_id
-         |           AND e.neighbor_id = a.neighbor_id
-         |         GROUP BY e.query_id),
-         |mhits AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
-         |         FROM exact e JOIN mapprox a
-         |           ON e.query_id = a.query_id
-         |           AND e.neighbor_id = a.neighbor_id
-         |         GROUP BY e.query_id),
-         |thits AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
-         |         FROM exact e JOIN tapprox a
-         |           ON e.query_id = a.query_id
-         |           AND e.neighbor_id = a.neighbor_id
-         |         GROUP BY e.query_id),
+         |${recallHits("s", "lranked")}
+         |${recallHits("m", "mranked")}
+         |${recallHits("t", "tranked")}
+         |${recallHits("i1", "i1ranked")}
+         |${recallHits("i2", "i2ranked")}
+         |${recallHits("km", "kmranked")}
          |qs AS (SELECT DISTINCT query_id FROM exact)
          |SELECT q.query_id,
          |  CAST(COALESCE(sh.hits, 0) AS BIGINT) AS hits_single,
          |  CAST(COALESCE(mh.hits, 0) AS BIGINT) AS hits_multi,
-         |  CAST(COALESCE(th.hits, 0) AS BIGINT) AS hits_tables
+         |  CAST(COALESCE(th.hits, 0) AS BIGINT) AS hits_tables,
+         |  CAST(COALESCE(i1h.hits, 0) AS BIGINT) AS hits_ivf,
+         |  CAST(COALESCE(i2h.hits, 0) AS BIGINT) AS hits_ivf2,
+         |  CAST(COALESCE(kmh.hits, 0) AS BIGINT) AS hits_kmeans
          |FROM qs q
          |LEFT JOIN shits sh ON q.query_id = sh.query_id
          |LEFT JOIN mhits mh ON q.query_id = mh.query_id
          |LEFT JOIN thits th ON q.query_id = th.query_id
+         |LEFT JOIN i1hits i1h ON q.query_id = i1h.query_id
+         |LEFT JOIN i2hits i2h ON q.query_id = i2h.query_id
+         |LEFT JOIN kmhits kmh ON q.query_id = kmh.query_id
          |ORDER BY q.query_id""".stripMargin
   )
 
-  /** DuckDB oracle mirroring [[ivfTopk]] at the given probe width. */
-  private def ivfOracleSql(nprobe: Int): String =
-    s"""WITH exi AS (SELECT vec_id, label,
-       |  unnest(generate_series(1, len(embedding))) AS pos,
-       |  CAST(unnest(embedding) AS DOUBLE) AS val
-       |FROM embeddings),
-       |cent AS (SELECT label, pos,
+  /** One approximate variant's recall-hit CTE pair: its top-10 slice and
+    * the per-query overlap with `exact`. Requires `exact` and `{ranked}`
+    * in scope. */
+  private def recallHits(p: String, ranked: String): String =
+    s"""${p}approx AS (SELECT query_id, neighbor_id FROM $ranked
+       |            WHERE rank <= 10),
+       |${p}hits AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+       |         FROM exact e JOIN ${p}approx a
+       |           ON e.query_id = a.query_id
+       |           AND e.neighbor_id = a.neighbor_id
+       |         GROUP BY e.query_id),""".stripMargin
+
+  /** Exploded (vec_id, label, cell, pos, val) CTE shared by the IVF and
+    * kmeans oracle chains. Lazy: referenced from `oracles`, which
+    * initializes before this declaration site. */
+  private lazy val exiCte =
+    """exi AS (SELECT vec_id, label, CAST(label AS BIGINT) AS cell,
+      |  unnest(generate_series(1, len(embedding))) AS pos,
+      |  CAST(unnest(embedding) AS DOUBLE) AS val
+      |FROM embeddings)""".stripMargin
+
+  /** CTE chain mirroring [[ivfTopk]] at the given probe width — prefixed
+    * like [[lshTopkCtes]] so the recall oracle can host several chains.
+    * Requires `exi` in scope; produces `{p}ranked` (full ranking, the
+    * caller applies its own rank cutoff). */
+  private def ivfCtes(p: String, nprobe: Int): String =
+    s"""${p}cent AS (SELECT label, pos,
        |  CAST(SUM(CAST(round(val * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS c
        |  FROM exi GROUP BY label, pos),
-       |qn AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
+       |${p}qn AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
        |       FROM exi GROUP BY vec_id),
-       |cn AS (SELECT label, sqrt(SUM(c * c)) AS nrm FROM cent GROUP BY label),
-       |cdot AS (SELECT e.vec_id AS query_id, c.label, SUM(e.val * c.c) AS dp
-       |         FROM exi e JOIN cent c ON e.pos = c.pos
+       |${p}cn AS (SELECT label, sqrt(SUM(c * c)) AS nrm
+       |       FROM ${p}cent GROUP BY label),
+       |${p}cdot AS (SELECT e.vec_id AS query_id, c.label, SUM(e.val * c.c) AS dp
+       |         FROM exi e JOIN ${p}cent c ON e.pos = c.pos
        |         WHERE e.vec_id < 10 GROUP BY 1, 2),
-       |assigned AS (SELECT query_id, label FROM (
-       |  SELECT query_id, cdot.label,
+       |${p}assigned AS (SELECT query_id, label FROM (
+       |  SELECT query_id, cd.label,
        |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY dp / (qn.nrm * cn.nrm) DESC, cdot.label) AS rn
-       |  FROM cdot
-       |  JOIN qn ON qn.vec_id = query_id
-       |  JOIN cn ON cn.label = cdot.label) t WHERE rn <= $nprobe),
-       |ndot AS (SELECT a.query_id, a.label, e.vec_id AS neighbor_id,
+       |      ORDER BY dp / (qn.nrm * cn.nrm) DESC, cd.label) AS rn
+       |  FROM ${p}cdot cd
+       |  JOIN ${p}qn qn ON qn.vec_id = query_id
+       |  JOIN ${p}cn cn ON cn.label = cd.label) t WHERE rn <= $nprobe),
+       |${p}ndot AS (SELECT a.query_id, a.label, e.vec_id AS neighbor_id,
        |           SUM(q.val * e.val) AS dp
-       |         FROM assigned a
+       |         FROM ${p}assigned a
        |         JOIN exi q ON q.vec_id = a.query_id
        |         JOIN exi e ON e.label = a.label AND e.pos = q.pos
        |           AND e.vec_id <> a.query_id
        |         GROUP BY 1, 2, 3),
-       |ranked AS (SELECT query_id, label, neighbor_id,
+       |${p}ranked AS (SELECT query_id, label, neighbor_id,
        |  row_number() OVER (PARTITION BY query_id
        |    ORDER BY dp / (nq.nrm * ne.nrm) DESC, neighbor_id) AS rank
-       |  FROM ndot
-       |  JOIN qn nq ON nq.vec_id = query_id
-       |  JOIN qn ne ON ne.vec_id = neighbor_id)
+       |  FROM ${p}ndot
+       |  JOIN ${p}qn nq ON nq.vec_id = query_id
+       |  JOIN ${p}qn ne ON ne.vec_id = neighbor_id)""".stripMargin
+
+  /** CTE chain mirroring [[kmeansTopk]] (one Lloyd iteration), prefixed
+    * like [[ivfCtes]]. Requires `exi` in scope; produces `{p}ranked`. */
+  private def kmeansCtes(p: String): String =
+    s"""${p}vnorms AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
+       |           FROM exi GROUP BY vec_id),
+       |${p}cent0 AS (SELECT cell, pos,
+       |  CAST(SUM(CAST(round(val * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS c
+       |  FROM exi GROUP BY cell, pos),
+       |${p}c0n AS (SELECT cell, sqrt(SUM(c * c)) AS nrm
+       |  FROM ${p}cent0 GROUP BY cell),
+       |${p}a0dot AS (SELECT e.vec_id, c.cell, SUM(e.val * c.c) AS dp
+       |          FROM exi e JOIN ${p}cent0 c ON e.pos = c.pos GROUP BY 1, 2),
+       |${p}assign0 AS (SELECT vec_id, cell FROM (
+       |  SELECT a.vec_id, a.cell,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY a.dp / (n.nrm * cn.nrm) DESC, a.cell) AS rn
+       |  FROM ${p}a0dot a
+       |  JOIN ${p}vnorms n ON n.vec_id = a.vec_id
+       |  JOIN ${p}c0n cn ON cn.cell = a.cell) t WHERE rn = 1),
+       |${p}cent1 AS (SELECT s.cell, e.pos,
+       |  CAST(SUM(CAST(round(e.val * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS c
+       |  FROM exi e JOIN ${p}assign0 s ON s.vec_id = e.vec_id
+       |  GROUP BY s.cell, e.pos),
+       |${p}c1n AS (SELECT cell, sqrt(SUM(c * c)) AS nrm
+       |  FROM ${p}cent1 GROUP BY cell),
+       |${p}a1dot AS (SELECT e.vec_id, c.cell, SUM(e.val * c.c) AS dp
+       |          FROM exi e JOIN ${p}cent1 c ON e.pos = c.pos GROUP BY 1, 2),
+       |${p}assign1 AS (SELECT vec_id, cell FROM (
+       |  SELECT a.vec_id, a.cell,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY a.dp / (n.nrm * cn.nrm) DESC, a.cell) AS rn
+       |  FROM ${p}a1dot a
+       |  JOIN ${p}vnorms n ON n.vec_id = a.vec_id
+       |  JOIN ${p}c1n cn ON cn.cell = a.cell) t WHERE rn = 1),
+       |${p}qrys AS (SELECT vec_id AS query_id, cell FROM ${p}assign1
+       |         WHERE vec_id < 10),
+       |${p}ndot AS (SELECT q.query_id, q.cell, a.vec_id AS neighbor_id,
+       |           SUM(eq.val * ea.val) AS dp
+       |  FROM ${p}qrys q
+       |  JOIN ${p}assign1 a ON a.cell = q.cell AND a.vec_id <> q.query_id
+       |  JOIN exi eq ON eq.vec_id = q.query_id
+       |  JOIN exi ea ON ea.vec_id = a.vec_id AND ea.pos = eq.pos
+       |  GROUP BY 1, 2, 3),
+       |${p}ranked AS (SELECT query_id, cell, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dp / (nq.nrm * nn.nrm) DESC, neighbor_id) AS rank
+       |  FROM ${p}ndot
+       |  JOIN ${p}vnorms nq ON nq.vec_id = query_id
+       |  JOIN ${p}vnorms nn ON nn.vec_id = neighbor_id)""".stripMargin
+
+  /** DuckDB oracle mirroring [[ivfTopk]] at the given probe width. */
+  private def ivfOracleSql(nprobe: Int): String =
+    s"""WITH $exiCte,
+       |${ivfCtes("", nprobe)}
        |SELECT query_id, CAST(label AS BIGINT) AS cell,
        |  CAST(rank AS BIGINT) AS rank, neighbor_id
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin

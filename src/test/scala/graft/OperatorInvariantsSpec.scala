@@ -55,8 +55,8 @@ class OperatorInvariantsSpec extends SparkSpec {
   }
 
   test("multi-table LSH recall dominates single-table recall per query") {
-    // table 0's 6-plane key is a prefix of the single-table 8-plane key
-    // (equal 8-bit buckets => equal 6-bit buckets), so the multi-table
+    // table 0's 4-plane key is a prefix of the single-table 8-plane key
+    // (equal 8-bit buckets => equal 4-bit buckets), so the multi-table
     // candidate set is a superset — and any exact-top-10
     // member in a candidate set always survives exact-cosine re-ranking
     // (only globally-higher-cosine candidates can displace it, and there
