@@ -9,6 +9,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Engine.session(cpus)
     new java.io.File(outDir).mkdirs()
+    // Materialize the bucketed/partitioned layout before the concurrent
+    // drive (one writer, then every query reads the stored layout).
+    Tables.prepare(spark, sfDir)
     // Run queries concurrently: Spark's scheduler interleaves independent
     // jobs, so 8 in flight keep all cores busy while single-threaded
     // stages (sorts, tiny outputs) of one query overlap another's scans.

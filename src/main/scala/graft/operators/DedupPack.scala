@@ -48,11 +48,12 @@ object DedupPack {
 
   private val minhashAggsList = minhashAggs(col("h"), NumHashes)
 
-  /** (doc_id, shingles) with distinct word-3-gram shingles. Spread across
-    * cores first: shingling + hashing is the pipeline's expression-bound
-    * map stage (see Tables.spread). */
+  /** (doc_id, shingles) with distinct word-3-gram shingles. Shingling +
+    * hashing is the pipeline's expression-bound map stage; the bucketed
+    * documents layout scans one task per bucket, so it parallelizes
+    * natively. */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.spread(Tables.documents(s, d), s)
+    Tables.documents(s, d)
       .select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sh"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -108,7 +109,7 @@ object DedupPack {
 
     // ---- MinHash + LSH banding candidate pairs ---------------------------
     "dd_minhash_lsh" -> ((s, d) =>
-      minhashPairs(Tables.spread(Tables.documents(s, d), s))
+      minhashPairs(Tables.documents(s, d))
         .orderBy("doc_a", "doc_b")),
 
     // ---- near-dup pairs → canonical groups (connected components) --------
@@ -121,13 +122,13 @@ object DedupPack {
     // candidate pair.
     "dd_components" -> ((s, d) => {
       connectedComponents(
-        minhashPairs(Tables.spread(Tables.documents(s, d), s)))
+        minhashPairs(Tables.documents(s, d)))
         .orderBy("doc_id")
     }),
 
     // ---- SimHash signatures ---------------------------------------------
     "dd_simhash" -> ((s, d) => {
-      Tables.spread(Tables.documents(s, d), s)
+      Tables.documents(s, d)
         .select(col("doc_id"), simhashBits(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
@@ -142,7 +143,7 @@ object DedupPack {
     // (graft.plans.HammingDistance, registered via SparkSessionExtensions):
     // a codegen'd byte loop, not a UDF.
     "dd_simhash_pairs" -> ((s, d) => {
-      val sigs = Tables.spread(Tables.documents(s, d), s)
+      val sigs = Tables.documents(s, d)
         .select(col("doc_id"), simhashBits(col("text")).as("sh"))
       val blockCols = (0 until SimhashBlocks).map(b =>
         substring(col("sh"), b * 16 + 1, 16))

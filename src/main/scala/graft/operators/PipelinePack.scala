@@ -49,7 +49,7 @@ object PipelinePack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_corpus_prep" -> ((s, d) => {
       val t = col("text")
-      val scored = Tables.spread(Tables.documents(s, d), s)
+      val scored = Tables.documents(s, d)
         .select(col("doc_id"), t,
           tokenCount(t).as("n_tokens"),
           stopwordRatio(t).as("stop_ratio"),

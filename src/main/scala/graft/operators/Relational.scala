@@ -464,9 +464,9 @@ object Relational {
     //      dataset_eval/artistfilter.py:137-158 — recordings joined to the
     //      artist id pulled out of the document's tag map) ----------------
     "j10_json_key_join" -> ((s, d) => {
-      // spread first: the JSON parse over every event is the expression-
-      // bound map stage (single-row-group input, see Tables.spread)
-      val ev = Tables.spread(Tables.events(s, d), s)
+      // the JSON parse over every event is the expression-bound map stage;
+      // the day-partitioned layout scans it one task per partition
+      val ev = Tables.events(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
       ev.join(Tables.orders(s, d), col("k") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))

@@ -44,7 +44,7 @@ object TextPack {
     // ---- token counting (whitespace + distinct + BPE estimate) -----------
     "tx_token_stats" -> ((s, d) => {
       val t = col("text")
-      Tables.spread(Tables.documents(s, d), s)
+      Tables.documents(s, d)
         .select(
           col("doc_id"),
           tokenCount(t).as("n_tokens"),
@@ -57,7 +57,7 @@ object TextPack {
     // ---- quality scoring (length / stopword / token-shape ratios) --------
     "tx_quality_score" -> ((s, d) => {
       val t = col("text")
-      Tables.spread(Tables.documents(s, d), s)
+      Tables.documents(s, d)
         .select(
           col("doc_id"),
           tokenCount(t).as("n_tokens"),
@@ -69,14 +69,14 @@ object TextPack {
 
     // ---- language-ID heuristic ------------------------------------------
     "tx_lang_id" -> ((s, d) => {
-      Tables.spread(Tables.documents(s, d), s)
+      Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), langGuess(col("text")).as("pred_lang"))
         .orderBy("doc_id")
     }),
 
     // ---- document fingerprint (min-MD5 over 8-char shingles) -------------
     "tx_fingerprint" -> ((s, d) => {
-      Tables.spread(Tables.documents(s, d), s)
+      Tables.documents(s, d)
         .select(col("doc_id"), shingleFingerprint(col("text"), 8).as("fp"))
         .orderBy("doc_id")
     }),
@@ -90,7 +90,7 @@ object TextPack {
     // expression — no second explode, no shuffle.
     "tx_repetition" -> ((s, d) => {
       import graft.functions.HashFunctions.bindArray
-      val docs = Tables.spread(Tables.documents(s, d), s)
+      val docs = Tables.documents(s, d)
       val tf = docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
         .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
@@ -122,7 +122,7 @@ object TextPack {
     // ---- confusion matrix actual-vs-predicted (reference A8:
     //      dataset_eval/gaia_wrapper.py:80-119) ---------------------------
     "a8_confusion_matrix" -> ((s, d) => {
-      Tables.spread(Tables.documents(s, d), s)
+      Tables.documents(s, d)
         .select(col("lang"), langGuess(col("text")).as("pred_lang"))
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))

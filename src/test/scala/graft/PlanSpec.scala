@@ -64,6 +64,50 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Exchange"))
   }
 
+  test("bucketed layout: orderkey joins and aggs run without a hash exchange") {
+    // j7 aggregates lineitem by its bucket key; s8 is the fact-fact join
+    // (orders ⋈ lineitem-aggregate on orderkey) with BOTH sides bucketed.
+    // Broadcast is disabled so the join can't hide behind the small SF —
+    // at 100 TB neither side broadcasts, and this layout is what keeps the
+    // join shuffle-free. The only exchange left is the final ORDER BY's
+    // range partitioning.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (q <- Seq("j7_order_lines_agg", "s8_hl_reassembly")) {
+        val plan = planText(run(q))
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"$q: bucketed layout should leave no hash exchange:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("doc-keyed aggregation consumes the bucketed documents clustering") {
+    import org.apache.spark.sql.functions._
+    // the dedup packs' signature-assembly shape: explode per-doc tokens,
+    // re-aggregate by doc_id — on the bucketed layout the scan's
+    // partitioning feeds the aggregate directly, no exchange at all
+    val df = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"doc_id aggregation should be exchange-free on the bucketed layout:\n$plan")
+  }
+
+  test("day-partitioned events prune date ranges at the directory level") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.eventsPartitioned(spark, sfTiny)
+    val day = ev.agg(min(col("event_day"))).head().getDate(0)
+    val df = ev.filter(col("event_day") === lit(day))
+    assert(df.count() > 0)
+    val scanLine = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters"))
+    assert(scanLine.exists(_.contains("event_day")),
+      s"expected a partition filter on event_day, got: $scanLine")
+  }
+
   test("semi/anti join lookups stay joins (no collect-to-driver IN lists)") {
     for (q <- Seq("j8_semi_join", "j3_anti_join", "p2_keyset_lookup")) {
       val plan = planText(run(q))
