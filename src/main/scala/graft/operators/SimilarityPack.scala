@@ -254,6 +254,31 @@ object SimilarityPack {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- persisted-index ANN: build once, save, query many ---------------
+    // The reference builds Annoy indexes once and mmap-loads them per query
+    // (similarity/index_model.py:76-92); here the saved artifact is the
+    // (tbl, key, vec_id) bucket table — the query plan SCANS it (plan
+    // assert in IndexStoreSpec) instead of re-hashing the corpus, and a
+    // corpus-fingerprint manifest blocks stale serving. Results are
+    // identical to the inline recompute (`ann_lsh_multitable`), which is
+    // exactly what the shared oracle checks. -------------------------------
+    "ann_lsh_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val keyed = s.read.parquet(s"${ensureLshIndex(s, d)}/buckets")
+      lshTablesRank(emb, keyed)
+    }),
+
+    // ---- persisted trained-IVF: the Lloyd iteration is the expensive
+    //      build half; queries load its saved centroids/assignments -------
+    "ann_kmeans_indexed" -> ((s, d) => {
+      val p = ensureKmeansIndex(s, d)
+      val assign = s.read.parquet(s"$p/assignments")
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      cellTopk(assign.join(emb, Seq("vec_id")), k = 5)
+    }),
+
     // ---- ANN recall against the exact contract ---------------------------
     // Per query: how many of the exact top-10 each approximate variant
     // (three LSH, three IVF) recovered. The approximate path's quality is
@@ -347,7 +372,14 @@ object SimilarityPack {
     * cent0, M-step recomputes the cell means (cent1), and both the inverted
     * lists and query routing use the trained cent1 assignment. Each step is
     * a broadcast of K centroid vectors against a linear corpus scan. */
-  private def kmeansTopk(s: SparkSession, d: String, k: Int): DataFrame = {
+  private def kmeansTopk(s: SparkSession, d: String, k: Int): DataFrame =
+    cellTopk(kmeansTrain(s, d)._2, k)
+
+  /** The one-Lloyd-iteration training: (trained centroids (cell, cv),
+    * trained assignment (vec_id, v, cell)) — the content of the persisted
+    * IVF artifact. */
+  private def kmeansTrain(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label").cast(LongType).as("cell"),
         asDouble(col("embedding")).as("v"))
@@ -355,7 +387,13 @@ object SimilarityPack {
     val cent0 = cellCentroids(emb.select(col("cell"), col("v")))
     val a0 = assignCells(vecs, cent0)
     val cent1 = cellCentroids(a0.select(col("cell"), col("v")))
-    val a1 = assignCells(vecs, cent1)
+    (cent1, assignCells(vecs, cent1))
+  }
+
+  /** Top-k by exact cosine within each query's assigned cell, over a
+    * (vec_id, v, cell) assignment — trained inline or loaded from the
+    * saved index artifact. */
+  private def cellTopk(a1: DataFrame, k: Int): DataFrame = {
     val q = a1.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
     val wRank = Window.partitionBy(col("query_id"))
@@ -434,14 +472,25 @@ object SimilarityPack {
     * both scoring joins broadcast it — the corpus is scanned, never
     * shuffled. */
   private def lshTablesTopk(s: SparkSession, d: String): DataFrame = {
-    val tables = lshHyperplanes(LshTables * LshTablePlanes, Dim)
-      .grouped(LshTablePlanes).toSeq
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    lshTablesRank(emb, keyedBuckets(emb))
+  }
+
+  /** (vec_id, tbl, key) bucket rows of the multi-table index — the content
+    * of the persisted LSH artifact. */
+  private def keyedBuckets(emb: DataFrame): DataFrame = {
+    val tables = lshHyperplanes(LshTables * LshTablePlanes, Dim)
+      .grouped(LshTablePlanes).toSeq
     val keyCols = tables.map(hp => lshBucket(col("v"), hp))
-    val keyed = emb
-      .select(col("vec_id"), posexplode(array(keyCols: _*)).as(Seq("tbl", "key")))
+    emb.select(col("vec_id"),
+        posexplode(array(keyCols: _*)).as(Seq("tbl", "key")))
       .filter(col("key").isNotNull)
+  }
+
+  /** Candidate-union + exact-cosine rank over a (vec_id, tbl, key) bucket
+    * table — inline-computed or loaded from the saved index artifact. */
+  private def lshTablesRank(emb: DataFrame, keyed: DataFrame): DataFrame = {
     val qKeys = keyed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("tbl"), col("key"))
     val cand = keyed.join(broadcast(qKeys), Seq("tbl", "key"))
@@ -461,6 +510,29 @@ object SimilarityPack {
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }
+
+  /** Persisted multi-table LSH index, named like the reference's index
+    * files (`<metric>_<variant>_<shape>`): bucket rows saved once per
+    * corpus, freshness-checked on every load (sim.IndexStore). */
+  private[graft] def ensureLshIndex(s: SparkSession, d: String): String =
+    graft.sim.IndexStore.ensure(s, d,
+      s"angular_lsh_${LshTables}x$LshTablePlanes",
+      Tables.embeddings(s, d), "vec_id") { p =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      keyedBuckets(emb).write.mode("overwrite").parquet(s"$p/buckets")
+    }
+
+  /** Persisted trained-IVF index: centroids + assignments from the one-
+    * Lloyd-iteration training, saved once per corpus. */
+  private[graft] def ensureKmeansIndex(s: SparkSession, d: String): String =
+    graft.sim.IndexStore.ensure(s, d, "angular_ivf_kmeans",
+      Tables.embeddings(s, d), "vec_id") { p =>
+      val (cent1, a1) = kmeansTrain(s, d)
+      cent1.write.mode("overwrite").parquet(s"$p/centroids")
+      a1.select("vec_id", "cell").write.mode("overwrite")
+        .parquet(s"$p/assignments")
+    }
 
   /** Sign-LSH bucketed top-10 (N3's scale path): each query scores only its
     * own bucket — or, with `multiProbe`, also the [[LshPlanes]] buckets one
@@ -635,11 +707,14 @@ object SimilarityPack {
 
     "ann_ivf_nprobe" -> ivfOracleSql(nprobe = 2),
 
-    "ann_ivf_kmeans" ->
-      s"""WITH $exiCte,
-         |${kmeansCtes("")}
-         |SELECT query_id, cell, CAST(rank AS BIGINT) AS rank, neighbor_id
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_kmeans" -> kmeansOracleSql,
+
+    // The persisted-index variants serve IDENTICAL semantics from the
+    // saved artifact, so their oracles are the inline variants' SQL
+    // verbatim — equality with the recompute path is the property under
+    // test (the plan-level "reads the artifact" half is IndexStoreSpec's).
+    "ann_kmeans_indexed" -> kmeansOracleSql,
+    "ann_lsh_indexed" -> lshTablesOracleSql,
 
     // The MD5-derived hyperplane family as exact integer literals (p 0-based
     // plane, pos 1-based dimension, v the 24-bit integer; w = v/2²³ − 1
@@ -656,11 +731,7 @@ object SimilarityPack {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
-    "ann_lsh_multitable" ->
-      s"""WITH $exCte,
-         |${lshTablesCtes("")}
-         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
-         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh_multitable" -> lshTablesOracleSql,
 
     "dd_embedding_lsh" ->
       s"""WITH $exCte,
@@ -834,6 +905,22 @@ object SimilarityPack {
        |  FROM ${p}ndot
        |  JOIN ${p}vnorms nq ON nq.vec_id = query_id
        |  JOIN ${p}vnorms nn ON nn.vec_id = neighbor_id)""".stripMargin
+
+  /** DuckDB oracle mirroring [[lshTablesTopk]] — shared verbatim by the
+    * inline and persisted-index variants. */
+  private def lshTablesOracleSql: String =
+    s"""WITH $exCte,
+       |${lshTablesCtes("")}
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB oracle mirroring [[kmeansTopk]] — shared verbatim by the
+    * inline and persisted-index variants. */
+  private def kmeansOracleSql: String =
+    s"""WITH $exiCte,
+       |${kmeansCtes("")}
+       |SELECT query_id, cell, CAST(rank AS BIGINT) AS rank, neighbor_id
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB oracle mirroring [[ivfTopk]] at the given probe width. */
   private def ivfOracleSql(nprobe: Int): String =

@@ -1,0 +1,62 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Build-once / save / query-many index artifacts — the Spark re-expression
+  * of the reference's persisted Annoy indexes (similarity/index_model.py:
+  * 76-92 save/load, :247-267 `<metric>_<distance>_<n_trees>.ann` naming).
+  *
+  * An artifact is a directory of parquet members (bucket lists, centroids,
+  * assignments) plus a one-row `manifest` parquet recording the corpus
+  * fingerprint (row count + max key) it was built from. Loading goes
+  * through [[ensure]], which rebuilds when the artifact is absent OR the
+  * fingerprint no longer matches — a grown or changed corpus can never
+  * silently serve a stale index. At production scale the same artifacts
+  * live on shared storage: the build is the expensive half (full corpus
+  * scans / Lloyd iterations), queries only read the saved members.
+  */
+object IndexStore {
+
+  private lazy val root: String =
+    java.nio.file.Files.createTempDirectory("graft_indexes").toString
+
+  /** Artifact directory for index `name` over `dir`'s corpus (dir hash
+    * keeps artifacts per-scale-factor, like the materialized layout). */
+  def path(dir: String, name: String): String =
+    s"$root/${Integer.toHexString(dir.hashCode)}/$name"
+
+  /** Corpus fingerprint recorded in (and checked against) the manifest. */
+  def fingerprint(corpus: DataFrame, idCol: String): (Long, Long) = {
+    val r = corpus.agg(count(lit(1)), coalesce(max(col(idCol)), lit(-1L)))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  def writeManifest(s: SparkSession, p: String, fp: (Long, Long)): Unit = {
+    import s.implicits._
+    Seq(fp).toDF("corpus_rows", "max_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$p/manifest")
+  }
+
+  /** True iff a manifest exists and matches the corpus fingerprint. */
+  def isFresh(s: SparkSession, p: String, fp: (Long, Long)): Boolean =
+    new java.io.File(s"$p/manifest").exists() && {
+      val m = s.read.parquet(s"$p/manifest").head()
+      (m.getLong(0), m.getLong(1)) == fp
+    }
+
+  /** Build-once gate: run `build` when the artifact is absent or stale,
+    * stamp the manifest, return the artifact path. Synchronized — Verify
+    * drives queries from 8 threads. */
+  def ensure(s: SparkSession, dir: String, name: String, corpus: DataFrame,
+      idCol: String)(build: String => Unit): String = synchronized {
+    val p = path(dir, name)
+    val fp = fingerprint(corpus, idCol)
+    if (!isFresh(s, p, fp)) {
+      build(p)
+      writeManifest(s, p, fp)
+    }
+    p
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.sim.IndexStore
+import org.apache.spark.sql.DataFrame
+
+/** Persisted index artifacts (sim.IndexStore + SimilarityPack's `_indexed`
+  * queries): the plans must SCAN the saved artifact instead of recomputing
+  * buckets/centroids, results must equal the inline recompute variants,
+  * and a changed corpus must fail the freshness gate. */
+class IndexStoreSpec extends SparkSpec {
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfTiny)
+
+  private def planOf(name: String): String = {
+    val df = run(name)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("indexed ANN plans scan the saved artifact, not a recompute") {
+    // NOTE: FileScan Location strings truncate at ~100 chars, so match the
+    // artifact-root fragment plus the (possibly truncated) index name
+    val km = planOf("ann_kmeans_indexed")
+    assert(km.contains("graft_indexes") && km.contains("angular_ivf_kmean"),
+      s"kmeans plan should scan the saved index:\n$km")
+    // centroid training explodes the embeddings (posexplode) — the indexed
+    // query path must not contain it
+    assert(!km.contains("posexplode"),
+      s"kmeans plan recomputes centroids:\n$km")
+    val lsh = planOf("ann_lsh_indexed")
+    assert(lsh.contains("graft_indexes") && lsh.contains("angular_lsh"),
+      s"lsh plan should scan the saved index:\n$lsh")
+    // corpus bucket keys are built by concatenating sign bits — the
+    // indexed query path loads them instead
+    assert(!lsh.contains("concat"),
+      s"lsh plan recomputes bucket keys:\n$lsh")
+  }
+
+  test("indexed results equal the inline recompute variants") {
+    assert(run("ann_kmeans_indexed").collect().map(_.toString).toSeq ==
+      run("ann_ivf_kmeans").collect().map(_.toString).toSeq)
+    assert(run("ann_lsh_indexed").collect().map(_.toString).toSeq ==
+      run("ann_lsh_multitable").collect().map(_.toString).toSeq)
+  }
+
+  test("a changed corpus fails the freshness gate and forces a rebuild") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val fp = IndexStore.fingerprint(emb, "vec_id")
+    run("ann_kmeans_indexed").collect() // builds if absent
+    val p = IndexStore.path(sfTiny, "angular_ivf_kmeans")
+    assert(IndexStore.isFresh(spark, p, fp))
+    // simulate corpus drift: the manifest now claims a different corpus
+    IndexStore.writeManifest(spark, p, (fp._1 - 1, fp._2))
+    assert(!IndexStore.isFresh(spark, p, fp))
+    // ensure() sees the mismatch, rebuilds, and restamps the manifest
+    var rebuilt = false
+    IndexStore.ensure(spark, sfTiny, "angular_ivf_kmeans", emb, "vec_id") {
+      _ => rebuilt = true
+    }
+    assert(rebuilt)
+    assert(IndexStore.isFresh(spark, p, fp))
+  }
+}
