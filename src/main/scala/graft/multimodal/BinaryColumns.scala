@@ -1,31 +1,51 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed metadata,
   * processed batch-wise inside executors.
   *
-  * Real image/audio decoders aren't available in this environment, so
-  * `decodeStub` is a clearly-marked deterministic fake — but the Spark-side
-  * plumbing is real and what matters at 100 TB: the payload travels as a
-  * `binary` column next to its metadata struct, decode runs per-partition
-  * (one library init per task, like mapInPandas batches), partitioning is
-  * explicit so oversized media rows can be spread (`repartition` before the
-  * decode to bound per-task memory), and the output schema is fixed and
+  * The decode layer parses REAL header formats (canonical 44-byte RIFF/WAVE
+  * and BITMAPINFOHEADER BMP) from the payload bytes — little-endian
+  * multi-byte fields at fixed chunk offsets, magic-number validation, and a
+  * sentinel row for undecodable payloads. The fixture payloads are built
+  * from document columns entirely in Catalyst (hex assembly → `unhex`), so
+  * the DuckDB oracle can recompute every decoded field by arithmetic and
+  * the decoder is gated end-to-end: what the encoder embeds in bytes, the
+  * parser must extract back.
+  *
+  * The Spark-side shape is what matters at 100 TB: the payload travels as a
+  * `binary` column next to its metadata, decode runs per-partition in
+  * batches of [[DecodeBatch]] (one codec init per batch, like a Pandas-UDF
+  * `mapInPandas` would amortize), partitioning is explicit so oversized
+  * media rows can be spread before decode, and the output is fixed-schema
   * columnar again immediately after the opaque step.
   */
 object BinaryColumns {
 
-  /** Decoded-media metadata produced per payload. */
-  case class MediaMeta(
+  /** Rows per decode batch inside a partition — mirrors the reference
+    * extractor's ≤20-documents-per-call contract (hl_calc.py analogue). */
+  val DecodeBatch = 20
+
+  /** Decoded WAV header metadata (sentinel: all 0 and duration_ms = -1 for
+    * an undecodable payload). */
+  case class WavMeta(
     media_id: Long,
-    n_bytes: Long,
-    checksum: String,
-    width: Int,
-    height: Int,
-    n_frames: Int)
+    sample_rate: Long,
+    channels: Long,
+    bits: Long,
+    data_bytes: Long,
+    duration_ms: Long)
+
+  /** Decoded BMP header metadata (sentinel: all 0 and img_bytes = -1). */
+  case class BmpMeta(
+    media_id: Long,
+    width: Long,
+    height: Long,
+    bpp: Long,
+    img_bytes: Long)
 
   /** Attach a binary payload column + basic byte-level metadata. */
   def withPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -34,6 +54,56 @@ object BinaryColumns {
       col(textCol).cast(BinaryType).as("payload"))
       .withColumn("n_bytes", octet_length(col("payload")).cast(LongType))
       .withColumn("checksum", md5(col("payload")))
+
+  /** Little-endian hex encoding of an integer column in `nBytes` bytes:
+    * fixed-width big-endian hex, byte pairs emitted in reverse order. */
+  private def leHex(v: Column, nBytes: Int): Column = {
+    val be = lpad(lower(hex(v.cast(LongType))), nBytes * 2, "0")
+    concat((nBytes - 1 to 0 by -1).map(j => substring(be, j * 2 + 1, 2)): _*)
+  }
+
+  /** Build a real RIFF/WAVE payload per document: canonical 44-byte header
+    * (PCM fmt chunk) + the text bytes as sample data. Sample rate and
+    * channel count derive from the id so every decoded field is
+    * independently recomputable by the oracle. Pure Catalyst — the bytes
+    * are assembled as hex and `unhex`ed inside the scan's task. */
+  def wavPayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val data = col(textCol).cast(BinaryType)
+    val dataLen = octet_length(data)
+    val sampleRate = lit(8000) + (col(idCol) % 5).cast(IntegerType) * 4000
+    val channels = lit(1) + (col(idCol) % 2).cast(IntegerType)
+    val byteRate = sampleRate * channels * 2
+    val header = concat(
+      lit("52494646"), leHex(dataLen + 36, 4), // "RIFF", chunk size
+      lit("57415645"), lit("666d7420"), // "WAVE", "fmt "
+      leHex(lit(16), 4), leHex(lit(1), 2), // fmt size, PCM
+      leHex(channels, 2), leHex(sampleRate, 4),
+      leHex(byteRate, 4), leHex(channels * 2, 2), // byte rate, block align
+      leHex(lit(16), 2), // bits per sample
+      lit("64617461"), leHex(dataLen, 4)) // "data", data size
+    df.select(col(idCol).cast(LongType).as("media_id"),
+      concat(unhex(header), data).as("payload"))
+  }
+
+  /** Build a real BMP payload per document: "BM" file header +
+    * BITMAPINFOHEADER with id-derived dimensions, text bytes standing in
+    * for the pixel array (header-truncated fixture — parsers read the
+    * declared fields, not the full raster). */
+  def bmpPayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val data = col(textCol).cast(BinaryType)
+    val dataLen = octet_length(data)
+    val width = lit(1) + (col(idCol) % 640).cast(IntegerType)
+    val height = lit(1) + (col(idCol) % 480).cast(IntegerType)
+    val header = concat(
+      lit("424d"), leHex(dataLen + 54, 4), // "BM", file size
+      lit("00000000"), leHex(lit(54), 4), // reserved, pixel offset
+      leHex(lit(40), 4), // info header size
+      leHex(width, 4), leHex(height, 4),
+      leHex(lit(1), 2), leHex(lit(24), 2), // planes, bpp
+      leHex(lit(0), 4), leHex(dataLen, 4)) // compression, image size
+    df.select(col(idCol).cast(LongType).as("media_id"),
+      concat(unhex(header), data).as("payload"))
+  }
 
   /** Frame sampling over an opaque media payload: split the binary into
     * fixed-size chunks and keep every k-th (video frame-sample / audio
@@ -54,28 +124,59 @@ object BinaryColumns {
       .withColumn("frame_bytes", octet_length(col("frame")).cast(LongType))
   }
 
-  /** STUB decoder: stands in for an image/audio decode (??? in production —
-    * swap for a real codec). Deterministically derives fake dimensions from
-    * the payload bytes so tests are stable. Runs per-partition: the
-    * `Iterator` shape is where a real decoder would amortize library init
-    * across the batch, exactly like a Pandas-UDF `mapInPandas` would. */
-  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+  /** Little-endian unsigned integer at `off`, `n` bytes. */
+  private def leInt(b: Array[Byte], off: Int, n: Int): Long =
+    (0 until n).map(i => (b(off + i) & 0xffL) << (8 * i)).sum
+
+  private def bytesAt(b: Array[Byte], off: Int, s: String): Boolean =
+    b.length >= off + s.length &&
+      s.getBytes("US-ASCII").zipWithIndex.forall { case (c, i) => b(off + i) == c }
+
+  /** Decode RIFF/WAVE headers per partition, [[DecodeBatch]] rows per
+    * batch (the grouped iterator is where a real codec amortizes library
+    * init across the batch). Undecodable payloads (bad magic / truncated)
+    * emit the sentinel row instead of failing the partition. */
+  def decodeWav(spark: SparkSession, media: DataFrame): Dataset[WavMeta] = {
     import spark.implicits._
-    // coalesce the derived columns: a NULL payload makes n_bytes NULL too,
-    // and the primitive-Long tuple encoder would NPE on it before the
-    // null-payload branch below ever ran
-    media.select(col("media_id"),
-        col("payload"),
-        coalesce(col("n_bytes"), lit(0L)).as("n_bytes"),
-        coalesce(col("checksum"), lit("")).as("checksum"))
-      .as[(Long, Array[Byte], Long, String)]
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // real codec init would happen once per partition, here
-        rows.map { case (id, bytesOrNull, n, sum) =>
-          val bytes = if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
-          val h = if (bytes.isEmpty) 1 else (bytes(0) & 0x7f) + 1
-          val w = if (bytes.length < 2) 1 else (bytes(1) & 0x7f) + 1
-          MediaMeta(id, n, sum, w, h, (n / 64L).toInt + 1)
+        rows.grouped(DecodeBatch).flatMap { batch =>
+          // per-batch codec init would happen here
+          batch.iterator.map { case (id, b) =>
+            val ok = b != null && b.length >= 44 &&
+              bytesAt(b, 0, "RIFF") && bytesAt(b, 8, "WAVE") &&
+              bytesAt(b, 12, "fmt ") && bytesAt(b, 36, "data")
+            if (!ok) WavMeta(id, 0, 0, 0, 0, -1)
+            else {
+              val channels = leInt(b, 22, 2)
+              val sampleRate = leInt(b, 24, 4)
+              val byteRate = leInt(b, 28, 4)
+              val bits = leInt(b, 34, 2)
+              val dataBytes = leInt(b, 40, 4)
+              val durMs = if (byteRate > 0) dataBytes * 1000 / byteRate else -1
+              WavMeta(id, sampleRate, channels, bits, dataBytes, durMs)
+            }
+          }
+        }
+      }
+  }
+
+  /** Decode BMP headers per partition — same batch contract as
+    * [[decodeWav]]. */
+  def decodeBmp(spark: SparkSession, media: DataFrame): Dataset[BmpMeta] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(DecodeBatch).flatMap { batch =>
+          batch.iterator.map { case (id, b) =>
+            val ok = b != null && b.length >= 54 && bytesAt(b, 0, "BM") &&
+              leInt(b, 14, 4) == 40
+            if (!ok) BmpMeta(id, 0, 0, 0, -1)
+            else BmpMeta(id, leInt(b, 18, 4), leInt(b, 22, 4),
+              leInt(b, 28, 2), leInt(b, 34, 4))
+          }
         }
       }
   }

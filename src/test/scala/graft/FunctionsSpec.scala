@@ -113,13 +113,35 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 32.0 && r.getDouble(1) == 32.0)
   }
 
-  test("binary decode stub preserves ids and derives deterministic metadata") {
+  test("WAV/BMP codecs round-trip header fields through real bytes") {
     val docs = Tables.documents(spark, sfTiny).limit(20)
-    val media = BinaryColumns.withPayload(docs, "doc_id", "text")
-    val decoded = BinaryColumns.decodeStub(spark, media)
-    assert(decoded.count() == 20)
-    val joined = decoded.toDF().join(media, Seq("media_id", "n_bytes", "checksum"))
-    assert(joined.count() == 20) // ids, sizes, checksums round-trip
-    assert(decoded.filter(col("width") < 1 || col("height") < 1).count() == 0)
+    val wav = BinaryColumns.decodeWav(spark,
+      BinaryColumns.wavPayload(docs, "doc_id", "text")).collect()
+    assert(wav.length == 20)
+    for (m <- wav) {
+      assert(m.sample_rate == 8000 + (m.media_id % 5) * 4000, m)
+      assert(m.channels == 1 + m.media_id % 2, m)
+      assert(m.bits == 16 && m.duration_ms >= 0, m)
+    }
+    val bmp = BinaryColumns.decodeBmp(spark,
+      BinaryColumns.bmpPayload(docs, "doc_id", "text")).collect()
+    assert(bmp.length == 20)
+    for (m <- bmp) {
+      assert(m.width == 1 + m.media_id % 640, m)
+      assert(m.height == 1 + m.media_id % 480, m)
+      assert(m.bpp == 24 && m.img_bytes >= 0, m)
+    }
+  }
+
+  test("undecodable payloads emit the sentinel row, not a task failure") {
+    import spark.implicits._
+    val junk = Seq((1L, "not a riff header at all"), (2L, ""))
+      .toDF("doc_id", "text")
+    val wav = BinaryColumns.decodeWav(spark,
+      BinaryColumns.withPayload(junk, "doc_id", "text")).collect()
+    assert(wav.forall(m => m.duration_ms == -1 && m.sample_rate == 0))
+    val bmp = BinaryColumns.decodeBmp(spark,
+      BinaryColumns.withPayload(junk, "doc_id", "text")).collect()
+    assert(bmp.forall(m => m.img_bytes == -1 && m.width == 0))
   }
 }
