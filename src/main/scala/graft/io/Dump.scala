@@ -92,4 +92,131 @@ object Dump {
   def datasetAnnotations(dataset: DataFrame): DataFrame =
     dataset.select(col("class"), explode(col("recordings")).as("recording_id"))
       .orderBy("class", "recording_id")
+
+  // --------------------------------------------------------------------
+  // Archive envelope (reference db/dump.py:203-386, :449-497: tar.zst
+  // archives with `MANIFEST`, `SCHEMA_SEQUENCE` and `TIMESTAMP` members
+  // ahead of the data). Container here is zip — java.util.zip is in the
+  // JVM, tar/zstd native tooling is not — but the envelope CONTRACT is
+  // the reference's: members are manifest-listed, the schema version is
+  // checked BEFORE any data is extracted, and a version mismatch aborts
+  // the import (db/dump.py:449-465). At cluster scale the archive step
+  // runs per shard (one archive per dump partition) rather than over one
+  // driver-side stream.
+  // --------------------------------------------------------------------
+
+  /** Dump schema version (reference db.SCHEMA_VERSION): imports refuse an
+    * archive whose recorded version differs. */
+  val SchemaSequence = 1
+
+  /** Thrown when an archive's SCHEMA_SEQUENCE doesn't match the engine's. */
+  final class SchemaMismatchException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Package a dump directory into one archive file: `MANIFEST` (sorted
+    * member list), `SCHEMA_SEQUENCE`, `TIMESTAMP`, then the data files
+    * under `data/`. */
+  def writeArchive(dumpDir: String, archive: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(dumpDir)
+    val walk = Files.walk(root)
+    val files =
+      try walk.filter(Files.isRegularFile(_)).toArray.toSeq
+        .map(p => root.relativize(p.asInstanceOf[java.nio.file.Path]).toString)
+        .sorted
+      finally walk.close()
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(archive)))
+    def member(name: String, bytes: Array[Byte]): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(bytes)
+      zos.closeEntry()
+    }
+    try {
+      member("SCHEMA_SEQUENCE", SchemaSequence.toString.getBytes("UTF-8"))
+      member("TIMESTAMP", java.time.Instant.now().toString.getBytes("UTF-8"))
+      member("MANIFEST", files.mkString("\n").getBytes("UTF-8"))
+      for (f <- files)
+        member(s"data/$f", Files.readAllBytes(root.resolve(f)))
+    } finally zos.close()
+  }
+
+  /** Unpack an archive into `destDir` after validating its schema version
+    * and manifest. Throws [[SchemaMismatchException]] when the recorded
+    * version differs from `expectedSchema`; refuses member paths that
+    * escape the destination (zip-slip). */
+  def readArchive(archive: String, destDir: String,
+      expectedSchema: Int = SchemaSequence): Unit = {
+    import java.nio.file.{Files, Paths}
+    val zf = new java.util.zip.ZipFile(archive)
+    try {
+      def text(name: String): String = {
+        val e = zf.getEntry(name)
+        require(e != null, s"archive is missing the $name member")
+        new String(zf.getInputStream(e).readAllBytes(), "UTF-8")
+      }
+      val version = text("SCHEMA_SEQUENCE").trim.toInt
+      if (version != expectedSchema)
+        throw new SchemaMismatchException(
+          s"archive schema $version != expected $expectedSchema")
+      val manifest = text("MANIFEST").split("\n").filter(_.nonEmpty).toSeq
+      val dest = Paths.get(destDir).toAbsolutePath.normalize()
+      Files.createDirectories(dest)
+      for (m <- manifest) {
+        val e = zf.getEntry(s"data/$m")
+        require(e != null, s"archive is missing manifest member $m")
+        val out = dest.resolve(m).normalize()
+        require(out.startsWith(dest), s"member path escapes destination: $m")
+        Files.createDirectories(out.getParent)
+        Files.write(out, zf.getInputStream(e).readAllBytes())
+      }
+    } finally zf.close()
+  }
+
+  // --------------------------------------------------------------------
+  // Incremental dumps (reference db/dump.py:871-913): dump N covers the
+  // window (end_{N-1}, end_N]; a ledger records (dump_id, start, end) per
+  // dump, so consecutive dumps are disjoint by construction and their
+  // union covers everything up to the last end. The reference keeps the
+  // ledger in an `incremental_dumps` DB table; here it is a tiny CSV file
+  // (driver-side bookkeeping, like the rest of the dump envelope).
+  // --------------------------------------------------------------------
+
+  /** One ledger row: dump `dumpId` covered (startMicros, endMicros]. */
+  case class DumpWindow(dumpId: Long, startMicros: Long, endMicros: Long)
+
+  def readLedger(ledger: String): Seq[DumpWindow] = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(ledger)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { l =>
+        val Array(i, s, e) = l.split(",")
+        DumpWindow(i.toLong, s.toLong, e.toLong)
+      }
+    }
+  }
+
+  /** Dump the rows of `df` with `tsCol` in (last end, `endMicros`] as TSV,
+    * then append the window to the ledger. The slice bounds are plain
+    * column predicates, so they push down to the scan (and prune day
+    * partitions on the materialized events layout). */
+  def incrementalDump(df: DataFrame, tsCol: String, endMicros: Long,
+      ledger: String, outDir: String): DumpWindow = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val prev = readLedger(ledger)
+    val start = if (prev.isEmpty) Long.MinValue else prev.map(_.endMicros).max
+    require(endMicros > start,
+      s"end $endMicros must advance past the last dump end $start")
+    val id = (0L +: prev.map(_.dumpId)).max + 1
+    val slice =
+      if (prev.isEmpty) df.filter(col(tsCol) <= timestamp_micros(lit(endMicros)))
+      else df.filter(col(tsCol) > timestamp_micros(lit(start)) &&
+        col(tsCol) <= timestamp_micros(lit(endMicros)))
+    writeTsv(slice, s"$outDir/dump_$id")
+    Files.writeString(Paths.get(ledger), s"$id,$start,$endMicros\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    DumpWindow(id, start, endMicros)
+  }
 }

@@ -63,6 +63,55 @@ class DumpSpec extends SparkSpec {
       parsed(2).getString(2) == "rock")
   }
 
+  test("archive envelope round-trips and refuses a schema mismatch") {
+    val dumpDir = tmp("arch_dump")
+    val src = Tables.nation(spark, sfTiny)
+    Dump.writeTsv(src, dumpDir)
+    val archive = tmp("arch") + "/dump.zip"
+    Dump.writeArchive(dumpDir, archive)
+    // version check failure: nothing is extracted, the import aborts
+    val badDest = tmp("arch_bad")
+    intercept[Dump.SchemaMismatchException] {
+      Dump.readArchive(archive, badDest, expectedSchema = Dump.SchemaSequence + 1)
+    }
+    assert(new java.io.File(badDest).listFiles().forall(_ => false))
+    // matching version: extracted data reads back equal to the source
+    val dest = tmp("arch_out")
+    Dump.readArchive(archive, dest)
+    val back = Dump.readTsv(spark, dest, src.schema)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+  }
+
+  test("incremental dumps are disjoint and union-complete over the ledger") {
+    val ledger = tmp("ledger") + "/ledger.csv"
+    val out = tmp("incr_out")
+    val ev = Tables.events(spark, sfTiny)
+    val Array(mid, hi) = ev
+      .selectExpr("CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)",
+        "unix_micros(MAX(ts))")
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val w1 = Dump.incrementalDump(ev, "ts", mid, ledger, out)
+    val w2 = Dump.incrementalDump(ev, "ts", hi, ledger, out)
+    assert(w1.dumpId == 1 && w2.dumpId == 2 && w2.startMicros == mid)
+    val schema = ev.select("event_id", "ts", "user_id").schema
+    def ids(id: Long) = Dump
+      .readTsv(spark, s"$out/dump_$id",
+        org.apache.spark.sql.types.StructType(schema.take(1)))
+      .select("event_id")
+    val n1 = ids(1).count()
+    val n2 = ids(2).count()
+    assert(n1 > 0 && n2 > 0)
+    // disjoint: the two slices share no event; union-complete: together
+    // they are exactly the corpus up to the last ledger end
+    assert(ids(1).intersect(ids(2)).count() == 0)
+    assert(n1 + n2 == ev.count())
+    // a third dump must advance the window — same end is refused
+    intercept[IllegalArgumentException] {
+      Dump.incrementalDump(ev, "ts", hi, ledger, out)
+    }
+  }
+
   test("S10: dataset export flattens class -> recordings to annotations") {
     val ds = Seq(("rock", Seq(3L, 1L)), ("jazz", Seq(2L)))
       .toDF("class", "recordings")
