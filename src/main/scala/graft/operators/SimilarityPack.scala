@@ -157,13 +157,15 @@ object SimilarityPack {
         .orderBy("vec_id")
     }),
 
-    // ---- embedding-cosine near-duplicate pairs, label-blocked ------------
-    // The dedup family's vector member: exact pairwise cosine inside each
-    // block (here the label; at 100 TB the block is an LSH bucket / IVF
-    // cell), never a full cross-join. Join keys are the block id, so the
-    // shuffle is bounded by block size, and each pair's dot product is one
-    // codegen'd fold over the two arrays.
-    "dd_embedding_cosine" -> ((s, d) => {
+    // ---- label-blocked pairwise cosine: the SMALL-BLOCK ORACLE COMPANION
+    //      of the canonical `dd_embedding_lsh` below ------------------------
+    // NOT the scale path: block count is a small constant here, so the
+    // within-block all-pairs is O(n²/k) — at 100× corpus this query is for
+    // bounded, label-partitioned slices (and for cross-checking the LSH
+    // variant's threshold semantics against an easily-stated oracle).
+    // Production embedding near-dup is `dd_embedding_lsh`, whose blocks are
+    // content-derived buckets with a hot-bucket cap.
+    "dd_embedding_blocked" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
         .withColumn("nrm", l2Norm(col("v")))
@@ -227,10 +229,11 @@ object SimilarityPack {
     //      exchange); candidates stay O(L · bucket). ------------------------
     "ann_lsh_multitable" -> ((s, d) => lshTablesTopk(s, d)),
 
-    // ---- LSH-bucketed embedding near-dup: the 100 TB swap documented on
-    //      `dd_embedding_cosine` made real — blocks are sign-LSH buckets
+    // ---- CANONICAL embedding near-dup: blocks are sign-LSH buckets
     //      (content-derived, no label needed), pairwise cosine only inside
-    //      a bucket, hot buckets capped like the dedup pack's. -------------
+    //      a bucket, hot buckets capped like the dedup pack's — the member
+    //      of the dd_* family that holds at 100 TB. `dd_embedding_blocked`
+    //      above is its small-block oracle companion. ---------------------
     "dd_embedding_lsh" -> ((s, d) => {
       val hp = lshHyperplanes(LshPlanes, Dim)
       val emb = Tables.embeddings(s, d)
@@ -682,7 +685,7 @@ object SimilarityPack {
          |WHERE sqrt(2.0 * (1.0 - dp / (nq.nrm * nc.nrm))) / 2 <= 0.72
          |ORDER BY d.vec_id""".stripMargin,
 
-    "dd_embedding_cosine" ->
+    "dd_embedding_blocked" ->
       s"""WITH exi AS (SELECT vec_id, label,
         |  unnest(generate_series(1, len(embedding))) AS pos,
         |  CAST(unnest(embedding) AS DOUBLE) AS val
