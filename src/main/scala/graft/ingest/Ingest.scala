@@ -45,12 +45,17 @@ object Ingest {
         }.toIndexedSeq: _*)
       case ArrayType(et, _) => transform(c, e => canon(e, et))
       case MapType(_, vt, _) =>
-        // array_sort over struct(key, value) orders by key — the map is
-        // re-built with entries in sorted-key order (json.dumps sort_keys
-        // sorts map keys too, not just object fields).
-        map_from_entries(array_sort(transform(map_entries(c),
-          e => struct(e.getField("key").as("key"),
-            canon(e.getField("value"), vt).as("value")))))
+        // explicit key-only comparator: map keys are unique, so ordering by
+        // key alone is json.dumps' sort_keys — and unlike whole-struct
+        // ordering it stays legal when the VALUE type is itself unorderable
+        // (e.g. a struct containing a map, as in the high-level model map)
+        map_from_entries(array_sort(
+          transform(map_entries(c),
+            e => struct(e.getField("key").as("key"),
+              canon(e.getField("value"), vt).as("value"))),
+          (l, r) => when(l.getField("key") < r.getField("key"), -1)
+            .when(l.getField("key") > r.getField("key"), 1)
+            .otherwise(0)))
       case _ => c
     }
     // ignoreNullFields=false: json.dumps emits "field":null; dropping the
