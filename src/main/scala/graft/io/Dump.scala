@@ -113,18 +113,26 @@ object Dump {
   final class SchemaMismatchException(msg: String)
     extends IllegalStateException(msg)
 
-  /** Package a dump directory into one archive file: `MANIFEST` (sorted
-    * member list), `SCHEMA_SEQUENCE`, `TIMESTAMP`, then the data files
-    * under `data/`. */
-  def writeArchive(dumpDir: String, archive: String): Unit = {
+  /** List a dump directory's regular files, as sorted root-relative paths. */
+  private def listMembers(dumpDir: String): Seq[String] = {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(dumpDir)
     val walk = Files.walk(root)
-    val files =
-      try walk.filter(Files.isRegularFile(_)).toArray.toSeq
-        .map(p => root.relativize(p.asInstanceOf[java.nio.file.Path]).toString)
-        .sorted
-      finally walk.close()
+    try walk.filter(Files.isRegularFile(_)).toArray.toSeq
+      .map(p => root.relativize(p.asInstanceOf[java.nio.file.Path]).toString)
+      .sorted
+    finally walk.close()
+  }
+
+  /** Write one envelope zip (`SCHEMA_SEQUENCE`, `TIMESTAMP`, `MANIFEST`,
+    * then `data/<member>`) containing the given members of `dumpDir`.
+    * Called on the driver for the single-shard case and inside executor
+    * tasks for the sharded case — it deliberately touches nothing but its
+    * arguments. */
+  private def writeEnvelopeZip(dumpDir: String, archive: String,
+      files: Seq[String]): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(dumpDir)
     val zos = new java.util.zip.ZipOutputStream(
       new java.io.BufferedOutputStream(new java.io.FileOutputStream(archive)))
     def member(name: String, bytes: Array[Byte]): Unit = {
@@ -139,6 +147,75 @@ object Dump {
       for (f <- files)
         member(s"data/$f", Files.readAllBytes(root.resolve(f)))
     } finally zos.close()
+  }
+
+  /** Package a dump directory into ONE archive file — the single-shard
+    * case (small dumps, tests, the envelope contract itself). For anything
+    * a single process shouldn't hold, use [[writeShardedArchives]]: this
+    * variant streams every member through the caller's JVM. */
+  def writeArchive(dumpDir: String, archive: String): Unit =
+    writeEnvelopeZip(dumpDir, archive, listMembers(dumpDir))
+
+  /** Root manifest name of a sharded archive set. */
+  private val RootManifest = "MANIFEST"
+
+  /** Package a dump directory into one archive PER SHARD, zipped on the
+    * executors (the reference chunks its tar members per archive for
+    * exactly this reason — no single process holds the whole dump,
+    * db/dump.py:203-386, 744-760). The driver only lists member PATHS and
+    * assigns them round-robin to shards; each executor task zips its own
+    * `shard-<id>.zip` with the same envelope as [[writeArchive]]. A root
+    * `MANIFEST` (shard name + member count per line, the
+    * manifest-of-manifests) and root `SCHEMA_SEQUENCE` are written last,
+    * so a reader can refuse the whole set before opening any shard.
+    * Executors read the dump and write archives through shared storage
+    * (cluster: a DFS path; here: the shared local FS of local mode). */
+  def writeShardedArchives(spark: SparkSession, dumpDir: String,
+      archiveDir: String, shards: Int = 16): Unit = {
+    import java.nio.file.{Files, Paths}
+    val members = listMembers(dumpDir)
+    val byShard = members.zipWithIndex
+      .groupMap { case (_, i) => i % shards } { case (f, _) => f }
+      .toSeq.sortBy(_._1)
+    Files.createDirectories(Paths.get(archiveDir))
+    spark.sparkContext
+      .parallelize(byShard, byShard.size.max(1))
+      .foreach { case (sid, files) =>
+        writeEnvelopeZip(dumpDir, s"$archiveDir/shard-$sid.zip", files)
+      }
+    Files.write(Paths.get(s"$archiveDir/SCHEMA_SEQUENCE"),
+      SchemaSequence.toString.getBytes("UTF-8"))
+    Files.write(Paths.get(s"$archiveDir/$RootManifest"),
+      byShard.map { case (sid, files) => s"shard-$sid.zip,${files.size}" }
+        .mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Unpack a sharded archive set written by [[writeShardedArchives]]:
+    * the ROOT schema version is validated before any shard is opened
+    * (same refusal contract as [[readArchive]]), the root manifest names
+    * the shards, and each shard extracts on an executor with the full
+    * per-shard validation (version, member manifest, zip-slip guard). */
+  def readShardedArchives(spark: SparkSession, archiveDir: String,
+      destDir: String, expectedSchema: Int = SchemaSequence): Unit = {
+    import java.nio.file.{Files, Paths}
+    val rootVersion = new String(Files.readAllBytes(
+      Paths.get(s"$archiveDir/SCHEMA_SEQUENCE")), "UTF-8").trim.toInt
+    if (rootVersion != expectedSchema)
+      throw new SchemaMismatchException(
+        s"archive set schema $rootVersion != expected $expectedSchema")
+    val shards = new String(Files.readAllBytes(
+      Paths.get(s"$archiveDir/$RootManifest")), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq
+      .map { l => val Array(name, n) = l.split(","); (name, n.toInt) }
+    for ((name, _) <- shards)
+      require(Files.exists(Paths.get(s"$archiveDir/$name")),
+        s"root manifest lists missing shard $name")
+    Files.createDirectories(Paths.get(destDir))
+    spark.sparkContext
+      .parallelize(shards, shards.size.max(1))
+      .foreach { case (name, _) =>
+        readArchive(s"$archiveDir/$name", destDir, expectedSchema)
+      }
   }
 
   /** Unpack an archive into `destDir` after validating its schema version
@@ -198,25 +275,70 @@ object Dump {
     }
   }
 
+  /** Directory of dump `dumpId` under `outDir` — readers derive paths from
+    * the LEDGER via this, never from a directory listing (see
+    * [[incrementalDump]]'s crash semantics). */
+  def dumpPath(outDir: String, dumpId: Long): String = s"$outDir/dump_$dumpId"
+
+  /** The (startMicros, endMicros] slice of `df` on `tsCol`, as plain column
+    * predicates (they push down to parquet row groups). `dayCol` names the
+    * layout's date PARTITION column when there is one (e.g. `event_day` on
+    * [[graft.Tables.eventsPartitioned]]): the derived day-range predicate
+    * is partition-column-only, so it prunes whole directories before any
+    * file I/O — without it only row-group pushdown applies. Day bounds are
+    * computed in the session time zone, matching how the partition column
+    * was derived (`to_date(ts)` under the engine's fixed UTC). */
+  def windowSlice(df: DataFrame, tsCol: String, startMicros: Long,
+      endMicros: Long, dayCol: Option[String] = None): DataFrame = {
+    val tsSlice =
+      if (startMicros == Long.MinValue)
+        df.filter(col(tsCol) <= timestamp_micros(lit(endMicros)))
+      else df.filter(col(tsCol) > timestamp_micros(lit(startMicros)) &&
+        col(tsCol) <= timestamp_micros(lit(endMicros)))
+    dayCol.fold(tsSlice) { dc =>
+      val upper = col(dc) <= to_date(timestamp_micros(lit(endMicros)))
+      tsSlice.filter(
+        if (startMicros == Long.MinValue) upper
+        else upper && col(dc) >= to_date(timestamp_micros(lit(startMicros))))
+    }
+  }
+
   /** Dump the rows of `df` with `tsCol` in (last end, `endMicros`] as TSV,
-    * then append the window to the ledger. The slice bounds are plain
-    * column predicates, so they push down to the scan (and prune day
-    * partitions on the materialized events layout). */
+    * then append the window to the ledger.
+    *
+    * Crash semantics — at-least-once, LEDGER-KEYED: the ledger row is
+    * appended only AFTER the dump directory is fully written. A crash
+    * between the two leaves an orphaned `dump_N` directory that no ledger
+    * row references; the next call re-dumps the same window under a fresh
+    * id. That orphan is dead data, not duplication, BECAUSE readers resolve
+    * dump directories through the ledger ([[readIncrementalDumps]] /
+    * [[dumpPath]]) and never by listing `outDir`. (Appending the ledger row
+    * first would instead turn a crash into a silent HOLE — a claimed window
+    * with no data — which is strictly worse for an auditable dump chain.) */
   def incrementalDump(df: DataFrame, tsCol: String, endMicros: Long,
-      ledger: String, outDir: String): DumpWindow = {
+      ledger: String, outDir: String,
+      dayCol: Option[String] = None): DumpWindow = {
     import java.nio.file.{Files, Paths, StandardOpenOption}
     val prev = readLedger(ledger)
     val start = if (prev.isEmpty) Long.MinValue else prev.map(_.endMicros).max
     require(endMicros > start,
       s"end $endMicros must advance past the last dump end $start")
     val id = (0L +: prev.map(_.dumpId)).max + 1
-    val slice =
-      if (prev.isEmpty) df.filter(col(tsCol) <= timestamp_micros(lit(endMicros)))
-      else df.filter(col(tsCol) > timestamp_micros(lit(start)) &&
-        col(tsCol) <= timestamp_micros(lit(endMicros)))
-    writeTsv(slice, s"$outDir/dump_$id")
+    writeTsv(windowSlice(df, tsCol, start, endMicros, dayCol),
+      dumpPath(outDir, id))
     Files.writeString(Paths.get(ledger), s"$id,$start,$endMicros\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     DumpWindow(id, start, endMicros)
+  }
+
+  /** Read back the union of all LEDGER-LISTED incremental dumps — the
+    * ledger, not the directory listing, decides what exists (orphaned
+    * directories from a crashed dump are invisible here by construction). */
+  def readIncrementalDumps(spark: SparkSession, ledger: String,
+      outDir: String, schema: StructType): DataFrame = {
+    val windows = readLedger(ledger)
+    require(windows.nonEmpty, s"ledger $ledger lists no dumps")
+    windows.map(w => readTsv(spark, dumpPath(outDir, w.dumpId), schema))
+      .reduce(_.unionByName(_))
   }
 }

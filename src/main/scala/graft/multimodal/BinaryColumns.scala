@@ -85,10 +85,13 @@ object BinaryColumns {
       concat(unhex(header), data).as("payload"))
   }
 
-  /** Build a real BMP payload per document: "BM" file header +
-    * BITMAPINFOHEADER with id-derived dimensions, text bytes standing in
-    * for the pixel array (header-truncated fixture — parsers read the
-    * declared fields, not the full raster). */
+  /** Build a real BMP payload per document: "BM" file header + the FULL
+    * 40-byte BITMAPINFOHEADER with id-derived dimensions (resolution /
+    * palette fields zeroed, as single-plane 24-bpp writers do), text bytes
+    * standing in for the pixel array. The header is genuinely 54 bytes, so
+    * the declared pixel offset, the file size and [[decodeBmp]]'s length
+    * gate agree for EVERY payload — including one whose stand-in raster is
+    * shorter than 16 bytes. */
   def bmpPayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val data = col(textCol).cast(BinaryType)
     val dataLen = octet_length(data)
@@ -100,7 +103,9 @@ object BinaryColumns {
       leHex(lit(40), 4), // info header size
       leHex(width, 4), leHex(height, 4),
       leHex(lit(1), 2), leHex(lit(24), 2), // planes, bpp
-      leHex(lit(0), 4), leHex(dataLen, 4)) // compression, image size
+      leHex(lit(0), 4), leHex(dataLen, 4), // compression, image size
+      leHex(lit(0), 4), leHex(lit(0), 4), // x/y pixels-per-metre
+      leHex(lit(0), 4), leHex(lit(0), 4)) // colors used / important
     df.select(col(idCol).cast(LongType).as("media_id"),
       concat(unhex(header), data).as("payload"))
   }

@@ -26,24 +26,32 @@ object IndexStore {
   def path(dir: String, name: String): String =
     s"$root/${Integer.toHexString(dir.hashCode)}/$name"
 
-  /** Corpus fingerprint recorded in (and checked against) the manifest. */
-  def fingerprint(corpus: DataFrame, idCol: String): (Long, Long) = {
-    val r = corpus.agg(count(lit(1)), coalesce(max(col(idCol)), lit(-1L)))
+  /** Corpus fingerprint recorded in (and checked against) the manifest:
+    * (row count, max key, order-independent CONTENT hash — the xor of every
+    * row's xxhash64 across all columns). The content component catches
+    * in-place edits that keep the count and key range intact (same
+    * vec_ids, different embedding values), so a changed corpus can never
+    * silently serve a stale index; it costs one extra aggregate over the
+    * same scan the count already pays. */
+  def fingerprint(corpus: DataFrame, idCol: String): (Long, Long, Long) = {
+    val r = corpus.agg(count(lit(1)), coalesce(max(col(idCol)), lit(-1L)),
+        coalesce(bit_xor(xxhash64(corpus.columns.map(col).toIndexedSeq: _*)),
+          lit(0L)))
       .head()
-    (r.getLong(0), r.getLong(1))
+    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
-  def writeManifest(s: SparkSession, p: String, fp: (Long, Long)): Unit = {
+  def writeManifest(s: SparkSession, p: String, fp: (Long, Long, Long)): Unit = {
     import s.implicits._
-    Seq(fp).toDF("corpus_rows", "max_id").coalesce(1)
+    Seq(fp).toDF("corpus_rows", "max_id", "content_hash").coalesce(1)
       .write.mode("overwrite").parquet(s"$p/manifest")
   }
 
   /** True iff a manifest exists and matches the corpus fingerprint. */
-  def isFresh(s: SparkSession, p: String, fp: (Long, Long)): Boolean =
+  def isFresh(s: SparkSession, p: String, fp: (Long, Long, Long)): Boolean =
     new java.io.File(s"$p/manifest").exists() && {
       val m = s.read.parquet(s"$p/manifest").head()
-      (m.getLong(0), m.getLong(1)) == fp
+      (m.getLong(0), m.getLong(1), m.getLong(2)) == fp
     }
 
   /** Build-once gate: run `build` when the artifact is absent or stale,

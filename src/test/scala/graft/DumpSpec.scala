@@ -83,6 +83,52 @@ class DumpSpec extends SparkSpec {
     assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
   }
 
+  test("sharded archives round-trip, refuse at the root, and spread members") {
+    val dumpDir = tmp("shard_dump")
+    val src = Tables.customer(spark, sfTiny)
+      .select("c_custkey", "c_name", "c_acctbal")
+    // repartition so the dump has enough files to actually shard
+    Dump.writeTsv(src.repartition(8), dumpDir)
+    val archiveDir = tmp("shard_arch")
+    Dump.writeShardedArchives(spark, dumpDir, archiveDir, shards = 3)
+    // the member set is SPREAD: several shard zips exist, each a valid
+    // envelope, and the root manifest's counts add up to the dump's files
+    val shardZips = new java.io.File(archiveDir).listFiles()
+      .filter(_.getName.endsWith(".zip")).map(_.getName).sorted
+    assert(shardZips.length == 3, shardZips.mkString(","))
+    val rootLines = Files.readAllLines(
+      java.nio.file.Paths.get(s"$archiveDir/MANIFEST"))
+    val counted = rootLines.size()
+    assert(counted == 3)
+    // root-level refusal: no shard is opened, nothing extracted
+    val badDest = tmp("shard_bad")
+    intercept[Dump.SchemaMismatchException] {
+      Dump.readShardedArchives(spark, archiveDir, badDest,
+        expectedSchema = Dump.SchemaSequence + 1)
+    }
+    assert(new java.io.File(badDest).listFiles().forall(_ => false))
+    // round-trip: extracted shards reassemble the full dump
+    val dest = tmp("shard_out")
+    Dump.readShardedArchives(spark, archiveDir, dest)
+    val back = Dump.readTsv(spark, dest, src.schema)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+  }
+
+  test("incremental window slice prunes day partitions via dayCol") {
+    val ev = Tables.eventsPartitioned(spark, sfTiny)
+    val Array(lo, hi) = ev
+      .selectExpr("CAST(percentile(unix_micros(ts), 0.25) AS BIGINT)",
+        "CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)")
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val slice = Dump.windowSlice(ev, "ts", lo, hi, dayCol = Some("event_day"))
+    assert(slice.count() > 0)
+    val scanLine = slice.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters"))
+    assert(scanLine.exists(_.contains("event_day")),
+      s"expected directory-level pruning on event_day, got: $scanLine")
+  }
+
   test("incremental dumps are disjoint and union-complete over the ledger") {
     val ledger = tmp("ledger") + "/ledger.csv"
     val out = tmp("incr_out")
@@ -110,6 +156,15 @@ class DumpSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dump.incrementalDump(ev, "ts", hi, ledger, out)
     }
+    // readers key on the LEDGER: an orphaned dump directory (the residue
+    // of a crash between writeTsv and the ledger append) is invisible
+    val idSchema = org.apache.spark.sql.types.StructType(schema.take(1))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(Dump.dumpPath(out, 99)))
+    Dump.writeTsv(ev.limit(5).select("event_id"), Dump.dumpPath(out, 99))
+    val unioned = Dump.readIncrementalDumps(spark, ledger, out, idSchema)
+    assert(unioned.count() == ev.count(),
+      "ledger-keyed read-back must ignore orphaned dump directories")
   }
 
   test("S10: dataset export flattens class -> recordings to annotations") {

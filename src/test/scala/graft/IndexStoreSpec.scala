@@ -51,8 +51,15 @@ class IndexStoreSpec extends SparkSpec {
     val p = IndexStore.path(sfTiny, "angular_ivf_kmeans")
     assert(IndexStore.isFresh(spark, p, fp))
     // simulate corpus drift: the manifest now claims a different corpus
-    IndexStore.writeManifest(spark, p, (fp._1 - 1, fp._2))
+    IndexStore.writeManifest(spark, p, (fp._1 - 1, fp._2, fp._3))
     assert(!IndexStore.isFresh(spark, p, fp))
+    // an IN-PLACE edit (same count, same max key, different values) is
+    // caught by the content component of the fingerprint
+    IndexStore.writeManifest(spark, p, fp)
+    assert(IndexStore.isFresh(spark, p, fp))
+    IndexStore.writeManifest(spark, p, (fp._1, fp._2, fp._3 ^ 1L))
+    assert(!IndexStore.isFresh(spark, p, fp))
+    IndexStore.writeManifest(spark, p, (fp._1 - 1, fp._2, fp._3))
     // ensure() sees the mismatch, rebuilds, and restamps the manifest
     var rebuilt = false
     IndexStore.ensure(spark, sfTiny, "angular_ivf_kmeans", emb, "vec_id") {
