@@ -288,6 +288,11 @@ object SimilarityPack {
       lshTablesRank(emb, keyed)
     }),
 
+    // ---- persisted TUNED-IVF: the six Lloyd iterations are the build
+    //      half; queries serve from the saved centroids/assignments — the
+    //      production posture of the headline IVF variant ------------------
+    "ann_tuned_indexed" -> ((s, d) => ivfTunedServe(s, d)),
+
     // ---- persisted trained-IVF: the Lloyd iteration is the expensive
     //      build half; queries load its saved centroids/assignments -------
     "ann_kmeans_indexed" -> ((s, d) => {
@@ -325,7 +330,9 @@ object SimilarityPack {
         "hits_ivf" -> ivfTopk(s, d, nprobe = 1, k = 10),
         "hits_ivf2" -> ivfTopk(s, d, nprobe = 2, k = 10),
         "hits_kmeans" -> kmeansTopk(s, d, k = 10),
-        "hits_ivf_tuned" -> ivfTunedTopk(s, d))
+        // the monitor measures the PRODUCTION path: the artifact-served
+        // tuned index (identical to the inline recompute by construction)
+        "hits_ivf_tuned" -> ivfTunedServe(s, d))
       variants.foldLeft(qs) { case (acc, (name, approx)) =>
         acc.join(hitsOf(approx, name), Seq("query_id"), "left")
       }.select(col("query_id") +: variants.map { case (name, _) =>
@@ -538,11 +545,11 @@ object SimilarityPack {
     (tunedCentroids(assign), assign)
   }
 
-  /** Tuned-IVF top-10: queries probe their [[IvfTunedProbe]] nearest trained
-    * cells, exact-cosine-rank the union of those cells' members. Candidates
-    * stay O(nprobe · cell) — never a corpus×corpus join. */
-  private def ivfTunedTopk(s: SparkSession, d: String): DataFrame = {
-    val (cents, assign) = ivfTunedTrain(s, d)
+  /** Tuned-IVF top-10 from a trained (vec_id, iv, nrm, cell) assignment and
+    * (cell, cv, cnrm) centroids: queries probe their [[IvfTunedProbe]]
+    * nearest cells, exact-cosine-rank the union of those cells' members.
+    * Candidates stay O(nprobe · cell) — never a corpus×corpus join. */
+  private def tunedRank(assign: DataFrame, cents: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cell"))
     val probes = assign.filter(col("vec_id") < 10)
@@ -565,6 +572,41 @@ object SimilarityPack {
       .filter(col("rank") <= 10)
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
+  }
+
+  /** Tuned-IVF with the training INLINE in the plan — the trainer-contract
+    * query (its oracle re-derives all six iterations). */
+  private def ivfTunedTopk(s: SparkSession, d: String): DataFrame = {
+    val (cents, assign) = ivfTunedTrain(s, d)
+    tunedRank(assign, cents)
+  }
+
+  /** Persisted tuned-IVF index: the six Lloyd iterations are the expensive
+    * build half, saved once per corpus (centroids + assignments). */
+  private[graft] def ensureTunedIndex(s: SparkSession, d: String): String =
+    graft.sim.IndexStore.ensure(s, d,
+      s"angular_ivf_tuned_${IvfTunedCells}x${IvfTunedIters}p$IvfTunedProbe",
+      Tables.embeddings(s, d), "vec_id") { p =>
+      val (cents, assign) = ivfTunedTrain(s, d)
+      cents.write.mode("overwrite").parquet(s"$p/centroids")
+      assign.select("vec_id", "cell").write.mode("overwrite")
+        .parquet(s"$p/assignments")
+    }
+
+  /** Tuned-IVF served from the saved artifact: one linear corpus scan
+    * re-derives the grid vectors, probes score the SAVED centroids and
+    * candidates come from the SAVED assignments — no training in the query
+    * path (plan-asserted in IndexStoreSpec). Results are identical to
+    * [[ivfTunedTopk]] by construction, which is what the shared oracle
+    * checks. */
+  private def ivfTunedServe(s: SparkSession, d: String): DataFrame = {
+    val p = ensureTunedIndex(s, d)
+    val cents = s.read.parquet(s"$p/centroids")
+    val assign = Tables.embeddings(s, d)
+      .select(col("vec_id"), gridVec(col("embedding")).as("iv"))
+      .withColumn("nrm", sqrt(gridDot(col("iv"), col("iv"))))
+      .join(s.read.parquet(s"$p/assignments"), Seq("vec_id"))
+    tunedRank(assign, cents)
   }
 
   private[graft] val LshPlanes = 8
@@ -843,11 +885,12 @@ object SimilarityPack {
 
     "ann_ivf_nprobe" -> ivfOracleSql(nprobe = 2),
 
-    "ann_ivf_tuned" ->
-      s"""WITH $tivCte,
-         |${ivfTunedCtes("")}
-         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
-         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_tuned" -> ivfTunedOracleSql,
+
+    // Serves IDENTICAL semantics from the saved artifact — oracle shared
+    // verbatim with the inline trainer (same pattern as the other
+    // `_indexed` variants; the plan-level half is IndexStoreSpec's).
+    "ann_tuned_indexed" -> ivfTunedOracleSql,
 
     "ann_ivf_kmeans" -> kmeansOracleSql,
 
@@ -1149,6 +1192,14 @@ object SimilarityPack {
        |${kmeansCtes("")}
        |SELECT query_id, cell, CAST(rank AS BIGINT) AS rank, neighbor_id
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB oracle mirroring [[ivfTunedTopk]] — shared verbatim by the
+    * inline-trainer and persisted-index variants. */
+  private def ivfTunedOracleSql: String =
+    s"""WITH $tivCte,
+       |${ivfTunedCtes("")}
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB oracle mirroring [[ivfTopk]] at the given probe width. */
   private def ivfOracleSql(nprobe: Int): String =

@@ -35,6 +35,14 @@ class IndexStoreSpec extends SparkSpec {
     // indexed query path loads them instead
     assert(!lsh.contains("concat"),
       s"lsh plan recomputes bucket keys:\n$lsh")
+    val tuned = planOf("ann_tuned_indexed")
+    assert(tuned.contains("graft_indexes") &&
+      tuned.contains("angular_ivf_tuned"),
+      s"tuned plan should scan the saved index:\n$tuned")
+    // Lloyd training recomputes centroids via posexplode — the serve path
+    // must not contain it (one linear scan + saved members only)
+    assert(!tuned.contains("posexplode"),
+      s"tuned plan retrains the quantizer:\n$tuned")
   }
 
   test("indexed results equal the inline recompute variants") {
@@ -42,6 +50,8 @@ class IndexStoreSpec extends SparkSpec {
       run("ann_ivf_kmeans").collect().map(_.toString).toSeq)
     assert(run("ann_lsh_indexed").collect().map(_.toString).toSeq ==
       run("ann_lsh_multitable").collect().map(_.toString).toSeq)
+    assert(run("ann_tuned_indexed").collect().map(_.toString).toSeq ==
+      run("ann_ivf_tuned").collect().map(_.toString).toSeq)
   }
 
   test("a changed corpus fails the freshness gate and forces a rebuild") {
