@@ -74,12 +74,15 @@ object Bench {
       // artifact resists the capture-time machine-load contamination that
       // produced r5's phantom 2.2x regression. The floor of two runs is
       // still an honest execution (full plan, all rows through the sink).
-      val ok = try { val a = once(); val b = once(); math.min(a, b) }
-      catch { case e: Throwable =>
+      // Each run is caught separately: a transient failure on one run must
+      // not discard the other's complete measurement — the sentinel -1 is
+      // recorded only when BOTH runs fail (never fast-looking).
+      def attempt(): Double = try once() catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        -1.0 // failures record the sentinel -1 (never fast-looking)
+        -1.0
       }
-      name -> ok
+      val runs = Seq(attempt(), attempt()).filter(_ >= 0)
+      name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     val load1 = loadavg()
     val gcMs = gcMillis() - gc0

@@ -82,9 +82,12 @@ object HighLevel {
       StructField("metadata", metaSchema)))
     val docName = concat(col("gid"), lit("-"),
       col("submission_offset").cast(StringType), lit(".json"))
-    // left join from meta: a recording with a meta row but no model rows
-    // still dumps, with an empty highlevel object (the reference's
-    // defaultdict(dict) yields {} there, dump.py:800-818)
+    // left join DRIVEN FROM meta, mirroring the reference exactly: its dump
+    // loop iterates `metadata.values()` (dump.py:813-818), so a recording
+    // with a meta row but no model rows dumps with an empty highlevel
+    // object (defaultdict(dict) yields {}), and model rows whose recording
+    // has NO meta row are dropped — in both engines. Callers needing to
+    // audit orphaned model rows can anti-join models against meta first.
     meta.join(hl, keys, "left")
       .select(col("gid"), col("submission_offset"),
         docName.as("doc_name"),

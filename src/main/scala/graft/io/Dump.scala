@@ -207,23 +207,38 @@ object Dump {
       Paths.get(s"$archiveDir/$RootManifest")), "UTF-8")
       .split("\n").filter(_.nonEmpty).toSeq
       .map { l => val Array(name, n) = l.split(","); (name, n.toInt) }
-    for ((name, _) <- shards)
+    for ((name, _) <- shards) {
+      // same containment discipline as the member-path zip-slip guard:
+      // a shard name from the manifest must be a plain sibling file name
+      require(!name.contains("/") && !name.contains("\\") &&
+        name != ".." && name.matches("shard-\\d+\\.zip"),
+        s"root manifest shard name escapes the archive dir: $name")
       require(Files.exists(Paths.get(s"$archiveDir/$name")),
         s"root manifest lists missing shard $name")
+    }
     Files.createDirectories(Paths.get(destDir))
     spark.sparkContext
       .parallelize(shards, shards.size.max(1))
-      .foreach { case (name, _) =>
-        readArchive(s"$archiveDir/$name", destDir, expectedSchema)
+      .foreach { case (name, expected) =>
+        // the recorded member count pins each shard to the root manifest's
+        // snapshot: a stale shard-N.zip surviving a reshard (or a partial
+        // rewrite) fails loudly instead of extracting a mixed member set
+        val extracted =
+          readArchive(s"$archiveDir/$name", destDir, expectedSchema)
+        if (extracted != expected)
+          throw new IllegalStateException(
+            s"shard $name extracted $extracted members, " +
+              s"root manifest records $expected")
       }
   }
 
   /** Unpack an archive into `destDir` after validating its schema version
     * and manifest. Throws [[SchemaMismatchException]] when the recorded
     * version differs from `expectedSchema`; refuses member paths that
-    * escape the destination (zip-slip). */
+    * escape the destination (zip-slip). Returns the number of members
+    * extracted (the sharded reader checks it against the root manifest). */
   def readArchive(archive: String, destDir: String,
-      expectedSchema: Int = SchemaSequence): Unit = {
+      expectedSchema: Int = SchemaSequence): Int = {
     import java.nio.file.{Files, Paths}
     val zf = new java.util.zip.ZipFile(archive)
     try {
@@ -247,6 +262,7 @@ object Dump {
         Files.createDirectories(out.getParent)
         Files.write(out, zf.getInputStream(e).readAllBytes())
       }
+      manifest.size
     } finally zf.close()
   }
 

@@ -143,7 +143,7 @@ object MLPack {
     //      in ONE CrossValidator (the param grid swaps whole pipeline-stage
     //      arrays): (a) LogisticRegression over regParam × elasticNet, and
     //      (b) the reference's RBF-SVM re-expressed as Random Fourier
-    //      Features + OneVsRest(LinearSVC) over C × gamma — the RFF map
+    //      Features + OneVsRest(LinearSVC) over regParam × gamma — the RFF map
     //      z(x) = √(2/D)·cos(√(2γ)·Wx + b) approximates the RBF kernel
     //      (Rahimi & Recht 2007), so the gamma axis is real, not a stand-in.
     //      The winning arm and its hyperparameters land in the output
@@ -178,14 +178,19 @@ object MLPack {
       def lrStage(reg: Double, en: Double): Array[PipelineStage] = Array(
         new LogisticRegression().setMaxIter(10).setTol(1e-4)
           .setRegParam(reg).setElasticNetParam(en))
-      def svmStage(c: Double, gammaCol: String): Array[PipelineStage] = Array(
-        new OneVsRest().setFeaturesCol(gammaCol).setParallelism(10)
-          .setClassifier(
-            new LinearSVC().setMaxIter(8).setTol(1e-3).setRegParam(c)))
+      // NOTE the grid axis is spark.ml's regParam (DIRECT regularization
+      // strength), not the reference SVM's C (its inverse): the axis spans
+      // the same tradeoff in the opposite direction, and best_reg_param in
+      // the output schema records regParam, never a value to be read as C.
+      def svmStage(reg: Double, gammaCol: String): Array[PipelineStage] =
+        Array(
+          new OneVsRest().setFeaturesCol(gammaCol).setParallelism(10)
+            .setClassifier(
+              new LinearSVC().setMaxIter(8).setTol(1e-3).setRegParam(reg)))
       val lrArm = for (r <- Seq(0.001, 0.01, 0.1); e <- Seq(0.0, 0.5))
         yield lrStage(r, e)
-      val svmArm = for (c <- Seq(0.01, 0.1); g <- Seq("rff_05", "rff_20"))
-        yield svmStage(c, g)
+      val svmArm = for (r <- Seq(0.01, 0.1); g <- Seq("rff_05", "rff_20"))
+        yield svmStage(r, g)
       val benchProfile = sys.props.get("graft.bench.profile").contains("true")
       val alternatives =
         if (benchProfile) Seq(lrArm.head, svmArm.head) else lrArm ++ svmArm
@@ -206,10 +211,10 @@ object MLPack {
           case m: LogisticRegressionModel =>
             ("lr", m.getRegParam, m.getElasticNetParam, -1.0)
           case m: OneVsRestModel =>
-            val c = m.models.head
+            val reg = m.models.head
               .asInstanceOf[org.apache.spark.ml.classification.LinearSVCModel]
               .getRegParam
-            ("svm_rff", c, -1.0,
+            ("svm_rff", reg, -1.0,
               if (m.getFeaturesCol == "rff_05") 0.5 else 2.0)
         }
       fitted.bestModel.transform(test)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   *
   * An artifact is a directory of parquet members (bucket lists, centroids,
   * assignments) plus a one-row `manifest` parquet recording the corpus
-  * fingerprint (row count + max key) it was built from. Loading goes
+  * fingerprint (row count, max key, content hash) it was built from. Loading goes
   * through [[ensure]], which rebuilds when the artifact is absent OR the
   * fingerprint no longer matches — a grown or changed corpus can never
   * silently serve a stale index. At production scale the same artifacts
