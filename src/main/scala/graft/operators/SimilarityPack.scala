@@ -582,31 +582,31 @@ object SimilarityPack {
   }
 
   /** Persisted tuned-IVF index: the six Lloyd iterations are the expensive
-    * build half, saved once per corpus (centroids + assignments). */
+    * build half, saved once per corpus. The assignments member carries the
+    * grid VECTORS alongside the cell ids — the reference's Annoy file
+    * stores vectors in the index for the same reason
+    * (similarity/index_model.py:76-92): a query then touches ONLY the
+    * artifact, never re-joining (and at scale, re-shuffling) the corpus. */
   private[graft] def ensureTunedIndex(s: SparkSession, d: String): String =
     graft.sim.IndexStore.ensure(s, d,
       s"angular_ivf_tuned_${IvfTunedCells}x${IvfTunedIters}p$IvfTunedProbe",
       Tables.embeddings(s, d), "vec_id") { p =>
       val (cents, assign) = ivfTunedTrain(s, d)
       cents.write.mode("overwrite").parquet(s"$p/centroids")
-      assign.select("vec_id", "cell").write.mode("overwrite")
+      assign.select("vec_id", "iv", "nrm", "cell").write.mode("overwrite")
         .parquet(s"$p/assignments")
     }
 
-  /** Tuned-IVF served from the saved artifact: one linear corpus scan
-    * re-derives the grid vectors, probes score the SAVED centroids and
-    * candidates come from the SAVED assignments — no training in the query
-    * path (plan-asserted in IndexStoreSpec). Results are identical to
-    * [[ivfTunedTopk]] by construction, which is what the shared oracle
-    * checks. */
+  /** Tuned-IVF served from the saved artifact alone: probes score the
+    * SAVED centroids and candidates come from the SAVED (vector, cell)
+    * rows — no training and no corpus join in the query path
+    * (plan-asserted in IndexStoreSpec; the only corpus touch is the
+    * freshness fingerprint). Results are identical to [[ivfTunedTopk]] by
+    * construction, which is what the shared oracle checks. */
   private def ivfTunedServe(s: SparkSession, d: String): DataFrame = {
     val p = ensureTunedIndex(s, d)
-    val cents = s.read.parquet(s"$p/centroids")
-    val assign = Tables.embeddings(s, d)
-      .select(col("vec_id"), gridVec(col("embedding")).as("iv"))
-      .withColumn("nrm", sqrt(gridDot(col("iv"), col("iv"))))
-      .join(s.read.parquet(s"$p/assignments"), Seq("vec_id"))
-    tunedRank(assign, cents)
+    tunedRank(s.read.parquet(s"$p/assignments"),
+      s.read.parquet(s"$p/centroids"))
   }
 
   private[graft] val LshPlanes = 8

@@ -40,9 +40,13 @@ class IndexStoreSpec extends SparkSpec {
       tuned.contains("angular_ivf_tuned"),
       s"tuned plan should scan the saved index:\n$tuned")
     // Lloyd training recomputes centroids via posexplode — the serve path
-    // must not contain it (one linear scan + saved members only)
+    // must not contain it (saved members only)
     assert(!tuned.contains("posexplode"),
       s"tuned plan retrains the quantizer:\n$tuned")
+    // the artifact carries the vectors (Annoy-style), so the serve path
+    // must not scan the corpus table at all
+    assert(!tuned.contains("embeddings"),
+      s"tuned plan re-joins the corpus:\n$tuned")
   }
 
   test("indexed results equal the inline recompute variants") {
