@@ -52,6 +52,8 @@ object Bench {
       catch { case _: Throwable => () }
       try operators.SimilarityPack.ensureTunedIndex(spark, d)
       catch { case _: Throwable => () }
+      try operators.SimilarityPack.ensurePqIndex(spark, d)
+      catch { case _: Throwable => () }
     }
     for ((_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

@@ -298,6 +298,10 @@ object SimilarityPack {
     //      shortlist — see the PQ section scaladoc -------------------------
     "ann_pq_adc" -> ((s, d) => pqTopk(s, d)),
 
+    // ---- persisted PQ: codebook training is the build half; queries scan
+    //      only the saved codebooks/codes/vectors --------------------------
+    "ann_pq_indexed" -> ((s, d) => pqServe(s, d)),
+
     // ---- persisted trained-IVF: the Lloyd iteration is the expensive
     //      build half; queries load its saved centroids/assignments -------
     "ann_kmeans_indexed" -> ((s, d) => {
@@ -338,7 +342,7 @@ object SimilarityPack {
         // the monitor measures the PRODUCTION path: the artifact-served
         // tuned index (identical to the inline recompute by construction)
         "hits_ivf_tuned" -> ivfTunedServe(s, d),
-        "hits_pq" -> pqTopk(s, d))
+        "hits_pq" -> pqServe(s, d))
       variants.foldLeft(qs) { case (acc, (name, approx)) =>
         acc.join(hitsOf(approx, name), Seq("query_id"), "left")
       }.select(col("query_id") +: variants.map { case (name, _) =>
@@ -654,18 +658,55 @@ object SimilarityPack {
     (pqCentroids(ex, assign), assign)
   }
 
-  /** PQ-ADC top-10: per-query LUT of subspace dots against the codebooks
-    * (PqSubspaces·PqCodes entries), ADC scan of the codes (exact DECIMAL
-    * sums across subspaces — adc and the reconstructed norm both exceed a
-    * long), shortlist of [[PqShortlist]], exact-cosine re-rank. */
+  /** PQ-ADC top-10 with the training INLINE in the plan — the
+    * trainer-contract query (its oracle re-derives every iteration). */
   private def pqTopk(s: SparkSession, d: String): DataFrame = {
     val (cent, codes) = pqTrain(s, d)
-    val ex = pqExploded(s, d)
-    val cn = cent.groupBy(col("s"), col("cell"))
-      .agg(sum(col("civ") * col("civ")).as("cc"))
     val vecs = Tables.embeddings(s, d)
       .select(col("vec_id"), gridVec(col("embedding")).as("iv"))
       .withColumn("nrm", sqrt(gridDot(col("iv"), col("iv"))))
+    pqRank(cent, codes, vecs)
+  }
+
+  /** Persisted PQ index: codebooks, codes AND the grid vectors (the
+    * re-rank member — Annoy-style, so serving never re-joins the corpus). */
+  private[graft] def ensurePqIndex(s: SparkSession, d: String): String =
+    graft.sim.IndexStore.ensure(s, d,
+      s"angular_pq_${PqSubspaces}x${PqCodes}r$PqShortlist",
+      Tables.embeddings(s, d), "vec_id") { p =>
+      val (cent, codes) = pqTrain(s, d)
+      cent.write.mode("overwrite").parquet(s"$p/codebooks")
+      codes.write.mode("overwrite").parquet(s"$p/codes")
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), gridVec(col("embedding")).as("iv"))
+        .withColumn("nrm", sqrt(gridDot(col("iv"), col("iv"))))
+        .write.mode("overwrite").parquet(s"$p/vectors")
+    }
+
+  /** PQ-ADC served from the saved artifact alone — no training and no
+    * corpus scan in the query path (plan-asserted in IndexStoreSpec).
+    * Identical results to [[pqTopk]] by construction (shared oracle). */
+  private def pqServe(s: SparkSession, d: String): DataFrame = {
+    val p = ensurePqIndex(s, d)
+    pqRank(s.read.parquet(s"$p/codebooks"),
+      s.read.parquet(s"$p/codes"), s.read.parquet(s"$p/vectors"))
+  }
+
+  /** PQ-ADC top-10 from trained (s, cell, pos, civ) codebooks, (vec_id, s,
+    * cell) codes and (vec_id, iv, nrm) vectors: per-query LUT of subspace
+    * dots (PqSubspaces·PqCodes entries), ADC scan of the codes (exact
+    * DECIMAL sums across subspaces — adc and the reconstructed norm both
+    * exceed a long), shortlist of [[PqShortlist]], exact-cosine re-rank. */
+  private def pqRank(cent: DataFrame, codes: DataFrame,
+      vecs: DataFrame): DataFrame = {
+    val dsub = Dim / PqSubspaces
+    val ex = vecs.select(col("vec_id"),
+        posexplode(col("iv")).as(Seq("p0", "giv")))
+      .select(col("vec_id"), (col("p0") + 1).cast(LongType).as("pos"),
+        col("giv"))
+      .withColumn("s", floor((col("pos") - 1) / dsub).cast(IntegerType))
+    val cn = cent.groupBy(col("s"), col("cell"))
+      .agg(sum(col("civ") * col("civ")).as("cc"))
     val q = vecs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("iv").as("qiv"),
         col("nrm").as("qnrm"))
@@ -1014,6 +1055,9 @@ object SimilarityPack {
     "ann_tuned_indexed" -> ivfTunedOracleSql,
 
     "ann_pq_adc" -> pqOracleSql,
+
+    // artifact-served PQ: identical semantics, shared oracle
+    "ann_pq_indexed" -> pqOracleSql,
 
     "ann_ivf_kmeans" -> kmeansOracleSql,
 

@@ -47,6 +47,11 @@ class IndexStoreSpec extends SparkSpec {
     // must not scan the corpus table at all
     assert(!tuned.contains("embeddings"),
       s"tuned plan re-joins the corpus:\n$tuned")
+    val pq = planOf("ann_pq_indexed")
+    assert(pq.contains("graft_indexes") && pq.contains("angular_pq"),
+      s"pq plan should scan the saved index:\n$pq")
+    assert(!pq.contains("embeddings"),
+      s"pq plan re-joins the corpus:\n$pq")
   }
 
   test("indexed results equal the inline recompute variants") {
@@ -56,6 +61,8 @@ class IndexStoreSpec extends SparkSpec {
       run("ann_lsh_multitable").collect().map(_.toString).toSeq)
     assert(run("ann_tuned_indexed").collect().map(_.toString).toSeq ==
       run("ann_ivf_tuned").collect().map(_.toString).toSeq)
+    assert(run("ann_pq_indexed").collect().map(_.toString).toSeq ==
+      run("ann_pq_adc").collect().map(_.toString).toSeq)
   }
 
   test("a changed corpus fails the freshness gate and forces a rebuild") {
