@@ -648,7 +648,12 @@ object SimilarityPack {
   }
 
   /** [[PqIters]] Lloyd iterations per subspace from the id-modulo init →
-    * (final sub-codebooks (s, cell, pos, civ), codes (vec_id, s, cell)). */
+    * (final sub-codebooks (s, cell, pos, civ), codes (vec_id, s, cell)).
+    * Each iteration is O(corpus · K) like any k-means pass; at production
+    * scale the codebooks train on a SAMPLE (they converge on ~10⁵ rows)
+    * and only the one-pass ENCODE touches the full corpus — here both run
+    * on the full (verification-sized) table so the oracle can re-derive
+    * them. */
   private def pqTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val ex = pqExploded(s, d)
     var assign = ex.select(col("vec_id"), col("s")).distinct()
@@ -666,6 +671,18 @@ object SimilarityPack {
       .select(col("vec_id"), gridVec(col("embedding")).as("iv"))
       .withColumn("nrm", sqrt(gridDot(col("iv"), col("iv"))))
     pqRank(cent, codes, vecs)
+  }
+
+  /** Test hook: the inline PQ pipeline at an explicit shortlist width —
+    * the recall-dominance invariant (OperatorInvariantsSpec) compares two
+    * widths of the same ADC ordering. */
+  private[graft] def pqTopkWith(s: SparkSession, d: String,
+      shortlist: Int): DataFrame = {
+    val (cent, codes) = pqTrain(s, d)
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), gridVec(col("embedding")).as("iv"))
+      .withColumn("nrm", sqrt(gridDot(col("iv"), col("iv"))))
+    pqRank(cent, codes, vecs, shortlist)
   }
 
   /** Persisted PQ index: codebooks, codes AND the grid vectors (the
@@ -697,8 +714,8 @@ object SimilarityPack {
     * dots (PqSubspaces·PqCodes entries), ADC scan of the codes (exact
     * DECIMAL sums across subspaces — adc and the reconstructed norm both
     * exceed a long), shortlist of [[PqShortlist]], exact-cosine re-rank. */
-  private def pqRank(cent: DataFrame, codes: DataFrame,
-      vecs: DataFrame): DataFrame = {
+  private def pqRank(cent: DataFrame, codes: DataFrame, vecs: DataFrame,
+      shortlist: Int = PqShortlist): DataFrame = {
     val dsub = Dim / PqSubspaces
     val ex = vecs.select(col("vec_id"),
         posexplode(col("iv")).as(Seq("p0", "giv")))
@@ -726,7 +743,7 @@ object SimilarityPack {
         Seq("query_id"))
       .withColumn("score", col("adc") / (col("qnrm") * sqrt(col("xn2"))))
       .withColumn("rn", row_number().over(wShort))
-      .filter(col("rn") <= PqShortlist)
+      .filter(col("rn") <= shortlist)
       .select("query_id", "neighbor_id")
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))

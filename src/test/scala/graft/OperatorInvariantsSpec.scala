@@ -94,6 +94,29 @@ class OperatorInvariantsSpec extends SparkSpec {
         s"query ${r.get(0)}: nprobe=2 hits ${r.get(2)} < nprobe=1 ${r.get(1)}")
   }
 
+  test("pq recall of the exact top-10 dominates with a wider shortlist") {
+    // a 30-row ADC shortlist is a prefix of the 100-row one (same ADC
+    // ordering, wider cut), so the wide candidate set is a superset — the
+    // same survival argument as the LSH dominance test makes per-query
+    // dominance an invariant, not a statistical expectation
+    val exact = run("n4_topk_cosine").select("query_id", "neighbor_id")
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+    val narrow = operators.SimilarityPack.pqTopkWith(spark, sfTiny, 30)
+    val joined = hits(narrow).as("nr")
+      .join(hits(run("ann_pq_adc")).as("wd"), Seq("query_id"), "full")
+      .select(col("query_id"),
+        coalesce(col("nr.h"), lit(0L)).as("h1"),
+        coalesce(col("wd.h"), lit(0L)).as("h2"))
+      .collect()
+    assert(joined.nonEmpty)
+    for (r <- joined)
+      assert(r.getAs[Long]("h2") >= r.getAs[Long]("h1"),
+        s"query ${r.get(0)}: shortlist=100 hits ${r.get(2)} < shortlist=30 ${r.get(1)}")
+    assert(joined.map(_.getAs[Long]("h2")).sum > 0)
+  }
+
   test("dd_embedding_lsh emits exactly the in-bucket near-dup pairs") {
     import graft.functions.VectorFunctions._
     import operators.{DedupPack, SimilarityPack}
