@@ -508,6 +508,13 @@ object SimilarityPack {
       (acc, x) => (acc + x.cast(DecimalType(38, 0))).cast(DecimalType(38, 0)))
       .cast(DoubleType)
 
+  /** The corpus as (vec_id, iv, nrm): grid vectors + their exact norms —
+    * the shared input of every exact-grid ANN path. */
+  private def gridVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), gridVec(col("embedding")).as("iv"))
+      .withColumn("nrm", sqrt(gridDot(col("iv"), col("iv"))))
+
   /** Per-cell grid centroids of a (vec_id, iv, cell) assignment: each
     * dimension's mean is rounded back onto the 1e-9 grid (BIGINT sums are
     * exact at verification scale; round-half-away matches DuckDB), so the
@@ -545,9 +552,7 @@ object SimilarityPack {
     * storage via [[graft.sim.IndexStore]] instead. */
   private def ivfTunedTrain(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
-    val vecs = Tables.embeddings(s, d)
-      .select(col("vec_id"), gridVec(col("embedding")).as("iv"))
-      .withColumn("nrm", sqrt(gridDot(col("iv"), col("iv"))))
+    val vecs = gridVecs(s, d)
     var assign = vecs.withColumn("cell",
       col("vec_id") % IvfTunedCells)
     for (_ <- 1 to IvfTunedIters)
@@ -667,9 +672,7 @@ object SimilarityPack {
     * trainer-contract query (its oracle re-derives every iteration). */
   private def pqTopk(s: SparkSession, d: String): DataFrame = {
     val (cent, codes) = pqTrain(s, d)
-    val vecs = Tables.embeddings(s, d)
-      .select(col("vec_id"), gridVec(col("embedding")).as("iv"))
-      .withColumn("nrm", sqrt(gridDot(col("iv"), col("iv"))))
+    val vecs = gridVecs(s, d)
     pqRank(cent, codes, vecs)
   }
 
@@ -679,9 +682,7 @@ object SimilarityPack {
   private[graft] def pqTopkWith(s: SparkSession, d: String,
       shortlist: Int): DataFrame = {
     val (cent, codes) = pqTrain(s, d)
-    val vecs = Tables.embeddings(s, d)
-      .select(col("vec_id"), gridVec(col("embedding")).as("iv"))
-      .withColumn("nrm", sqrt(gridDot(col("iv"), col("iv"))))
+    val vecs = gridVecs(s, d)
     pqRank(cent, codes, vecs, shortlist)
   }
 
@@ -694,10 +695,7 @@ object SimilarityPack {
       val (cent, codes) = pqTrain(s, d)
       cent.write.mode("overwrite").parquet(s"$p/codebooks")
       codes.write.mode("overwrite").parquet(s"$p/codes")
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), gridVec(col("embedding")).as("iv"))
-        .withColumn("nrm", sqrt(gridDot(col("iv"), col("iv"))))
-        .write.mode("overwrite").parquet(s"$p/vectors")
+      gridVecs(s, d).write.mode("overwrite").parquet(s"$p/vectors")
     }
 
   /** PQ-ADC served from the saved artifact alone — no training and no
