@@ -314,14 +314,14 @@ object SimilarityPack {
 
     // ---- ANN recall against the exact contract ---------------------------
     // Per query: how many of the exact top-10 each approximate variant
-    // (three LSH, four IVF) recovered. The approximate path's quality is
+    // (three LSH, four IVF, one PQ) recovered. The approximate path's quality is
     // thereby MEASURED and oracle-gated, not asserted — at production scale
     // this same query is the recall monitor run on a sampled slice.
     // Tuned headlines at sf0.01: `hits_tables` (k=4, L=12 multi-table LSH)
     // 79/100 and `hits_ivf_tuned` (K=16, 6 Lloyd iters, nprobe=8) 82/100
     // recall@10 — both approximate families are at usable recall. --------
     "ann_recall" -> ((s, d) => {
-      // The exact top-10 (a full corpus scan + window) anchors all seven
+      // The exact top-10 (a full corpus scan + window) anchors all eight
       // hit joins below — localCheckpoint materializes it once instead of
       // recomputing it per variant (same discipline as the monitor a
       // production deployment would run on its sampled slice).
@@ -591,20 +591,21 @@ object SimilarityPack {
 
   /** Tuned-IVF with the training INLINE in the plan — the trainer-contract
     * query (its oracle re-derives all six iterations). */
-    private def ivfTunedTopk(s: SparkSession, d: String): DataFrame = {
+  private def ivfTunedTopk(s: SparkSession, d: String): DataFrame = {
     val (cents, assign) = ivfTunedTrain(s, d)
     tunedRank(assign, cents)
   }
 
   // ---- Product Quantization + ADC (`ann_pq_adc`) ---------------------------
   // The memory-compression ANN path: each vector is encoded as
-  // [[PqSubspaces]] 4-bit codes (16 bytes vs 256 — 16×), queries score the
+  // [[PqSubspaces]] 4-bit codes (8 bytes bit-packed, 16 as one-byte codes,
+  // vs 256 for float64 — 16-32×), queries score the
   // WHOLE corpus through a tiny per-query lookup table (ADC: the
   // approximate dot is the sum of precomputed subspace dots), and only the
   // [[PqShortlist]]-row shortlist is re-ranked with exact cosine — the
   // canonical PQ/refine serving shape (Jégou, Douze, Schmid, "Product
   // Quantization for Nearest Neighbor Search", TPAMI 2011). Measured
-  // recall@10 (`ann_recall`): 86/100 at sf0.01, 78/100 at sf0.1 with a
+  // recall@10 (`ann_recall`): 95/100 at sf0.01, 78/100 at sf0.1 with a
   // shortlist of 100. Codebook training minimizes true subspace L2 on the
   // integer grid — the argmin comparison 2·dot(x,c) − ‖c‖² is PURE INTEGER
   // arithmetic (4-dim grid dots fit a long), so training, encoding and the
@@ -615,13 +616,12 @@ object SimilarityPack {
   private[graft] val PqIters = 2
   private[graft] val PqShortlist = 100
 
-  /** (vec_id, s, pos, giv): the grid-int exploded corpus with each
-    * dimension tagged by its subspace. */
-  private def pqExploded(s: SparkSession, d: String): DataFrame = {
+  /** (vec_id, s, pos, giv): a (vec_id, iv, ...) frame exploded to grid
+    * ints with each dimension tagged by its subspace. */
+  private def pqExplode(vecs: DataFrame): DataFrame = {
     val dsub = Dim / PqSubspaces
-    Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        posexplode(gridVec(col("embedding"))).as(Seq("p0", "giv")))
+    vecs
+      .select(col("vec_id"), posexplode(col("iv")).as(Seq("p0", "giv")))
       .select(col("vec_id"), (col("p0") + 1).cast(LongType).as("pos"),
         col("giv"))
       .withColumn("s", floor((col("pos") - 1) / dsub).cast(IntegerType))
@@ -659,8 +659,8 @@ object SimilarityPack {
     * and only the one-pass ENCODE touches the full corpus — here both run
     * on the full (verification-sized) table so the oracle can re-derive
     * them. */
-  private def pqTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val ex = pqExploded(s, d)
+  private def pqTrain(vecs: DataFrame): (DataFrame, DataFrame) = {
+    val ex = pqExplode(vecs)
     var assign = ex.select(col("vec_id"), col("s")).distinct()
       .withColumn("cell", col("vec_id") % PqCodes)
     for (_ <- 1 to PqIters)
@@ -670,19 +670,16 @@ object SimilarityPack {
 
   /** PQ-ADC top-10 with the training INLINE in the plan — the
     * trainer-contract query (its oracle re-derives every iteration). */
-  private def pqTopk(s: SparkSession, d: String): DataFrame = {
-    val (cent, codes) = pqTrain(s, d)
-    val vecs = gridVecs(s, d)
-    pqRank(cent, codes, vecs)
-  }
+  private def pqTopk(s: SparkSession, d: String): DataFrame =
+    pqTopkWith(s, d, PqShortlist)
 
   /** Test hook: the inline PQ pipeline at an explicit shortlist width —
     * the recall-dominance invariant (OperatorInvariantsSpec) compares two
     * widths of the same ADC ordering. */
   private[graft] def pqTopkWith(s: SparkSession, d: String,
       shortlist: Int): DataFrame = {
-    val (cent, codes) = pqTrain(s, d)
     val vecs = gridVecs(s, d)
+    val (cent, codes) = pqTrain(vecs)
     pqRank(cent, codes, vecs, shortlist)
   }
 
@@ -690,12 +687,13 @@ object SimilarityPack {
     * re-rank member — Annoy-style, so serving never re-joins the corpus). */
   private[graft] def ensurePqIndex(s: SparkSession, d: String): String =
     graft.sim.IndexStore.ensure(s, d,
-      s"angular_pq_${PqSubspaces}x${PqCodes}r$PqShortlist",
+      s"angular_pq_${PqSubspaces}x${PqCodes}t$PqIters",
       Tables.embeddings(s, d), "vec_id") { p =>
-      val (cent, codes) = pqTrain(s, d)
+      val vecs = gridVecs(s, d)
+      val (cent, codes) = pqTrain(vecs)
       cent.write.mode("overwrite").parquet(s"$p/codebooks")
       codes.write.mode("overwrite").parquet(s"$p/codes")
-      gridVecs(s, d).write.mode("overwrite").parquet(s"$p/vectors")
+      vecs.write.mode("overwrite").parquet(s"$p/vectors")
     }
 
   /** PQ-ADC served from the saved artifact alone — no training and no
@@ -714,12 +712,7 @@ object SimilarityPack {
     * exceed a long), shortlist of [[PqShortlist]], exact-cosine re-rank. */
   private def pqRank(cent: DataFrame, codes: DataFrame, vecs: DataFrame,
       shortlist: Int = PqShortlist): DataFrame = {
-    val dsub = Dim / PqSubspaces
-    val ex = vecs.select(col("vec_id"),
-        posexplode(col("iv")).as(Seq("p0", "giv")))
-      .select(col("vec_id"), (col("p0") + 1).cast(LongType).as("pos"),
-        col("giv"))
-      .withColumn("s", floor((col("pos") - 1) / dsub).cast(IntegerType))
+    val ex = pqExplode(vecs)
     val cn = cent.groupBy(col("s"), col("cell"))
       .agg(sum(col("civ") * col("civ")).as("cc"))
     val q = vecs.filter(col("vec_id") < 10)

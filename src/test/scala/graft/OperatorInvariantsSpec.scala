@@ -96,9 +96,14 @@ class OperatorInvariantsSpec extends SparkSpec {
 
   test("pq recall of the exact top-10 dominates with a wider shortlist") {
     // a 30-row ADC shortlist is a prefix of the 100-row one (same ADC
-    // ordering, wider cut), so the wide candidate set is a superset — the
-    // same survival argument as the LSH dominance test makes per-query
-    // dominance an invariant, not a statistical expectation
+    // ordering, wider cut), so the wide candidate set is a superset and
+    // the LSH dominance test's survival argument applies — up to one
+    // caveat: the re-rank orders by the exact 1e-9-GRID cosine while the
+    // reference set (n4_topk_cosine) orders by double cosine, so a pair of
+    // candidates whose true cosines differ by ≲1e-9 across the top-10
+    // boundary could in principle break per-query dominance. No such tie
+    // exists in the fixture corpus (deterministic data, deterministic
+    // ranks), so the assertion is exact here, near-invariant in general.
     val exact = run("n4_topk_cosine").select("query_id", "neighbor_id")
     def hits(df: org.apache.spark.sql.DataFrame) = df
       .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
