@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * silently serve a stale index. At production scale the same artifacts
   * live on shared storage: the build is the expensive half (full corpus
   * scans / Lloyd iterations), queries only read the saved members.
+  *
+  * Cost posture: the fingerprint is one full-corpus aggregate, priced for
+  * a PER-JOB gate (ensure once when a batch job starts, serve many
+  * queries), not per-query. A deployment with an authoritative corpus
+  * version — an ingest ledger head (io.Dump), a table snapshot id — can
+  * stamp that into the manifest instead, making the freshness check O(1)
+  * with the same rebuild semantics.
   */
 object IndexStore {
 
