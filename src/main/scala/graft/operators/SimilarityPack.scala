@@ -318,14 +318,14 @@ object SimilarityPack {
 
     // ---- ANN recall against the exact contract ---------------------------
     // Per query: how many of the exact top-10 each approximate variant
-    // (three LSH, four IVF, one PQ) recovered. The approximate path's quality is
+    // (three LSH, four IVF, one PQ, one SQ8) recovered. Quality is
     // thereby MEASURED and oracle-gated, not asserted — at production scale
     // this same query is the recall monitor run on a sampled slice.
     // Tuned headlines at sf0.01: `hits_tables` (k=4, L=12 multi-table LSH)
     // 79/100 and `hits_ivf_tuned` (K=16, 6 Lloyd iters, nprobe=8) 82/100
     // recall@10 — both approximate families are at usable recall. --------
     "ann_recall" -> ((s, d) => {
-      // The exact top-10 (a full corpus scan + window) anchors all eight
+      // The exact top-10 (a full corpus scan + window) anchors all nine
       // hit joins below — localCheckpoint materializes it once instead of
       // recomputing it per variant (same discipline as the monitor a
       // production deployment would run on its sampled slice).
