@@ -42,7 +42,11 @@ object Bench {
     // work, so it is excluded from the timed loop. The persisted ANN index
     // artifacts are the same kind of build-once cost, so they are warmed
     // here too — otherwise the first timed ann_*_indexed iteration would
-    // absorb the build and skew per-query comparability.
+    // absorb the build and skew per-query comparability. The wall time of
+    // this prepare phase is recorded as its own UNTIMED field
+    // (`prepare_sec`) so the build-once cost stays visible in the artifact
+    // without contaminating the per-query numbers.
+    val prepT0 = System.nanoTime()
     Tables.prepare(spark, warmDir)
     Tables.prepare(spark, sfDir)
     for (d <- Seq(warmDir, sfDir)) {
@@ -55,6 +59,7 @@ object Bench {
       try operators.SimilarityPack.ensurePqIndex(spark, d)
       catch { case _: Throwable => () }
     }
+    val prepareSec = (System.nanoTime() - prepT0) / 1e9
     for ((_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // timed pass records real failures
@@ -96,8 +101,12 @@ object Bench {
     // total = sum of the REPORTED (rounded) per-query values, so the record
     // is internally consistent for any consumer cross-checking the sum
     val total = ms(results.map(_._2).filter(_ >= 0).map(ms).sum)
+    // `profile` makes the record self-describing: the reduced m4 grid under
+    // graft.bench.profile is a methodology choice, and cross-round
+    // comparisons must be able to see it in the artifact itself.
     val tele = s""""loadavg_start":${ms(load0)},"loadavg_end":${ms(load1)},""" +
-      s""""gc_ms":$gcMs,"timing":"best_of_2""""
+      s""""gc_ms":$gcMs,"timing":"best_of_2","profile":"bench_reduced_m4",""" +
+      s""""prepare_sec":${ms(prepareSec)}"""
     // Detailed line first (for humans / archaeology) …
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$tele,"sf":"$sfDir"}""")
     spark.stop()

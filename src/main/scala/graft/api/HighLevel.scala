@@ -82,12 +82,17 @@ object HighLevel {
       StructField("metadata", metaSchema)))
     val docName = concat(col("gid"), lit("-"),
       col("submission_offset").cast(StringType), lit(".json"))
-    // left join DRIVEN FROM meta, mirroring the reference exactly: its dump
-    // loop iterates `metadata.values()` (dump.py:813-818), so a recording
-    // with a meta row but no model rows dumps with an empty highlevel
-    // object (defaultdict(dict) yields {}), and model rows whose recording
-    // has NO meta row are dropped — in both engines. Callers needing to
-    // audit orphaned model rows can anti-join models against meta first.
+    // left join DRIVEN FROM meta, mirroring the reference's assembly loop
+    // (it iterates `metadata.values()`, dump.py:813-818): a recording with
+    // a meta row but no model rows dumps with an empty highlevel object
+    // (defaultdict(dict) yields {}). DIVERGENCE NOTE: the reference FEEDS
+    // that loop from the highlevel table LEFT JOINed to highlevel_meta
+    // (dump.py:764-776), so a recording with model rows but no meta row is
+    // dumped there with null metadata — here, if `meta` is sourced from the
+    // meta table alone, such recordings are DROPPED. Callers wanting the
+    // reference's exact surface must pass `meta` as the highlevel-driven
+    // frame (models' keys left-joined to meta, null metadata allowed);
+    // callers auditing orphans can anti-join models against meta first.
     meta.join(hl, keys, "left")
       .select(col("gid"), col("submission_offset"),
         docName.as("doc_name"),

@@ -217,28 +217,42 @@ object Dump {
         s"root manifest lists missing shard $name")
     }
     Files.createDirectories(Paths.get(destDir))
-    spark.sparkContext
+    val extracted = spark.sparkContext
       .parallelize(shards, shards.size.max(1))
-      .foreach { case (name, expected) =>
+      .map { case (name, expected) =>
         // the recorded member count pins each shard to the root manifest's
         // snapshot: a stale shard-N.zip surviving a reshard (or a partial
         // rewrite) fails loudly instead of extracting a mixed member set
-        val extracted =
+        val members =
           readArchive(s"$archiveDir/$name", destDir, expectedSchema)
-        if (extracted != expected)
+        if (members.size != expected)
           throw new IllegalStateException(
-            s"shard $name extracted $extracted members, " +
+            s"shard $name extracted ${members.size} members, " +
               s"root manifest records $expected")
-      }
+        (name, members)
+      }.collect()
+    // member names must be DISJOINT across shards: a hand-edited or
+    // corrupted shard set with duplicate data/ members would otherwise
+    // extract last-write-wins silently. Checked on the driver over the
+    // collected name lists (member counts are envelope-sized, not data-
+    // sized); the failure is loud rather than preventive by design — the
+    // write side assigns members round-robin, so duplicates only ever mean
+    // a tampered or corrupted set.
+    val dup = extracted.flatMap(_._2).groupBy(identity)
+      .collect { case (m, hits) if hits.length > 1 => m }
+    if (dup.nonEmpty)
+      throw new IllegalStateException(
+        s"duplicate members across shards: ${dup.toSeq.sorted.take(5).mkString(", ")}")
   }
 
   /** Unpack an archive into `destDir` after validating its schema version
     * and manifest. Throws [[SchemaMismatchException]] when the recorded
     * version differs from `expectedSchema`; refuses member paths that
-    * escape the destination (zip-slip). Returns the number of members
-    * extracted (the sharded reader checks it against the root manifest). */
+    * escape the destination (zip-slip). Returns the extracted member names
+    * (the sharded reader checks their count against the root manifest and
+    * their cross-shard disjointness). */
   def readArchive(archive: String, destDir: String,
-      expectedSchema: Int = SchemaSequence): Int = {
+      expectedSchema: Int = SchemaSequence): Seq[String] = {
     import java.nio.file.{Files, Paths}
     val zf = new java.util.zip.ZipFile(archive)
     try {
@@ -262,7 +276,7 @@ object Dump {
         Files.createDirectories(out.getParent)
         Files.write(out, zf.getInputStream(e).readAllBytes())
       }
-      manifest.size
+      manifest
     } finally zf.close()
   }
 

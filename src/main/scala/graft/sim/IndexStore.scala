@@ -54,11 +54,20 @@ object IndexStore {
       .write.mode("overwrite").parquet(s"$p/manifest")
   }
 
-  /** True iff a manifest exists and matches the corpus fingerprint. */
+  /** True iff a manifest exists and matches the corpus fingerprint.
+    * Columns are read BY NAME behind a schema check, so a manifest written
+    * by an older layout (fewer or renamed columns — plausible under the
+    * documented shared-storage posture) reads as stale and degrades to a
+    * rebuild instead of throwing on a positional getLong. */
   def isFresh(s: SparkSession, p: String, fp: (Long, Long, Long)): Boolean =
     new java.io.File(s"$p/manifest").exists() && {
-      val m = s.read.parquet(s"$p/manifest").head()
-      (m.getLong(0), m.getLong(1), m.getLong(2)) == fp
+      val df = s.read.parquet(s"$p/manifest")
+      val cols = Seq("corpus_rows", "max_id", "content_hash")
+      cols.forall(n => df.schema.fields.exists(f =>
+        f.name == n && f.dataType == org.apache.spark.sql.types.LongType)) && {
+        val m = df.select(cols.map(col): _*).head()
+        !m.anyNull && (m.getLong(0), m.getLong(1), m.getLong(2)) == fp
+      }
     }
 
   /** Build-once gate: run `build` when the artifact is absent or stale,

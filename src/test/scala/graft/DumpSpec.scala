@@ -115,6 +115,28 @@ class DumpSpec extends SparkSpec {
     assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
   }
 
+  test("duplicate members across shards fail loudly, not last-write-wins") {
+    val dumpDir = tmp("dupshard_dump")
+    Dump.writeTsv(Tables.nation(spark, sfTiny), dumpDir)
+    // hand-craft a corrupted shard set: both shards are FULL archives of
+    // the same dump (identical member names), with a root manifest whose
+    // counts match — only the disjointness check can catch this
+    val archiveDir = tmp("dupshard_arch")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(archiveDir))
+    Dump.writeArchive(dumpDir, s"$archiveDir/shard-0.zip")
+    Dump.writeArchive(dumpDir, s"$archiveDir/shard-1.zip")
+    val n = new java.io.File(dumpDir).listFiles().count(_.isFile)
+    Files.write(java.nio.file.Paths.get(s"$archiveDir/SCHEMA_SEQUENCE"),
+      Dump.SchemaSequence.toString.getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$archiveDir/MANIFEST"),
+      s"shard-0.zip,$n\nshard-1.zip,$n".getBytes("UTF-8"))
+    val dest = tmp("dupshard_out")
+    val e = intercept[Exception] {
+      Dump.readShardedArchives(spark, archiveDir, dest)
+    }
+    assert(e.getMessage.contains("duplicate members"), e.getMessage)
+  }
+
   test("incremental window slice prunes day partitions via dayCol") {
     val ev = Tables.eventsPartitioned(spark, sfTiny)
     val Array(lo, hi) = ev

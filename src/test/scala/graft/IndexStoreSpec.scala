@@ -89,4 +89,24 @@ class IndexStoreSpec extends SparkSpec {
     assert(rebuilt)
     assert(IndexStore.isFresh(spark, p, fp))
   }
+
+  test("an older manifest layout reads as stale, not as an error") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfTiny)
+    val fp = IndexStore.fingerprint(emb, "vec_id")
+    val p = IndexStore.path(sfTiny, "angular_ivf_kmeans")
+    run("ann_kmeans_indexed").collect() // builds if absent
+    // simulate an artifact persisted by the pre-content-hash 2-column
+    // manifest format (plausible on shared storage across engine versions):
+    // the freshness gate must degrade to a rebuild, not throw
+    Seq((fp._1, fp._2)).toDF("corpus_rows", "max_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$p/manifest")
+    assert(!IndexStore.isFresh(spark, p, fp))
+    var rebuilt = false
+    IndexStore.ensure(spark, sfTiny, "angular_ivf_kmeans", emb, "vec_id") {
+      _ => rebuilt = true
+    }
+    assert(rebuilt)
+    assert(IndexStore.isFresh(spark, p, fp))
+  }
 }
