@@ -104,34 +104,6 @@ object HashFunctions {
       transform(slice(sortedIds, i + 2, size(sortedIds)),
         y => struct(x.as("doc_a"), y.as("doc_b")))))
 
-  /** pairCombos packed into single longs `(a << 32) | b` — requires ids in
-    * [0, 2³¹). One fixed-width group key makes the candidate-pair
-    * aggregation (the widest stage of the Jaccard plan) a primitive-long
-    * hash aggregate instead of a struct compare. Unpack with
-    * `shiftright(k, 32)` / `k & 0xffffffff`.
-    *
-    * The range precondition is ENFORCED: an id at or above 2³¹ (or
-    * negative) would silently corrupt both halves of the packed key, so
-    * out-of-range input raises instead (`sortedIds` is sorted ascending —
-    * its first/last elements are min/max, making the check O(1) per row).
-    * Callers with wider id domains should use the struct-keyed
-    * [[pairCombos]]. */
-  def pairCombosPacked(sortedIds: Column): Column = {
-    val inRange = size(sortedIds) === 0 ||
-      (element_at(sortedIds, 1) >= 0 &&
-        element_at(sortedIds, -1) < lit(1L << 31))
-    when(inRange,
-      flatten(transform(sortedIds, (x, i) =>
-        transform(slice(sortedIds, i + 2, size(sortedIds)),
-          // cast BEFORE shifting: Java masks the shift count to 5 bits for
-          // Int, so shiftleft(int, 32) would be a silent no-op
-          y => shiftleft(x.cast(LongType), 32).bitwiseOR(y.cast(LongType))))))
-      .otherwise(raise_error(concat(
-        lit("pairCombosPacked: id outside [0, 2^31): min="),
-        element_at(sortedIds, 1).cast(StringType),
-        lit(" max="), element_at(sortedIds, -1).cast(StringType))))
-  }
-
   /** 64-bit SimHash of the document's tokens as a '0'/'1' bit string
     * (MSB-first per MD5 hex digit). Bit i is set when the sum over tokens of
     * (bit_i(md5(token)) * 2 - 1) is positive.

@@ -66,46 +66,8 @@ object DedupPack {
     }),
 
     // ---- exact n-gram Jaccard near-dup pairs (inverted shingle index) ----
-    // Shuffle once on shingle, generate pairs inside each df-capped posting
-    // list, then aggregate shared-counts — no self-join. Per-doc sizes are
-    // derived from the SAME df-filtered posting lists (one exchange, reused
-    // by both branches), so Jaccard is computed consistently over the capped
-    // shingle universe. The shuffle key is xxhash64(shingle), not the
-    // shingle string: 8-byte fixed keys cut shuffle width ~3× (measured
-    // ~20% on the whole query); results equal the string-keyed plan unless
-    // two distinct shingles collide in 64 bits (~n²/2⁶⁵ — at a trillion
-    // distinct shingles, widen to two independent hashes).
-    "dd_jaccard_pairs" -> ((s, d) => {
-      val postings = shingled(s, d)
-        .select(col("doc_id"),
-          explode(transform(col("sh"), g => xxhash64(g))).as("g"))
-        .groupBy(col("g"))
-        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) <= MaxShingleDf)
-      val sizes = postings
-        .select(explode(col("ids")).as("doc_id"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n"))
-      // candidate pairs aggregate as ONE packed long (doc_a << 32 | doc_b)
-      // instead of a two-field struct: cheaper hash/compare on the widest
-      // aggregation of the query (one group per candidate pair)
-      val shared = postings
-        .filter(size(col("ids")) >= 2)
-        .select(explode(pairCombosPacked(col("ids"))).as("pk"))
-        .groupBy(col("pk"))
-        .agg(count(lit(1)).as("shared"))
-        .select(shiftright(col("pk"), 32).as("doc_a"),
-          col("pk").bitwiseAND(lit(0xffffffffL)).as("doc_b"),
-          col("shared"))
-      shared
-        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"), col("shared"),
-          (col("shared").cast(DoubleType) /
-            (col("sa.n") + col("sb.n") - col("shared"))).as("jaccard"))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .orderBy("doc_a", "doc_b")
-    }),
+    "dd_jaccard_pairs" -> ((s, d) =>
+      jaccardPairs(shingled(s, d)).orderBy("doc_a", "doc_b")),
 
     // ---- MinHash + LSH banding candidate pairs ---------------------------
     "dd_minhash_lsh" -> ((s, d) =>
@@ -166,6 +128,50 @@ object DedupPack {
         .orderBy("doc_a", "doc_b")
     })
   )
+
+  /** Exact n-gram Jaccard near-dup pairs over a (doc_id, sh) shingled frame
+    * — the inverted-shingle-index plan: shuffle once on shingle, generate
+    * pairs inside each df-capped posting list, then aggregate shared-counts
+    * — no self-join. Per-doc sizes are derived from the SAME df-filtered
+    * posting lists (one exchange, reused by both branches), so Jaccard is
+    * computed consistently over the capped shingle universe. The shuffle
+    * key is xxhash64(shingle), not the shingle string: 8-byte fixed keys
+    * cut shuffle width ~3× (measured ~20% on the whole query); results
+    * equal the string-keyed plan unless two distinct shingles collide in
+    * 64 bits (~n²/2⁶⁵ — at a trillion distinct shingles, widen to two
+    * independent hashes).
+    *
+    * Candidate pairs aggregate on TWO flat long group columns (doc_a,
+    * doc_b) — an UnsafeRow fixed-width hash aggregate, valid over the FULL
+    * 64-bit doc-id domain. (An earlier formulation packed the pair into one
+    * `(a << 32) | b` long, which capped ids at 2³¹ behind a raise_error
+    * guard; the two-column key measures within noise of the packed one and
+    * removes the cap — pinned by the >2³² property test in PropertySpec.) */
+  private[graft] def jaccardPairs(sh: DataFrame): DataFrame = {
+    val postings = sh
+      .select(col("doc_id"),
+        explode(transform(col("sh"), g => xxhash64(g))).as("g"))
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= MaxShingleDf)
+    val sizes = postings
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    val shared = postings
+      .filter(size(col("ids")) >= 2)
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast(DoubleType) /
+          (col("sa.n") + col("sb.n") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
 
   /** Connected components over an undirected edge list `(doc_a, doc_b)` →
     * `(doc_id, rep)` where `rep` is the component's minimum id — one row per

@@ -67,28 +67,29 @@ class PropertySpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("pairCombosPacked unpacks to exactly pairCombos; out-of-range raises") {
-    val lists = samples(
-      Gen.chooseNum(0, 6).flatMap(n =>
-        Gen.listOfN(n, Gen.chooseNum(0L, (1L << 31) - 1))
-          .map(_.distinct.sorted)), 40)
-    val df = lists.zipWithIndex.map { case (l, i) => (i.toLong, l) }
-      .toDF("row_id", "ids")
-    val got = df.select(col("row_id"),
-        explode(HashFunctions.pairCombosPacked(col("ids"))).as("pk"))
-      .select(col("row_id"), shiftright(col("pk"), 32),
-        col("pk").bitwiseAND(lit(0xffffffffL)))
-      .as[(Long, Long, Long)].collect().toSet
-    val want = lists.zipWithIndex.flatMap { case (l, i) =>
-      for (a <- l; b <- l if a < b) yield (i.toLong, a, b)
-    }.toSet
-    assert(got == want)
-    // the documented precondition is enforced, not silently corrupting
-    val bad = Seq((0L, Seq(1L, 1L << 31))).toDF("row_id", "ids")
-    intercept[Exception] {
-      bad.select(explode(HashFunctions.pairCombosPacked(col("ids"))))
-        .collect()
-    }
+  test("jaccardPairs is id-representation-free: ids above 2^32 work") {
+    // the same corpus under two id assignments — small ids and ids offset
+    // past 2^32 (the old packed-long key's hard cap) — must yield the same
+    // pair structure with the same jaccard scores
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat",
+      "a completely different document about spark engines",
+      "the quick brown fox jumps over the lazy dog today",
+      "a completely different document about spark engines too")
+    val off = (1L << 40) + 7
+    def framed(offset: Long) =
+      texts.zipWithIndex.map { case (t, i) => (i + offset, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          HashFunctions.wordShingles(col("text"), 3).as("sh"))
+    def pairs(offset: Long): Set[(Long, Long, Long, Double)] =
+      graft.operators.DedupPack.jaccardPairs(framed(offset))
+        .as[(Long, Long, Long, Double)].collect()
+        .map { case (a, b, s, j) => (a - offset, b - offset, s, j) }.toSet
+    val small = pairs(0L)
+    assert(small.nonEmpty, "fixture should produce at least one near-dup pair")
+    assert(pairs(off) == small)
   }
 
   test("wordShingles: n-gram count, distinctness, and short-text fallback") {
