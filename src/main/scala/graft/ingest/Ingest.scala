@@ -25,44 +25,33 @@ object Ingest {
     * column already in canonical form (e.g. [[canonicalJson]]). */
   def contentHash(payload: Column): Column = sha2(payload.cast(StringType), 256)
 
-  /** Canonical JSON of a struct column: struct fields sorted recursively by
-    * name, map entries sorted by key, compact separators — byte-identical
-    * to the reference's `json.dumps(data, sort_keys=True,
-    * separators=(',',':'))` (db/data.py:250) for
-    * int/string/bool/array/struct/map payloads (pinned by a golden-hash
-    * test). Spark's `to_json` emits struct fields in schema order and map
-    * entries in map order with compact separators, so canonicalization =
-    * recursively re-building structs with sorted field names and maps with
-    * sorted entries. Caveat (SURVEY §7.4): float formatting differs between
-    * Python repr and Java — documents carrying non-integral doubles hash
-    * consistently *within* this engine but not byte-identically to the
-    * Python reference. */
-  def canonicalJson(payload: Column, schema: StructType): Column = {
-    def canon(c: Column, dt: DataType): Column = dt match {
-      case st: StructType =>
-        struct(st.fields.sortBy(_.name).map { f =>
-          canon(c.getField(f.name), f.dataType).as(f.name)
-        }.toIndexedSeq: _*)
-      case ArrayType(et, _) => transform(c, e => canon(e, et))
-      case MapType(_, vt, _) =>
-        // explicit key-only comparator: map keys are unique, so ordering by
-        // key alone is json.dumps' sort_keys — and unlike whole-struct
-        // ordering it stays legal when the VALUE type is itself unorderable
-        // (e.g. a struct containing a map, as in the high-level model map)
-        map_from_entries(array_sort(
-          transform(map_entries(c),
-            e => struct(e.getField("key").as("key"),
-              canon(e.getField("value"), vt).as("value"))),
-          (l, r) => when(l.getField("key") < r.getField("key"), -1)
-            .when(l.getField("key") > r.getField("key"), 1)
-            .otherwise(0)))
-      case _ => c
-    }
-    // ignoreNullFields=false: json.dumps emits "field":null; dropping the
-    // field would both break reference parity and hash-collide {"a":1,
-    // "b":null} with {"a":1}
-    to_json(canon(payload, schema), Map("ignoreNullFields" -> "false"))
-  }
+  /** Canonical JSON of a TYPED struct column: struct fields and map entries
+    * sorted recursively by key, compact separators, Python-repr floats,
+    * ensure_ascii escaping — byte-identical to the reference's
+    * `json.dumps(data, sort_keys=True, separators=(',',':'))`
+    * (db/data.py:250) for payloads the typed schema represents faithfully
+    * (pinned by golden-hash tests incl. non-integral doubles; the earlier
+    * to_json formulation's float-repr caveat is CLOSED by the native
+    * graft.plans.CanonicalJson expression's shortest-round-trip
+    * formatter). For RAW submitted documents — where a JSON literal's
+    * int-vs-float identity must survive inside double-typed arrays — hash
+    * [[canonicalJsonString]] instead.
+    *
+    * `schema` pins the serialized shape: the payload is cast to it, so a
+    * caller-provided narrower schema drops/coerces exactly like the typed
+    * ingest path that produced it. */
+  def canonicalJson(payload: Column, schema: StructType): Column =
+    call_function("canonical_json", payload.cast(schema))
+
+  /** Canonical JSON of a RAW document string — byte-identical to Python's
+    * `json.dumps(json.load(doc), sort_keys=True, separators=(',',':'))`
+    * including per-literal int-vs-float identity (`[0, 0.53]` re-serializes
+    * as `0` and `0.53`; a typed array column cannot represent that mix).
+    * This is the exact submission-dedup hashing semantics of the reference
+    * (db/data.py:250-257), golden-tested byte-for-byte against its real
+    * test fixtures. */
+  def canonicalJsonString(raw: Column): Column =
+    call_function("canonical_json_str", raw)
 
   /** sha1 hex digest of a binary/string column (reference F2:
     * hl_extractor/hl_calc.py:161-169 — sha1 of the SVM models file used to

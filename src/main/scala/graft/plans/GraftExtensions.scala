@@ -44,6 +44,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Hex32(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("canonical_json"),
+      new ExpressionInfo(classOf[CanonicalJson].getName, "canonical_json"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"canonical_json expects 1 argument, got ${children.length}")
+        CanonicalJson(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("canonical_json_str"),
+      new ExpressionInfo(classOf[CanonicalJsonString].getName,
+        "canonical_json_str"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"canonical_json_str expects 1 argument, got ${children.length}")
+        CanonicalJsonString(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => {

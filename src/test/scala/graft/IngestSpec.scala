@@ -63,6 +63,56 @@ class IngestSpec extends SparkSpec {
       "bf7feb1a9b0f62f282a4b3395fad6ba2f0f4bacff7a9b55dcabbca9321839d21")
   }
 
+  test("canonical JSON floats and unicode match Python repr + ensure_ascii") {
+    // golden: json.dumps({'a':0.1,'b':1e16,'c':-0.0001,'d':[1.5,44100.0,
+    // 2.5e-09,0.0],'e':12345678.0,'f':'café — emoji \U0001F600'},
+    // sort_keys=True, separators=(',',':')) → sha256. Exercises the three
+    // divergences the native expression closes: shortest-round-trip float
+    // repr with Python's fixed/exponential switch points (Java flips to E
+    // notation at 1e7 — 'e' pins that), ensure_ascii \uXXXX escapes incl.
+    // a surrogate pair, and ".0" on integral doubles.
+    val df = Seq((0.1, 1e16, -0.0001, Seq(1.5, 44100.0, 2.5e-09, 0.0),
+        12345678.0, "café — emoji 😀"))
+      .toDF("a", "b", "c", "d", "e", "f")
+      .select(struct($"a", $"b", $"c", $"d", $"e", $"f").as("payload"))
+    val schema = df.schema("payload").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val out = df.select(
+      Ingest.canonicalJson($"payload", schema).as("canon"),
+      Ingest.contentHash(Ingest.canonicalJson($"payload", schema)).as("h"))
+      .collect()(0)
+    assert(out.getString(0) ==
+      "{\"a\":0.1,\"b\":1e+16,\"c\":-0.0001," +
+        "\"d\":[1.5,44100.0,2.5e-09,0.0],\"e\":12345678.0," +
+        "\"f\":\"caf\\u00e9 \\u2014 emoji \\ud83d\\ude00\"}")
+    assert(out.getString(1) ==
+      "fc4f8b10e8f975e0364f8decffe8209e378ad11aac7fcf6adeb135871f732a1d")
+  }
+
+  test("raw canonical JSON hashes the REAL reference fixtures to Python bytes") {
+    // goldens: sha256(json.dumps(json.load(f), sort_keys=True,
+    // separators=(',',':')).encode()) over the reference's own test
+    // documents (db/test_data/) — the full Essentia low-level document
+    // (50,959 canonical bytes, mixed int/float arrays in
+    // tonal.chords_histogram et al.) and the high-level document. This is
+    // the EXACT dedup-key computation of db/data.py:250-257.
+    val fixtures = Seq(
+      ("/root/reference/db/test_data/" +
+        "0dad432b-16cc-4bf0-8961-fd31d124b01b.json",
+        "8a8a8795100536a93e42b564c93955e62c08f3d31d0ed49da0abdd0098ac1cbb"),
+      ("/root/reference/db/test_data/" +
+        "0dad432b-16cc-4bf0-8961-fd31d124b01b_highlevel.json",
+        "9e719e135218a4b0c9e381ab28d33978264d059fbedfb3fa03959df2036d3734"))
+    for ((path, want) <- fixtures) {
+      val raw = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val got = Seq(raw).toDF("raw")
+        .select(Ingest.contentHash(Ingest.canonicalJsonString($"raw")))
+        .collect()(0).getString(0)
+      assert(got == want, s"fixture $path canonical hash diverged")
+    }
+  }
+
   test("exact duplicates within a batch are dropped, earliest kept") {
     val in = frame(Seq(("g1", "doc-a", 1), ("g1", "doc-a", 2), ("g1", "doc-b", 3)))
     val out = Ingest.ingestBatch(empty, in)
