@@ -58,6 +58,8 @@ object Bench {
       catch { case _: Throwable => () }
       try operators.SimilarityPack.ensurePqIndex(spark, d)
       catch { case _: Throwable => () }
+      try operators.SimilarityPack.ensureIvfPqIndex(spark, d)
+      catch { case _: Throwable => () }
     }
     val prepareSec = (System.nanoTime() - prepT0) / 1e9
     for ((_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))

@@ -52,6 +52,15 @@ class IndexStoreSpec extends SparkSpec {
       s"pq plan should scan the saved index:\n$pq")
     assert(!pq.contains("embeddings"),
       s"pq plan re-joins the corpus:\n$pq")
+    val vq = planOf("ann_ivfpq_indexed")
+    assert(vq.contains("graft_indexes") && vq.contains("angular_ivfpq"),
+      s"ivfpq plan should scan the saved index:\n$vq")
+    // no training and no corpus scan in the serve path: the artifact
+    // carries centroids, codebooks, codes AND vectors. (The query-side
+    // LUT legitimately explodes the 10 query vectors — same as pq — so a
+    // blanket no-posexplode assert would be wrong here.)
+    assert(!vq.contains("embeddings"),
+      s"ivfpq plan re-joins the corpus:\n$vq")
   }
 
   test("indexed results equal the inline recompute variants") {
@@ -63,6 +72,8 @@ class IndexStoreSpec extends SparkSpec {
       run("ann_ivf_tuned").collect().map(_.toString).toSeq)
     assert(run("ann_pq_indexed").collect().map(_.toString).toSeq ==
       run("ann_pq_adc").collect().map(_.toString).toSeq)
+    assert(run("ann_ivfpq_indexed").collect().map(_.toString).toSeq ==
+      run("ann_ivfpq").collect().map(_.toString).toSeq)
   }
 
   test("a changed corpus fails the freshness gate and forces a rebuild") {

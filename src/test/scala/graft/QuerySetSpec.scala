@@ -1,0 +1,54 @@
+package graft
+
+import graft.api.BulkParams
+import graft.operators.SimilarityPack
+import org.apache.spark.sql.functions._
+
+/** Parameterized ANN query sets: the reference's similarity API serves
+  * arbitrary bulk lookup lists (api/v1/similarity.py:114-185); here the
+  * whole ANN/top-K family takes an injected query frame, and the
+  * oracle-gated entries are ONE instantiation of that path (the fixed
+  * ids < 10 set). */
+class QuerySetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mbidOf(i: Long): String = f"00000000-0000-4000-8000-$i%012d"
+
+  test("the oracle-gated default set is one instantiation of topkFor") {
+    val ids = (0L until 10L).toDF("vec_id")
+    val fixed = SparkEntry.queries("n4_topk_cosine")(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    val injected = SimilarityPack.topkFor(spark, sfTiny, ids)
+      .collect().map(_.toString).toSeq
+    assert(injected == fixed)
+  }
+
+  test("a BulkParams-parsed request drives an arbitrary bulk top-K") {
+    // the reference's recording_ids param shape: `mbid`, `mbid:offset`,
+    // duplicates dropped order-preserving (core.py:253-254)
+    val want = Seq(17L, 42L, 255L, 311L)
+    val param = s"${mbidOf(17)};${mbidOf(42)}:1;${mbidOf(255)};" +
+      s"${mbidOf(17)};${mbidOf(311)}:0"
+    val items = BulkParams.parse(param) match {
+      case BulkParams.Parsed(it) => it
+      case BulkParams.Invalid(r) => fail(s"parse failed: $r")
+    }
+    // deployments resolve mbids through their recording dimension; the
+    // lookup is a broadcast join, never a collect
+    val dim = (0L until 500L).map(i => (mbidOf(i), i)).toDF("mbid", "vec_id")
+    val req = items.map(_.mbid).toDF("mbid")
+      .join(broadcast(dim), Seq("mbid"))
+      .select("vec_id")
+    val out = SimilarityPack.topkFor(spark, sfTiny, req)
+    assert(out.select("query_id").distinct().as[Long].collect().toSet ==
+      want.toSet)
+    // full contract per query: 10 neighbours, ranks 1..10
+    val perQuery = out.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+      .collect()
+    assert(perQuery.forall(r => r.getLong(1) == 10 &&
+      r.getLong(2) == 1 && r.getLong(3) == 10))
+    // and a query id never appears among its own neighbours
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+  }
+}
