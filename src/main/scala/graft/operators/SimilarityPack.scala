@@ -962,17 +962,22 @@ object SimilarityPack {
     val (pqCent, codes) = pqTrain(assign)
     ivfPqRank(cents, assign,
       pqCent.withColumnRenamed("cell", "code"),
-      codes.withColumnRenamed("cell", "code"), qs)
+      codes.withColumnRenamed("cell", "code")
+        .join(assign.select(col("vec_id"), col("cell")), Seq("vec_id")), qs)
   }
 
   /** IVF-PQ top-10 from trained parts: (cell, cv, cnrm) coarse centroids,
     * (vec_id, iv, nrm, cell) assignment (vectors + their IVF cell — the
     * re-rank member), (s, code, pos, civ) sub-codebooks and (vec_id, s,
-    * code) PQ codes. Queries probe their [[IvfTunedProbe]] nearest cells,
-    * ADC-score ONLY the probed cells' codes through the per-query LUT,
-    * shortlist [[IvfPqShortlist]], exact-cosine re-rank. The LUT, probe
-    * and shortlist frames are all query-sized broadcasts; the only
-    * corpus-proportional work is the pruned code scan. */
+    * code, cell) PQ codes CARRYING their IVF cell. Queries probe their
+    * [[IvfTunedProbe]] nearest cells, ADC-score ONLY the probed cells'
+    * codes through the per-query LUT, shortlist [[IvfPqShortlist]],
+    * exact-cosine re-rank. The LUT, probe and shortlist frames are all
+    * query-sized broadcasts; the only corpus-proportional work is the
+    * pruned code scan — and because the cell rides the codes row (the
+    * artifact is written that way), the probe filter hits the scan as a
+    * broadcast-join prune, with no corpus-wide vec_id join in the query
+    * path. */
   private def ivfPqRank(cents: DataFrame, assign: DataFrame,
       pqCent: DataFrame, codes: DataFrame,
       qs: QuerySet = DefaultQueries): DataFrame = {
@@ -1000,7 +1005,6 @@ object SimilarityPack {
     val qn = qs(assign)
       .select(col("vec_id").as("query_id"), col("nrm").as("qnrm"))
     val short = codes
-      .join(assign.select(col("vec_id"), col("cell")), Seq("vec_id"))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(lut), Seq("query_id", "s", "code"))
@@ -1018,11 +1022,13 @@ object SimilarityPack {
   }
 
   /** Persisted IVF-PQ index: coarse centroids, PQ codebooks, per-vector
-    * codes, and the (vector, cell) assignment — everything serving needs,
-    * nothing else. At deployment scale the codes member is additionally
-    * laid out by cell (partition pruning turns a probe into a file-level
-    * skip); here the cell ids ride the assignments member, which serving
-    * joins before the probe filter. */
+    * codes WITH their IVF cell, and the (vector, cell) assignment —
+    * everything serving needs, nothing else. The cell rides each codes
+    * row precisely so the serve path never joins the corpus-sized codes
+    * and assignments members: the probe filter applies directly to the
+    * codes scan. At deployment scale the same member is laid out
+    * (partitioned/bucketed) by cell, upgrading that filter to file-level
+    * pruning. */
   private[graft] def ensureIvfPqIndex(s: SparkSession, d: String): String =
     graft.sim.IndexStore.ensure(s, d,
       s"angular_ivfpq_${IvfTunedCells}x${PqSubspaces}x${PqCodes}" +
@@ -1035,8 +1041,9 @@ object SimilarityPack {
         .parquet(s"$p/assignments")
       pqCent.withColumnRenamed("cell", "code").write.mode("overwrite")
         .parquet(s"$p/codebooks")
-      codes.withColumnRenamed("cell", "code").write.mode("overwrite")
-        .parquet(s"$p/codes")
+      codes.withColumnRenamed("cell", "code")
+        .join(assign.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .write.mode("overwrite").parquet(s"$p/codes")
     }
 
   /** IVF-PQ served from the saved artifact alone — no training and no
