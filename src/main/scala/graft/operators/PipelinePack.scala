@@ -43,10 +43,57 @@ object PipelinePack {
   /** Minimum whitespace-token count to survive the quality cut. */
   val MinTokens = 15
 
+  /** Token budget per packed training sequence (`pipe_pack_sequences`). */
+  val PackBudget = 512L
+
   /** Minimum stopword ratio (stopword-looking docs are prose, not noise). */
   val MinStopRatio = 0.01
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * bins — the batch-prep step between a cleaned corpus and a training
+    * run (every LLM data pipeline ends in some form of this). Streaming
+    * first-fit in doc_id order WITHIN each source: a document goes to bin
+    * `floor(preceding_cum_tokens / budget)`, so bins are contiguous id
+    * ranges and a bin can overflow its budget by at most one document —
+    * the standard overflow-tolerant streaming pack (the alternative,
+    * best-fit bin packing, is NP-hard and inherently sequential; this
+    * formulation is one window computation and fully deterministic).
+    *
+    * Scale: the window partitions by `source` — the ingest-shard key at
+    * deployment scale — so each shard packs independently in one shuffle
+    * and no global ordered scan exists. Per-shard packing is also what a
+    * training job wants (shards stream independently into loaders). */
+  private[graft] def packSequences(docs: DataFrame): DataFrame = {
+    val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val wPos = Window.partitionBy(col("source"), col("bin"))
+      .orderBy(col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(wCum))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tokens")) / PackBudget).cast("long"))
+      .withColumn("bin_pos", row_number().over(wPos).cast("long"))
+      .select("doc_id", "source", "n_tokens", "bin", "bin_pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- training-sequence packing over the documents table --------------
+    "pipe_pack_sequences" -> ((s, d) =>
+      packSequences(Tables.documents(s, d))
+        .orderBy("source", "bin", "bin_pos")),
+
+    // ---- per-bin fill accounting: the packing-efficiency monitor ---------
+    // (fill_ratio > 1 marks the overflow bins — bounded by one document)
+    "pipe_pack_stats" -> ((s, d) =>
+      packSequences(Tables.documents(s, d))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"))
+        .withColumn("fill_ratio",
+          round(col("bin_tokens").cast("double") / PackBudget, 6))
+        .orderBy("source", "bin")),
+
     "pipe_corpus_prep" -> ((s, d) => {
       val t = col("text")
       val scored = Tables.documents(s, d)
@@ -77,6 +124,38 @@ object PipelinePack {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_pack_sequences" -> {
+      import TextPack.toksSql
+      s"""WITH toks AS (SELECT doc_id, source,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |cum AS (SELECT doc_id, source, n_tokens,
+         |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |  FROM toks)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS bin,
+         |  CAST(row_number() OVER (PARTITION BY source,
+         |    (cum - n_tokens) // $PackBudget ORDER BY doc_id) AS BIGINT)
+         |    AS bin_pos
+         |FROM cum ORDER BY source, bin, bin_pos""".stripMargin
+    },
+
+    "pipe_pack_stats" -> {
+      import TextPack.toksSql
+      s"""WITH toks AS (SELECT doc_id, source,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |cum AS (SELECT doc_id, source, n_tokens,
+         |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |  FROM toks),
+         |binned AS (SELECT source, n_tokens,
+         |  CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS bin FROM cum)
+         |SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  SUM(n_tokens) AS bin_tokens,
+         |  round(CAST(SUM(n_tokens) AS DOUBLE) / $PackBudget, 6)
+         |    AS fill_ratio
+         |FROM binned GROUP BY source, bin
+         |ORDER BY source, bin""".stripMargin
+    },
+
     "pipe_corpus_prep" -> {
       import TextPack.{countSql, langCaseSql, toksSql}
       import graft.functions.TextFunctions.EnglishStopwords

@@ -270,6 +270,70 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(gaps.count() == 0)
   }
 
+  test("ivfpq recall never exceeds its own pruning baseline, per query") {
+    // IVF-PQ's candidates are exactly tuned-IVF's (same cells, same
+    // probes); ADC shortlisting can only LOSE true neighbours relative to
+    // full-precision scoring of those candidates, and the exact re-rank
+    // restores order within the shortlist — so per query
+    // hits_ivfpq <= hits_ivf_tuned, with equality when the shortlist is
+    // wide enough (the tuned IvfPqShortlist). A violation would mean the
+    // composition scored candidates outside its probed cells.
+    val r = run("ann_recall")
+    assert(r.count() > 0)
+    assert(r.filter(col("hits_ivfpq") > col("hits_ivf_tuned")).count() == 0)
+    // all monitors are bounded by the exact contract's k
+    val hitCols = r.columns.filter(_.startsWith("hits_"))
+    for (c <- hitCols)
+      assert(r.filter(col(c) > 10).count() == 0, s"$c exceeds k")
+  }
+
+  test("n1_incremental: above-watermark slice, stats from existing rows only") {
+    val inc = run("n1_incremental")
+    val emb = Tables.embeddings(spark, sfTiny)
+    val maxId = emb.agg(max(col("vec_id"))).collect()(0).getLong(0)
+    // the batch is exactly the 50 ids above the watermark — the id-domain
+    // analogue of a ledger window's (start, end] slice contract
+    val ids = inc.select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == ((maxId - 49) to maxId).toSet)
+    // normalization uses the EXISTING slice's stats, not the full-corpus
+    // stats: the same ids normalized by n1_vector_normalize (full-corpus
+    // stats) must differ somewhere, or the watermark split is vacuous
+    val full = run("n1_vector_normalize")
+      .filter(col("vec_id") > maxId - 50)
+    assert(inc.count() == full.count())
+    assert(inc.exceptAll(full).count() > 0)
+  }
+
+  test("pipe_pack_sequences: bins partition docs in contiguous id runs") {
+    val packed = run("pipe_pack_sequences")
+    // every document lands in exactly one bin
+    assert(packed.count() == Tables.documents(spark, sfTiny).count())
+    assert(packed.select("doc_id").distinct().count() == packed.count())
+    // positions are dense 1..n within each (source, bin)
+    val posChk = packed.groupBy("source", "bin")
+      .agg(count(lit(1)).as("n"), min("bin_pos").as("lo"),
+        max("bin_pos").as("hi"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n"))
+    assert(posChk.count() == 0)
+    // streaming pack ⇒ bins are contiguous doc_id runs per source: a
+    // bin's highest id precedes the next non-empty bin's lowest id
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bin")
+    val runs = packed.groupBy("source", "bin")
+      .agg(min("doc_id").as("lo_id"), max("doc_id").as("hi_id"))
+      .withColumn("next_lo", lead(col("lo_id"), 1).over(w))
+      .filter(col("next_lo").isNotNull && col("hi_id") >= col("next_lo"))
+    assert(runs.count() == 0)
+    // stats view agrees with the packing it summarizes
+    val stats = run("pipe_pack_stats")
+    val fromPacked = packed.groupBy("source", "bin")
+      .agg(sum("n_tokens").as("bin_tokens"))
+    val joined = stats.join(fromPacked, Seq("source", "bin"))
+      .filter(stats("bin_tokens") =!= fromPacked("bin_tokens"))
+    assert(joined.count() == 0 && stats.count() == fromPacked.count())
+  }
+
   test("ev_sessionize: sessions partition events; durations within bounds") {
     val sess = run("ev_sessionize")
     // every event lands in exactly one session

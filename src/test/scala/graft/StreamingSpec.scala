@@ -67,6 +67,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == batchDistinct && out.count() > 0)
   }
 
+  test("streaming vector normalize equals the batch ETL on static stats") {
+    import graft.streaming.VectorStream
+    // the static stats frame — at deployment scale the persisted stats
+    // artifact; here the same exact-grid aggregate the batch entries use
+    val stats = SparkEntry.queries("a6_dimension_stats")(spark, sfTiny)
+      .select(col("pos"), col("mean"), col("std"))
+    val q = VectorStream.normalized(VectorStream.source(spark, sfTiny), stats)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vec_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("vec_out")
+    val batch = SparkEntry.queries("n1_vector_normalize")(spark, sfTiny)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming corpus gate matches the batch gates + exact dedup") {
     import graft.functions.TextFunctions._
     import graft.streaming.DocStream
