@@ -53,6 +53,18 @@ object SimilarityPack {
   def topkFor(s: SparkSession, d: String, ids: DataFrame): DataFrame =
     topkExact(s, d, querySetOf(ids))
 
+  /** Bulk top-K served from the persisted tuned-IVF index — the
+    * production shape of [[topkFor]]: arbitrary request lists against the
+    * artifact, no corpus scan (reference api/v1/similarity.py:114-185
+    * serving from the mmap-loaded Annoy index). */
+  def indexedTopkFor(s: SparkSession, d: String, ids: DataFrame): DataFrame =
+    ivfTunedServe(s, d, querySetOf(ids))
+
+  /** Bulk top-K from the persisted IVF-PQ index — [[indexedTopkFor]] at
+    * the compressed-candidate memory point (16 bytes/candidate). */
+  def ivfPqTopkFor(s: SparkSession, d: String, ids: DataFrame): DataFrame =
+    ivfPqServe(s, d, querySetOf(ids))
+
   /** Exact grid mean: round to the 1e-9 integer grid, sum as BIGINT (exact),
     * one correctly-rounded double division chain — bit-identical across
     * engines and partitionings (see `dimStats`). */

@@ -23,6 +23,25 @@ class QuerySetSpec extends SparkSpec {
     assert(injected == fixed)
   }
 
+  test("index-served bulk lookups honor arbitrary query frames too") {
+    val ids = (0L until 10L).toDF("vec_id")
+    // fixed-set instantiation matches the oracle-gated served entries …
+    assert(SimilarityPack.indexedTopkFor(spark, sfTiny, ids)
+      .collect().map(_.toString).toSeq ==
+      SparkEntry.queries("ann_tuned_indexed")(spark, sfTiny)
+        .collect().map(_.toString).toSeq)
+    assert(SimilarityPack.ivfPqTopkFor(spark, sfTiny, ids)
+      .collect().map(_.toString).toSeq ==
+      SparkEntry.queries("ann_ivfpq_indexed")(spark, sfTiny)
+        .collect().map(_.toString).toSeq)
+    // … and an arbitrary set serves the full per-query contract
+    val req = Seq(123L, 404L).toDF("vec_id")
+    val out = SimilarityPack.indexedTopkFor(spark, sfTiny, req)
+    assert(out.select("query_id").distinct().as[Long].collect().toSet ==
+      Set(123L, 404L))
+    assert(out.count() == 20)
+  }
+
   test("a BulkParams-parsed request drives an arbitrary bulk top-K") {
     // the reference's recording_ids param shape: `mbid`, `mbid:offset`,
     // duplicates dropped order-preserving (core.py:253-254)
