@@ -57,6 +57,18 @@ class PlanSpec extends SparkSpec {
       s"expected TakeOrderedAndProject in:\n$plan")
   }
 
+  test("sequence packing shuffles once on source — never a global sort") {
+    val plan = planText(run("pipe_pack_sequences"))
+    // both windows (cumsum, bin_pos) and the final presentation sort must
+    // key on `source` first: a window or range partition NOT anchored on
+    // the shard key would be the global-ordered-scan shape that cannot
+    // scale (the whole corpus through one task's sort)
+    val exchanges = "Exchange (hash|range)partitioning\\(([a-z_]+)"
+      .r.findAllMatchIn(plan).map(_.group(2)).toSet
+    assert(exchanges.nonEmpty && exchanges == Set("source"),
+      s"expected only source-keyed exchanges, got $exchanges in:\n$plan")
+  }
+
   test("group-by aggregations use partial (map-side) aggregation") {
     val plan = planText(run("a2_grouped_count"))
     val nAggs = "HashAggregate".r.findAllIn(plan).size
