@@ -40,6 +40,14 @@ object DedupPack {
   /** LSH buckets larger than this are skipped (hot-bucket guard). */
   val MaxLshBucket = 1000
 
+  /** The shard standing in for the benchmark/eval corpus in
+    * `dd_contamination` (deployments pass the real benchmark set). */
+  val ContaminationEvalSource = "src0"
+
+  /** Shingle-overlap fraction above which a corpus document counts as
+    * benchmark-contaminated. */
+  val ContaminationThreshold = 0.5
+
   /** SimHash banding: 4 blocks of 16 bits guarantee recall for pairs with
     * Hamming distance <= 3 (pigeonhole: 3 differing bits can dirty at most
     * 3 of the 4 blocks). */
@@ -85,6 +93,39 @@ object DedupPack {
     "dd_components" -> ((s, d) => {
       connectedComponents(
         minhashPairs(Tables.documents(s, d)))
+        .orderBy("doc_id")
+    }),
+
+    // ---- benchmark decontamination: n-gram overlap vs an eval set --------
+    // The training-corpus stage every LLM pipeline runs before release:
+    // flag corpus documents whose shingle set overlaps a benchmark/eval
+    // document set above a threshold (the doc is — or quotes — eval data,
+    // and would leak the benchmark into training). Here the eval set is
+    // the [[ContaminationEvalSource]] shard; deployments pass the actual
+    // benchmark corpus. Shape: the eval shingle set is benchmark-sized
+    // (tiny vs the corpus) so it BROADCASTS; the corpus pays one scan and
+    // one partial-aggregated groupBy(doc_id) — no shuffle keyed on
+    // shingles, no self-join, nothing grows with corpus size but the
+    // linear scan. Shingle identity is xxhash64 like the Jaccard plan
+    // (8-byte keys; the oracle joins the raw strings — equal unless two
+    // shingles collide in 64 bits).
+    "dd_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          wordShingles(col("text"), ShingleN).as("sh"))
+      val ev = docs.filter(col("source") === ContaminationEvalSource)
+        .select(explode(transform(col("sh"), g => xxhash64(g))).as("g"))
+        .distinct()
+        .withColumn("inev", lit(1))
+      docs.filter(col("source") =!= ContaminationEvalSource)
+        .select(col("doc_id"),
+          explode(transform(col("sh"), g => xxhash64(g))).as("g"))
+        .join(broadcast(ev), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), count(col("inev")).as("n_hits"))
+        .withColumn("overlap",
+          round(col("n_hits").cast(DoubleType) / col("n_shingles"), 8))
+        .filter(col("overlap") >= ContaminationThreshold)
         .orderBy("doc_id")
     }),
 
@@ -344,6 +385,30 @@ object DedupPack {
       s"""WITH ${minhashPairCtes("documents")}
          |SELECT doc_a, doc_b FROM mhpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd_contamination" ->
+      s"""WITH tokc AS (SELECT doc_id, source, text,
+         |  regexp_split_to_array(text, '\\s+') AS t FROM documents),
+         |shc AS (SELECT doc_id, source,
+         |  CASE WHEN len(t) >= 3 THEN
+         |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |  ELSE [text] END AS sh
+         |  FROM tokc),
+         |ev AS (SELECT DISTINCT unnest(sh) AS g FROM shc
+         |  WHERE source = '$ContaminationEvalSource'),
+         |cx AS (SELECT doc_id, unnest(sh) AS g FROM shc
+         |  WHERE source <> '$ContaminationEvalSource'),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(COUNT(*) FILTER (WHERE g IN (SELECT g FROM ev)) AS BIGINT)
+         |    AS n_hits
+         |  FROM cx GROUP BY doc_id)
+         |SELECT doc_id, n_shingles, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / n_shingles, 8) AS overlap
+         |FROM agg
+         |WHERE round(CAST(n_hits AS DOUBLE) / n_shingles, 8)
+         |  >= $ContaminationThreshold
+         |ORDER BY doc_id""".stripMargin,
 
     // component minimum via transitive closure (UNION-dedup bounds the
     // recursion; near-dup components are tiny at oracle scale)

@@ -305,6 +305,20 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(inc.exceptAll(full).count() > 0)
   }
 
+  test("dd_contamination flags only above-threshold non-eval docs") {
+    val flagged = run("dd_contamination")
+    assert(flagged.count() > 0, "fixture plants eval near-dups; none found")
+    assert(flagged.filter(col("n_hits") > col("n_shingles")).count() == 0)
+    assert(flagged.filter(
+      col("overlap") < operators.DedupPack.ContaminationThreshold)
+      .count() == 0)
+    // the eval shard itself is never scored against itself
+    val evalIds = Tables.documents(spark, sfTiny)
+      .filter(col("source") === operators.DedupPack.ContaminationEvalSource)
+      .select("doc_id")
+    assert(flagged.join(evalIds, Seq("doc_id"), "left_semi").count() == 0)
+  }
+
   test("pipe_pack_sequences: bins partition docs in contiguous id runs") {
     val packed = run("pipe_pack_sequences")
     // every document lands in exactly one bin
