@@ -40,6 +40,10 @@ class QuerySetSpec extends SparkSpec {
     assert(out.select("query_id").distinct().as[Long].collect().toSet ==
       Set(123L, 404L))
     assert(out.count() == 20)
+    // an empty request is a valid request: zero rows, no failure
+    val none = spark.emptyDataset[Long].toDF("vec_id")
+    assert(SimilarityPack.topkFor(spark, sfTiny, none).count() == 0)
+    assert(SimilarityPack.indexedTopkFor(spark, sfTiny, none).count() == 0)
   }
 
   test("a BulkParams-parsed request drives an arbitrary bulk top-K") {
