@@ -40,6 +40,49 @@ object DocStream {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
+  /** Benchmark-decontamination gate at ingest: drop documents whose
+    * word-shingle overlap with the (static, broadcast) eval shingle set
+    * reaches [[graft.operators.DedupPack.ContaminationThreshold]] — the
+    * ingest-time half of the batch `dd_contamination` sweep, sharing its
+    * constants and arithmetic so both flag the same documents by
+    * construction (spec-pinned).
+    *
+    * Deployment shape: apply PER MICRO-BATCH via `foreachBatch` —
+    * `stream.writeStream.foreachBatch((b, _) =>
+    * contaminationGate(b, ev).write…)` — the standard pattern for a
+    * join+aggregate transform inside a stream. The gate is per-document,
+    * so batches are independent and no state accumulates; the eval set is
+    * a static versioned frame (benchmarks are tiny), costing each batch
+    * one broadcast join and a partial-aggregated per-doc count.
+    *
+    * `evalShingleHashes` is a one-column (g: xxhash64 of shingle) frame —
+    * build it once from the benchmark corpus with [[evalShingles]]. */
+  def contaminationGate(docs: DataFrame, evalShingleHashes: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions.wordShingles
+    val ev = broadcast(evalShingleHashes.select(col("g")).distinct()
+      .withColumn("inev", lit(1)))
+    docs
+      .withColumn("sh", wordShingles(col("text"), 3))
+      .select(col("doc_id"), col("text"),
+        explode(transform(col("sh"), g => xxhash64(g))).as("g"))
+      .join(ev, Seq("g"), "left")
+      .groupBy(col("doc_id"), col("text"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("inev")).as("n_hits"))
+      .filter(round(col("n_hits").cast("double") / col("n_shingles"), 8) <
+        graft.operators.DedupPack.ContaminationThreshold)
+      .select("doc_id", "text")
+  }
+
+  /** The eval-set shingle hashes for [[contaminationGate]], from any
+    * (text, …) benchmark frame. */
+  def evalShingles(benchmark: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions.wordShingles
+    benchmark
+      .select(explode(transform(wordShingles(col("text"), 3),
+        g => xxhash64(g))).as("g"))
+      .distinct()
+  }
+
   /** Gated, exact-deduped document stream. Documents have no event time —
     * dedup keys on arrival (processing) time: `current_timestamp()` is
     * fixed per micro-batch, and `dropDuplicatesWithinWatermark` evicts hash

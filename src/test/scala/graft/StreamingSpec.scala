@@ -67,6 +67,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == batchDistinct && out.count() > 0)
   }
 
+  test("foreachBatch contamination gate agrees with the batch sweep") {
+    import graft.streaming.DocStream
+    import graft.operators.DedupPack
+    val docs = Tables.documents(spark, sfTiny)
+    val ev = DocStream.evalShingles(
+      docs.filter(col("source") === DedupPack.ContaminationEvalSource))
+    val corpus = docs.filter(
+      col("source") =!= DedupPack.ContaminationEvalSource)
+    // drive the gate the way a deployment does: per micro-batch
+    val survivors = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = DocStream.source(spark, sfTiny)
+      .filter(col("source") =!= DedupPack.ContaminationEvalSource)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        survivors ++= DocStream.contaminationGate(batch, ev)
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    // survivors = corpus minus exactly the batch sweep's flagged docs
+    val flagged = SparkEntry.queries("dd_contamination")(spark, sfTiny)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = corpus.select("doc_id").collect().map(_.getLong(0)).toSet -- flagged
+    assert(flagged.nonEmpty && survivors.toSet == want)
+  }
+
   test("streaming vector normalize equals the batch ETL on static stats") {
     import graft.streaming.VectorStream
     // the static stats frame — at deployment scale the persisted stats
