@@ -95,8 +95,6 @@ object Bench {
     }
     val load1 = loadavg()
     val gcMs = gcMillis() - gc0
-    // Millisecond precision keeps the detailed line well under tail-capture
-    // truncation windows (~2.9 KB at full double precision vs ~2.0 KB).
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
@@ -109,13 +107,31 @@ object Bench {
     val tele = s""""loadavg_start":${ms(load0)},"loadavg_end":${ms(load1)},""" +
       s""""gc_ms":$gcMs,"timing":"best_of_2","profile":"bench_reduced_m4",""" +
       s""""prepare_sec":${ms(prepareSec)}"""
-    // Detailed line first (for humans / archaeology) …
+    // The driver's artifact keeps only the LAST ~2.2 KB of stdout, so the
+    // full named per-query map (~2.9 KB for 100+ queries) can never fit —
+    // r7's tail head-truncated the ann_*/dd_* values into unrecoverability.
+    // Three-layer record, cheapest last:
+    //   1. the full NAMED map, printed first (recoverable when the whole
+    //      stdout is kept; truncated first when it isn't) and also written
+    //      to bench_detail.json next to the repo for archaeology;
+    //   2. a COMPACT values line — per-query seconds as a JSON array in
+    //      sorted-query-name order (the names are static: SparkEntry
+    //      .queries keys, sorted — so ~0.7 KB carries all 102 values
+    //      inside the tail window);
+    //   3. the short parseable total line, very last.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$tele,"sf":"$sfDir"}""")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_detail.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$tele,"sf":"$sfDir"}
+""")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_detail.json not written: $e") }
     spark.stop()
-    // … then a SHORT summary as the very LAST stdout line: the driver's
-    // tail capture head-truncates long lines, so the parseable record must
-    // be compact and final (after spark.stop(), which can itself log).
+    // after spark.stop(), which can itself log
     System.out.flush()
+    val values = results.map { case (_, v) => ms(v).toString }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"detail","order":"sorted_query_names","n":${results.size},"values":$values}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec",$tele,"sf":"$sfDir"}""")
     System.out.flush()
   }

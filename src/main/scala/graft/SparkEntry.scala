@@ -11,6 +11,7 @@ object SparkEntry {
   private def packs: Seq[(Map[String, (SparkSession, String) => DataFrame],
                           Map[String, String])] = Seq(
     (operators.Relational.queries, operators.Relational.oracles),
+    (operators.IoPack.queries, operators.IoPack.oracles),
     (operators.TextPack.queries, operators.TextPack.oracles),
     (operators.DedupPack.queries, operators.DedupPack.oracles),
     (operators.SimilarityPack.queries, operators.SimilarityPack.oracles),

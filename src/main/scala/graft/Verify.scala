@@ -2,16 +2,69 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Self-diagnosing by construction (the r7 gate produced an EMPTY artifact
+  * because a mid-run abort left nothing for the checker to load):
+  *   - `oracle_sql.json` is written FIRST, before any query runs, so a
+  *     killed drive still leaves the full oracle set for whatever parquet
+  *     did land;
+  *   - `verify_summary.json` is rewritten after EVERY query completes
+  *     (per-query ok/failed + wall seconds + progress counts), so a partial
+  *     run is diagnosable from the output dir alone. */
 object Verify {
+
+  /** Placeholder in oracle SQL for the verify output directory. The
+    * `_indexed` ANN twins serve IDENTICAL rows to their inline trainer
+    * variants (the plan-level "reads the artifact" half is
+    * IndexStoreSpec's), so their oracle is row-identity against the inline
+    * entry's ALREADY-ORACLE-CHECKED parquet (a `SELECT *` over the inline
+    * entry's output glob) rather than a verbatim second copy of the
+    * unrolled Lloyd/PQ training-chain SQL. That halves the DuckDB
+    * gate's dominant cost (the r7 gate paid every training chain twice and
+    * blew the driver's budget; see VERDICT r7 #1). The placeholder is
+    * resolved here, at dump time, because only Verify knows the out dir. */
+  val OutToken = "__GRAFT_OUT__"
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Engine.session(cpus)
     new java.io.File(outDir).mkdirs()
+    val absOut = Paths.get(outDir).toAbsolutePath.toString
+    // JSON string escape (JsonUtil): backslash, quote, and ALL control
+    // chars (<0x20) — a tab or CR in builder-authored SQL would otherwise
+    // make the driver's json.load fail and silently zero the round's
+    // correctness.
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) =>
+        s"${JsonUtil.str(k)}: ${JsonUtil.str(v.replace(OutToken, absOut))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Materialize the bucketed/partitioned layout before the concurrent
     // drive (one writer, then every query reads the stored layout).
     Tables.prepare(spark, sfDir)
+    // Incremental per-query status: rewritten (atomically, tmp+move) after
+    // each completion so a mid-run kill leaves the scoreboard of everything
+    // that finished. Keyed map under a lock; rewrite cost is ~KBs.
+    val status = scala.collection.mutable.LinkedHashMap[String, String]()
+    val t0 = System.nanoTime()
+    def writeSummary(): Unit = status.synchronized {
+      val done = status.size
+      val failed = status.valuesIterator.count(_.startsWith("{\"ok\":false"))
+      val body = status.map { case (k, v) => s"${JsonUtil.str(k)}: $v" }
+        .mkString("{", ",", "}")
+      val wall = (System.nanoTime() - t0) / 1e9
+      val js = s"""{"total": ${SparkEntry.queries.size}, "done": $done, """ +
+        s""""failed": $failed, "wall_sec": ${math.rint(wall * 100) / 100}, """ +
+        s""""queries": $body}"""
+      val tmp = Paths.get(s"$outDir/.verify_summary.json.tmp")
+      Files.writeString(tmp, js)
+      Files.move(tmp, Paths.get(s"$outDir/verify_summary.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    writeSummary()
     // Run queries concurrently: Spark's scheduler interleaves independent
     // jobs, so 8 in flight keep all cores busy while single-threaded
     // stages (sorts, tiny outputs) of one query overlap another's scans.
@@ -20,10 +73,20 @@ object Verify {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        val q0 = System.nanoTime()
+        def secs = math.rint((System.nanoTime() - q0) / 1e7) / 100
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          status.synchronized {
+            status(name) = s"""{"ok":true,"sec":$secs}"""
+          }
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          status.synchronized {
+            status(name) = s"""{"ok":false,"sec":$secs,""" +
+              s""""err":${JsonUtil.str(String.valueOf(e.getMessage))}}"""
+          }
           // remove any stale output from a previous run so a now-broken
           // query can never be graded against its old results — recursively:
           // a write that dies mid-job leaves a _temporary/ subtree, and
@@ -42,20 +105,14 @@ object Verify {
             } finally walk.close()
           }
         }
+        writeSummary()
       }
     }
     scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
-    // JSON string escape (JsonUtil): backslash, quote, and ALL control
-    // chars (<0x20) — a tab or CR in builder-authored SQL would otherwise
-    // make the driver's json.load fail and silently zero the round's
-    // correctness.
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${JsonUtil.str(k)}: ${JsonUtil.str(v)}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    writeSummary()
     spark.stop()
   }
 }

@@ -405,9 +405,10 @@ object SimilarityPack {
     // [[RecallSampleN]]-id sample (F19's hash-order recipe) of the whole
     // corpus, not a fixed id prefix — so the monitor story is real: at
     // scale the identical query runs on the same kind of sampled slice.
-    // (r6 ran this over the fixed 10-id set; the 10× query-count increase
-    // is a deliberate semantic change, not a performance regression —
-    // per-query work is unchanged.) Tuned headlines at sf0.01:
+    // (r6 ran this over the fixed 10-id set; r7 sampled 100; r8 sizes the
+    // sample at [[RecallSampleN]]=25 so the unrolled DuckDB oracle fits
+    // the driver's gate budget — per-query work is unchanged.)
+    // Tuned headlines at sf0.01:
     // `hits_tables` (k=4, L=12 multi-table LSH) and `hits_ivf_tuned`
     // (K=16, 6 Lloyd iters, nprobe=8) remain the approximate-family
     // anchors; `hits_ivfpq` measures the composed IVFADC serving index.
@@ -452,7 +453,14 @@ object SimilarityPack {
     * CTE. Deterministic across engines, partitionings and scale factors;
     * uncorrelated with insertion order, which is what makes the sampled
     * recall estimate honest. */
-  private[graft] val RecallSampleN = 100
+  // 25 queries: enough for an honest ±1-hit-resolution recall estimate per
+  // variant (each query contributes 10 exact slots) while keeping the
+  // unrolled DuckDB oracle — whose per-query chains scale linearly in this
+  // constant on top of the fixed training-chain cost — inside the driver's
+  // gate budget (r7 ran 100 and the gate timed out; VERDICT r7 #1 sized 25
+  // as "plenty for a monitor"). Spark and oracle share this constant, so
+  // semantics stay identical by construction.
+  private[graft] val RecallSampleN = 25
   private def sampledQueryIds(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"))
       .orderBy(md5(concat(lit("seed17:"), col("vec_id").cast(StringType))),
@@ -1290,7 +1298,26 @@ object SimilarityPack {
       |stats AS (SELECT pos, sd / n AS mean,
       |  sqrt((sq - sd * sd / n) / n) AS std, vmin, vmax FROM sums2)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** Force every CTE in an oracle to DuckDB's `AS MATERIALIZED` form.
+    *
+    * The unrolled training chains (Lloyd iterations, PQ codebooks) define
+    * each step as a CTE referencing the previous step several times;
+    * DuckDB 1.0 INLINES non-materialized CTEs, so a 6-deep chain re-plans
+    * and re-executes every prior iteration at every reference —
+    * exponential recomputation that cost the r7 gate ~700 s (and r7's
+    * empty CORRECTNESS artifact). Measured here: ann_ivf_tuned 56.9 s
+    * inlined → 0.7 s materialized, bit-identical result. Materialization
+    * is an evaluation-strategy hint, not a semantic change, and every
+    * SimilarityPack oracle CTE is either referenced multiply or
+    * chain-feeding, so the blanket rewrite is the right default. */
+  private def materializeCtes(sql: String): String =
+    sql.replace("AS (SELECT", "AS MATERIALIZED (SELECT")
+
+  val oracles: Map[String, String] = rawOracles.map {
+    case (k, v) => k -> materializeCtes(v)
+  }
+
+  private def rawOracles: Map[String, String] = Map(
     "a6_dimension_stats" ->
       s"""WITH $exCte,
          |$statsCte
@@ -1412,31 +1439,36 @@ object SimilarityPack {
 
     "ann_ivf_tuned" -> ivfTunedOracleSql,
 
-    // Serves IDENTICAL semantics from the saved artifact — oracle shared
-    // verbatim with the inline trainer (same pattern as the other
-    // `_indexed` variants; the plan-level half is IndexStoreSpec's).
-    "ann_tuned_indexed" -> ivfTunedOracleSql,
+    // Serves IDENTICAL semantics from the saved artifact as the inline
+    // trainer (the plan-level "reads the artifact" half is
+    // IndexStoreSpec's), so its oracle is row-identity against the inline
+    // entry's ALREADY-ORACLE-CHECKED verify output — the unrolled Lloyd
+    // training-chain SQL is paid ONCE per round, not twice (r7's gate paid
+    // every chain twice and blew the driver's DuckDB budget; the r6↔r7
+    // shared-SQL form cost ~54-90 s EXTRA per twin at sf0.01).
+    "ann_tuned_indexed" -> sameRowsAs("ann_ivf_tuned"),
 
     "ann_pq_adc" -> pqOracleSql,
 
-    // artifact-served PQ: identical semantics, shared oracle
-    "ann_pq_indexed" -> pqOracleSql,
+    // artifact-served PQ: identical semantics, row-identity oracle
+    "ann_pq_indexed" -> sameRowsAs("ann_pq_adc"),
 
     "ann_ivfpq" -> ivfPqOracleSql,
 
-    // artifact-served IVF-PQ: identical semantics, shared oracle
-    "ann_ivfpq_indexed" -> ivfPqOracleSql,
+    // artifact-served IVF-PQ: identical semantics, row-identity oracle
+    "ann_ivfpq_indexed" -> sameRowsAs("ann_ivfpq"),
 
     "ann_sq8" -> sq8OracleSql,
 
     "ann_ivf_kmeans" -> kmeansOracleSql,
 
     // The persisted-index variants serve IDENTICAL semantics from the
-    // saved artifact, so their oracles are the inline variants' SQL
-    // verbatim — equality with the recompute path is the property under
-    // test (the plan-level "reads the artifact" half is IndexStoreSpec's).
-    "ann_kmeans_indexed" -> kmeansOracleSql,
-    "ann_lsh_indexed" -> lshTablesOracleSql,
+    // saved artifact; equality with the recompute path is the property
+    // under test, and the recompute path's own oracle is the full
+    // training-chain SQL — so these assert row-identity (see
+    // ann_tuned_indexed above for the cost rationale).
+    "ann_kmeans_indexed" -> sameRowsAs("ann_ivf_kmeans"),
+    "ann_lsh_indexed" -> sameRowsAs("ann_lsh_multitable"),
 
     // The MD5-derived hyperplane family as exact integer literals (p 0-based
     // plane, pos 1-based dimension, v the 24-bit integer; w = v/2²³ − 1
@@ -1538,6 +1570,15 @@ object SimilarityPack {
          |LEFT JOIN vqhits vqh ON q.query_id = vqh.query_id
          |ORDER BY q.query_id""".stripMargin
   )
+
+  /** Row-identity oracle for an artifact-served `_indexed` twin: the
+    * inline variant's verify output, re-read by DuckDB. `Verify` resolves
+    * [[graft.Verify.OutToken]] to the absolute output dir at dump time.
+    * Sound because (a) the inline entry IS fully oracle-checked against
+    * the unrolled training-chain SQL, and (b) both entries end in the same
+    * deterministic total ORDER BY, so file order is comparable. */
+  private def sameRowsAs(inline: String): String =
+    s"SELECT * FROM '__GRAFT_OUT__/$inline/*.parquet'"
 
   /** One approximate variant's recall-hit CTE pair: its top-10 slice and
     * the per-query overlap with `exact`. Requires `exact` and `{ranked}`
