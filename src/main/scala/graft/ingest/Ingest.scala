@@ -37,11 +37,30 @@ object Ingest {
     * int-vs-float identity must survive inside double-typed arrays — hash
     * [[canonicalJsonString]] instead.
     *
-    * `schema` pins the serialized shape: the payload is cast to it, so a
-    * caller-provided narrower schema drops/coerces exactly like the typed
-    * ingest path that produced it. */
+    * `schema` pins the serialized shape: the payload is realigned to it BY
+    * FIELD NAME, recursively (a plain struct cast matches positionally and
+    * renames to the target — a caller whose struct field order differs from
+    * the schema would get silently wrong bytes, and wrong dedup hashes).
+    * A schema narrower than the payload drops the extra payload fields (we
+    * select only schema fields); a schema field the payload lacks fails
+    * analysis loudly. */
   def canonicalJson(payload: Column, schema: StructType): Column =
-    call_function("canonical_json", payload.cast(schema))
+    call_function("canonical_json", alignTo(payload, schema))
+
+  /** Rebuild `c` in the field ORDER and types of `dt`, matching struct
+    * fields by NAME at every nesting level (inside arrays and map values
+    * too). Leaf casts are ordinary scalar casts. */
+  private def alignTo(c: Column, dt: DataType): Column = dt match {
+    case st: StructType =>
+      // preserve outer nullability: struct(...) of a null struct's fields
+      // would otherwise fabricate a non-null all-null-fields row
+      when(c.isNull, lit(null).cast(st)).otherwise(
+        struct(st.fields.toIndexedSeq.map { f =>
+          alignTo(c.getField(f.name), f.dataType).as(f.name) }: _*))
+    case ArrayType(et, _) => transform(c, e => alignTo(e, et))
+    case MapType(_, vt, _) => transform_values(c, (_, v) => alignTo(v, vt))
+    case other => c.cast(other)
+  }
 
   /** Canonical JSON of a RAW document string — byte-identical to Python's
     * `json.dumps(json.load(doc), sort_keys=True, separators=(',',':'))`

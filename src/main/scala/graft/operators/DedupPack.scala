@@ -30,7 +30,11 @@ object DedupPack {
   private val NumHashes = 16
   private val Bands = 4
   private val Rows = 4
-  private val ShingleN = 3
+  // private[graft]: the streaming ingest gate (streaming/DocStream) shares
+  // this width so the ingest-time and batch contamination sweeps flag the
+  // same documents by construction — a literal 3 there would silently
+  // de-synchronize on a future change here.
+  private[graft] val ShingleN = 3
   private val JaccardThreshold = 0.8
 
   /** Document-frequency cap: shingles appearing in more documents than this
@@ -234,8 +238,17 @@ object DedupPack {
     * large-star/small-star [Kiveris et al., "Connected Components in
     * MapReduce and Beyond"], which converges in O(log² n) with the same
     * join-per-iteration shape. */
+  /** Iteration ceiling for [[connectedComponents]]. Min-label propagation
+    * converges in O(graph diameter) rounds; near-dup graphs are dense
+    * clique unions (diameter a few hops), so a propagation still changing
+    * labels after this many rounds means the input is NOT a near-dup graph
+    * (e.g. a pathological long chain) and the right behavior is a LOUD
+    * failure naming the fix (the large-star/small-star upgrade below), not
+    * an hours-long silent join loop on a 1000-executor cluster. */
+  private[graft] val MaxComponentIters = 50
+
   private[graft] def connectedComponents(
-      edges: DataFrame): DataFrame = {
+      edges: DataFrame, maxIters: Int = MaxComponentIters): DataFrame = {
     val e = edges.persist() // re-read every iteration
     val adj = e.select(col("doc_a").as("id"), col("doc_b").as("nbr"))
       .union(e.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
@@ -243,7 +256,14 @@ object DedupPack {
       .withColumn("rep", col("id"))
       .localCheckpoint(true)
     var changed = 1L
+    var iters = 0
     while (changed > 0) {
+      iters += 1
+      if (iters > maxIters)
+        throw new IllegalStateException(
+          s"connected components still propagating after $maxIters " +
+            "iterations — the edge graph's diameter is far beyond near-dup " +
+            "shape; use a large-star/small-star decomposition for this input")
       val nbrRep = adj
         .join(labels.select(col("id").as("nid"), col("rep")),
           col("nbr") === col("nid"))

@@ -242,9 +242,16 @@ object PyJson {
     else sb.append("null")
   }
 
-  /** Jackson is Spark's own bundled JSON stack; a bare ObjectMapper keeps
-    * Python-compatible defaults (last duplicate key wins, like dict). */
-  lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  /** Jackson is Spark's own bundled JSON stack; ObjectMapper defaults are
+    * Python-compatible (last duplicate key wins, like dict) EXCEPT that
+    * Jackson rejects the NaN/Infinity/-Infinity literals CPython's
+    * json.load accepts by default — a submission the reference parses and
+    * dedup-hashes (json.dumps re-emits them under allow_nan=True, which
+    * [[repr]] mirrors) must round-trip here too, hence the read feature. */
+  lazy val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+    .enable(com.fasterxml.jackson.core.json.JsonReadFeature
+      .ALLOW_NON_NUMERIC_NUMBERS)
+    .build()
 }
 
 /** `canonical_json(structOrArrayOrMap)`: Python-canonical serialization of

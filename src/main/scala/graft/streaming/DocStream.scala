@@ -59,18 +59,28 @@ object DocStream {
     * build it once from the benchmark corpus with [[evalShingles]]. */
   def contaminationGate(docs: DataFrame, evalShingleHashes: DataFrame): DataFrame = {
     import graft.functions.HashFunctions.wordShingles
+    import graft.operators.DedupPack
     val ev = broadcast(evalShingleHashes.select(col("g")).distinct()
       .withColumn("inev", lit(1)))
-    docs
-      .withColumn("sh", wordShingles(col("text"), 3))
-      .select(col("doc_id"), col("text"),
-        explode(transform(col("sh"), g => xxhash64(g))).as("g"))
+    // Aggregate the shingle hits on doc_id ALONE and join text back
+    // afterwards (the batch dd_contamination shape): carrying `text`
+    // through the exploded frame would copy each document's full text into
+    // ~n_shingles rows before the partial aggregate collapses it — an
+    // O(n_shingles × doc_bytes) per-row copy cost the aggregate-then-join
+    // form never pays. The join-back is by doc_id within the same
+    // micro-batch, so it adds one batch-local shuffle of (doc_id, text) —
+    // bytes proportional to the batch, not to batch × shingles.
+    val clean = docs
+      .select(col("doc_id"),
+        explode(transform(wordShingles(col("text"), DedupPack.ShingleN),
+          g => xxhash64(g))).as("g"))
       .join(ev, Seq("g"), "left")
-      .groupBy(col("doc_id"), col("text"))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("inev")).as("n_hits"))
       .filter(round(col("n_hits").cast("double") / col("n_shingles"), 8) <
-        graft.operators.DedupPack.ContaminationThreshold)
-      .select("doc_id", "text")
+        DedupPack.ContaminationThreshold)
+      .select("doc_id")
+    docs.select(col("doc_id"), col("text")).join(clean, Seq("doc_id"))
   }
 
   /** The eval-set shingle hashes for [[contaminationGate]], from any
@@ -78,7 +88,8 @@ object DocStream {
   def evalShingles(benchmark: DataFrame): DataFrame = {
     import graft.functions.HashFunctions.wordShingles
     benchmark
-      .select(explode(transform(wordShingles(col("text"), 3),
+      .select(explode(transform(
+        wordShingles(col("text"), graft.operators.DedupPack.ShingleN),
         g => xxhash64(g))).as("g"))
       .distinct()
   }

@@ -40,6 +40,11 @@ class IngestSpec extends SparkSpec {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(shuffled.select(Ingest.canonicalJson($"payload", schema2))
       .collect()(0).getString(0) == out.getString(0))
+    // …and the payload need not share the SCHEMA's field order either:
+    // alignment is by name (a positional struct cast would silently emit
+    // a=d's value here). Same bytes under the ORIGINAL schema.
+    assert(shuffled.select(Ingest.canonicalJson($"payload", schema))
+      .collect()(0).getString(0) == out.getString(0))
   }
 
   test("canonical JSON sorts MAP keys too, matching Python sort_keys") {
@@ -111,6 +116,22 @@ class IngestSpec extends SparkSpec {
         .collect()(0).getString(0)
       assert(got == want, s"fixture $path canonical hash diverged")
     }
+  }
+
+  test("raw canonical JSON accepts CPython's non-finite literals") {
+    // CPython json.load accepts NaN/Infinity/-Infinity by default and
+    // json.dumps re-emits them (allow_nan=True) — a submission the
+    // reference parses and dedup-hashes must round-trip here too. Golden:
+    // sha256(json.dumps(json.loads(doc), sort_keys=True,
+    // separators=(',',':')).encode()) from CPython.
+    val doc = """{"a":NaN,"b":[Infinity,-Infinity],"c":1.5}"""
+    val out = Seq(doc).toDF("raw").select(
+      Ingest.canonicalJsonString($"raw").as("canon"),
+      Ingest.contentHash(Ingest.canonicalJsonString($"raw")).as("h"))
+      .collect()(0)
+    assert(out.getString(0) == doc)
+    assert(out.getString(1) ==
+      "0bd32f2b1b381f121b036655c16174346f89f3d5df2282a05284c53e04918490")
   }
 
   test("exact duplicates within a batch are dropped, earliest kept") {
