@@ -23,6 +23,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional arg: comma-separated query subset — the builder's
+    // single-query timing loop. The driver always runs with no args.
+    val selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (args.nonEmpty) {
+        val ks = args(0).split(",").map(_.trim).toSet
+        SparkEntry.queries.view.filterKeys(ks).toMap
+      } else SparkEntry.queries
     // Bench profile: queries with an intrinsic train/search budget (m4's CV
     // grid) run a reduced profile so the timed artifact measures the
     // pipeline, not redundant hyperparameter fits. Verify never sets this.
@@ -62,12 +69,12 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val prepareSec = (System.nanoTime() - prepT0) / 1e9
-    for ((_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
+    for ((_, fn) <- selected.toSeq.sortBy(_._1))
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // timed pass records real failures
     val load0 = loadavg()
     val gc0 = gcMillis()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Evaluate through the noop sink, NOT count(): count() lets Catalyst
       // prune every projected column and eliminate sorts, so map-only
       // queries would time a near-empty footer scan instead of their
@@ -120,7 +127,9 @@ object Bench {
     //      inside the tail window);
     //   3. the short parseable total line, very last.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$tele,"sf":"$sfDir"}""")
-    try java.nio.file.Files.writeString(
+    // subset runs are builder iteration — never overwrite the round's
+    // full-suite sidecar artifact with a partial record
+    try if (args.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$tele,"sf":"$sfDir"}
 """)

@@ -13,6 +13,11 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local-mode only: skip the per-file chmod fork + .crc sidecar of
+      // Hadoop's default local FS (see graft.io.BareLocalFileSystem —
+      // measured 14.3 s → sub-second for a 1000-dir sharded dump)
+      .config("spark.hadoop.fs.file.impl",
+        classOf[io.BareLocalFileSystem].getName)
       .withExtensions(new plans.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

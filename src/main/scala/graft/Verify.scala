@@ -27,7 +27,21 @@ object Verify {
   val OutToken = "__GRAFT_OUT__"
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [comma-separated query subset]
+    // The driver always passes two args (full drive); the optional subset
+    // is the builder's iteration loop — drive + oracle-check ONE query in
+    // seconds instead of re-paying the whole suite.
+    val (sfDir, outDir) = (args(0), args(1))
+    val subset: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet)
+      else None
+    val selected = subset match {
+      case Some(ks) =>
+        val missing = ks.diff(SparkEntry.queries.keySet)
+        require(missing.isEmpty, s"unknown queries: $missing")
+        SparkEntry.queries.view.filterKeys(ks).toMap
+      case None => SparkEntry.queries
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Engine.session(cpus)
     new java.io.File(outDir).mkdirs()
@@ -36,7 +50,10 @@ object Verify {
     // chars (<0x20) — a tab or CR in builder-authored SQL would otherwise
     // make the driver's json.load fail and silently zero the round's
     // correctness.
+    // subset runs dump only the subset's oracles, so check_oracle.py over
+    // the subset dir doesn't report every other query as missing
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) =>
         s"${JsonUtil.str(k)}: ${JsonUtil.str(v.replace(OutToken, absOut))}" }
       .mkString("{", ",", "}")
@@ -55,7 +72,7 @@ object Verify {
       val body = status.map { case (k, v) => s"${JsonUtil.str(k)}: $v" }
         .mkString("{", ",", "}")
       val wall = (System.nanoTime() - t0) / 1e9
-      val js = s"""{"total": ${SparkEntry.queries.size}, "done": $done, """ +
+      val js = s"""{"total": ${selected.size}, "done": $done, """ +
         s""""failed": $failed, "wall_sec": ${math.rint(wall * 100) / 100}, """ +
         s""""queries": $body}"""
       val tmp = Paths.get(s"$outDir/.verify_summary.json.tmp")
@@ -71,7 +88,7 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val futures = selected.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         val q0 = System.nanoTime()
         def secs = math.rint((System.nanoTime() - q0) / 1e7) / 100

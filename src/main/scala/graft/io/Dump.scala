@@ -49,6 +49,13 @@ object Dump {
   def writeJsonSharded(df: DataFrame, keyCol: String, path: String): Unit =
     df.withColumn("shard1", substring(col(keyCol).cast("string"), 1, 2))
       .withColumn("shard2", substring(col(keyCol).cast("string"), 3, 1))
+      // Cluster rows by shard BEFORE the dynamic-partition write: without
+      // this, every write task holds an open file per shard dir it sees
+      // (up to n_tasks × n_shards tiny files — measured 22 s vs 3 s at
+      // sf0.1 for ~1000 dirs × 32 tasks). After the shuffle each task owns
+      // a few whole shards, so the dump is one file per shard per 500k
+      // rows — the layout a 1000-executor run needs too.
+      .repartition(col("shard1"), col("shard2"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard1", "shard2")
       .option("maxRecordsPerFile", RowsPerFile)

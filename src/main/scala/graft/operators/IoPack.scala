@@ -99,6 +99,41 @@ object IoPack {
         .orderBy("doc_id")
     }),
 
+    // ---- S11: dataset-tables dump — the reference dumps the dataset /
+    //      class / member tables each as its own TSV archive member
+    //      (db/dump.py dataset tables path; same COPY writer as S4). Here
+    //      the three tables are derived relationally from `documents`
+    //      (a dataset per source, a class per (source, lang), a member per
+    //      doc), each written through Dump.writeTsv into its own subdir,
+    //      read back schema'd, tagged with its table name, and unioned —
+    //      so the oracle (which rebuilds the same union directly) checks
+    //      all three writer/reader pairs in one row set. ------------------
+    "s11_dataset_tables_roundtrip" -> ((s, d) => {
+      val out = scratch("s11", d)
+      val docs = Tables.documents(s, d)
+      val datasets = docs.select(col("source")).distinct().select(
+        col("source").as("k1"),
+        concat(lit("docs from "), col("source")).as("k2"),
+        lit(null).cast(StringType).as("k3"))
+      val classes = docs.select(col("source"), col("lang")).distinct()
+        .select(col("source").as("k1"), col("lang").as("k2"),
+          concat(lit("docs in "), col("lang")).as("k3"))
+      val members = docs.select(col("source").as("k1"), col("lang").as("k2"),
+        col("doc_id").cast(StringType).as("k3"))
+      val schema = StructType(Seq(
+        StructField("k1", StringType), StructField("k2", StringType),
+        StructField("k3", StringType)))
+      val parts = Seq("dataset" -> datasets, "dataset_class" -> classes,
+        "dataset_member" -> members)
+      for ((name, df) <- parts) Dump.writeTsv(df, s"$out/$name")
+      parts.map { case (name, _) =>
+        Dump.readTsv(s, s"$out/$name", schema).select(
+          lit(name).as("tbl"), col("k1"), col("k2"), col("k3"))
+      }.reduce(_ unionByName _)
+        .orderBy(asc_nulls_first("tbl"), asc_nulls_first("k1"),
+          asc_nulls_first("k2"), asc_nulls_first("k3"))
+    }),
+
     // ---- S9: dataset CSV import — write the reference's annotation-file
     //      grammar (one dataset description row, per-class description
     //      rows, member rows) as a text file, read it back, parse with the
@@ -137,6 +172,20 @@ object IoPack {
          |SELECT gid, doc_id, text, lang, source, n_chars,
          |  substr(gid, 1, 2) AS shard1, substr(gid, 3, 1) AS shard2
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "s11_dataset_tables_roundtrip" ->
+      """WITH u AS (
+        |  SELECT 'dataset' AS tbl, source AS k1,
+        |    'docs from ' || source AS k2, NULL AS k3
+        |  FROM (SELECT DISTINCT source FROM documents)
+        |  UNION ALL
+        |  SELECT 'dataset_class', source, lang, 'docs in ' || lang
+        |  FROM (SELECT DISTINCT source, lang FROM documents)
+        |  UNION ALL
+        |  SELECT 'dataset_member', source, lang, CAST(doc_id AS VARCHAR)
+        |  FROM documents)
+        |SELECT tbl, k1, k2, k3 FROM u
+        |ORDER BY tbl, k1, k2 NULLS FIRST, k3 NULLS FIRST""".stripMargin,
 
     "s9_dataset_csv_roundtrip" ->
       """WITH rows_ AS (

@@ -40,6 +40,15 @@ object TextPack {
     s"CASE ${whens.mkString(" ")} ELSE '${counts.last._1}' END"
   }
 
+  /** PII patterns — Java-regex ∩ RE2 common dialect, shared verbatim with
+    * the DuckDB oracles (no alternation → leftmost-first and
+    * leftmost-longest matching coincide; ASCII \d in both engines). */
+  private[graft] val PiiEmail =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiPhone = "\\d{3}-\\d{4}"
+  private[graft] val PiiIpv4 =
+    "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- token counting (whitespace + distinct + BPE estimate) -----------
     "tx_token_stats" -> ((s, d) => {
@@ -119,6 +128,55 @@ object TextPack {
         .orderBy("doc_id")
     }),
 
+    // ---- PII scrubbing (emails / phone numbers / IPv4) — the standard
+    //      pre-training redaction pass. The document text is synthetic, so
+    //      deterministic PII is injected per row first (derived from
+    //      doc_id) — every row then exercises a real match+replace, not a
+    //      0-match no-op. Each pattern is counted on the text the previous
+    //      replacement produced, mirroring the sequential scrub. Patterns
+    //      are restricted to the Java-regex ∩ RE2 common dialect (no
+    //      backrefs, no lookaround, ASCII \d) so the DuckDB oracle runs
+    //      the very same strings. Pure per-row codegen'd expression work:
+    //      no shuffle, scales linearly with executors. ---------------------
+    "tx_pii_scrub" -> ((s, d) => {
+      val id = col("doc_id")
+      val t0 = concat(col("text"),
+        lit(" contact user"), id.cast(StringType), lit("@example.com tel "),
+        (id % 900 + 100).cast(StringType), lit("-"),
+        (id % 9000 + 1000).cast(StringType),
+        lit(" from 10."), (id % 200).cast(StringType), lit(".0."),
+        (id % 250).cast(StringType))
+      val t1 = regexp_replace(t0, PiiEmail, "<EMAIL>")
+      val t2 = regexp_replace(t1, PiiPhone, "<PHONE>")
+      val t3 = regexp_replace(t2, PiiIpv4, "<IP>")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_count(t0, lit(PiiEmail)).cast(LongType).as("n_emails"),
+        regexp_count(t1, lit(PiiPhone)).cast(LongType).as("n_phones"),
+        regexp_count(t2, lit(PiiIpv4)).cast(LongType).as("n_ips"),
+        t3.as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus-wide top-K n-grams — vocabulary/boilerplate profiling
+    //      over the whole corpus. One explode + one hash aggregate keyed
+    //      on the bigram (high cardinality, partial map-side combine does
+    //      the heavy lifting), then a global top-K that Spark executes as
+    //      TakeOrderedAndProject — per-partition top-20 on the map side,
+    //      only 20 rows per partition reach the driver-side merge. --------
+    "tx_ngram_topk" -> ((s, d) => {
+      import graft.functions.HashFunctions.bindArray
+      Tables.documents(s, d)
+        .select(explode(bindArray(tokens(col("text")), t =>
+          when(size(t) >= 2,
+            transform(sequence(lit(1), size(t) - 1),
+              i => concat(element_at(t, i), lit(" "),
+                element_at(t, i + 1))))
+            .otherwise(array().cast(ArrayType(StringType))))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("bigram")).limit(20)
+    }),
+
     // ---- confusion matrix actual-vs-predicted (reference A8:
     //      dataset_eval/gaia_wrapper.py:80-119) ---------------------------
     "a8_confusion_matrix" -> ((s, d) => {
@@ -181,6 +239,34 @@ object TextPack {
          |       ELSE 0.0 END AS dup_bigram_frac
          |FROM bg b LEFT JOIN agg a ON a.doc_id = b.doc_id
          |ORDER BY b.doc_id""".stripMargin,
+
+    "tx_pii_scrub" -> {
+      val t0 = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com tel ' || CAST(doc_id % 900 + 100 AS VARCHAR) || " +
+        "'-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || " +
+        "' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || " +
+        "CAST(doc_id % 250 AS VARCHAR)"
+      val t1 = s"regexp_replace($t0, '$PiiEmail', '<EMAIL>', 'g')"
+      val t2 = s"regexp_replace($t1, '$PiiPhone', '<PHONE>', 'g')"
+      val t3 = s"regexp_replace($t2, '$PiiIpv4', '<IP>', 'g')"
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all($t0, '$PiiEmail')) AS BIGINT)
+         |   AS n_emails,
+         | CAST(len(regexp_extract_all($t1, '$PiiPhone')) AS BIGINT)
+         |   AS n_phones,
+         | CAST(len(regexp_extract_all($t2, '$PiiIpv4')) AS BIGINT)
+         |   AS n_ips,
+         | $t3 AS scrubbed
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "tx_ngram_topk" ->
+      s"""WITH toks AS (SELECT $toksSql AS t FROM documents),
+         |bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |         i -> t[i] || ' ' || t[i+1])) AS bigram
+         |       FROM toks WHERE len(t) >= 2)
+         |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg
+         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
 
     "a8_confusion_matrix" ->
       s"""SELECT lang, $langCaseSql AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n

@@ -376,4 +376,38 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(sess.filter(col("duration_us") >
       (col("n_events") - 1) * operators.EventsPack.SessionGapUs).count() == 0)
   }
+
+  test("tx_pii_scrub: every injected PII instance is found and removed") {
+    val df = run("tx_pii_scrub")
+    assert(df.count() == Tables.documents(spark, sfTiny).count())
+    // injection guarantees >= 1 of each per row
+    assert(df.filter(col("n_emails") < 1 || col("n_phones") < 1 ||
+      col("n_ips") < 1).count() == 0)
+    // scrub is complete: no pattern matches what it itself produced
+    for (p <- Seq(operators.TextPack.PiiEmail, operators.TextPack.PiiPhone,
+        operators.TextPack.PiiIpv4))
+      assert(df.filter(col("scrubbed").rlike(p)).count() == 0,
+        s"pattern $p still matches scrubbed text")
+  }
+
+  test("tx_ngram_topk: at most K rows, counts non-increasing, mass sane") {
+    val rows = run("tx_ngram_topk").collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val counts = rows.map(_.getAs[Long]("cnt")).toSeq
+    assert(counts == counts.sorted.reverse, "counts must be non-increasing")
+    // every top bigram occurs at least as often as any absent bigram could
+    assert(counts.last >= 1)
+  }
+
+  test("s11 dataset-tables round-trip: member rows cover every document") {
+    val df = run("s11_dataset_tables_roundtrip").cache()
+    val docs = Tables.documents(spark, sfTiny)
+    assert(df.filter(col("tbl") === "dataset_member").count() == docs.count())
+    // one dataset row per distinct source; class rows = distinct pairs
+    assert(df.filter(col("tbl") === "dataset").count() ==
+      docs.select("source").distinct().count())
+    assert(df.filter(col("tbl") === "dataset_class").count() ==
+      docs.select("source", "lang").distinct().count())
+    df.unpersist()
+  }
 }

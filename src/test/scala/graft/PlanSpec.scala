@@ -129,4 +129,16 @@ class PlanSpec extends SparkSpec {
         s"$q: expected a semi/anti/broadcast join in:\n$plan")
     }
   }
+
+  test("tx_ngram_topk: partial agg + partial top-K, never a global sort") {
+    val plan = planText(run("tx_ngram_topk"))
+    // the bigram count must combine map-side before the exchange…
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final agg in:\n$plan")
+    // …and the global top-20 must be a TakeOrderedAndProject (per-partition
+    // top-K, 20 rows per partition to the driver), not Sort+GlobalLimit
+    // (the whole bigram vocabulary through one range-partitioned sort)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+  }
 }
