@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -49,6 +49,65 @@ object PipelinePack {
   /** Minimum stopword ratio (stopword-looking docs are prose, not noise). */
   val MinStopRatio = 0.01
 
+  /** Target training-mixture weights by language, as integer parts of
+    * [[MixDen]] (en-heavy, the usual pre-training mixture shape). Integer
+    * weights keep every threshold computation in exact BIGINT arithmetic
+    * on both engines — no float rounding to diverge on. */
+  private[graft] val MixWeights: Seq[(String, Long)] =
+    Seq("de" -> 2L, "en" -> 4L, "es" -> 1L, "fr" -> 2L, "zh" -> 1L)
+
+  /** Denominator of the mixture weights (= sum of [[MixWeights]]). */
+  private[graft] val MixDen = 10L
+
+  /** Hash-threshold scale: u = first 8 hex chars of md5 ∈ [0, 2^32). */
+  private[graft] val MixScale = 4294967296L
+
+  /** Exact integer division for positive longs: `a - a%b` is an exact
+    * multiple of `b`, and IEEE double division of exact multiples below
+    * 2^53 is exact — unlike `(a / b).cast(long)`, which truncates a
+    * correctly-rounded but inexact quotient. (Spark's DataFrame `/` on
+    * longs is double division; SQL's `div` has no `functions` twin.) */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast("long")
+
+  /** The domain-mix resample: documents kept so the corpus matches the
+    * [[MixWeights]] target language mixture, sized to the largest total the
+    * mixture permits (the scarcest language binds: N_out = min over langs
+    * of n_l · MixDen / w_l).
+    *
+    * Membership is a pure hash-threshold filter — doc kept iff
+    * `u(doc_id) < w_l · N_out · 2^32 / (MixDen · n_l)` with u uniform from
+    * md5 — NOT a per-language rank window. The window formulation
+    * (`row_number() OVER (PARTITION BY lang ORDER BY hash) <= k_l`) hits
+    * the exact counts but pays a full shuffle + sort of the corpus; the
+    * threshold form touches each row once with a 5-row broadcast joined in,
+    * which is the only shape that survives 100 TB. The price is sampling
+    * noise in the achieved counts (binomial around k_l) — exactly the
+    * trade a production mixture sampler makes.
+    *
+    * Scale note on the threshold arithmetic: `w·N_out·2^32` stays inside
+    * BIGINT up to ~10^9 docs per language; beyond that the product must
+    * move to DECIMAL(38,0) (both engines have it) — the formula, not the
+    * plan, changes. Returns per-doc rows with `u` and `thresh` attached. */
+  private def domainMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .filter(col("lang").isin(MixWeights.map(_._1): _*))
+    val weights = MixWeights.toDF("lang", "wt")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .join(weights, "lang")
+    val nout = counts.agg(
+      min(idiv(col("n") * MixDen, col("wt"))).as("nout"))
+    val thresholds = counts.crossJoin(nout).select(
+      col("lang"), col("n"), col("wt"),
+      idiv(col("wt") * col("nout") * MixScale, col("n") * MixDen)
+        .as("thresh"))
+    val u = conv(
+      substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    docs.join(broadcast(thresholds), "lang").withColumn("u", u)
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * bins — the batch-prep step between a cleaned corpus and a training
     * run (every LLM data pipeline ends in some form of this). Streaming
@@ -94,6 +153,22 @@ object PipelinePack {
           round(col("bin_tokens").cast("double") / PackBudget, 6))
         .orderBy("source", "bin")),
 
+    // ---- domain-mix resample: kept rows (the corpus a training run reads) -
+    "pipe_domain_mix" -> ((s, d) =>
+      domainMix(s, d).filter(col("u") < col("thresh"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // ---- mixture accounting: per-language totals, kept counts, thresholds -
+    "pipe_domain_mix_stats" -> ((s, d) =>
+      domainMix(s, d)
+        .groupBy(col("lang"), col("wt"), col("thresh"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("u") < col("thresh"), 1)).as("n_kept"))
+        .select(col("lang"), col("wt"), col("n_total"), col("n_kept"),
+          col("thresh"))
+        .orderBy("lang")),
+
     "pipe_corpus_prep" -> ((s, d) => {
       val t = col("text")
       val scored = Tables.documents(s, d)
@@ -123,7 +198,40 @@ object PipelinePack {
     })
   )
 
+  /** Shared CTE chain for the two domain-mix oracles — mirrors
+    * [[domainMix]] stage for stage, all-BIGINT (`//` is DuckDB integer
+    * division; the hex-prefix cast is its `'0x…'::BIGINT`). */
+  private def mixCtes: String = {
+    val langList = MixWeights.map(w => s"'${w._1}'").mkString(", ")
+    val valuesSql = MixWeights
+      .map { case (l, w) => s"('$l', CAST($w AS BIGINT))" }.mkString(", ")
+    s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+       |  WHERE lang IN ($langList) GROUP BY lang),
+       |w(lang, wt) AS (VALUES $valuesSql),
+       |cw AS (SELECT c.lang, c.n, w.wt FROM c JOIN w USING (lang)),
+       |no AS (SELECT MIN(n * $MixDen // wt) AS nout FROM cw),
+       |th AS (SELECT lang, n, wt,
+       |  CAST(wt * no.nout * $MixScale // (n * $MixDen) AS BIGINT) AS thresh
+       |  FROM cw, no),
+       |uu AS (SELECT d.doc_id, d.lang, th.wt, th.thresh,
+       |  ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |    AS u
+       |  FROM documents d JOIN th USING (lang))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "pipe_domain_mix" ->
+      s"""$mixCtes
+         |SELECT doc_id, lang FROM uu WHERE u < thresh
+         |ORDER BY doc_id""".stripMargin,
+
+    "pipe_domain_mix_stats" ->
+      s"""$mixCtes
+         |SELECT lang, wt, CAST(COUNT(*) AS BIGINT) AS n_total,
+         |  CAST(COUNT(*) FILTER (WHERE u < thresh) AS BIGINT) AS n_kept,
+         |  thresh
+         |FROM uu GROUP BY lang, wt, thresh ORDER BY lang""".stripMargin,
+
     "pipe_pack_sequences" -> {
       import TextPack.toksSql
       s"""WITH toks AS (SELECT doc_id, source,

@@ -49,6 +49,12 @@ object TextPack {
   private[graft] val PiiIpv4 =
     "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
 
+  /** Context-window chunking: tokens per training chunk. */
+  private[graft] val ChunkLen = 64
+
+  /** Chunk stride (ChunkLen − stride = 16 tokens of overlap). */
+  private[graft] val ChunkStride = 48
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- token counting (whitespace + distinct + BPE estimate) -----------
     "tx_token_stats" -> ((s, d) => {
@@ -177,6 +183,36 @@ object TextPack {
         .orderBy(desc("cnt"), asc("bigram")).limit(20)
     }),
 
+    // ---- context-window chunking — split each document into overlapping
+    //      fixed-token windows (start every ChunkStride tokens, ChunkLen
+    //      tokens per chunk, last chunk ragged), the step that turns a
+    //      cleaned corpus into model-ready training rows. Pure per-row
+    //      Generate work: tokens are split ONCE per row (bindArray
+    //      let-binding — CollapseProject would otherwise re-run the regex
+    //      split per chunk reference), chunks explode in the same stage, no
+    //      shuffle until the final presentation sort. Empty docs vanish via
+    //      explode's null-skip rather than a second tokens() pass in a
+    //      filter. ----------------------------------------------------------
+    "tx_chunk_windows" -> ((s, d) => {
+      import graft.functions.HashFunctions.bindArray
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(bindArray(tokens(col("text")), t => {
+            val n1 = size(t) - 1
+            val lastIdx = ((n1 - pmod(n1, lit(ChunkStride))) / ChunkStride)
+              .cast("long")
+            when(size(t) >= 1,
+              transform(sequence(lit(0L), lastIdx), i =>
+                struct(i.as("chunk_idx"),
+                  slice(t, (i * ChunkStride + 1).cast("int"), lit(ChunkLen))
+                    .as("toks"))))
+          })).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx"),
+          size(col("c.toks")).cast(LongType).as("n_chunk_toks"),
+          array_join(col("c.toks"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // ---- confusion matrix actual-vs-predicted (reference A8:
     //      dataset_eval/gaia_wrapper.py:80-119) ---------------------------
     "a8_confusion_matrix" -> ((s, d) => {
@@ -267,6 +303,21 @@ object TextPack {
          |       FROM toks WHERE len(t) >= 2)
          |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg
          |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+
+    "tx_chunk_windows" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |ch AS (SELECT doc_id, t,
+         |  unnest(generate_series(0,
+         |    CAST((len(t) - 1) // $ChunkStride AS BIGINT))) AS chunk_idx
+         |  FROM toks WHERE len(t) >= 1)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(len(t[chunk_idx * $ChunkStride + 1 :
+         |             chunk_idx * $ChunkStride + $ChunkLen]) AS BIGINT)
+         |    AS n_chunk_toks,
+         |  array_to_string(t[chunk_idx * $ChunkStride + 1 :
+         |                    chunk_idx * $ChunkStride + $ChunkLen], ' ')
+         |    AS chunk_text
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "a8_confusion_matrix" ->
       s"""SELECT lang, $langCaseSql AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n

@@ -399,6 +399,60 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(counts.last >= 1)
   }
 
+  test("pipe_domain_mix: kept set matches stats; binding language keeps all") {
+    import operators.PipelinePack.{MixDen, MixScale, MixWeights}
+    val stats = run("pipe_domain_mix_stats").collect()
+    assert(stats.map(_.getAs[String]("lang")).toSet ==
+      MixWeights.map(_._1).toSet)
+    // the row query and the stats query agree on the kept count
+    assert(run("pipe_domain_mix").count() ==
+      stats.map(_.getAs[Long]("n_kept")).sum)
+    for (r <- stats) {
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+      assert(r.getAs[Long]("thresh") <= MixScale)
+    }
+    // the language scarcest relative to its weight binds the mixture: its
+    // threshold is the full hash range, so it keeps every row
+    val binding = stats.minBy(r =>
+      r.getAs[Long]("n_total") * MixDen / r.getAs[Long]("wt"))
+    assert(binding.getAs[Long]("thresh") == MixScale)
+    assert(binding.getAs[Long]("n_kept") == binding.getAs[Long]("n_total"))
+    // hash-threshold sampling: achieved counts track thresh/2^32 · n
+    for (r <- stats) {
+      val exp = r.getAs[Long]("thresh").toDouble / MixScale *
+        r.getAs[Long]("n_total")
+      assert(math.abs(r.getAs[Long]("n_kept") - exp) <=
+        5 * math.sqrt(exp max 1) + 1,
+        s"${r.getAs[String]("lang")}: kept ${r.getAs[Long]("n_kept")} " +
+          s"vs expected $exp")
+    }
+  }
+
+  test("tx_chunk_windows: chunk count and widths follow the stride formula") {
+    import graft.functions.TextFunctions.tokenCount
+    import operators.TextPack.{ChunkLen, ChunkStride}
+    val ch = run("tx_chunk_windows").cache()
+    // widths: every chunk holds 1..ChunkLen tokens, and its declared width
+    // matches its text
+    assert(ch.filter(col("n_chunk_toks") < 1 ||
+      col("n_chunk_toks") > ChunkLen).count() == 0)
+    assert(ch.filter(size(split(col("chunk_text"), " ")) =!=
+      col("n_chunk_toks")).count() == 0)
+    // count: a doc with n tokens yields (n-1) div stride + 1 chunks,
+    // indexed densely from 0
+    val perDoc = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"),
+      max("chunk_idx").as("max_idx"))
+    val n1 = tokenCount(col("text")) - 1
+    val expected = Tables.documents(spark, sfTiny).select(col("doc_id"),
+      ((n1 - pmod(n1, lit(ChunkStride))) / ChunkStride + 1)
+        .cast("long").as("want"))
+      .filter(tokenCount(col("text")) >= 1)
+    val j = perDoc.join(expected, "doc_id")
+    assert(j.filter(col("n_chunks") =!= col("want")).count() == 0)
+    assert(j.filter(col("max_idx") =!= col("want") - 1).count() == 0)
+    ch.unpersist()
+  }
+
   test("s11 dataset-tables round-trip: member rows cover every document") {
     val df = run("s11_dataset_tables_roundtrip").cache()
     val docs = Tables.documents(spark, sfTiny)

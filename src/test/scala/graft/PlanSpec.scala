@@ -141,4 +141,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject in:\n$plan")
   }
+
+  test("pipe_domain_mix: threshold broadcast, no rank window over the corpus") {
+    val plan = planText(run("pipe_domain_mix"))
+    // the 5-row per-language threshold table joins in as a broadcast…
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected threshold broadcast join in:\n$plan")
+    // …and membership is a hash-threshold FILTER: the corpus is never
+    // rank-windowed or sort-merge-joined (either would shuffle all rows)
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"unexpected SortMergeJoin in:\n$plan")
+  }
+
+  test("tx_chunk_windows: chunks explode map-side — no shuffle before the sort") {
+    // AQE's toString repeats the pre-adaptive plan under "== Initial
+    // Plan =="; count exchanges in the executed half only
+    val plan = planText(run("tx_chunk_windows"))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Generate"), s"expected Generate in:\n$plan")
+    // only the final presentation sort exchanges; chunking itself is
+    // embarrassingly parallel
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"expected at most the final sort exchange in:\n$plan")
+  }
 }
