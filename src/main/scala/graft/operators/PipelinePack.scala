@@ -31,12 +31,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale note: exact dedup is a `row_number` window over the content hash
   * (one shuffle, no join-back — the groupBy+self-join formulation scans the
-  * filtered corpus twice). The deduped-corpus subtree is still referenced
-  * twice (LSH pair generation + final output), and Spark recomputes an
-  * unpersisted subtree per reference; at benchmark scale that is cheaper
-  * than a cache write, but on a real 100 TB corpus build the deduped corpus
-  * (a minority of the input) should be persisted or checkpointed between
-  * stages — the plan shape is otherwise unchanged.
+  * filtered corpus twice). The deduped-corpus subtree is referenced twice
+  * (LSH pair generation + final output), so it is persisted
+  * (MEMORY_AND_DISK) between the stages — the lang/quality/dedup cascade
+  * runs once, and at 100 TB the survivors spill instead of recomputing.
   */
 object PipelinePack {
 
@@ -185,10 +183,16 @@ object PipelinePack {
       // formulation scans the filtered corpus twice
       val wHash = Window.partitionBy(md5(col("text")))
         .orderBy(col("doc_id"))
+      // the deduped corpus feeds BOTH the LSH pair generation and the final
+      // anti-join; persist it so the filter→window subtree runs once, not
+      // per reference (MEMORY_AND_DISK: at 100 TB the survivors of the
+      // lang/quality/dedup cuts are a minority of the input but can still
+      // exceed executor memory — spill, don't recompute)
       val corpus = filt
         .withColumn("rn", row_number().over(wHash))
         .filter(col("rn") === 1)
         .drop("rn")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nearDupLosers = DedupPack.minhashPairs(corpus.select("doc_id", "text"))
         .select(col("doc_b").as("doc_id"))
         .distinct()

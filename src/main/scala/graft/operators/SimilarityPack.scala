@@ -554,7 +554,7 @@ object SimilarityPack {
   /** Top-k by exact cosine within each query's assigned cell, over a
     * (vec_id, v, cell) assignment — trained inline or loaded from the
     * saved index artifact. */
-  private def cellTopk(a1: DataFrame, k: Int,
+  private[graft] def cellTopk(a1: DataFrame, k: Int,
       qs: QuerySet = DefaultQueries): DataFrame = {
     val q = qs(a1)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
@@ -583,7 +583,7 @@ object SimilarityPack {
 
   /** Nearest-centroid assignment by cosine (ties → lower cell id): K
     * centroids broadcast against a linear scan of (vec_id, v). */
-  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cc").desc, col("cell"))
     vecs.crossJoin(broadcast(cents))

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.SimilarityPack
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming k-NN serving — the reference's similarity API surface
+  * (webserver/views/api/v1/similarity.py:84-103: per-request neighbour
+  * lookups against the prebuilt Annoy index) re-expressed as a stream of
+  * query vectors served from the persisted IVF index artifact.
+  *
+  * Shape: the STREAM side is only the arriving queries; the corpus, its
+  * cell assignments and the trained centroids are static artifacts
+  * ([[graft.sim.IndexStore]]) loaded once and broadcast per batch — the
+  * stream never scans or shuffles the corpus, so serving scales with
+  * request rate alone, independent of corpus size.
+  *
+  * Each micro-batch is served through [[SimilarityPack.cellTopk]] — the
+  * SAME code the batch `ann_kmeans_indexed` query runs, so stream/batch
+  * parity holds by construction (pinned in StreamingSpec). `foreachBatch`
+  * rather than a streaming aggregation because per-query ranking is a
+  * window over the candidate set: not expressible as an incremental
+  * streaming agg, and it must not be one — ranking state is bounded by
+  * the micro-batch, never carried across batches. Queries in different
+  * micro-batches are independent lookups, so any batch split yields the
+  * same union of results.
+  */
+object QueryStream {
+
+  /** Serve one micro-batch of query vectors (vec_id, embedding float[])
+    * with top-k neighbours from the persisted trained-IVF index of the
+    * corpus at `dir`: assign each query to its nearest trained centroid
+    * (K-row broadcast), then exact-cosine-rank only that cell's members.
+    * Output: (query_id, cell, rank, neighbor_id) — the batch serving
+    * contract. */
+  def serveBatch(s: SparkSession, dir: String, batch: DataFrame,
+      k: Int): DataFrame = {
+    val p = SimilarityPack.ensureKmeansIndex(s, dir)
+    val cents = s.read.parquet(s"$p/centroids")
+    val assign = s.read.parquet(s"$p/assignments")
+    val corpus = assign.join(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      Seq("vec_id"))
+    val q = SimilarityPack.assignCells(
+      batch.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      cents)
+    SimilarityPack.cellTopk(corpus, k, _ => q)
+  }
+}

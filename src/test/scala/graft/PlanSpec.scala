@@ -142,6 +142,12 @@ class PlanSpec extends SparkSpec {
       s"expected TakeOrderedAndProject in:\n$plan")
   }
 
+  test("pipe_corpus_prep: deduped corpus is persisted, not recomputed per use") {
+    val plan = planText(run("pipe_corpus_prep"))
+    assert(plan.contains("InMemoryTableScan"),
+      s"expected the persisted corpus subtree in:\n$plan")
+  }
+
   test("pipe_domain_mix: threshold broadcast, no rank window over the corpus") {
     val plan = planText(run("pipe_domain_mix"))
     // the 5-row per-language threshold table joins in as a broadcast…

@@ -95,6 +95,31 @@ class StreamingSpec extends SparkSpec {
     assert(flagged.nonEmpty && survivors.toSet == want)
   }
 
+  test("streaming k-NN serving equals the batch artifact-served top-k") {
+    import graft.streaming.{QueryStream, VectorStream}
+    // queries arrive on a stream (here: the DefaultQueries ids, so the
+    // batch twin below is the ann_kmeans_indexed entry verbatim); results
+    // collect per micro-batch the way a serving sink would emit them
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val q = VectorStream.source(spark, sfTiny)
+      .filter(col("vec_id") < 10)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= QueryStream.serveBatch(spark, sfTiny, batch, k = 5)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val want = SparkEntry.queries("ann_kmeans_indexed")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(want.nonEmpty && got.toSet == want.toSet,
+      s"stream served ${got.size} rows, batch ${want.size}")
+  }
+
   test("streaming vector normalize equals the batch ETL on static stats") {
     import graft.streaming.VectorStream
     // the static stats frame — at deployment scale the persisted stats
