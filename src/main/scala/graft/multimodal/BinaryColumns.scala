@@ -129,6 +129,87 @@ object BinaryColumns {
       .withColumn("frame_bytes", octet_length(col("frame")).cast(LongType))
   }
 
+  /** Decoded-and-resized BMP thumbnail (sentinel: 0×0 with empty hex). */
+  case class BmpThumb(media_id: Long, out_w: Long, out_h: Long, out_hex: String)
+
+  /** Lowercase fixed-width hex of one byte-ranged value. */
+  private def byteHex(v: Column): Column =
+    lpad(lower(hex(v.cast(LongType) % 256)), 2, "0")
+
+  /** Build a BMP with a REAL pixel raster: even id-derived dimensions
+    * (w ≤ 16, h ≤ 12), pixel P(x, y) = (id+x, id+y, x+y) mod 256 with
+    * y = 0 the TOP image row — stored the way actual BMP writers store it:
+    * bottom row first, each row zero-padded to a 4-byte boundary. Every output
+    * byte is id-derived arithmetic, so a decoder bug (stride, flip,
+    * padding) shows up as a value mismatch, not a crash. Pure Catalyst. */
+  def bmpRasterPayload(df: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol).cast(LongType)
+    val w = lit(2L) * (lit(1L) + id % 8)
+    val h = lit(2L) * (lit(1L) + id % 6)
+    val rowSize = ((w * 3 + 3) / 4).cast(LongType) * 4
+    val dataLen = (rowSize * h).cast(IntegerType)
+    // raster rows j = 0..h-1 hold logical rows y = h-1-j (bottom-up)
+    val rasterHex = array_join(
+      transform(sequence(lit(0L), h - 1), j => {
+        val y = h - 1 - j
+        concat(
+          array_join(transform(sequence(lit(0L), w - 1), x =>
+            concat(byteHex(id + x), byteHex(id + y), byteHex(x + y))), ""),
+          lit("000000").substr(lit(1),
+            (((lit(4L) - (w * 3) % 4) % 4) * 2).cast(IntegerType)))
+      }), "")
+    val header = concat(
+      lit("424d"), leHex(dataLen + 54, 4),
+      lit("00000000"), leHex(lit(54), 4),
+      leHex(lit(40), 4),
+      leHex(w, 4), leHex(h, 4),
+      leHex(lit(1), 2), leHex(lit(24), 2),
+      leHex(lit(0), 4), leHex(dataLen, 4),
+      leHex(lit(0), 4), leHex(lit(0), 4),
+      leHex(lit(0), 4), leHex(lit(0), 4))
+    df.select(id.as("media_id"), unhex(concat(header, rasterHex)).as("payload"))
+  }
+
+  /** Decode a raster BMP and nearest-neighbour downsample it 2× — the
+    * image half of the multimodal feature-extract contract, on real bytes:
+    * the kernel walks the raster with the true row stride, un-flips the
+    * bottom-up row order, and emits the thumbnail as top-down pixel hex.
+    * Same [[DecodeBatch]] per-partition batch contract as [[decodeBmp]];
+    * at 100 TB this is where an image library's resize runs, amortized
+    * per batch. */
+  def resizeBmp(spark: SparkSession, media: DataFrame): Dataset[BmpThumb] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(DecodeBatch).flatMap { batch =>
+          batch.iterator.map { case (id, b) =>
+            val ok = b != null && b.length >= 54 && bytesAt(b, 0, "BM") &&
+              leInt(b, 14, 4) == 40 && leInt(b, 28, 2) == 24
+            if (!ok) BmpThumb(id, 0, 0, "")
+            else {
+              val w = leInt(b, 18, 4).toInt
+              val h = leInt(b, 22, 4).toInt
+              val off = leInt(b, 10, 4).toInt
+              val rowSize = (w * 3 + 3) / 4 * 4
+              if (b.length < off + rowSize * h) BmpThumb(id, 0, 0, "")
+              else {
+                val sb = new StringBuilder
+                for (y <- 0 until h / 2; x <- 0 until w / 2) {
+                  // logical source pixel (2x, 2y); its raster row is
+                  // h-1-2y from the bottom-up storage order
+                  val p = off + (h - 1 - 2 * y) * rowSize + 2 * x * 3
+                  sb.append(f"${b(p) & 0xff}%02x${b(p + 1) & 0xff}%02x" +
+                    f"${b(p + 2) & 0xff}%02x")
+                }
+                BmpThumb(id, w / 2, h / 2, sb.toString)
+              }
+            }
+          }
+        }
+      }
+  }
+
   /** Little-endian unsigned integer at `off`, `n` bytes. */
   private def leInt(b: Array[Byte], off: Int, n: Int): Long =
     (0 until n).map(i => (b(off + i) & 0xffL) << (8 * i)).sum

@@ -40,6 +40,35 @@ object MultimodalPack {
         BinaryColumns.bmpPayload(Tables.documents(s, d), "doc_id", "text"))
         .toDF()
         .orderBy("media_id")
+    }),
+
+    // ---- frame sampling (video frame-sample / audio window-hop shape):
+    //      fixed-size binary chunks, every 4th kept. Pure Catalyst substr
+    //      slicing inside the scan's task; frames surface as text here
+    //      (ASCII stand-in bytes) so the oracle checks the sampled BYTES,
+    //      not just counts — at 100 TB the frame column stays opaque
+    //      binary and a checksum takes its place. ---------------------------
+    "mm_frame_sample" -> ((s, d) => {
+      BinaryColumns.sampleFrames(
+        BinaryColumns.withPayload(Tables.documents(s, d), "doc_id", "text"),
+        frameBytes = 32, everyK = 4)
+        .select(col("media_id"),
+          col("sample_pos").cast("long").as("sample_pos"),
+          col("frame_bytes"),
+          col("frame").cast("string").as("frame_text"))
+        .orderBy("media_id", "sample_pos")
+    }),
+
+    // ---- decode + feature-extract on real pixels: id-derived raster BMP
+    //      (bottom-up rows, 4-byte row stride — the true layout) decoded
+    //      and nearest-neighbour downsampled 2× in mapPartitions batches;
+    //      the oracle recomputes every thumbnail pixel arithmetically, so
+    //      a stride/flip/padding bug in the kernel is a value mismatch. ----
+    "mm_resize_bmp" -> ((s, d) => {
+      BinaryColumns.resizeBmp(s,
+        BinaryColumns.bmpRasterPayload(Tables.documents(s, d), "doc_id"))
+        .toDF()
+        .orderBy("media_id")
     })
   )
 
@@ -69,6 +98,40 @@ object MultimodalPack {
         | CAST(1 + (doc_id % 480) AS BIGINT) AS height,
         | CAST(24 AS BIGINT) AS bpp,
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS img_bytes
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // The payload is the ASCII text bytes, so VARCHAR slicing reproduces
+    // the engine's binary substr exactly (octet_length == length is
+    // asserted over the corpus by mm_binary_meta's oracle equality).
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |f AS (SELECT media_id, text,
+        |  unnest(generate_series(0,
+        |    CAST(ceil(n_bytes / 32.0) AS BIGINT) - 1, 4)) AS i
+        |  FROM m WHERE n_bytes > 0)
+        |SELECT media_id, i // 4 AS sample_pos,
+        |  CAST(length(substring(text, i * 32 + 1, 32)) AS BIGINT)
+        |    AS frame_bytes,
+        |  substring(text, i * 32 + 1, 32) AS frame_text
+        |FROM f ORDER BY media_id, sample_pos""".stripMargin,
+
+    // Every thumbnail pixel recomputed from the same arithmetic the
+    // encoder embedded: out(x, y) = P(2x, 2y) = (id+2x, id+2y, 2x+2y)
+    // mod 256, top-down row order, 6 hex chars per pixel.
+    "mm_resize_bmp" ->
+      """WITH p AS (SELECT doc_id AS media_id,
+        |  2 * (1 + doc_id % 8) AS w, 2 * (1 + doc_id % 6) AS h
+        |  FROM documents)
+        |SELECT media_id,
+        |  CAST(w // 2 AS BIGINT) AS out_w, CAST(h // 2 AS BIGINT) AS out_h,
+        |  array_to_string(flatten(list_transform(
+        |    generate_series(0, h // 2 - 1), y ->
+        |      list_transform(generate_series(0, w // 2 - 1), x ->
+        |        printf('%02x%02x%02x', (media_id + 2 * x) % 256,
+        |          (media_id + 2 * y) % 256, (2 * x + 2 * y) % 256)))), '')
+        |    AS out_hex
+        |FROM p ORDER BY media_id""".stripMargin
   )
 }

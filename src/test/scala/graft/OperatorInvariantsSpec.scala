@@ -453,6 +453,38 @@ class OperatorInvariantsSpec extends SparkSpec {
     ch.unpersist()
   }
 
+  test("mm_resize_bmp: thumbnail dims halve and hex length matches; garbage → sentinel") {
+    import graft.multimodal.BinaryColumns
+    val df = run("mm_resize_bmp").cache()
+    // no sentinel rows on encoder-built payloads
+    assert(df.filter(col("out_w") === 0 || col("out_h") === 0).count() == 0)
+    assert(df.filter(length(col("out_hex")) =!=
+      col("out_w") * col("out_h") * 6).count() == 0)
+    df.unpersist()
+    // a truncated / non-BMP payload must yield the sentinel, not a crash
+    val junk = Tables.documents(spark, sfTiny).limit(3)
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"))
+    val thumbs = BinaryColumns.resizeBmp(spark, junk).collect()
+    assert(thumbs.length == 3 &&
+      thumbs.forall(t => t.out_w == 0 && t.out_h == 0 && t.out_hex.isEmpty))
+  }
+
+  test("mm_frame_sample: every 4th 32-byte frame, reassembly covers the prefix") {
+    val df = run("mm_frame_sample").cache()
+    // frame 0 is the payload's first 32 bytes for every non-empty doc
+    val docs = Tables.documents(spark, sfTiny).filter(length(col("text")) > 0)
+    assert(df.filter(col("sample_pos") === 0).count() == docs.count())
+    val joined = df.filter(col("sample_pos") === 0)
+      .join(docs.select(col("doc_id").as("media_id"), col("text")), "media_id")
+    assert(joined.filter(col("frame_text") =!=
+      substring(col("text"), 1, 32)).count() == 0)
+    // only full or final-partial frames
+    assert(df.filter(col("frame_bytes") < 1 ||
+      col("frame_bytes") > 32).count() == 0)
+    df.unpersist()
+  }
+
   test("s11 dataset-tables round-trip: member rows cover every document") {
     val df = run("s11_dataset_tables_roundtrip").cache()
     val docs = Tables.documents(spark, sfTiny)
