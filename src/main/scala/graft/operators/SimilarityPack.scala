@@ -536,17 +536,43 @@ object SimilarityPack {
       qs: QuerySet = DefaultQueries): DataFrame =
     cellTopk(kmeansTrain(s, d)._2, k, qs)
 
+  /** Cap on k-means TRAINING rows — quantizer quality needs a sample, not
+    * the corpus (past ~10^6 training points the centroids stop moving).
+    * Mirrored in the oracle (kmeansCtes' `tn`/`trn`), so the semantics are
+    * DEFINED, not an engine-private shortcut; below the cap the modulus is
+    * 1 and the gate keeps every row, making it exact identity at every
+    * verification scale. */
+  private[graft] val KMeansTrainCap = 1000000L
+
+  /** Deterministic training sample: keep rows whose id-hash ≡ 0 modulo
+    * K = max(1, n div cap) — ~cap survivors, no sort, no shuffle beyond
+    * the 1-row count broadcast; same md5-prefix recipe as the domain-mix
+    * sampler so DuckDB reproduces membership exactly. */
+  private[graft] def trainSample(df: DataFrame,
+      cap: Long = KMeansTrainCap): DataFrame = {
+    val n = df.agg(count(lit(1)).as("n"))
+    val u = conv(
+      substring(md5(concat(lit("ktrain:"), col("vec_id").cast("string"))),
+        1, 8), 16, 10).cast("long")
+    val k = greatest(lit(1L),
+      ((col("n") - col("n") % cap) / cap).cast("long"))
+    df.crossJoin(broadcast(n)).filter(pmod(u, k) === 0).drop("n")
+  }
+
   /** The one-Lloyd-iteration training: (trained centroids (cell, cv),
     * trained assignment (vec_id, v, cell)) — the content of the persisted
-    * IVF artifact. */
+    * IVF artifact. Centroids train on the [[trainSample]]d rows; the final
+    * E-step assigns the FULL corpus to the trained centroids, so the
+    * serving artifact always covers every vector. */
   private def kmeansTrain(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label").cast(LongType).as("cell"),
         asDouble(col("embedding")).as("v"))
     val vecs = emb.select(col("vec_id"), col("v"))
-    val cent0 = cellCentroids(emb.select(col("cell"), col("v")))
-    val a0 = assignCells(vecs, cent0)
+    val train = trainSample(emb)
+    val cent0 = cellCentroids(train.select(col("cell"), col("v")))
+    val a0 = assignCells(train.select(col("vec_id"), col("v")), cent0)
     val cent1 = cellCentroids(a0.select(col("cell"), col("v")))
     (cent1, assignCells(vecs, cent1))
   }
@@ -1724,13 +1750,18 @@ object SimilarityPack {
   private def kmeansCtes(p: String, q: QPred = DefaultQPred): String =
     s"""${p}vnorms AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
        |           FROM exi GROUP BY vec_id),
+       |${p}tn AS (SELECT GREATEST(1,
+       |  COUNT(DISTINCT vec_id) // $KMeansTrainCap) AS k FROM exi),
+       |${p}trn AS (SELECT e.* FROM exi e, ${p}tn
+       |  WHERE ('0x' || substr(md5('ktrain:' || CAST(e.vec_id AS VARCHAR)),
+       |    1, 8))::BIGINT % k = 0),
        |${p}cent0 AS (SELECT cell, pos,
        |  CAST(SUM(CAST(round(val * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS c
-       |  FROM exi GROUP BY cell, pos),
+       |  FROM ${p}trn GROUP BY cell, pos),
        |${p}c0n AS (SELECT cell, sqrt(SUM(c * c)) AS nrm
        |  FROM ${p}cent0 GROUP BY cell),
        |${p}a0dot AS (SELECT e.vec_id, c.cell, SUM(e.val * c.c) AS dp
-       |          FROM exi e JOIN ${p}cent0 c ON e.pos = c.pos GROUP BY 1, 2),
+       |          FROM ${p}trn e JOIN ${p}cent0 c ON e.pos = c.pos GROUP BY 1, 2),
        |${p}assign0 AS (SELECT vec_id, cell FROM (
        |  SELECT a.vec_id, a.cell,
        |    row_number() OVER (PARTITION BY a.vec_id

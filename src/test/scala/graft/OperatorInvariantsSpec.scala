@@ -453,6 +453,25 @@ class OperatorInvariantsSpec extends SparkSpec {
     ch.unpersist()
   }
 
+  test("kmeans trainSample: identity below cap, ~n/K deterministic rows above") {
+    import operators.SimilarityPack
+    val emb = Tables.embeddings(spark, sfTiny).select(col("vec_id"))
+    val n = emb.count()
+    // below the cap the modulus is 1: the gate is exact identity
+    assert(SimilarityPack.trainSample(emb).count() == n)
+    // above: K = n div cap, membership by id-hash modulus — deterministic
+    val cap = 20L
+    val s1 = SimilarityPack.trainSample(emb, cap)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = SimilarityPack.trainSample(emb, cap)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < n)
+    val k = math.max(1L, n / cap)
+    val exp = n.toDouble / k
+    assert(math.abs(s1.size - exp) <= 5 * math.sqrt(exp) + 1,
+      s"sampled ${s1.size} of $n, expected ~$exp (K=$k)")
+  }
+
   test("mm_resize_bmp: thumbnail dims halve and hex length matches; garbage → sentinel") {
     import graft.multimodal.BinaryColumns
     val df = run("mm_resize_bmp").cache()
