@@ -345,6 +345,41 @@ object SimilarityPack {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): blocks
+    //      are TRAINED k-means cells instead of random LSH buckets — a
+    //      near-dup pair that an LSH hyperplane happens to split still
+    //      lands in ONE cell because the quantizer is fit to the data
+    //      distribution. Within-cell pairwise cosine with the same
+    //      hot-cell cap as the LSH variant; a vector is removed iff a
+    //      SMALLER-id vector in its cell clears the threshold
+    //      (keep-lowest-id representative — deterministic and greedy-free:
+    //      no dependence on visit order). dup_of is the smallest such
+    //      neighbour. 100 TB posture: cell COUNT scales with the corpus
+    //      (the trained quantizer keeps cells ~bounded; training itself is
+    //      capped by [[KMeansTrainCap]]), so within-cell all-pairs stays
+    //      O(n · cell_size), never O(n²), and the cap skips pathological
+    //      hot cells loudly-by-construction rather than blowing up. ------
+    "dd_semantic_dedup" -> ((s, d) => {
+      val a1 = kmeansTrain(s, d)._2.withColumn("nrm", l2Norm(col("v")))
+      val sizes = a1.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+        .filter(col("cn").between(2, MaxCosineBucket))
+      val keep = a1.join(sizes.select("cell"), Seq("cell"))
+      val a = keep.select(col("cell"), col("vec_id").as("doc_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = keep.select(col("cell"), col("vec_id").as("doc_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("cell"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cosine") >= NearDupCosine)
+        .groupBy(col("doc_b"), col("cell"))
+        .agg(min(struct(col("doc_a"), col("cosine"))).as("m"))
+        .select(col("doc_b").as("vec_id"), col("cell"),
+          col("m.doc_a").as("dup_of"),
+          round(col("m.cosine"), 8).as("cosine"))
+        .orderBy("vec_id")
+    }),
+
     // ---- persisted-index ANN: build once, save, query many ---------------
     // The reference builds Annoy indexes once and mmap-loads them per query
     // (similarity/index_model.py:76-92); here the saved artifact is the
@@ -564,7 +599,7 @@ object SimilarityPack {
     * IVF artifact. Centroids train on the [[trainSample]]d rows; the final
     * E-step assigns the FULL corpus to the trained centroids, so the
     * serving artifact always covers every vector. */
-  private def kmeansTrain(s: SparkSession, d: String)
+  private[graft] def kmeansTrain(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label").cast(LongType).as("cell"),
@@ -1543,6 +1578,34 @@ object SimilarityPack {
          |JOIN norms nb ON doc_b = nb.vec_id
          |WHERE dp / (na.nrm * nb.nrm) >= $NearDupCosine
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Mirrors dd_semantic_dedup: the kmeansCtes training chain (shared
+    // verbatim with ann_ivf_kmeans' oracle) yields assign1/vnorms; then
+    // within-cell pairs above the threshold, keep-lowest-id per doc_b.
+    "dd_semantic_dedup" ->
+      s"""WITH $exiCte,
+         |${kmeansCtes("")},
+         |scells AS (SELECT cell FROM assign1 GROUP BY cell
+         |  HAVING COUNT(*) BETWEEN 2 AND $MaxCosineBucket),
+         |scand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.cell
+         |  FROM assign1 a JOIN scells USING (cell)
+         |  JOIN assign1 b ON b.cell = a.cell AND a.vec_id < b.vec_id),
+         |sdots AS (SELECT cd.doc_a, cd.doc_b, cd.cell,
+         |    SUM(x.val * y.val) AS dp
+         |  FROM scand cd
+         |  JOIN exi x ON x.vec_id = cd.doc_a
+         |  JOIN exi y ON y.vec_id = cd.doc_b AND y.pos = x.pos
+         |  GROUP BY 1, 2, 3),
+         |sdup AS (SELECT doc_b, cell, doc_a,
+         |    dp / (na.nrm * nb.nrm) AS cs,
+         |    row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rn
+         |  FROM sdots
+         |  JOIN vnorms na ON doc_a = na.vec_id
+         |  JOIN vnorms nb ON doc_b = nb.vec_id
+         |  WHERE dp / (na.nrm * nb.nrm) >= $NearDupCosine)
+         |SELECT doc_b AS vec_id, cell, doc_a AS dup_of,
+         |  round(cs, 8) AS cosine
+         |FROM sdup WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "ann_recall" ->
       s"""WITH $exCte,

@@ -122,6 +122,35 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(joined.map(_.getAs[Long]("h2")).sum > 0)
   }
 
+  test("dd_semantic_dedup removes exactly the within-cell near-dups, keep-lowest-id") {
+    import graft.functions.VectorFunctions._
+    import operators.SimilarityPack
+    val got = run("dd_semantic_dedup")
+    // one row per removed vector; dup_of strictly smaller; threshold holds
+    assert(got.filter(col("dup_of") >= col("vec_id")).count() == 0)
+    assert(got.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    assert(got.filter(col("cosine") < SimilarityPack.NearDupCosine).count() == 0)
+    // ground truth: brute-force pairs within the TRAINED cells (cells at
+    // sfTiny are far below the hot-cell cap, so equality is exact)
+    val a1 = SimilarityPack.kmeansTrain(spark, sfTiny)._2
+      .withColumn("nrm", l2Norm(col("v")))
+    val bb = a1.select(col("cell"), col("vec_id").as("doc_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a1.select(col("cell"), col("vec_id").as("doc_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(bb, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= SimilarityPack.NearDupCosine)
+    val want = pairs.groupBy(col("doc_b")).agg(min(col("doc_a")).as("dup_of"))
+      .select(col("doc_b").as("vec_id"), col("dup_of"))
+    assert(got.select("vec_id", "dup_of").exceptAll(want).count() == 0,
+      "removed a vector no smaller-id cell-mate justifies")
+    assert(want.exceptAll(got.select("vec_id", "dup_of")).count() == 0,
+      "kept a vector that has a smaller-id near-dup in its cell")
+    assert(got.count() > 0, "fixture produced no semantic dups")
+  }
+
   test("dd_embedding_lsh emits exactly the in-bucket near-dup pairs") {
     import graft.functions.VectorFunctions._
     import operators.{DedupPack, SimilarityPack}
