@@ -35,7 +35,7 @@ object DedupPack {
   // same documents by construction — a literal 3 there would silently
   // de-synchronize on a future change here.
   private[graft] val ShingleN = 3
-  private val JaccardThreshold = 0.8
+  private[graft] val JaccardThreshold = 0.8
 
   /** Document-frequency cap: shingles appearing in more documents than this
     * are excluded from the Jaccard universe (and from per-doc sizes). */
@@ -47,6 +47,10 @@ object DedupPack {
   /** The shard standing in for the benchmark/eval corpus in
     * `dd_contamination` (deployments pass the real benchmark set). */
   val ContaminationEvalSource = "src0"
+
+  /** The shard standing in for a freshly-arrived ingest batch in
+    * `dd_incremental_lsh` (deployments pass the actual batch). */
+  val IncrementalBatchSource = "src6"
 
   /** Shingle-overlap fraction above which a corpus document counts as
     * benchmark-contaminated. */
@@ -171,6 +175,49 @@ object DedupPack {
         .filter(col("hamming") <= MaxHamming)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- INCREMENTAL ingest dedup: a new batch probes the corpus --------
+    // Continuous-ingestion pipelines must not re-dedup the whole corpus
+    // when a batch arrives: the batch computes its own MinHash band keys
+    // and PROBES the corpus's band buckets (at scale, a persisted band
+    // index — exactly the [[bandedKeys]] frame written once per corpus
+    // build, the same artifact-vs-inline split as the ANN IndexStore).
+    // Candidates are verified with EXACT full-set Jaccard (candidate count
+    // is O(batch · bucket), so the verify join is batch-sized, never
+    // corpus-quadratic), and each contaminated new doc reports its best
+    // corpus match (highest Jaccard, ties → lowest id). Corpus-side hot
+    // buckets are skipped under the pack-wide [[MaxLshBucket]] cap,
+    // mirrored in the oracle: capped semantics are defined semantics. ----
+    "dd_incremental_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = shingled(s, d)
+      val b2 = bandedKeys(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val newB = b2.filter(col("source") === IncrementalBatchSource)
+      val buckets = b2.filter(col("source") =!= IncrementalBatchSource)
+        .groupBy(col("band"), col("key"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) <= MaxLshBucket)
+      val cand = newB.join(buckets, Seq("band", "key"))
+        .select(col("doc_id").as("new_id"), explode(col("ids")).as("corp_id"))
+        .distinct()
+      val jac = cand
+        .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sa")),
+          Seq("new_id"))
+        .join(sh.select(col("doc_id").as("corp_id"), col("sh").as("sb")),
+          Seq("corp_id"))
+        .withColumn("shared", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jaccard", col("shared").cast(DoubleType) /
+          (size(col("sa")) + size(col("sb")) - col("shared")))
+        .filter(col("jaccard") >= JaccardThreshold)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("new_id"))
+        .orderBy(col("jaccard").desc, col("corp_id"))
+      jac.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("new_id").as("doc_id"), col("corp_id").as("dup_of"),
+          round(col("jaccard"), 8).as("jaccard"))
+        .orderBy("doc_id")
     })
   )
 
@@ -289,24 +336,29 @@ object DedupPack {
     * dropped, hot buckets capped) → local pair expansion. Shared by
     * `dd_minhash_lsh` (whole table) and PipelinePack's corpus prep
     * (filtered corpus). */
-  private[operators] def minhashPairs(docs: DataFrame): DataFrame = {
-    val sig = docs
-      .select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .select(col("doc_id"), hashMaterial(col("g")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(minhashAggsList.head, minhashAggsList.tail: _*)
-    sig
-      .select(col("doc_id"),
-        posexplode(array(bandKeyCols(Bands, Rows): _*)).as(Seq("band", "key")))
-      .filter(col("key").isNotNull)
+  private[operators] def minhashPairs(docs: DataFrame): DataFrame =
+    bandedKeys(docs)
       .groupBy(col("band"), col("key"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, MaxLshBucket))
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-  }
+
+  /** (doc_id, band, key) MinHash band keys (NULL keys dropped) over any
+    * (doc_id, text, …) frame — the signature half of [[minhashPairs]],
+    * shared with the incremental probe (`dd_incremental_lsh`), whose
+    * corpus side is exactly this frame persisted as an index at scale. */
+  private[graft] def bandedKeys(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), hashMaterial(col("g")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(minhashAggsList.head, minhashAggsList.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array(bandKeyCols(Bands, Rows): _*)).as(Seq("band", "key")))
+      .filter(col("key").isNotNull)
 
   /** DuckDB CTE producing (doc_id, sh) distinct word-3-gram shingle lists
     * from any (doc_id, text, …) relation — mirrors `wordShingles`. */
@@ -322,9 +374,9 @@ object DedupPack {
 
   private val shingleCte = shingleCteFrom("documents")
 
-  /** DuckDB CTE chain mirroring [[minhashPairs]] over relation `src`, ending
-    * in `mhpairs(doc_a, doc_b)` (distinct, doc_a < doc_b). */
-  private[operators] def minhashPairCtes(src: String): String = {
+  /** DuckDB CTE chain mirroring [[bandedKeys]] over relation `src`, ending
+    * in `banded(doc_id, band, key)` (key may be NULL — consumers filter). */
+  private[operators] def bandedCtes(src: String): String = {
     val mats = (0 until MinhashMd5s).map(j => s"md5('$j:' || g)")
       .mkString(" || ")
     val minCols = (0 until NumHashes)
@@ -342,7 +394,14 @@ object DedupPack {
             .map { case (e, b) => s"WHEN $b THEN $e" }.mkString(" ")} END
        |    AS key
        |  FROM sig CROSS JOIN
-       |    (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b),
+       |    (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b)"""
+      .stripMargin
+  }
+
+  /** DuckDB CTE chain mirroring [[minhashPairs]] over relation `src`, ending
+    * in `mhpairs(doc_a, doc_b)` (distinct, doc_a < doc_b). */
+  private[operators] def minhashPairCtes(src: String): String =
+    s"""${bandedCtes(src)},
        |buckets AS (SELECT band, key FROM banded
        |  WHERE key IS NOT NULL GROUP BY band, key
        |  HAVING COUNT(*) BETWEEN 2 AND $MaxLshBucket),
@@ -351,7 +410,6 @@ object DedupPack {
        |JOIN buckets k ON a.band = k.band AND a.key = k.key
        |JOIN banded b ON a.band = b.band AND a.key = b.key
        |  AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   /** DuckDB CTE chain producing sims(doc_id, simhash) — mirrors
     * `simhashBits`. */
@@ -467,6 +525,41 @@ object DedupPack {
          |      <> substring(sb, CAST(i AS INTEGER), 1))) AS BIGINT) AS hamming
          |  FROM cand)
          |SELECT doc_a, doc_b, hamming FROM ham
-         |WHERE hamming <= $MaxHamming ORDER BY doc_a, doc_b""".stripMargin
+         |WHERE hamming <= $MaxHamming ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Mirrors dd_incremental_lsh: batch band keys probe corpus buckets
+    // (capped), candidates verified with exact full-set Jaccard, best
+    // corpus match per new doc (Jaccard DESC, id ASC — the double division
+    // is integer-fed, so both engines rank identical IEEE values).
+    "dd_incremental_lsh" ->
+      s"""WITH ${bandedCtes("documents")},
+         |nb AS (SELECT b.doc_id, band, key FROM banded b
+         |  JOIN documents d ON d.doc_id = b.doc_id
+         |  WHERE d.source = '$IncrementalBatchSource' AND key IS NOT NULL),
+         |cb AS (SELECT b.doc_id, band, key FROM banded b
+         |  JOIN documents d ON d.doc_id = b.doc_id
+         |  WHERE d.source <> '$IncrementalBatchSource' AND key IS NOT NULL),
+         |kb AS (SELECT band, key FROM cb GROUP BY band, key
+         |  HAVING COUNT(*) <= $MaxLshBucket),
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corp_id
+         |  FROM nb n JOIN kb k ON n.band = k.band AND n.key = k.key
+         |  JOIN cb c ON c.band = n.band AND c.key = n.key),
+         |shex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |szs AS (SELECT doc_id, COUNT(*) AS n FROM shex GROUP BY doc_id),
+         |shr AS (SELECT cand.new_id, cand.corp_id, COUNT(*) AS shared
+         |  FROM cand JOIN shex xa ON xa.doc_id = cand.new_id
+         |  JOIN shex xb ON xb.doc_id = cand.corp_id AND xb.g = xa.g
+         |  GROUP BY 1, 2),
+         |jac AS (SELECT new_id, corp_id,
+         |    CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS j
+         |  FROM shr JOIN szs sa ON sa.doc_id = new_id
+         |  JOIN szs sb ON sb.doc_id = corp_id
+         |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)
+         |    >= $JaccardThreshold),
+         |rk AS (SELECT new_id, corp_id, j,
+         |    row_number() OVER (PARTITION BY new_id
+         |      ORDER BY j DESC, corp_id) AS rn FROM jac)
+         |SELECT new_id AS doc_id, corp_id AS dup_of, round(j, 8) AS jaccard
+         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
 }

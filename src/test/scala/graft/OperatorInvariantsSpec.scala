@@ -122,6 +122,47 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(joined.map(_.getAs[Long]("h2")).sum > 0)
   }
 
+  test("dd_incremental_lsh flags only batch docs against verified corpus matches") {
+    import graft.functions.HashFunctions._
+    import operators.DedupPack
+    val got = run("dd_incremental_lsh")
+    val docs = Tables.documents(spark, sfTiny)
+    val src = docs.select(col("doc_id"), col("source"))
+    // flagged ids are batch docs; their dup_of is never a batch doc
+    assert(got.join(src, Seq("doc_id"))
+      .filter(col("source") =!= DedupPack.IncrementalBatchSource).count() == 0)
+    assert(got.select(col("dup_of").as("doc_id")).join(src, Seq("doc_id"))
+      .filter(col("source") === DedupPack.IncrementalBatchSource).count() == 0)
+    // one best match per flagged doc; threshold respected
+    assert(got.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+    assert(got.filter(col("jaccard") < DedupPack.JaccardThreshold).count() == 0)
+    // completeness: every (batch, corpus) pair that shares an uncapped band
+    // bucket AND clears exact full-set Jaccard must be flagged
+    val banded = DedupPack.bandedKeys(docs).join(src, Seq("doc_id"))
+    val nb = banded.filter(col("source") === DedupPack.IncrementalBatchSource)
+    val cb = banded.filter(col("source") =!= DedupPack.IncrementalBatchSource)
+    val uncapped = cb.groupBy("band", "key").count()
+      .filter(col("count") <= DedupPack.MaxLshBucket).select("band", "key")
+    val sh = docs.select(col("doc_id"),
+      wordShingles(col("text"), DedupPack.ShingleN).as("sh"))
+    val pairs = nb.select(col("band"), col("key"), col("doc_id"))
+      .join(cb.select(col("band"), col("key"), col("doc_id").as("dup_of")),
+        Seq("band", "key"))
+      .join(uncapped, Seq("band", "key"))
+      .select("doc_id", "dup_of").distinct()
+      .join(sh.select(col("doc_id"), col("sh").as("sa")), Seq("doc_id"))
+      .join(sh.select(col("doc_id").as("dup_of"), col("sh").as("sb")),
+        Seq("dup_of"))
+      .withColumn("shared", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("shared").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("shared"))
+        >= DedupPack.JaccardThreshold)
+    assert(pairs.select("doc_id").distinct()
+      .exceptAll(got.select("doc_id")).count() == 0,
+      "a batch doc with an in-bucket corpus near-dup was not flagged")
+    assert(got.count() > 0, "fixture produced no incremental dups")
+  }
+
   test("dd_semantic_dedup removes exactly the within-cell near-dups, keep-lowest-id") {
     import graft.functions.VectorFunctions._
     import operators.SimilarityPack
