@@ -88,18 +88,35 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = bucketed(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame =
     bucketed(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as nanos-since-epoch and truncate to microseconds (the
-    * generator works at microsecond resolution, so this is lossless and
-    * matches what DuckDB sees). Shared by the materializer and the streaming
-    * source (EventStream) so both read timestamps at the SAME resolution. */
-  def nanosTsToMicros(s: SparkSession, df: => DataFrame): DataFrame = {
+  /** Normalize `events.ts` to session-zone TimestampType regardless of how
+    * the generator wrote it — the physical type has changed across driver
+    * data drops (TIMESTAMP(NANOS) through round 7, TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) since), so the loader dispatches on the type the
+    * footer actually declares instead of assuming one:
+    *   - LongType — nanos surfaced by `nanosAsLong` (Spark's vectorized
+    *     reader rejects TIMESTAMP(NANOS) otherwise): truncate to micros
+    *     (lossless — the generator works at microsecond resolution);
+    *   - TimestampNTZType — micros with no zone: reinterpret in the session
+    *     zone (Engine pins UTC, so the epoch micros are identical to what
+    *     DuckDB reads from the same file);
+    *   - TimestampType — already normalized.
+    * Shared by the materializer and the streaming source (EventStream) so
+    * both read timestamps at the SAME resolution. */
+  def normalizeEventTs(s: SparkSession, df: => DataFrame): DataFrame = {
     // conf FIRST, then force the frame: spark.read.parquet infers the
     // footer schema at call time, which is exactly what rejects
     // TIMESTAMP(NANOS) unless nanosAsLong is already set — hence the
     // by-name parameter
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val frame = df
+    frame.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        frame.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        frame.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => frame
+    }
   }
 
   /** Day-partitioned events layout, `event_day` as the trailing partition
@@ -109,7 +126,7 @@ object Tables {
     synchronized {
       val tbl = ident(d, "events")
       if (!s.catalog.tableExists(tbl)) {
-        nanosTsToMicros(s, table(s, d, "events"))
+        normalizeEventTs(s, table(s, d, "events"))
           .withColumn("event_day", to_date(col("ts")))
           .write.mode("overwrite").partitionBy("event_day")
           .option("path", s"$warehouse/$tbl")

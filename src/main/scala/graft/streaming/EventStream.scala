@@ -16,25 +16,26 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Raw schema of the events parquet (ts as nanos-since-epoch LongType —
-    * see Tables.events for why). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Raw schema of the events parquet, read from the file's own footer — a
+    * file-stream source needs an explicit schema, and the generator's
+    * physical ts type has changed across data drops (nanos-as-long vs
+    * TIMESTAMP(MICROS); see Tables.normalizeEventTs), so deriving it from
+    * the footer keeps the stream source correct under either. The footer
+    * read costs one metadata fetch, once per stream construction. */
+  def rawSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema
+  }
 
   /** Streaming source over the events table. */
   def source(spark: SparkSession, dir: String): DataFrame = {
     // stream the table directory, selecting only the events file — a file
     // stream source must point at a directory (at scale this is the
     // date-partitioned landing dir new files drop into). Timestamp handling
-    // is Tables.nanosTsToMicros, SHARED with the batch loader so streaming
+    // is Tables.normalizeEventTs, SHARED with the batch loader so streaming
     // and batch read ts at the same resolution by construction.
-    graft.Tables.nanosTsToMicros(spark,
-      spark.readStream.schema(rawSchema)
+    graft.Tables.normalizeEventTs(spark,
+      spark.readStream.schema(rawSchema(spark, dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
   }
