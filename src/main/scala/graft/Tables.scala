@@ -111,11 +111,34 @@ object Tables {
     val frame = df
     frame.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        frame.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // The long branch only makes sense for nanos-since-epoch (surfaced
+        // by nanosAsLong); a future drop writing plain INT64 micros would
+        // be silently divided by 1000 and shift every timestamp. Guard the
+        // assumption per-row (an eager min() action would break the shared
+        // streaming source): nanos for any date 1973–2100 are >= 1e17,
+        // micros are <= ~4e15, so 1e17 cleanly separates them.
+        frame
+          .withColumn("ts", when(
+            col("ts").isNull || col("ts") >= lit(100000000000000000L),
+            col("ts")).otherwise(raise_error(concat(
+              lit("events.ts: long value not nanos-since-epoch "
+                + "(plain-micros INT64 drop? see Tables.normalizeEventTs): "),
+              col("ts").cast("string")))))
+          // `div` (integer division) — `/` is double division and loses
+          // precision above 2^53, i.e. for every nanos value
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         frame.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => frame
+      case org.apache.spark.sql.types.TimestampType => frame
+      case other =>
+        // Fail fast at the loader — a malformed drop (e.g. ts as string)
+        // previously passed through unnormalized and failed downstream with
+        // a far less diagnosable error.
+        throw new IllegalStateException(
+          s"events.ts: unexpected parquet type $other — expected "
+            + "TIMESTAMP(NANOS) (long via nanosAsLong), TIMESTAMP_NTZ, "
+            + "or TIMESTAMP")
     }
   }
 

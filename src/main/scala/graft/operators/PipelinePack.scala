@@ -261,7 +261,7 @@ object PipelinePack {
          |binned AS (SELECT source, n_tokens,
          |  CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS bin FROM cum)
          |SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  SUM(n_tokens) AS bin_tokens,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
          |  round(CAST(SUM(n_tokens) AS DOUBLE) / $PackBudget, 6)
          |    AS fill_ratio
          |FROM binned GROUP BY source, bin

@@ -16,15 +16,32 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
+  /** Literal schema of the current-generation events drop (TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) → TimestampNTZ). Used when the landing directory
+    * has no file yet — the at-scale deployment model constructs the stream
+    * BEFORE the first file arrives, so the source must not require a footer
+    * to exist. */
+  val defaultRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** Raw schema of the events parquet, read from the file's own footer — a
     * file-stream source needs an explicit schema, and the generator's
     * physical ts type has changed across data drops (nanos-as-long vs
     * TIMESTAMP(MICROS); see Tables.normalizeEventTs), so deriving it from
     * the footer keeps the stream source correct under either. The footer
-    * read costs one metadata fetch, once per stream construction. */
+    * read costs one metadata fetch, once per stream construction. When the
+    * landing file does not exist yet (empty landing dir at deploy time),
+    * fall back to [[defaultRawSchema]] instead of failing construction. */
   def rawSchema(spark: SparkSession, dir: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet").schema
+    if (new java.io.File(s"$dir/events.parquet").exists())
+      spark.read.parquet(s"$dir/events.parquet").schema
+    else defaultRawSchema
   }
 
   /** Streaming source over the events table. */

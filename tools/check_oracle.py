@@ -59,6 +59,18 @@ def main(sf_dir, out_dir):
                 (name, f"columns differ: oracle={list(want.columns)} "
                        f"spark={list(got.columns)}"))
             continue
+        # Dtype-strict, mirroring the driver's typed hash: int64 vs float64
+        # with equal values (e.g. DuckDB HUGEINT -> float64) must FAIL here
+        # too, or this mimic passes what the driver rejects.
+        dtype_diff = [
+            (c, str(want[c].dtype), str(got[c].dtype))
+            for c in want.columns if str(want[c].dtype) != str(got[c].dtype)
+        ]
+        if dtype_diff:
+            failures.append(
+                (name, "dtypes differ (oracle vs spark): " + ", ".join(
+                    f"{c}: {w} vs {g}" for c, w, g in dtype_diff)))
+            continue
         if len(want) != len(got):
             failures.append((name, f"rows differ: oracle={len(want)} "
                                    f"spark={len(got)}"))
