@@ -65,6 +65,39 @@ object SimilarityPack {
   def ivfPqTopkFor(s: SparkSession, d: String, ids: DataFrame): DataFrame =
     ivfPqServe(s, d, querySetOf(ids))
 
+  /** The `n4_topk_param` oracle's fixed NON-default request string, in the
+    * reference's bulk grammar (core.py:184-254): brace and hyphen-less
+    * UUID forms that normalize to canonical hyphenated lowercase,
+    * explicit/implicit offsets, and a duplicate mbid the dedup drops
+    * (urn:uuid: would be rejected here — its colons hit the one-colon item
+    * rule, exactly as in the reference). Resolves to vec_ids {5, 23, 77,
+    * 311} — a different instantiation of the injected-QuerySet path than
+    * the DefaultQueries one the other oracle rows pin. */
+  private[graft] val ParamRequest: String =
+    "{00000000-0000-4000-8000-000000000023}" +
+      ";00000000-0000-4000-8000-000000000077:2" +
+      ";00000000000040008000000000000311" +
+      ";00000000-0000-4000-8000-000000000023" +
+      ";00000000-0000-4000-8000-000000000005:0"
+
+  /** Parse [[ParamRequest]] and resolve its mbids to vec_ids through the
+    * recording dimension (broadcast join — the request list never touches
+    * the corpus side; mirrors QuerySetSpec's deployment shape). */
+  private def paramRequestIds(s: SparkSession, d: String): DataFrame = {
+    val mbids = graft.api.BulkParams.parse(ParamRequest) match {
+      case graft.api.BulkParams.Parsed(items) => items.map(_.mbid).distinct
+      case graft.api.BulkParams.Invalid(r) =>
+        throw new IllegalArgumentException(s"ParamRequest invalid: $r")
+    }
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        format_string("00000000-0000-4000-8000-%012d", col("vec_id"))
+          .as("mbid"))
+      .join(broadcast(mbids.toDF("mbid")), Seq("mbid"))
+      .select("vec_id")
+  }
+
   /** Exact grid mean: round to the 1e-9 integer grid, sum as BIGINT (exact),
     * one correctly-rounded double division chain — bit-identical across
     * engines and partitionings (see `dimStats`). */
@@ -164,6 +197,13 @@ object SimilarityPack {
 
     // ---- brute-force top-K cosine neighbours (reference N4/W5) -----------
     "n4_topk_cosine" -> ((s, d) => topkExact(s, d)),
+
+    // ---- parameterized bulk top-K (reference api/v1/similarity.py:114-185
+    //      serves arbitrary id lists): a NON-default BulkParams request
+    //      string driven through the same injected-QuerySet path, so the
+    //      driver gate sees the request-resolution plumbing at a second
+    //      instantiation, not just DefaultQueries. --------------------------
+    "n4_topk_param" -> ((s, d) => topkFor(s, d, paramRequestIds(s, d))),
 
     // ---- pairwise angular distance (reference N5:
     //      similarity/index_model.py:226-244) -----------------------------
@@ -1414,6 +1454,28 @@ object SimilarityPack {
          |           SUM(q.val * c.val) AS dp
          |         FROM ex q JOIN ex c ON q.pos = c.pos
          |         WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |         GROUP BY q.vec_id, c.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dp / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+         |  FROM dots
+         |  JOIN norms nq ON nq.vec_id = query_id
+         |  JOIN norms nc ON nc.vec_id = neighbor_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // ParamRequest's mbids resolve to these vec_ids (the grammar parsing
+    // itself is BulkParamsSpec/QuerySetSpec's; the oracle pins the served
+    // neighbour set for the resolved non-default id list)
+    "n4_topk_param" ->
+      s"""WITH $exCte,
+         |norms AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm
+         |          FROM ex GROUP BY vec_id),
+         |dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           SUM(q.val * c.val) AS dp
+         |         FROM ex q JOIN ex c ON q.pos = c.pos
+         |         WHERE q.vec_id IN (5, 23, 77, 311)
+         |           AND c.vec_id <> q.vec_id
          |         GROUP BY q.vec_id, c.vec_id),
          |ranked AS (SELECT query_id, neighbor_id,
          |  row_number() OVER (PARTITION BY query_id

@@ -163,6 +163,30 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.count() > 0, "fixture produced no incremental dups")
   }
 
+  test("dd_incremental_lsh boundaries: empty batch / batch-only corpus") {
+    import operators.DedupPack
+    // the probe join's two degenerate inputs (Dedup incremental entry):
+    // a drop with no arriving batch must flag nothing, and a drop that is
+    // ALL batch (no corpus to probe) must flag nothing — both as empty
+    // results, not failures
+    val docs = Tables.table(spark, sfTiny, "documents")
+    def fixture(pred: org.apache.spark.sql.Column): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_inc_lsh_boundary").toString
+      docs.filter(pred).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val corpusOnly = fixture(
+      col("source") =!= DedupPack.IncrementalBatchSource)
+    val batchOnly = fixture(
+      col("source") === DedupPack.IncrementalBatchSource)
+    assert(SparkEntry.queries("dd_incremental_lsh")(spark, corpusOnly)
+      .count() == 0, "empty batch must yield no flagged docs")
+    assert(SparkEntry.queries("dd_incremental_lsh")(spark, batchOnly)
+      .count() == 0, "batch-only corpus must yield no flagged docs")
+  }
+
   test("dd_semantic_dedup removes exactly the within-cell near-dups, keep-lowest-id") {
     import graft.functions.VectorFunctions._
     import operators.SimilarityPack

@@ -120,6 +120,41 @@ class StreamingSpec extends SparkSpec {
       s"stream served ${got.size} rows, batch ${want.size}")
   }
 
+  test("streaming k-NN serving: non-default query set equals the batch path") {
+    import graft.streaming.{QueryStream, VectorStream}
+    import graft.operators.SimilarityPack
+    import graft.functions.VectorFunctions.asDouble
+    import spark.implicits._
+    // a query set the oracle rows never pin — parity must hold for ANY
+    // arriving ids, not just the DefaultQueries instantiation
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val q = VectorStream.source(spark, sfTiny)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= QueryStream.serveBatch(spark, sfTiny, batch, k = 5)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    // batch twin: the SAME artifact served through cellTopk with the ids
+    // injected as a QuerySet (the indexedTopkFor shape for this index)
+    val p = SimilarityPack.ensureKmeansIndex(spark, sfTiny)
+    val corpus = spark.read.parquet(s"$p/assignments")
+      .join(Tables.embeddings(spark, sfTiny)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")),
+        Seq("vec_id"))
+    val want = SimilarityPack.cellTopk(corpus, 5,
+        SimilarityPack.querySetOf((100L until 120L).toDF("vec_id")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(want.nonEmpty && got.toSet == want.toSet,
+      s"stream served ${got.size} rows, batch ${want.size}")
+  }
+
   test("streaming vector normalize equals the batch ETL on static stats") {
     import graft.streaming.VectorStream
     // the static stats frame — at deployment scale the persisted stats
