@@ -25,8 +25,29 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
-  private lazy val root: String =
-    java.nio.file.Files.createTempDirectory("graft_indexes").toString
+  /** Artifact layout version — part of the on-disk path. Bump whenever a
+    * store's member layout changes incompatibly, so a STABLE root can
+    * never serve an old-format artifact to new code (the manifest
+    * fingerprint only protects against corpus drift, not format drift). */
+  private val FormatVersion = "v1"
+
+  /** Stable cross-process root (override with SPARK_GRAFT_INDEX_ROOT):
+    * artifacts persist across Verify/Bench JVM runs, so a re-run pays one
+    * fingerprint aggregate per store instead of the full build — this is
+    * the shared-storage deployment posture (build once at ingest, serve
+    * from every job), and locally it keeps the bench's untimed prepare
+    * phase from re-paying every Lloyd/PQ training on each capture.
+    * Freshness stays guaranteed by the manifest fingerprint; concurrent
+    * builders are not coordinated across processes (the driver runs one
+    * JVM at a time; shared storage would use a build lock or an ingest-
+    * ledger stamp instead). */
+  private lazy val root: String = {
+    val r = sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
+      s"${System.getProperty("java.io.tmpdir")}/graft_indexes")
+    val p = java.nio.file.Paths.get(r, FormatVersion)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
 
   /** Artifact directory for index `name` over `dir`'s corpus (dir hash
     * keeps artifacts per-scale-factor, like the materialized layout). */
