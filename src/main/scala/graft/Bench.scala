@@ -53,6 +53,12 @@ object Bench {
     // this prepare phase is recorded as its own UNTIMED field
     // (`prepare_sec`) so the build-once cost stays visible in the artifact
     // without contaminating the per-query numbers.
+    // Machine state BEFORE any bench work: loadavg_start (below) is
+    // sampled after the prepare+warm phases, whose own 32-thread work
+    // dominates the 1-minute average by then — so loadavg_pre is the
+    // number that actually distinguishes external capture-time
+    // contamination from the bench's self-induced load.
+    val loadPre = loadavg()
     val prepT0 = System.nanoTime()
     Tables.prepare(spark, warmDir)
     Tables.prepare(spark, sfDir)
@@ -111,7 +117,8 @@ object Bench {
     // `profile` makes the record self-describing: the reduced m4 grid under
     // graft.bench.profile is a methodology choice, and cross-round
     // comparisons must be able to see it in the artifact itself.
-    val tele = s""""loadavg_start":${ms(load0)},"loadavg_end":${ms(load1)},""" +
+    val tele = s""""loadavg_pre":${ms(loadPre)},""" +
+      s""""loadavg_start":${ms(load0)},"loadavg_end":${ms(load1)},""" +
       s""""gc_ms":$gcMs,"timing":"best_of_2","profile":"bench_reduced_m4",""" +
       s""""prepare_sec":${ms(prepareSec)}"""
     // The driver's artifact keeps only the LAST ~2.2 KB of stdout, so the
