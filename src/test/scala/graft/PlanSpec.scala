@@ -27,6 +27,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("n4_topk_param: request resolution broadcasts, corpus never sort-merges") {
+    // the BulkParams-resolved id list is request-sized: both the mbid
+    // dimension join and the query-set semi join must broadcast it —
+    // a sort-merge join here would shuffle the corpus per request
+    val plan = planText(run("n4_topk_param"))
+    assert(plan.contains("BroadcastExchange"),
+      s"n4_topk_param: expected broadcast request resolution in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"n4_topk_param: corpus-side sort-merge join in:\n$plan")
+  }
+
   test("no accidental cartesian products in any query plan") {
     // intended broadcast-cross plans (tiny single-row / query-set side):
     val allowedCross = Set("n5_pairwise_distance", "p6_distance_threshold",

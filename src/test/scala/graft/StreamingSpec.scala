@@ -155,6 +155,16 @@ class StreamingSpec extends SparkSpec {
       s"stream served ${got.size} rows, batch ${want.size}")
   }
 
+  test("streaming k-NN serving: an empty micro-batch serves zero rows") {
+    import graft.streaming.QueryStream
+    import graft.functions.VectorFunctions.asDouble
+    // a quiet trigger interval is a valid micro-batch — the serve path
+    // must yield an empty frame, not fail against the artifact
+    val empty = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding")).filter(lit(false))
+    assert(QueryStream.serveBatch(spark, sfTiny, empty, k = 5).count() == 0)
+  }
+
   test("streaming vector normalize equals the batch ETL on static stats") {
     import graft.streaming.VectorStream
     // the static stats frame — at deployment scale the persisted stats
