@@ -218,8 +218,73 @@ object DedupPack {
         .select(col("new_id").as("doc_id"), col("corp_id").as("dup_of"),
           round(col("jaccard"), 8).as("jaccard"))
         .orderBy("doc_id")
+    }),
+
+    // ---- incremental dedup served from the PERSISTED band index ----------
+    // The production twin of `dd_incremental_lsh` (same artifact-vs-inline
+    // split as the ANN `_indexed` entries): the corpus's MinHash band
+    // buckets are a build-once IndexStore artifact stamped with the corpus
+    // fingerprint, so an arriving batch pays batch-side signatures + a
+    // bucket-join probe — the corpus is never re-shingled. The exact-
+    // Jaccard verify re-shingles ONLY candidate corpus docs (semi-join
+    // prune first): at 100 TB the verify cost scales with the candidate
+    // set, not the corpus. Rows are identical to the inline entry by
+    // construction (fingerprint-fresh artifact = the same bucket frame);
+    // the oracle is row-identity against its already-checked output, and
+    // the serving plan is asserted to read the artifact, not re-hash the
+    // corpus (PlanSpec).
+    "dd_incremental_indexed" -> ((s, d) => {
+      val p = ensureBandIndex(s, d)
+      val buckets = s.read.parquet(s"$p/buckets")
+        .filter(size(col("ids")) <= MaxLshBucket)
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(col("source") === IncrementalBatchSource)
+      val cand = bandedKeys(batch)
+        .join(buckets, Seq("band", "key"))
+        .select(col("doc_id").as("new_id"), explode(col("ids")).as("corp_id"))
+        .distinct()
+      def shOf(df: DataFrame) =
+        df.select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sh"))
+      val shBatch = shOf(batch)
+      val shCand = shOf(docs.join(
+        cand.select(col("corp_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"))
+      val jac = cand
+        .join(shBatch.select(col("doc_id").as("new_id"), col("sh").as("sa")),
+          Seq("new_id"))
+        .join(shCand.select(col("doc_id").as("corp_id"), col("sh").as("sb")),
+          Seq("corp_id"))
+        .withColumn("shared", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jaccard", col("shared").cast(DoubleType) /
+          (size(col("sa")) + size(col("sb")) - col("shared")))
+        .filter(col("jaccard") >= JaccardThreshold)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("new_id"))
+        .orderBy(col("jaccard").desc, col("corp_id"))
+      jac.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("new_id").as("doc_id"), col("corp_id").as("dup_of"),
+          round(col("jaccard"), 8).as("jaccard"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Build-once corpus band-bucket index for incremental dedup: MinHash
+    * band keys of every non-batch document, grouped to (band, key,
+    * sorted ids) bucket lists — the dedup analogue of the ANN IndexStore
+    * artifacts (reference posture: the corpus index lives on shared
+    * storage, ingest batches only probe it). Freshness is the standard
+    * fingerprint gate over (doc_id, text) of the corpus slice. */
+  private[graft] def ensureBandIndex(s: SparkSession, d: String): String = {
+    val corpus = Tables.documents(s, d)
+      .filter(col("source") =!= IncrementalBatchSource)
+    graft.sim.IndexStore.ensure(s, d, "minhash_bands",
+      corpus.select(col("doc_id"), col("text")), "doc_id") { p =>
+      bandedKeys(corpus)
+        .groupBy(col("band"), col("key"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .write.mode("overwrite").parquet(s"$p/buckets")
+    }
+  }
 
   /** Exact n-gram Jaccard near-dup pairs over a (doc_id, sh) shingled frame
     * — the inverted-shingle-index plan: shuffle once on shingle, generate
@@ -433,6 +498,13 @@ object DedupPack {
       |  FROM bt GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // row-identity against the inline incremental entry's already-oracle-
+    // checked verify output (the ANN `_indexed` twins' pattern — the
+    // artifact serves IDENTICAL rows by construction; the plan-level
+    // "reads the artifact" half is PlanSpec's)
+    "dd_incremental_indexed" ->
+      "SELECT * FROM '__GRAFT_OUT__/dd_incremental_lsh/*.parquet'",
+
     "dd_exact_hash" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | CAST(COUNT(*) AS BIGINT) AS n_copies

@@ -38,6 +38,18 @@ class PlanSpec extends SparkSpec {
       s"n4_topk_param: corpus-side sort-merge join in:\n$plan")
   }
 
+  test("dd_incremental_indexed serves from the band-index artifact") {
+    val plan = planText(run("dd_incremental_indexed"))
+    // the probe side reads the persisted bucket lists …
+    assert(plan.contains("minhash_bands"),
+      s"dd_incremental_indexed: no artifact scan in:\n$plan")
+    // … and the serving rows equal the inline recompute (artifact-vs-
+    // inline split contract, same as the ANN `_indexed` twins)
+    val served = run("dd_incremental_indexed").collect().map(_.toString)
+    val inline = run("dd_incremental_lsh").collect().map(_.toString)
+    assert(served.nonEmpty && served.sameElements(inline))
+  }
+
   test("no accidental cartesian products in any query plan") {
     // intended broadcast-cross plans (tiny single-row / query-set side):
     val allowedCross = Set("n5_pairwise_distance", "p6_distance_threshold",
