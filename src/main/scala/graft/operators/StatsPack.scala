@@ -87,6 +87,21 @@ object StatsPack {
         .orderBy("event_type")
     }),
 
+    // ---- salted two-phase aggregation (hot-key skew guard) --------------
+    //      AQE re-plans skewed JOINS at runtime; a skewed AGGREGATION key
+    //      (one key holding a large share of a 100 TB table) still funnels
+    //      its partials into a single reducer. Skew.saltedSumCount spreads
+    //      each key over 8 salt buckets in phase one and merges the tiny
+    //      per-salt partials in phase two; sums are exact decimal
+    //      (Exprs policy) so the result is BIT-IDENTICAL to the unsalted
+    //      plan no matter how rows land in buckets — which is exactly what
+    //      the oracle pins: DuckDB computes the PLAIN single-phase
+    //      aggregate and the hashes must match. -------------------------
+    "a11_salted_agg" -> ((s, d) =>
+      Skew.saltedSumCount(Tables.events(s, d), col("event_type"),
+          col("value"), col("event_id"), buckets = 8)
+        .orderBy("key")),
+
     // ---- upsert / MERGE semantics as a deterministic batch plan
     //      (reference D5: ON CONFLICT DO UPDATE, db/similarity.py:501-513;
     //      on Delta this is a MERGE — here the equivalent full-outer
@@ -181,6 +196,14 @@ object StatsPack {
       """SELECT event_type,
         | quantile_cont(value, 0.5) AS p50,
         | quantile_cont(value, 0.95) AS p95,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the plain single-phase aggregate: salting must be invisible in the
+    // result (decimal-exact partial merge), so the oracle needs no salt
+    "a11_salted_agg" ->
+      """SELECT event_type AS key,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
         | CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
