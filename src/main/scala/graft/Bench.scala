@@ -73,6 +73,8 @@ object Bench {
       catch { case _: Throwable => () }
       try operators.SimilarityPack.ensureIvfPqIndex(spark, d)
       catch { case _: Throwable => () }
+      try operators.DedupPack.ensureBandIndex(spark, d)
+      catch { case _: Throwable => () }
     }
     val prepareSec = (System.nanoTime() - prepT0) / 1e9
     for ((_, fn) <- selected.toSeq.sortBy(_._1))

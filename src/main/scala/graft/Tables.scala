@@ -116,10 +116,16 @@ object Tables {
         // be silently divided by 1000 and shift every timestamp. Guard the
         // assumption per-row (an eager min() action would break the shared
         // streaming source): nanos for any date 1973–2100 are >= 1e17,
-        // micros are <= ~4e15, so 1e17 cleanly separates them.
+        // micros are <= ~4e15, so 1e17 cleanly separates them. ts = 0 is
+        // additionally allowed (epoch sentinel, common in backfills —
+        // and 0 nanos = 0 micros, so the division is exact either way);
+        // negative (pre-1970) values stay rejected: nanos and micros are
+        // indistinguishable there, and a loud failure beats a silent
+        // 1000x shift.
         frame
           .withColumn("ts", when(
-            col("ts").isNull || col("ts") >= lit(100000000000000000L),
+            col("ts").isNull || col("ts") === 0L ||
+              col("ts") >= lit(100000000000000000L),
             col("ts")).otherwise(raise_error(concat(
               lit("events.ts: long value not nanos-since-epoch "
                 + "(plain-micros INT64 drop? see Tables.normalizeEventTs): "),

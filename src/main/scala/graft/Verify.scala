@@ -36,9 +36,28 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet)
       else None
     val selected = subset match {
-      case Some(ks) =>
-        val missing = ks.diff(SparkEntry.queries.keySet)
+      case Some(ks0) =>
+        val missing = ks0.diff(SparkEntry.queries.keySet)
         require(missing.isEmpty, s"unknown queries: $missing")
+        // Row-identity oracles (the `_indexed` twins) read ANOTHER entry's
+        // verify output via OutToken — a subset naming only the twin would
+        // dump an oracle over a glob this run never writes. Expand the
+        // subset with every OutToken-referenced entry (to fixpoint, in
+        // case of chains) so single-query iteration keeps working.
+        val dep = (s"""$OutToken/([A-Za-z0-9_]+)/""").r
+        var ks = ks0
+        var grown = true
+        while (grown) {
+          val more = ks.flatMap(k => SparkEntry.oracleSql.get(k).toSeq
+            .flatMap(sql => dep.findAllMatchIn(sql).map(_.group(1))))
+            .diff(ks)
+          grown = more.nonEmpty
+          if (grown) {
+            System.err.println(
+              s"[verify] subset expanded with oracle dependencies: $more")
+            ks = ks ++ more
+          }
+        }
         SparkEntry.queries.view.filterKeys(ks).toMap
       case None => SparkEntry.queries
     }

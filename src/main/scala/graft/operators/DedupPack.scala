@@ -202,22 +202,9 @@ object DedupPack {
       val cand = newB.join(buckets, Seq("band", "key"))
         .select(col("doc_id").as("new_id"), explode(col("ids")).as("corp_id"))
         .distinct()
-      val jac = cand
-        .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sa")),
-          Seq("new_id"))
-        .join(sh.select(col("doc_id").as("corp_id"), col("sh").as("sb")),
-          Seq("corp_id"))
-        .withColumn("shared", size(array_intersect(col("sa"), col("sb"))))
-        .withColumn("jaccard", col("shared").cast(DoubleType) /
-          (size(col("sa")) + size(col("sb")) - col("shared")))
-        .filter(col("jaccard") >= JaccardThreshold)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("new_id"))
-        .orderBy(col("jaccard").desc, col("corp_id"))
-      jac.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("new_id").as("doc_id"), col("corp_id").as("dup_of"),
-          round(col("jaccard"), 8).as("jaccard"))
-        .orderBy("doc_id")
+      bestMatchAbove(cand,
+        sh.select(col("doc_id").as("new_id"), col("sh").as("sa")),
+        sh.select(col("doc_id").as("corp_id"), col("sh").as("sb")))
     }),
 
     // ---- incremental dedup served from the PERSISTED band index ----------
@@ -249,24 +236,38 @@ object DedupPack {
       val shCand = shOf(docs.join(
         cand.select(col("corp_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi"))
-      val jac = cand
-        .join(shBatch.select(col("doc_id").as("new_id"), col("sh").as("sa")),
-          Seq("new_id"))
-        .join(shCand.select(col("doc_id").as("corp_id"), col("sh").as("sb")),
-          Seq("corp_id"))
-        .withColumn("shared", size(array_intersect(col("sa"), col("sb"))))
-        .withColumn("jaccard", col("shared").cast(DoubleType) /
-          (size(col("sa")) + size(col("sb")) - col("shared")))
-        .filter(col("jaccard") >= JaccardThreshold)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("new_id"))
-        .orderBy(col("jaccard").desc, col("corp_id"))
-      jac.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("new_id").as("doc_id"), col("corp_id").as("dup_of"),
-          round(col("jaccard"), 8).as("jaccard"))
-        .orderBy("doc_id")
+      bestMatchAbove(cand,
+        shBatch.select(col("doc_id").as("new_id"), col("sh").as("sa")),
+        shCand.select(col("doc_id").as("corp_id"), col("sh").as("sb")))
     })
   )
+
+  /** Shared verify half of the incremental-dedup twins: exact full-set
+    * Jaccard over (new_id, corp_id) candidates, threshold filter, and
+    * best-corpus-match selection (highest Jaccard, ties → lowest corpus
+    * id). ONE definition on purpose — the `_indexed` twin's row-identity
+    * oracle rests on both entries verifying identically, so the tie-break,
+    * rounding and threshold must be structurally shared, not
+    * hand-synchronized copies. `shNew`/`shCorp` are (new_id|corp_id, sa|sb)
+    * shingle frames — the inline entry passes the full shingled corpus,
+    * the indexed twin only semi-join-pruned candidates. */
+  private def bestMatchAbove(cand: DataFrame, shNew: DataFrame,
+      shCorp: DataFrame): DataFrame = {
+    val jac = cand
+      .join(shNew, Seq("new_id"))
+      .join(shCorp, Seq("corp_id"))
+      .withColumn("shared", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("shared").cast(DoubleType) /
+        (size(col("sa")) + size(col("sb")) - col("shared")))
+      .filter(col("jaccard") >= JaccardThreshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("corp_id"))
+    jac.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("new_id").as("doc_id"), col("corp_id").as("dup_of"),
+        round(col("jaccard"), 8).as("jaccard"))
+      .orderBy("doc_id")
+  }
 
   /** Build-once corpus band-bucket index for incremental dedup: MinHash
     * band keys of every non-batch document, grouped to (band, key,
@@ -278,7 +279,8 @@ object DedupPack {
     val corpus = Tables.documents(s, d)
       .filter(col("source") =!= IncrementalBatchSource)
     graft.sim.IndexStore.ensure(s, d, "minhash_bands",
-      corpus.select(col("doc_id"), col("text")), "doc_id") { p =>
+      corpus.select(col("doc_id"), col("text")), "doc_id",
+      s"shingle=$ShingleN,hashes=$NumHashes,bands=$Bands,rows=$Rows") { p =>
       bandedKeys(corpus)
         .groupBy(col("band"), col("key"))
         .agg(array_sort(collect_list(col("doc_id"))).as("ids"))

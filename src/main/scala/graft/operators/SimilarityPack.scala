@@ -911,7 +911,9 @@ object SimilarityPack {
   private[graft] def ensurePqIndex(s: SparkSession, d: String): String =
     graft.sim.IndexStore.ensure(s, d,
       s"angular_pq_${PqSubspaces}x${PqCodes}t$PqIters",
-      Tables.embeddings(s, d), "vec_id") { p =>
+      Tables.embeddings(s, d), "vec_id",
+      s"sub=$PqSubspaces,codes=$PqCodes,iters=$PqIters," +
+        s"cap=$KMeansTrainCap") { p =>
       val vecs = gridVecs(s, d)
       val (cent, codes) = pqTrain(vecs)
       cent.write.mode("overwrite").parquet(s"$p/codebooks")
@@ -1154,7 +1156,9 @@ object SimilarityPack {
     graft.sim.IndexStore.ensure(s, d,
       s"angular_ivfpq_${IvfTunedCells}x${PqSubspaces}x${PqCodes}" +
         s"p${IvfTunedProbe}l$IvfPqShortlist",
-      Tables.embeddings(s, d), "vec_id") { p =>
+      Tables.embeddings(s, d), "vec_id",
+      s"cells=$IvfTunedCells,iters=$IvfTunedIters,sub=$PqSubspaces," +
+        s"codes=$PqCodes,pqiters=$PqIters,cap=$KMeansTrainCap") { p =>
       val (cents, assign) = ivfTunedTrain(s, d)
       val (pqCent, codes) = pqTrain(assign)
       cents.write.mode("overwrite").parquet(s"$p/centroids")
@@ -1188,7 +1192,9 @@ object SimilarityPack {
   private[graft] def ensureTunedIndex(s: SparkSession, d: String): String =
     graft.sim.IndexStore.ensure(s, d,
       s"angular_ivf_tuned_${IvfTunedCells}x${IvfTunedIters}p$IvfTunedProbe",
-      Tables.embeddings(s, d), "vec_id") { p =>
+      Tables.embeddings(s, d), "vec_id",
+      s"cells=$IvfTunedCells,iters=$IvfTunedIters,cap=$KMeansTrainCap") {
+      p =>
       val (cents, assign) = ivfTunedTrain(s, d)
       cents.write.mode("overwrite").parquet(s"$p/centroids")
       assign.select("vec_id", "iv", "nrm", "cell").write.mode("overwrite")
@@ -1296,7 +1302,8 @@ object SimilarityPack {
   private[graft] def ensureLshIndex(s: SparkSession, d: String): String =
     graft.sim.IndexStore.ensure(s, d,
       s"angular_lsh_${LshTables}x$LshTablePlanes",
-      Tables.embeddings(s, d), "vec_id") { p =>
+      Tables.embeddings(s, d), "vec_id",
+      s"tables=$LshTables,planes=$LshTablePlanes") { p =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       keyedBuckets(emb).write.mode("overwrite").parquet(s"$p/buckets")
@@ -1304,9 +1311,14 @@ object SimilarityPack {
 
   /** Persisted trained-IVF index: centroids + assignments from the one-
     * Lloyd-iteration training, saved once per corpus. */
+  /** Build constants of [[ensureKmeansIndex]] — shared with IndexStoreSpec
+    * so the spec stamps manifests with the REAL params hash. */
+  private[graft] val KmeansIndexParams: String =
+    s"lloyd=1,cap=$KMeansTrainCap"
+
   private[graft] def ensureKmeansIndex(s: SparkSession, d: String): String =
     graft.sim.IndexStore.ensure(s, d, "angular_ivf_kmeans",
-      Tables.embeddings(s, d), "vec_id") { p =>
+      Tables.embeddings(s, d), "vec_id", KmeansIndexParams) { p =>
       val (cent1, a1) = kmeansTrain(s, d)
       cent1.write.mode("overwrite").parquet(s"$p/centroids")
       a1.select("vec_id", "cell").write.mode("overwrite")

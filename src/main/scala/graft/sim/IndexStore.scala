@@ -69,38 +69,61 @@ object IndexStore {
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
-  def writeManifest(s: SparkSession, p: String, fp: (Long, Long, Long)): Unit = {
-    import s.implicits._
-    Seq(fp).toDF("corpus_rows", "max_id", "content_hash").coalesce(1)
-      .write.mode("overwrite").parquet(s"$p/manifest")
+  /** Stable hash of a builder's PARAMETER string (md5 head, so it does not
+    * depend on JVM hashCode stability). The corpus fingerprint only covers
+    * the DATA an artifact was built from; under the stable cross-process
+    * root, a build-constant change (shingle width, K, iteration count, …)
+    * with an unchanged corpus would otherwise serve a stale artifact from
+    * a prior run. Builders pass their constants as a string; the manifest
+    * stores this hash and mismatches rebuild. */
+  def paramsHash(params: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(params.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d).getLong
   }
 
-  /** True iff a manifest exists and matches the corpus fingerprint.
-    * Columns are read BY NAME behind a schema check, so a manifest written
-    * by an older layout (fewer or renamed columns — plausible under the
-    * documented shared-storage posture) reads as stale and degrades to a
-    * rebuild instead of throwing on a positional getLong. */
-  def isFresh(s: SparkSession, p: String, fp: (Long, Long, Long)): Boolean =
+  def writeManifest(s: SparkSession, p: String, fp: (Long, Long, Long),
+      ph: Long): Unit = {
+    import s.implicits._
+    Seq((fp._1, fp._2, fp._3, ph))
+      .toDF("corpus_rows", "max_id", "content_hash", "params_hash")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/manifest")
+  }
+
+  /** True iff a manifest exists and matches the corpus fingerprint AND the
+    * builder-params hash. Columns are read BY NAME behind a schema check,
+    * so a manifest written by an older layout (fewer or renamed columns —
+    * plausible under the documented shared-storage posture) reads as stale
+    * and degrades to a rebuild instead of throwing on a positional
+    * getLong. */
+  def isFresh(s: SparkSession, p: String, fp: (Long, Long, Long),
+      ph: Long): Boolean =
     new java.io.File(s"$p/manifest").exists() && {
       val df = s.read.parquet(s"$p/manifest")
-      val cols = Seq("corpus_rows", "max_id", "content_hash")
+      val cols = Seq("corpus_rows", "max_id", "content_hash", "params_hash")
       cols.forall(n => df.schema.fields.exists(f =>
         f.name == n && f.dataType == org.apache.spark.sql.types.LongType)) && {
         val m = df.select(cols.map(col): _*).head()
-        !m.anyNull && (m.getLong(0), m.getLong(1), m.getLong(2)) == fp
+        !m.anyNull &&
+          (m.getLong(0), m.getLong(1), m.getLong(2)) == fp &&
+          m.getLong(3) == ph
       }
     }
 
   /** Build-once gate: run `build` when the artifact is absent or stale,
-    * stamp the manifest, return the artifact path. Synchronized — Verify
-    * drives queries from 8 threads. */
+    * stamp the manifest, return the artifact path. `params` is the
+    * builder's constant string (see [[paramsHash]]) — pass every constant
+    * the member layout depends on. Synchronized — Verify drives queries
+    * from 8 threads. */
   def ensure(s: SparkSession, dir: String, name: String, corpus: DataFrame,
-      idCol: String)(build: String => Unit): String = synchronized {
+      idCol: String, params: String = "")(
+      build: String => Unit): String = synchronized {
     val p = path(dir, name)
     val fp = fingerprint(corpus, idCol)
-    if (!isFresh(s, p, fp)) {
+    val ph = paramsHash(params)
+    if (!isFresh(s, p, fp, ph)) {
       build(p)
-      writeManifest(s, p, fp)
+      writeManifest(s, p, fp, ph)
     }
     p
   }

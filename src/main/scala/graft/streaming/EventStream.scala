@@ -36,11 +36,19 @@ object EventStream {
     * the footer keeps the stream source correct under either. The footer
     * read costs one metadata fetch, once per stream construction. When the
     * landing file does not exist yet (empty landing dir at deploy time),
-    * fall back to [[defaultRawSchema]] instead of failing construction. */
+    * fall back to [[defaultRawSchema]] instead of failing construction —
+    * with the usual streaming-schema caveat: a first file whose physical
+    * ts type differs from the fallback (an old-generation nanos-as-long
+    * drop) fails its micro-batch with a parquet conversion error, and the
+    * fix is a stream RESTART (the source then reads the real footer);
+    * Spark file streams cannot change schema mid-stream either way.
+    * Existence goes through the dir's Hadoop filesystem, not java.io.File,
+    * so URI-form paths (file:/, hdfs://, s3a://) resolve correctly. */
   def rawSchema(spark: SparkSession, dir: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if (new java.io.File(s"$dir/events.parquet").exists())
-      spark.read.parquet(s"$dir/events.parquet").schema
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(s"$dir/events.parquet").schema
     else defaultRawSchema
   }
 

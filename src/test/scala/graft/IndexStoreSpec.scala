@@ -76,29 +76,42 @@ class IndexStoreSpec extends SparkSpec {
       run("ann_ivfpq").collect().map(_.toString).toSeq)
   }
 
+  // the REAL params the kmeans store is built with — stamping manifests
+  // with any other hash would itself read as (correctly) stale
+  private def kmeansPh =
+    IndexStore.paramsHash(operators.SimilarityPack.KmeansIndexParams)
+
   test("a changed corpus fails the freshness gate and forces a rebuild") {
     val emb = Tables.embeddings(spark, sfTiny)
     val fp = IndexStore.fingerprint(emb, "vec_id")
     run("ann_kmeans_indexed").collect() // builds if absent
     val p = IndexStore.path(sfTiny, "angular_ivf_kmeans")
-    assert(IndexStore.isFresh(spark, p, fp))
+    assert(IndexStore.isFresh(spark, p, fp, kmeansPh))
     // simulate corpus drift: the manifest now claims a different corpus
-    IndexStore.writeManifest(spark, p, (fp._1 - 1, fp._2, fp._3))
-    assert(!IndexStore.isFresh(spark, p, fp))
+    IndexStore.writeManifest(spark, p, (fp._1 - 1, fp._2, fp._3), kmeansPh)
+    assert(!IndexStore.isFresh(spark, p, fp, kmeansPh))
     // an IN-PLACE edit (same count, same max key, different values) is
     // caught by the content component of the fingerprint
-    IndexStore.writeManifest(spark, p, fp)
-    assert(IndexStore.isFresh(spark, p, fp))
-    IndexStore.writeManifest(spark, p, (fp._1, fp._2, fp._3 ^ 1L))
-    assert(!IndexStore.isFresh(spark, p, fp))
-    IndexStore.writeManifest(spark, p, (fp._1 - 1, fp._2, fp._3))
+    IndexStore.writeManifest(spark, p, fp, kmeansPh)
+    assert(IndexStore.isFresh(spark, p, fp, kmeansPh))
+    IndexStore.writeManifest(spark, p, (fp._1, fp._2, fp._3 ^ 1L), kmeansPh)
+    assert(!IndexStore.isFresh(spark, p, fp, kmeansPh))
+    // a BUILD-CONSTANT change with an unchanged corpus is caught by the
+    // params hash — under the stable cross-process root this is what
+    // prevents prior-run artifacts built by different constants from
+    // serving silently
+    IndexStore.writeManifest(spark, p, fp,
+      IndexStore.paramsHash("lloyd=2,cap=999"))
+    assert(!IndexStore.isFresh(spark, p, fp, kmeansPh))
+    IndexStore.writeManifest(spark, p, (fp._1 - 1, fp._2, fp._3), kmeansPh)
     // ensure() sees the mismatch, rebuilds, and restamps the manifest
     var rebuilt = false
-    IndexStore.ensure(spark, sfTiny, "angular_ivf_kmeans", emb, "vec_id") {
+    IndexStore.ensure(spark, sfTiny, "angular_ivf_kmeans", emb, "vec_id",
+      operators.SimilarityPack.KmeansIndexParams) {
       _ => rebuilt = true
     }
     assert(rebuilt)
-    assert(IndexStore.isFresh(spark, p, fp))
+    assert(IndexStore.isFresh(spark, p, fp, kmeansPh))
   }
 
   test("an older manifest layout reads as stale, not as an error") {
@@ -107,17 +120,19 @@ class IndexStoreSpec extends SparkSpec {
     val fp = IndexStore.fingerprint(emb, "vec_id")
     val p = IndexStore.path(sfTiny, "angular_ivf_kmeans")
     run("ann_kmeans_indexed").collect() // builds if absent
-    // simulate an artifact persisted by the pre-content-hash 2-column
+    // simulate an artifact persisted by the pre-params-hash 3-column
     // manifest format (plausible on shared storage across engine versions):
     // the freshness gate must degrade to a rebuild, not throw
-    Seq((fp._1, fp._2)).toDF("corpus_rows", "max_id").coalesce(1)
+    Seq((fp._1, fp._2, fp._3))
+      .toDF("corpus_rows", "max_id", "content_hash").coalesce(1)
       .write.mode("overwrite").parquet(s"$p/manifest")
-    assert(!IndexStore.isFresh(spark, p, fp))
+    assert(!IndexStore.isFresh(spark, p, fp, kmeansPh))
     var rebuilt = false
-    IndexStore.ensure(spark, sfTiny, "angular_ivf_kmeans", emb, "vec_id") {
+    IndexStore.ensure(spark, sfTiny, "angular_ivf_kmeans", emb, "vec_id",
+      operators.SimilarityPack.KmeansIndexParams) {
       _ => rebuilt = true
     }
     assert(rebuilt)
-    assert(IndexStore.isFresh(spark, p, fp))
+    assert(IndexStore.isFresh(spark, p, fp, kmeansPh))
   }
 }

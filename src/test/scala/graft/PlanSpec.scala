@@ -39,15 +39,28 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dd_incremental_indexed serves from the band-index artifact") {
-    val plan = planText(run("dd_incremental_indexed"))
+    val indexed = run("dd_incremental_indexed")
+    val served = indexed.collect()
+    val idxPlan = indexed.queryExecution.executedPlan.toString
     // the probe side reads the persisted bucket lists …
-    assert(plan.contains("minhash_bands"),
-      s"dd_incremental_indexed: no artifact scan in:\n$plan")
-    // … and the serving rows equal the inline recompute (artifact-vs-
-    // inline split contract, same as the ANN `_indexed` twins)
-    val served = run("dd_incremental_indexed").collect().map(_.toString)
-    val inline = run("dd_incremental_lsh").collect().map(_.toString)
-    assert(served.nonEmpty && served.sameElements(inline))
+    assert(idxPlan.contains("minhash_bands"),
+      s"dd_incremental_indexed: no artifact scan in:\n$idxPlan")
+    // … and replaces the corpus-wide banding: the serving plan must scan
+    // the documents table STRICTLY FEWER times than the inline recompute
+    // (batch banding + candidate re-shingle remain; the corpus band
+    // aggregation is the artifact's). A refactor that re-hashes the
+    // corpus AND reads the artifact would pass a contains() check alone.
+    val inlineDf = run("dd_incremental_lsh")
+    val inline = inlineDf.collect()
+    val inPlan = inlineDf.queryExecution.executedPlan.toString
+    def docScans(p: String) = "graft_documents".r.findAllIn(p).size
+    assert(docScans(idxPlan) < docScans(inPlan),
+      s"indexed plan scans documents ${docScans(idxPlan)}x vs inline " +
+        s"${docScans(inPlan)}x:\n$idxPlan")
+    // and the serving rows equal the inline recompute (artifact-vs-inline
+    // split contract, same as the ANN `_indexed` twins)
+    assert(served.nonEmpty &&
+      served.map(_.toString).sameElements(inline.map(_.toString)))
   }
 
   test("no accidental cartesian products in any query plan") {
