@@ -785,12 +785,23 @@ object SimilarityPack {
     * nearest cells, exact-cosine-rank the union of those cells' members.
     * Candidates stay O(nprobe · cell) — never a corpus×corpus join. */
   private def tunedRank(assign: DataFrame, cents: DataFrame,
-      qs: QuerySet = DefaultQueries): DataFrame = {
+      qs: QuerySet = DefaultQueries): DataFrame =
+    tunedRankFor(assign, cents, qs(assign)
+      .select(col("vec_id").as("query_id"), col("iv").as("qiv"),
+        col("nrm").as("qnrm")))
+
+  /** [[tunedRank]] for an ARBITRARY (query_id, qiv, qnrm) grid-vector
+    * frame — the queries need not be corpus members, which is what the
+    * streaming serving path needs (unseen vectors arriving on a stream
+    * are grid-ified with the same 1e-9 recipe and probe the saved
+    * centroids). For corpus members the stored and recomputed grid
+    * vectors are identical by construction, so this reproduces the
+    * id-injected path row-for-row (pinned in StreamingSpec). */
+  private def tunedRankFor(assign: DataFrame, cents: DataFrame,
+      q: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cell"))
-    val probes = qs(assign)
-      .select(col("vec_id").as("query_id"), col("iv").as("qiv"),
-        col("nrm").as("qnrm"))
+    val probes = q
       .crossJoin(broadcast(cents))
       .withColumn("score",
         gridDot(col("qiv"), col("cv")) / (col("qnrm") * col("cnrm")))
@@ -1212,6 +1223,23 @@ object SimilarityPack {
     val p = ensureTunedIndex(s, d)
     tunedRank(s.read.parquet(s"$p/assignments"),
       s.read.parquet(s"$p/centroids"), qs)
+  }
+
+  /** Serve arbitrary (possibly unseen) query VECTORS from the persisted
+    * tuned-IVF artifact: each arriving (vec_id, embedding) row is
+    * grid-ified with the SAME 1e-9 recipe the index stores, probes its
+    * [[IvfTunedProbe]] best saved centroids, and exact-ranks only those
+    * cells' saved members — the multi-probe streaming serving shape
+    * (QueryStream.serveTunedBatch). The corpus is never scanned: both
+    * members read the artifact alone. */
+  private[graft] def tunedServeVectors(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val p = ensureTunedIndex(s, d)
+    val q = batch
+      .select(col("vec_id").as("query_id"), gridVec(col("embedding")).as("qiv"))
+      .withColumn("qnrm", sqrt(gridDot(col("qiv"), col("qiv"))))
+    tunedRankFor(s.read.parquet(s"$p/assignments"),
+      s.read.parquet(s"$p/centroids"), q)
   }
 
   private[graft] val LshPlanes = 8

@@ -49,4 +49,16 @@ object QueryStream {
       cents)
     SimilarityPack.cellTopk(corpus, k, _ => q)
   }
+
+  /** Serve one micro-batch from the PRODUCTION-tuned IVF artifact
+    * (multi-probe: each query scores the saved centroids and exact-ranks
+    * its nprobe best cells' saved members). Unlike [[serveBatch]]'s
+    * single-cell kmeans path, this is the serving shape of the headline
+    * `ann_tuned_indexed` index — and it never touches the corpus: both
+    * artifact members are read as-is, so cost scales with request rate
+    * and cell size, not corpus size. Output: (query_id, rank,
+    * neighbor_id), the bulk-lookup contract. */
+  def serveTunedBatch(s: SparkSession, dir: String,
+      batch: DataFrame): DataFrame =
+    SimilarityPack.tunedServeVectors(s, dir, batch)
 }

@@ -155,6 +155,34 @@ class StreamingSpec extends SparkSpec {
       s"stream served ${got.size} rows, batch ${want.size}")
   }
 
+  test("streaming tuned-IVF serving equals the id-injected artifact path") {
+    import graft.streaming.{QueryStream, VectorStream}
+    import graft.operators.SimilarityPack
+    import spark.implicits._
+    // arriving vectors are grid-ified and served from the tuned artifact;
+    // for corpus members the stored and recomputed grid vectors are
+    // identical, so the stream must reproduce indexedTopkFor row-for-row
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = VectorStream.source(spark, sfTiny)
+      .filter(col("vec_id") >= 50 && col("vec_id") < 60)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= QueryStream.serveTunedBatch(spark, sfTiny, batch)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val want = SimilarityPack
+      .indexedTopkFor(spark, sfTiny, (50L until 60L).toDF("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(want.nonEmpty && got.toSet == want.toSet,
+      s"stream served ${got.size} rows, batch ${want.size}")
+  }
+
   test("streaming k-NN serving: an empty micro-batch serves zero rows") {
     import graft.streaming.QueryStream
     import graft.functions.VectorFunctions.asDouble
