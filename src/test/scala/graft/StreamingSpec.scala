@@ -191,6 +191,7 @@ class StreamingSpec extends SparkSpec {
     val empty = Tables.embeddings(spark, sfTiny)
       .select(col("vec_id"), col("embedding")).filter(lit(false))
     assert(QueryStream.serveBatch(spark, sfTiny, empty, k = 5).count() == 0)
+    assert(QueryStream.serveTunedBatch(spark, sfTiny, empty).count() == 0)
   }
 
   test("streaming vector normalize equals the batch ETL on static stats") {
