@@ -220,27 +220,38 @@ object DedupPack {
     // the oracle is row-identity against its already-checked output, and
     // the serving plan is asserted to read the artifact, not re-hash the
     // corpus (PlanSpec).
-    "dd_incremental_indexed" -> ((s, d) => {
-      val p = ensureBandIndex(s, d)
-      val buckets = s.read.parquet(s"$p/buckets")
-        .filter(size(col("ids")) <= MaxLshBucket)
-      val docs = Tables.documents(s, d)
-      val batch = docs.filter(col("source") === IncrementalBatchSource)
-      val cand = bandedKeys(batch)
-        .join(buckets, Seq("band", "key"))
-        .select(col("doc_id").as("new_id"), explode(col("ids")).as("corp_id"))
-        .distinct()
-      def shOf(df: DataFrame) =
-        df.select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sh"))
-      val shBatch = shOf(batch)
-      val shCand = shOf(docs.join(
-        cand.select(col("corp_id").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi"))
-      bestMatchAbove(cand,
-        shBatch.select(col("doc_id").as("new_id"), col("sh").as("sa")),
-        shCand.select(col("doc_id").as("corp_id"), col("sh").as("sb")))
-    })
+    "dd_incremental_indexed" -> ((s, d) =>
+      probeBandIndexed(s, d,
+        Tables.documents(s, d)
+          .filter(col("source") === IncrementalBatchSource)))
   )
+
+  /** Probe the persisted corpus band index with an arbitrary batch of
+    * (doc_id, text) rows — the serving core of `dd_incremental_indexed`,
+    * shared verbatim with the streaming `DocStream.dedupGate` micro-batch
+    * serve so stream/batch parity holds by construction. The batch pays
+    * its own signatures + a bucket-join probe; the exact-Jaccard verify
+    * re-shingles only semi-join-pruned corpus candidates. */
+  private[graft] def probeBandIndexed(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val p = ensureBandIndex(s, d)
+    val buckets = s.read.parquet(s"$p/buckets")
+      .filter(size(col("ids")) <= MaxLshBucket)
+    val docs = Tables.documents(s, d)
+    val cand = bandedKeys(batch)
+      .join(buckets, Seq("band", "key"))
+      .select(col("doc_id").as("new_id"), explode(col("ids")).as("corp_id"))
+      .distinct()
+    def shOf(df: DataFrame) =
+      df.select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sh"))
+    val shBatch = shOf(batch)
+    val shCand = shOf(docs.join(
+      cand.select(col("corp_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi"))
+    bestMatchAbove(cand,
+      shBatch.select(col("doc_id").as("new_id"), col("sh").as("sa")),
+      shCand.select(col("doc_id").as("corp_id"), col("sh").as("sb")))
+  }
 
   /** Shared verify half of the incremental-dedup twins: exact full-set
     * Jaccard over (new_id, corp_id) candidates, threshold filter, and

@@ -114,4 +114,22 @@ object DocStream {
       .withWatermark("arrival", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
       .select("doc_id", "text", "n_tokens", "content_hash")
+
+  /** NEAR-dup gate at ingest: serve one micro-batch of arriving
+    * (doc_id, text) documents against the corpus's PERSISTED MinHash
+    * band-bucket index ([[graft.operators.DedupPack.ensureBandIndex]]) —
+    * each flagged row reports its best corpus match (doc_id, dup_of,
+    * jaccard). Deployment shape: `stream.writeStream.foreachBatch((b, _)
+    * => dedupGate(spark, dir)(b)…)`, like [[contaminationGate]] — the
+    * verify half is a per-batch join + window, bounded by the batch's
+    * candidate set, so no streaming state accumulates.
+    *
+    * The serve is [[graft.operators.DedupPack.probeBandIndexed]] — the
+    * SAME code the batch `dd_incremental_indexed` query runs, so
+    * stream/batch parity holds by construction (pinned in StreamingSpec):
+    * the corpus is never re-shingled per batch, signatures are paid only
+    * on the arriving rows, and serving cost scales with ingest rate ×
+    * bucket size, independent of corpus size. */
+  def dedupGate(spark: SparkSession, dir: String)(batch: DataFrame): DataFrame =
+    graft.operators.DedupPack.probeBandIndexed(spark, dir, batch)
 }

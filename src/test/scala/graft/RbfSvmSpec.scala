@@ -1,0 +1,105 @@
+package graft
+
+import graft.ml.RbfSvm
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The exact C-SVC solver behind m4_train_eval (reference model family:
+  * gaia/libsvm RBF-SVM, dataset_eval/gaia_wrapper.py:22-119). */
+class RbfSvmSpec extends AnyFunSuite {
+
+  private def grid2d(pts: Seq[(Double, Double, Int)]) =
+    (pts.map { case (a, b, _) => Array(a, b) }.toArray,
+      pts.map(_._3).toArray)
+
+  test("linearly separable data is classified perfectly with margin SVs") {
+    val pts = Seq(
+      (0.0, 0.0, -1), (0.2, 0.1, -1), (0.1, 0.3, -1), (0.3, 0.2, -1),
+      (2.0, 2.0, 1), (2.2, 1.9, 1), (1.9, 2.1, 1), (2.1, 2.2, 1))
+    val (x, y) = grid2d(pts)
+    val m = RbfSvm.trainBinary(x, y, c = 10.0, gamma = 0.5)
+    x.zip(y).foreach { case (xi, yi) =>
+      val f = RbfSvm.decision(m, 0.5, xi)
+      assert(math.signum(f) == yi.toDouble, s"f=$f for label $yi")
+    }
+    assert(m.sv.nonEmpty && m.sv.length < x.length,
+      "a separable problem should not make every point a support vector")
+  }
+
+  test("XOR data — inseparable by any linear model — is solved by the RBF kernel") {
+    // the canonical case motivating the exact kernel over the previous
+    // RFF linear approximation
+    val pts = Seq(
+      (0.0, 0.0, 1), (1.0, 1.0, 1), (0.0, 1.0, -1), (1.0, 0.0, -1),
+      (0.1, 0.1, 1), (0.9, 0.9, 1), (0.1, 0.9, -1), (0.9, 0.1, -1))
+    val (x, y) = grid2d(pts)
+    val m = RbfSvm.trainBinary(x, y, c = 100.0, gamma = 4.0)
+    x.zip(y).foreach { case (xi, yi) =>
+      assert(math.signum(RbfSvm.decision(m, 4.0, xi)) == yi.toDouble)
+    }
+  }
+
+  test("KKT conditions hold at the solution") {
+    val rnd = new scala.util.Random(7)
+    val x = Array.fill(60)(Array.fill(4)(rnd.nextGaussian()))
+    val y = x.map(v => if (v(0) + 0.5 * v(1) - 0.2 * v(2) > 0) 1 else -1)
+    val c = 5.0
+    val m = RbfSvm.trainBinary(x, y, c, gamma = 0.5)
+    // recover alpha_i = |coef| and check box + equality constraints
+    val alphaY = m.coef
+    assert(alphaY.forall(a => math.abs(a) <= c + 1e-9), "box constraint")
+    assert(math.abs(alphaY.sum) < 1e-6, "sum alpha_i y_i = 0")
+    // free SVs sit on the margin: |f(sv)| close to 1
+    m.sv.zip(alphaY).foreach { case (sv, ay) =>
+      if (math.abs(ay) > 1e-9 && math.abs(ay) < c - 1e-9) {
+        val f = RbfSvm.decision(m, 0.5, sv)
+        assert(math.abs(math.abs(f) - 1.0) < 0.05, s"free SV margin |f|=$f")
+      }
+    }
+  }
+
+  test("training is deterministic — identical models across runs") {
+    val rnd = new scala.util.Random(11)
+    val rows = Array.fill(80)(
+      (rnd.nextInt(3), Array.fill(6)(rnd.nextGaussian())))
+    val m1 = RbfSvm.trainOvo(rows, c = 2.0, gamma = 0.3)
+    val m2 = RbfSvm.trainOvo(rows, c = 2.0, gamma = 0.3)
+    assert(m1.classes.sameElements(m2.classes))
+    m1.machines.zip(m2.machines).foreach { case (a, b) =>
+      assert(a.rho == b.rho && a.coef.sameElements(b.coef))
+    }
+    val probe = Array.fill(6)(0.1)
+    assert(RbfSvm.predict(m1, probe) == RbfSvm.predict(m2, probe))
+  }
+
+  test("one-vs-one voting recovers three separated clusters") {
+    val centers = Seq((0.0, 0.0), (4.0, 0.0), (0.0, 4.0))
+    val rnd = new scala.util.Random(3)
+    val rows = centers.zipWithIndex.flatMap { case ((cx, cy), lbl) =>
+      Seq.fill(20)((lbl, Array(cx + 0.3 * rnd.nextGaussian(),
+        cy + 0.3 * rnd.nextGaussian())))
+    }.toArray
+    val m = RbfSvm.trainOvo(rows, c = 10.0, gamma = 0.5)
+    val acc = rows.count { case (l, v) => RbfSvm.predict(m, v) == l }.toDouble / rows.length
+    assert(acc == 1.0, s"expected perfect separation, got $acc")
+    assert(m.pairs.length == 3, "3 classes -> 3 pairwise machines")
+  }
+
+  test("degenerate single-class input yields a finite, constant-sign model") {
+    val x = Array.fill(5)(Array(1.0, 2.0))
+    val y = Array.fill(5)(1)
+    val m = RbfSvm.trainBinary(x, y, c = 1.0, gamma = 0.5)
+    assert(java.lang.Double.isFinite(m.rho))
+    assert(java.lang.Double.isFinite(RbfSvm.decision(m, 0.5, Array(0.0, 0.0))))
+  }
+
+  test("standardizer matches per-dim population stats and guards sigma=0") {
+    val rows = Array(Array(1.0, 5.0, 7.0), Array(3.0, 5.0, 9.0))
+    val st = RbfSvm.Standardizer.fit(rows)
+    assert(st.mean.sameElements(Array(2.0, 5.0, 8.0)))
+    assert(st.std(1) == 0.0)
+    val z = st(Array(3.0, 5.0, 9.0))
+    assert(math.abs(z(0) - 1.0) < 1e-12)
+    assert(z(1) == 5.0, "zero-sigma dim passes through unscaled")
+    assert(math.abs(z(2) - 1.0) < 1e-12)
+  }
+}

@@ -238,4 +238,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.select("content_hash").distinct().count()
       == streamed.count())
   }
+
+  test("streaming near-dup gate equals the batch indexed incremental dedup") {
+    import graft.streaming.DocStream
+    import graft.operators.DedupPack
+    // arriving ingest batch = the src6 slice (the same slice the batch
+    // dd_incremental_indexed entry probes), served per micro-batch from
+    // the persisted band index via the shared probeBandIndexed core
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val q = DocStream.source(spark, sfTiny)
+      .filter(col("source") === DedupPack.IncrementalBatchSource)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= DocStream.dedupGate(spark, sfTiny)(batch)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val want = SparkEntry.queries("dd_incremental_indexed")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(want.nonEmpty && got.toSet == want.toSet,
+      s"stream flagged ${got.size} rows, batch ${want.size}")
+  }
 }
