@@ -204,8 +204,8 @@ object RbfSvm {
   }
 
   /** Per-dimension standardization fitted on the training sample — the
-    * "std" arm of the reference's preprocessing axis (gaia's project
-    * file carries a preprocessing list per classifier; reference
+    * "normalized" arm of the reference's preprocessing axis (gaia's
+    * project file carries a preprocessing list per classifier; reference
     * `dataset_eval/gaia_wrapper.py:60-80`). σ = 0 dims pass through
     * unscaled, matching `n1_vector_normalize`'s zero-std guard. */
   final case class Standardizer(mean: Array[Double], std: Array[Double]) {
@@ -217,6 +217,77 @@ object RbfSvm {
         k += 1
       }
       out
+    }
+  }
+
+  /** Inverse standard-normal CDF via Peter Acklam's published rational
+    * approximation (relative error < 1.15e-9 — "An algorithm for
+    * computing the inverse normal cumulative distribution function",
+    * 2003; the coefficients are public). Deterministic plain arithmetic,
+    * no library dependency. */
+  def probit(p: Double): Double = {
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pLow = 0.02425
+    if (p < pLow) {
+      val q = math.sqrt(-2.0 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1.0)
+    } else if (p <= 1.0 - pLow) {
+      val q = p - 0.5
+      val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1.0)
+    } else {
+      val q = math.sqrt(-2.0 * math.log(1.0 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1.0)
+    }
+  }
+
+  /** Rank-based per-dimension gaussianization fitted on the training
+    * sample — the "gaussianized" arm of the reference's preprocessing
+    * axis. Each value maps through the train empirical CDF (midrank for
+    * ties, clamped away from {0,1}) into [[probit]]. Deterministic:
+    * sorted train columns + binary search, no RNG. */
+  final case class Gaussianizer(sorted: Array[Array[Double]]) {
+    def apply(x: Array[Double]): Array[Double] = {
+      val out = new Array[Double](x.length)
+      var k = 0
+      while (k < x.length) {
+        val col = sorted(k); val n = col.length
+        val v = x(k)
+        var lo = 0; var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (col(mid) < v) lo = mid + 1 else hi = mid
+        }
+        var eq = lo
+        while (eq < n && col(eq) == v) eq += 1
+        val rank = lo + 0.5 * (eq - lo)
+        val p = math.min(math.max((rank + 0.5) / (n + 1.0), 1e-9), 1.0 - 1e-9)
+        out(k) = probit(p)
+        k += 1
+      }
+      out
+    }
+  }
+
+  object Gaussianizer {
+    def fit(rows: Array[Array[Double]]): Gaussianizer = {
+      val dim = rows.head.length
+      Gaussianizer(Array.tabulate(dim) { k =>
+        val col = rows.map(_(k)); java.util.Arrays.sort(col); col
+      })
     }
   }
 

@@ -27,6 +27,23 @@ object MLPack {
     * verification scale trains on the full split). */
   private[graft] val SvmTrainCap = 20000L
 
+  /** The reference's five preprocessing variants (gaia project defaults)
+    * mapped onto the embedding corpus, fitted on the training rows:
+    * basic = raw, normalized = per-dim standardize, gaussianized =
+    * rank-based gaussianization, lowlevel/nobands = the two
+    * feature-subset variants (gaia drops feature groups; here the
+    * leading 48 / 32 dims). Object-level on purpose: Spark task closures
+    * reference it statically instead of dragging the enclosing query
+    * scope (SparkSession included) into serialization. */
+  private[graft] def prepOf(name: String, tr: Array[Array[Double]])
+      : Array[Double] => Array[Double] = name match {
+    case "normalized" => graft.ml.RbfSvm.Standardizer.fit(tr)(_)
+    case "gaussianized" => graft.ml.RbfSvm.Gaussianizer.fit(tr)(_)
+    case "lowlevel" => _.take(48)
+    case "nobands" => _.take(32)
+    case _ => identity
+  }
+
   /** Keep rows whose md5(vec_id)-prefix ≡ 0 mod max(1, n div cap) —
     * ~cap survivors, deterministic on any engine, no sort. */
   private def svmTrainSample(df: DataFrame, cap: Long = SvmTrainCap): DataFrame = {
@@ -174,9 +191,19 @@ object MLPack {
         .collect().sortBy(_._1)
         .map { case (id, l, v) => (id, l, v.toArray) }
       val bc = s.sparkContext.broadcast(sample)
-      val fullGrid = for {
-        c <- Seq(1.0, 10.0); g <- Seq(0.5, 2.0); p <- Seq("raw", "std")
-      } yield (c, g, p)
+      // the reference's DEFAULT grid (db/dataset_eval.py:43-45):
+      // C = 2^{-5,-3,…,11} (9), gamma = 2^{3,1,…,-11} (8), and FIVE
+      // preprocessing variants (gaia project defaults) mapped onto the
+      // embedding corpus: basic = raw vectors, normalized = per-dim
+      // standardize, gaussianized = rank-based per-dim gaussianization,
+      // lowlevel / nobands = the two feature-subset variants (gaia drops
+      // feature groups; here: the leading 48 / 32 dims) — 360 combos,
+      // the reference's exact default grid size.
+      val cs = (-5 to 11 by 2).map(e => math.pow(2.0, e))
+      val gammas = Range.inclusive(3, -11, -2).map(e => math.pow(2.0, e))
+      val preps = Seq("basic", "normalized", "gaussianized",
+        "lowlevel", "nobands")
+      val fullGrid = for { c <- cs; g <- gammas; p <- preps } yield (c, g, p)
       val benchProfile = sys.props.get("graft.bench.profile").contains("true")
       val combos = if (benchProfile) fullGrid.take(2) else fullGrid
       val nFolds = 3
@@ -184,19 +211,17 @@ object MLPack {
         yield (cm._1, cm._2, cm._3, f)
       // one task per (combo, fold): fit on 2/3, score the held-out fold
       val foldScores = s.createDataset(tasks)
-        .repartition(tasks.size)
+        .repartition(math.min(tasks.size, 96))
         .map { case (c, g, prep, fold) =>
           val rows = bc.value
           val tr0 = rows.filter(_._1 % nFolds != fold)
           val va0 = rows.filter(_._1 % nFolds == fold)
-          val st = if (prep == "std") RbfSvm.Standardizer.fit(tr0.map(_._3))
-            else RbfSvm.Standardizer(Array.empty, Array.empty)
-          val pp = (x: Array[Double]) => if (prep == "std") st(x) else x
+          val pp = prepOf(prep, tr0.map(_._3))
           val m = RbfSvm.trainOvo(tr0.map(r => (r._2, pp(r._3))), c, g)
           val correct = va0.count(r => RbfSvm.predict(m, pp(r._3)) == r._2)
           (c, g, prep, correct.toLong, va0.length.toLong)
         }
-        .collect() // 24 metadata rows, not data
+        .collect() // grid-size metadata rows, not data
       val byCombo = foldScores.groupBy(t => (t._1, t._2, t._3)).toSeq
         .map { case (k, v) => (k, v.map(_._4).sum, v.map(_._5).sum) }
       // best by CV accuracy; deterministic tie-break on (C, gamma, prep)
@@ -204,18 +229,15 @@ object MLPack {
         .sortBy { case ((c, g, p), cr, t) =>
           (-cr.toDouble / t, c, g, p) }.head
       val cvAcc = corr.toDouble / tot
-      val stFull =
-        if (bestP == "std") Some(RbfSvm.Standardizer.fit(sample.map(_._3)))
-        else None
-      val ppFull = (x: Array[Double]) => stFull.map(_(x)).getOrElse(x)
+      val ppFull = prepOf(bestP, sample.map(_._3))
       val finalModel =
         RbfSvm.trainOvo(sample.map(r => (r._2, ppFull(r._3))), bestC, bestG)
-      val bcModel = s.sparkContext.broadcast((finalModel, stFull))
+      val bcModel = s.sparkContext.broadcast((finalModel, bestP, sample.map(_._3)))
       test.mapPartitions { it =>
-        val (m, st) = bcModel.value
+        val (m, prepName, trainX) = bcModel.value
+        val pp = prepOf(prepName, trainX)
         it.map { case (l, v) =>
-          val x = v.toArray
-          (l, RbfSvm.predict(m, st.map(_(x)).getOrElse(x)).toLong)
+          (l, RbfSvm.predict(m, pp(v.toArray)).toLong)
         }
       }.toDF("label", "predicted")
         .groupBy("label", "predicted")

@@ -92,6 +92,34 @@ class RbfSvmSpec extends AnyFunSuite {
     assert(java.lang.Double.isFinite(RbfSvm.decision(m, 0.5, Array(0.0, 0.0))))
   }
 
+  test("probit matches known normal quantiles") {
+    assert(math.abs(RbfSvm.probit(0.5)) < 1e-12)
+    assert(math.abs(RbfSvm.probit(0.975) - 1.959963985) < 1e-6)
+    assert(math.abs(RbfSvm.probit(0.025) + 1.959963985) < 1e-6)
+    assert(math.abs(RbfSvm.probit(0.9986501) - 2.9999) < 1e-3)
+    // tail branch (p < 0.02425) and symmetry
+    assert(math.abs(RbfSvm.probit(0.001) + RbfSvm.probit(0.999)) < 1e-9)
+  }
+
+  test("gaussianizer is monotone, centered, and deterministic") {
+    val rnd = new scala.util.Random(19)
+    val rows = Array.fill(201)(Array(math.exp(rnd.nextGaussian()))) // skewed
+    val g = RbfSvm.Gaussianizer.fit(rows)
+    val vals = rows.map(r => g(r)(0))
+    // rank transform of a continuous sample ≈ standard normal: median ~0
+    val sortedIn = rows.map(_(0)).sorted
+    assert(math.abs(g(Array(sortedIn(100)))(0)) < 0.02, "median maps near 0")
+    // monotone in the input
+    val probes = Seq(0.1, 0.5, 1.0, 2.0, 5.0).map(v => g(Array(v))(0))
+    assert(probes == probes.sorted)
+    // deterministic across fits
+    val g2 = RbfSvm.Gaussianizer.fit(rows)
+    assert(rows.forall(r => g(r)(0) == g2(r)(0)))
+    // out-of-range test points stay finite
+    assert(java.lang.Double.isFinite(g(Array(1e9))(0)))
+    assert(java.lang.Double.isFinite(g(Array(-1e9))(0)))
+  }
+
   test("standardizer matches per-dim population stats and guards sigma=0") {
     val rows = Array(Array(1.0, 5.0, 7.0), Array(3.0, 5.0, 9.0))
     val st = RbfSvm.Standardizer.fit(rows)
