@@ -609,4 +609,33 @@ class OperatorInvariantsSpec extends SparkSpec {
       docs.select("source", "lang").distinct().count())
     df.unpersist()
   }
+
+  test("m4_train_eval: confusion matrix partitions the test split; " +
+    "best params come from the declared grid") {
+    // bench-profile grid (2 combos) — the full 360-combo sweep is the
+    // driver gate's job at sf0.01; this pins the end-to-end path
+    System.setProperty("graft.bench.profile", "true")
+    try {
+      val df = run("m4_train_eval").cache()
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      // confusion-matrix counts sum to the test-split size
+      val testN = Tables.embeddings(spark, sfTiny)
+        .filter(col("vec_id") % 5 === 0).count()
+      assert(rows.map(_.getAs[Long]("n")).sum == testN)
+      assert(rows.forall(_.getAs[Long]("grid_size") == 2L))
+      assert(rows.forall(_.getAs[String]("best_arm") == "svm_rbf"))
+      // winning params are members of the reference lattice
+      val c = rows.head.getAs[Double]("best_c")
+      val g = rows.head.getAs[Double]("best_gamma")
+      assert(math.abs(math.log(c) / math.log(2.0) -
+        math.round(math.log(c) / math.log(2.0))) < 1e-9)
+      assert(math.abs(math.log(g) / math.log(2.0) -
+        math.round(math.log(g) / math.log(2.0))) < 1e-9)
+      // deterministic: a second run yields the identical frame
+      val again = run("m4_train_eval").collect()
+      assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+      df.unpersist()
+    } finally System.clearProperty("graft.bench.profile")
+  }
 }
