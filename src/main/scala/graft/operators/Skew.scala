@@ -32,4 +32,57 @@ object Skew {
       .agg(sum(col("_psum")).cast(DoubleType).as("total"),
         sum(col("_pcnt")).as("n"))
   }
+
+  /** One-pass, shuffle-free heavy-hitter profile of a key column: each
+    * partition keeps a Misra–Gries summary of at most `k` counters
+    * (Misra & Gries, "Finding Repeated Elements", Sci. Comput. Program.
+    * 1982), the per-partition summaries are merged with the mergeable-
+    * summaries rule (sum counts, subtract the (k+1)-largest, drop ≤ 0 —
+    * Agarwal et al., "Mergeable Summaries", PODS 2012), preserving the
+    * ε = n/k guarantee end to end.
+    *
+    * Contract: the result CONTAINS every key whose true frequency
+    * exceeds n/k, and each reported `count_lb` is a lower bound within
+    * n/k of the true count. Only O(partitions · k) tiny (key, count)
+    * pairs ever leave the executors — the way to ask "which sources
+    * dominate this 100 TB corpus" without paying a full groupBy
+    * shuffle. Exact counts for the (few) surfaced keys can then be a
+    * cheap second pass with an `isin` pushdown filter. */
+  def frequentKeys(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val partials = df.select(key.cast(StringType).as("key"))
+      .as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap[String, Long]()
+        it.foreach { v =>
+          if (counters.contains(v)) counters(v) += 1L
+          else if (counters.size < k) counters(v) = 1L
+          else {
+            // decrement step: every counter drops by 1, zeros evicted
+            val dead = List.newBuilder[String]
+            counters.keysIterator.foreach { kk =>
+              val c = counters(kk) - 1L
+              if (c == 0L) dead += kk else counters(kk) = c
+            }
+            dead.result().foreach(counters.remove)
+          }
+        }
+        counters.iterator.map { case (kk, c) => (kk, c) }
+      }
+      .collect() // ≤ partitions·k summary entries — metadata, not data
+    val merged = scala.collection.mutable.HashMap[String, Long]()
+    partials.foreach { case (kk, c) => merged(kk) = merged.getOrElse(kk, 0L) + c }
+    val out =
+      if (merged.size <= k) merged.toSeq
+      else {
+        val sorted = merged.values.toArray.sorted(Ordering[Long].reverse)
+        val cut = sorted(k) // (k+1)-largest count
+        merged.toSeq.map { case (kk, c) => (kk, c - cut) }
+          .filter(_._2 > 0L)
+      }
+    out.sortBy { case (kk, c) => (-c, kk) }
+      .toDF("key", "count_lb")
+  }
 }

@@ -134,6 +134,38 @@ class PropertySpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("frequentKeys honors the Misra-Gries guarantee on a skewed column") {
+    // 90% of rows share one synthetic hot key; the rest keep their source
+    val docs = Tables.documents(spark, sfTiny)
+      .withColumn("sk", when(col("doc_id") % 10 =!= 0, lit("hot"))
+        .otherwise(col("source")))
+      .repartition(8)
+    val n = docs.count()
+    val k = 4
+    val got = Skew.frequentKeys(docs, col("sk"), k)
+      .as[(String, Long)].collect().toMap
+    assert(got.size <= k)
+    val exact = docs.groupBy(col("sk")).count()
+      .as[(String, Long)].collect().toMap
+    // every true heavy hitter (freq > n/k) MUST be present — and the
+    // constructed column guarantees at least one exists
+    val heavies = exact.filter(_._2 > n / k).keys.toSeq
+    assert(heavies.contains("hot"))
+    heavies.foreach { key =>
+      assert(got.contains(key), s"missing heavy hitter $key")
+    }
+    // reported counts are lower bounds within n/k of the truth
+    got.foreach { case (key, lb) =>
+      val t = exact(key)
+      assert(lb <= t && t - lb <= n / k + 1,
+        s"$key: lb=$lb true=$t n/k=${n / k}")
+    }
+    // a column with a single value reports it exactly: no decrements fire
+    val one = Skew.frequentKeys(docs.withColumn("c", lit("x")), col("c"), 2)
+      .as[(String, Long)].collect()
+    assert(one.toSeq == Seq(("x", n)))
+  }
+
   test("frame sampling of an empty payload emits zero frames") {
     val media = Seq((1L, Array.empty[Byte])).toDF("media_id", "payload")
       .withColumn("n_bytes", lit(0L))
