@@ -85,4 +85,16 @@ object Skew {
     out.sortBy { case (kk, c) => (-c, kk) }
       .toDF("key", "count_lb")
   }
+
+  /** The exact second pass behind [[frequentKeys]]: true counts for the
+    * (few) surfaced candidate keys. The `isin` membership predicate
+    * reaches the parquet scan as a pushed filter (PlanSpec-pinned), so
+    * the pass reads only row groups that can contain a candidate —
+    * sketch first, then pay exact cost only for the shortlist. */
+  def exactCountsFor(df: DataFrame, key: Column,
+      candidates: Seq[String]): DataFrame =
+    df.select(key.cast(StringType).as("key"))
+      .filter(col("key").isin(candidates: _*))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"))
 }

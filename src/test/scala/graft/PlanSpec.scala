@@ -207,4 +207,20 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size <= 1,
       s"expected at most the final sort exchange in:\n$plan")
   }
+
+  test("exact heavy-hitter pass pushes the candidate set into the scan") {
+    import graft.operators.Skew
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfTiny)
+    val exact = Skew.exactCountsFor(docs, col("source"), Seq("src1", "src2"))
+    val plan = planText(exact)
+    assert(plan.contains("PushedFilters") && plan.contains("In(source"),
+      s"candidate In-filter not pushed to the scan:\n$plan")
+    // and the pass agrees with the full groupBy on the candidates
+    val want = docs.filter(col("source").isin("src1", "src2"))
+      .groupBy(col("source").as("key")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = exact.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want && got.nonEmpty)
+  }
 }
