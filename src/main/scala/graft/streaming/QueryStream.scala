@@ -61,4 +61,16 @@ object QueryStream {
   def serveTunedBatch(s: SparkSession, dir: String,
       batch: DataFrame): DataFrame =
     SimilarityPack.tunedServeVectors(s, dir, batch)
+
+  /** Serve one micro-batch of request ids from the persisted IVF-PQ
+    * index — [[serveTunedBatch]] at the compressed-candidate memory
+    * point (16-byte codes scanned through the per-query ADC lookup
+    * table, exact re-rank of the shortlist only). The third member of
+    * the serving family on streams: single-cell kmeans
+    * ([[serveBatch]]), multi-probe tuned IVF ([[serveTunedBatch]]),
+    * and IVF-PQ — all through the SAME `*TopkFor` cores their batch
+    * oracle rows pin, so stream/batch parity is by construction. */
+  def servePqBatch(s: SparkSession, dir: String,
+      batch: DataFrame): DataFrame =
+    SimilarityPack.ivfPqTopkFor(s, dir, batch.select(col("vec_id")))
 }

@@ -239,6 +239,29 @@ class StreamingSpec extends SparkSpec {
       == streamed.count())
   }
 
+  test("streaming IVF-PQ serving equals the batch compressed-index path") {
+    import graft.streaming.{QueryStream, VectorStream}
+    import graft.operators.SimilarityPack
+    import spark.implicits._
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val q = VectorStream.source(spark, sfTiny)
+      .filter(col("vec_id") >= 40 && col("vec_id") < 60)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= QueryStream.servePqBatch(spark, sfTiny, batch)
+          .collect().map(_.toString)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val want = SimilarityPack.ivfPqTopkFor(spark, sfTiny,
+        (40L until 60L).toDF("vec_id"))
+      .collect().map(_.toString)
+    assert(want.nonEmpty && got.toSet == want.toSet,
+      s"stream served ${got.size} rows, batch ${want.size}")
+  }
+
   test("streaming near-dup gate equals the batch indexed incremental dedup") {
     import graft.streaming.DocStream
     import graft.operators.DedupPack
