@@ -225,18 +225,21 @@ object RbfSvm {
     * computing the inverse normal cumulative distribution function",
     * 2003; the coefficients are public). Deterministic plain arithmetic,
     * no library dependency. */
+  // Acklam coefficients, object-level: probit runs once per (row, dim)
+  // inside Gaussianizer — per-call array allocation would dominate it
+  private val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+    -2.759285104469687e+02, 1.383577518672690e+02,
+    -3.066479806614716e+01, 2.506628277459239e+00)
+  private val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+    -1.556989798598866e+02, 6.680131188771972e+01,
+    -1.328068155288572e+01)
+  private val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+    -2.400758277161838e+00, -2.549732539343734e+00,
+    4.374664141464968e+00, 2.938163982698783e+00)
+  private val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
+    2.445134137142996e+00, 3.754408661907416e+00)
+
   def probit(p: Double): Double = {
-    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
-      -2.759285104469687e+02, 1.383577518672690e+02,
-      -3.066479806614716e+01, 2.506628277459239e+00)
-    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
-      -1.556989798598866e+02, 6.680131188771972e+01,
-      -1.328068155288572e+01)
-    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
-      -2.400758277161838e+00, -2.549732539343734e+00,
-      4.374664141464968e+00, 2.938163982698783e+00)
-    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
-      2.445134137142996e+00, 3.754408661907416e+00)
     val pLow = 0.02425
     if (p < pLow) {
       val q = math.sqrt(-2.0 * math.log(p))

@@ -232,10 +232,12 @@ object MLPack {
       val ppFull = prepOf(bestP, sample.map(_._3))
       val finalModel =
         RbfSvm.trainOvo(sample.map(r => (r._2, ppFull(r._3))), bestC, bestG)
-      val bcModel = s.sparkContext.broadcast((finalModel, bestP, sample.map(_._3)))
+      // broadcast the FITTED transform (a closure over the fitted
+      // Standardizer/Gaussianizer arrays), not the training matrix — the
+      // scoring tasks must not re-fit the preprocessing per partition
+      val bcModel = s.sparkContext.broadcast((finalModel, ppFull))
       test.mapPartitions { it =>
-        val (m, prepName, trainX) = bcModel.value
-        val pp = prepOf(prepName, trainX)
+        val (m, pp) = bcModel.value
         it.map { case (l, v) =>
           (l, RbfSvm.predict(m, pp(v.toArray)).toLong)
         }
