@@ -60,6 +60,10 @@ object PipelinePack {
   /** Hash-threshold scale: u = first 8 hex chars of md5 ∈ [0, 2^32). */
   private[graft] val MixScale = 4294967296L
 
+  /** Negatives per document / bucket count for `pipe_negative_pairs`. */
+  private[graft] val NegK = 4L
+  private[graft] val NegBuckets = 256L
+
   /** Exact integer division for positive longs: `a - a%b` is an exact
     * multiple of `b`, and IEEE double division of exact multiples below
     * 2^53 is exact — unlike `(a / b).cast(long)`, which truncates a
@@ -151,6 +155,41 @@ object PipelinePack {
           round(col("bin_tokens").cast("double") / PackBudget, 6))
         .orderBy("source", "bin")),
 
+    // ---- contrastive negative sampling ----------------------------------
+    // Deterministic pseudo-random negative partners per document — the
+    // pair-generation step of contrastive / embedding training. Each
+    // (doc, i < NegK) hashes into one of [[NegBuckets]] buckets whose
+    // REPRESENTATIVE (lowest doc_id hashed into it) becomes the negative;
+    // self-pairs and same-source pairs (near-positives) are dropped —
+    // "up to K negatives, with replacement" is the defined contract,
+    // mirrored in the oracle. Scale shape: ONE aggregate builds the
+    // B-row representative table, then a broadcast join — no corpus
+    // self-join, no global sort, no RNG (the md5-prefix recipe shared
+    // with the domain-mix sampler reproduces bit-identically on any
+    // engine). ------------------------------------------------------------
+    "pipe_negative_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      def u(prefix: String, c: Column) = conv(
+        substring(md5(concat(lit(prefix), c)), 1, 8), 16, 10).cast("long")
+      val reps = docs
+        .withColumn("bkt",
+          pmod(u("negrep:", col("doc_id").cast("string")), lit(NegBuckets)))
+        .groupBy("bkt").agg(min(col("doc_id")).as("neg_id"))
+        .join(docs.select(col("doc_id").as("neg_id"),
+          col("source").as("neg_source")), Seq("neg_id"))
+      docs
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(0L), lit(NegK - 1L))).as("i"))
+        .withColumn("bkt", pmod(
+          u("neg:", concat(col("doc_id").cast("string"), lit(":"),
+            col("i").cast("string"))), lit(NegBuckets)))
+        .join(broadcast(reps), Seq("bkt"))
+        .filter(col("neg_id") =!= col("doc_id") &&
+          col("neg_source") =!= col("source"))
+        .select(col("doc_id"), col("i"), col("neg_id"))
+        .orderBy("doc_id", "i")
+    }),
+
     // ---- domain-mix resample: kept rows (the corpus a training run reads) -
     "pipe_domain_mix" -> ((s, d) =>
       domainMix(s, d).filter(col("u") < col("thresh"))
@@ -224,6 +263,26 @@ object PipelinePack {
   }
 
   val oracles: Map[String, String] = Map(
+    "pipe_negative_pairs" ->
+      s"""WITH d AS (SELECT doc_id, source FROM documents),
+         |reps0 AS (
+         |  SELECT ('0x' || substr(md5('negrep:' || CAST(doc_id AS VARCHAR)),
+         |      1, 8))::BIGINT % $NegBuckets AS bkt,
+         |    MIN(doc_id) AS neg_id
+         |  FROM d GROUP BY 1),
+         |reps AS (SELECT r.bkt, r.neg_id, d.source AS neg_source
+         |  FROM reps0 r JOIN d ON d.doc_id = r.neg_id),
+         |cand AS (
+         |  SELECT d.doc_id, d.source, gi.i,
+         |    ('0x' || substr(md5('neg:' || CAST(d.doc_id AS VARCHAR) || ':'
+         |        || CAST(gi.i AS VARCHAR)), 1, 8))::BIGINT % $NegBuckets
+         |      AS bkt
+         |  FROM d, (SELECT unnest(generate_series(0, ${NegK - 1})) AS i) gi)
+         |SELECT c.doc_id, c.i, r.neg_id
+         |FROM cand c JOIN reps r USING (bkt)
+         |WHERE r.neg_id <> c.doc_id AND r.neg_source <> c.source
+         |ORDER BY doc_id, i""".stripMargin,
+
     "pipe_domain_mix" ->
       s"""$mixCtes
          |SELECT doc_id, lang FROM uu WHERE u < thresh
