@@ -128,4 +128,79 @@ object EventStream {
         })
       .toDF("user_id", "event_id", "submission_offset")
   }
+
+  /** Gap-based sessionization in TRUE streaming form — the streaming twin
+    * of EventsPack `ev_sessionize`, sharing [[graft.operators.EventsPack
+    * .SessionGapUs]]. A session CLOSES (and emits) the moment a later
+    * event from its user arrives more than the gap after the session's
+    * end; the one trailing open session per active user is a single
+    * state row with an EVENT-TIME timeout at `end + gap`, so the
+    * watermark closes idle sessions and evicts their state — state is
+    * bounded by users active inside the gap horizon, never by history.
+    * (Batch `ev_sessionize` additionally numbers sessions per user; a
+    * stream cannot know a global per-user index across restarts, so the
+    * streamed row identifies a session by its boundaries instead.)
+    * Output: (user_id, n_events, start_us, end_us, duration_us), micros
+    * since epoch. Parity with the batch rollup is spec-pinned. */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = graft.operators.EventsPack.SessionGapUs
+    source(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) => {
+          // state = (start_us, end_us, n_events) of the open session
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime * 1000 + (t.getNanos / 1000) % 1000
+          def sessionRow(o: (Long, Long, Long)) =
+            (uid, o._3, o._1, o._2, o._2 - o._1)
+          if (state.hasTimedOut) {
+            val closed = sessionRow(state.get)
+            state.remove()
+            Iterator(closed)
+          } else {
+            // micro-batch values arrive unsorted; order like the batch
+            // window (ts micros, event_id tiebreak)
+            val evs = rows.toIndexedSeq
+              .map(r => (micros(r._3), r._2)).sorted.map(_._1)
+            val out =
+              scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+            var open = state.getOption
+            evs.foreach { us =>
+              open match {
+                case Some((st, en, n)) if us - en <= gapUs =>
+                  // in-gap (incl. watermark-late) event extends the session
+                  open = Some((st, math.max(en, us), n + 1))
+                case Some(o) =>
+                  out += sessionRow(o)
+                  open = Some((us, us, 1L))
+                case None =>
+                  open = Some((us, us, 1L))
+              }
+            }
+            open match {
+              case Some(o) =>
+                val toMs = (o._2 + gapUs) / 1000 + 1
+                if (toMs <= state.getCurrentWatermarkMs()) {
+                  // gap already elapsed relative to the watermark — close
+                  // now (setTimeoutTimestamp would reject a past instant)
+                  out += sessionRow(o)
+                  state.remove()
+                } else {
+                  state.update(o)
+                  state.setTimeoutTimestamp(toMs)
+                }
+              case None => if (state.exists) state.remove()
+            }
+            out.iterator
+          }
+        })
+      .toDF("user_id", "n_events", "start_us", "end_us", "duration_us")
+  }
 }

@@ -239,6 +239,41 @@ class StreamingSpec extends SparkSpec {
       == streamed.count())
   }
 
+  test("streaming sessionization matches the batch rollup for closed sessions") {
+    import graft.streaming.EventStream
+    import graft.operators.EventsPack
+    val q = EventStream.sessions(spark, sfTiny)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sess_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val batch = operators.EventsPack.queries("ev_sessionize")(spark, sfTiny)
+      .select(col("user_id"), col("n_events"),
+        unix_micros(col("start_ts")).as("start_us"),
+        unix_micros(col("end_ts")).as("end_us"), col("duration_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // every streamed session is a real batch session …
+    assert(got.nonEmpty && got.subsetOf(batch),
+      s"stream emitted ${got.size} rows, ${got.diff(batch).size} unknown")
+    // … and every session the watermark provably closed was emitted:
+    // timeout fires in the no-data batch once end + gap clears the
+    // watermark (max ts − 1 h); 2 ms slack for the ms-floor timeout
+    val maxUs = Tables.events(spark, sfTiny)
+      .agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val horizon = maxUs - 3600L * 1000000 - EventsPack.SessionGapUs - 2000
+    val mustClose = batch.filter(_._4 < horizon)
+    assert(mustClose.subsetOf(got),
+      s"${mustClose.diff(got).size} watermark-closed sessions missing")
+    assert(mustClose.nonEmpty, "horizon too tight — test is vacuous")
+  }
+
   test("streaming IVF-PQ serving equals the batch compressed-index path") {
     import graft.streaming.{QueryStream, VectorStream}
     import graft.operators.SimilarityPack
