@@ -110,21 +110,34 @@ object IndexStore {
       }
     }
 
+  /** Per-artifact-path build locks: DIFFERENT artifacts build concurrently
+    * (Bench's prepare fans the six store families out across threads; each
+    * build underuses the 32 cores on its own), while two threads racing
+    * the SAME artifact still serialize and the loser sees a fresh manifest
+    * and skips. A global lock here would serialize the whole prepare fan-
+    * out back to the sum of the builds. */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Build-once gate: run `build` when the artifact is absent or stale,
     * stamp the manifest, return the artifact path. `params` is the
     * builder's constant string (see [[paramsHash]]) — pass every constant
-    * the member layout depends on. Synchronized — Verify drives queries
-    * from 8 threads. */
+    * the member layout depends on. Locked per artifact path — Verify
+    * drives queries from 8 threads and Bench's prepare builds store
+    * families concurrently. */
   def ensure(s: SparkSession, dir: String, name: String, corpus: DataFrame,
       idCol: String, params: String = "")(
-      build: String => Unit): String = synchronized {
+      build: String => Unit): String = {
     val p = path(dir, name)
-    val fp = fingerprint(corpus, idCol)
-    val ph = paramsHash(params)
-    if (!isFresh(s, p, fp, ph)) {
-      build(p)
-      writeManifest(s, p, fp, ph)
+    val lock = buildLocks.computeIfAbsent(p, _ => new Object)
+    lock.synchronized {
+      val fp = fingerprint(corpus, idCol)
+      val ph = paramsHash(params)
+      if (!isFresh(s, p, fp, ph)) {
+        build(p)
+        writeManifest(s, p, fp, ph)
+      }
+      p
     }
-    p
   }
 }
