@@ -414,7 +414,7 @@ object DedupPack {
     * dropped, hot buckets capped) → local pair expansion. Shared by
     * `dd_minhash_lsh` (whole table) and PipelinePack's corpus prep
     * (filtered corpus). */
-  private[operators] def minhashPairs(docs: DataFrame): DataFrame =
+  private[graft] def minhashPairs(docs: DataFrame): DataFrame =
     bandedKeys(docs)
       .groupBy(col("band"), col("key"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))

@@ -238,8 +238,128 @@ object PipelinePack {
       corpus.join(nearDupLosers, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("n_tokens"), col("est_bpe_tokens"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // ---- quality-gate cascade: per-document first-failing rule -----------
+    // The C4/Gopher-style rule CASCADE with attributed drop reasons — the
+    // form a production filter runs in, because "how many docs did each
+    // rule kill" (the funnel below) is how the thresholds get tuned.
+    // Rules fire in fixed order (first failure names the reason):
+    // too_short → too_long → low_stopword → repetitive. Every comparison
+    // is integer cross-multiplication (stop-ratio < 2% is `50·n_stop <
+    // n_tokens`), so the engine and the oracle compare exact BIGINTs and
+    // no float rounding can flip a boundary document. Plan: one codegen'd
+    // pass computes the per-row signals; the top-token count is the only
+    // wide stage (the tx_repetition explode + two-level combinable
+    // aggregate, shuffle keyed on high-cardinality (doc_id, token) — no
+    // skew), joined back on bucketed doc_id. --------------------------------
+    "pipe_quality_gate" -> ((s, d) =>
+      qualityGate(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("reason"), col("keep"))
+        .orderBy("doc_id")),
+
+    // ---- gate funnel: docs killed per rule (threshold-tuning monitor) ----
+    // Exact integer per-mille (idiv) — no float share to diverge on.
+    "pipe_quality_funnel" -> ((s, d) => {
+      val g = qualityGate(Tables.documents(s, d))
+        .groupBy(col("reason")).agg(count(lit(1)).as("n_docs"))
+      g.crossJoin(broadcast(g.agg(sum(col("n_docs")).as("total"))))
+        .select(col("reason"), col("n_docs"),
+          idiv(col("n_docs") * 1000L, col("total")).as("permille"))
+        .orderBy("reason")
+    }),
+
+    // ---- leakage-safe train/val split ------------------------------------
+    // Hash-split the corpus so near-duplicate documents NEVER straddle the
+    // train/val boundary — splitting by raw doc hash leaks val content
+    // into training through its near-copies, which inflates eval. The
+    // split key is the near-dup component representative (connected
+    // components over the MinHash-LSH pair graph), falling back to the
+    // document's own id for singletons; side = md5-threshold on the GROUP
+    // key, so every member of a component lands together by construction.
+    // Scale shape: the component labels exist only for docs in some
+    // near-dup pair (a small minority), so the join-back is corpus ×
+    // small on bucketed doc_id; the side assignment is a pure per-row
+    // hash against a literal threshold — no shuffle beyond the label
+    // propagation itself ([[DedupPack.connectedComponents]], bounded
+    // iterations). ---------------------------------------------------------
+    "pipe_leak_safe_split" -> ((s, d) => leakSafeSplit(s, d)
+      .select(col("doc_id"), col("grp"), col("side"))
+      .orderBy("doc_id")),
+
+    // ---- split accounting: per-side doc and group counts -----------------
+    "pipe_split_stats" -> ((s, d) => leakSafeSplit(s, d)
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("grp")).as("n_groups"))
+      .orderBy("side"))
   )
+
+  /** Quality-gate thresholds (rule order: shortest prefix that fails).
+    * Integer forms of: < 16 tokens; > 520 chars; stopword ratio < 2%
+    * (50·n_stop < nt); top-token mass > 18% (50·max_tf > 9·nt) or
+    * duplicate-bigram fraction > 9% (100·dup > 9·(nt−1)). */
+  private[graft] val GateMinTokens = 16L
+  private[graft] val GateMaxChars = 520L
+
+  /** Validation share of [[leakSafeSplit]], in exact per-mille of the
+    * md5-uniform hash (125 = 12.5%). */
+  private[graft] val ValPermille = 125L
+
+  /** Per-document gate signals + first-failing-rule verdict — shared by
+    * the gate and funnel queries. Zero-token documents have no top-token
+    * row; they fail `too_short` before `max_tf` is consulted (the
+    * coalesce is belt-and-braces for the when-chain). */
+  private[graft] def qualityGate(docs: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions.bindArray
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_tf"))
+    val sig = docs
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        bindArray(tokens(col("text")), t => struct(
+          size(t).cast("long").as("nt"),
+          size(filter(t, x =>
+            array_contains(typedLit(EnglishStopwords), x)))
+            .cast("long").as("n_stop"),
+          when(size(t) >= 2,
+            size(array_distinct(transform(sequence(lit(1), size(t) - 1),
+              i => concat(element_at(t, i), lit(" "),
+                element_at(t, i + 1))))))
+            .otherwise(lit(0)).cast("long").as("nbgd"))).as("b"))
+      .select(col("doc_id"), col("n_chars"),
+        col("b.nt").as("nt"), col("b.n_stop").as("n_stop"),
+        col("b.nbgd").as("nbgd"))
+    val mtf = coalesce(col("max_tf"), lit(0L))
+    sig.join(tf, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("nt") < GateMinTokens, "too_short")
+          .when(col("n_chars") > GateMaxChars, "too_long")
+          .when(col("n_stop") * 50L < col("nt"), "low_stopword")
+          .when(mtf * 50L > col("nt") * 9L ||
+            (col("nt") - 1L - col("nbgd")) * 100L > (col("nt") - 1L) * 9L,
+            "repetitive")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("nt").as("n_tokens"), col("reason"),
+        (col("reason") === "kept").as("keep"))
+  }
+
+  /** Leak-safe split rows: (doc_id, grp, side) — see `pipe_leak_safe_split`. */
+  private def leakSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val comps = DedupPack.connectedComponents(DedupPack.minhashPairs(docs))
+    val grp = coalesce(col("rep"), col("doc_id"))
+    val u = conv(
+      substring(md5(concat(lit("split:"), grp.cast("string"))), 1, 8),
+      16, 10).cast("long")
+    docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), grp.as("grp"),
+        when(pmod(u, lit(1000L)) < ValPermille, "val").otherwise("train")
+          .as("side"))
+  }
 
   /** Shared CTE chain for the two domain-mix oracles — mirrors
     * [[domainMix]] stage for stage, all-BIGINT (`//` is DuckDB integer
@@ -262,7 +382,86 @@ object PipelinePack {
        |  FROM documents d JOIN th USING (lang))""".stripMargin
   }
 
+  /** Shared CTE chain for the two quality-gate oracles — mirrors
+    * [[qualityGate]] stage for stage (same tokenizer, same all-BIGINT
+    * threshold comparisons), ending in `gated(doc_id, n_tokens, reason,
+    * keep)`. */
+  private def gateCtes: String = {
+    import TextPack.toksSql
+    val stopList = EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |  $toksSql AS tk FROM documents),
+       |rw AS (SELECT doc_id, n_chars, CAST(len(tk) AS BIGINT) AS nt,
+       |  CAST(len(list_filter(tk, x -> list_contains($stopList, x)))
+       |    AS BIGINT) AS n_stop,
+       |  CAST(CASE WHEN len(tk) >= 2 THEN len(list_distinct(list_transform(
+       |      generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1])))
+       |    ELSE 0 END AS BIGINT) AS nbgd
+       |  FROM t),
+       |tf AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_tf FROM (
+       |    SELECT doc_id, tk2, COUNT(*) AS c FROM (
+       |      SELECT doc_id, unnest(tk) AS tk2 FROM t) x
+       |    GROUP BY doc_id, tk2) y GROUP BY doc_id),
+       |sig AS (SELECT r.doc_id, r.n_chars, r.nt, r.n_stop, r.nbgd,
+       |  COALESCE(f.max_tf, 0) AS max_tf
+       |  FROM rw r LEFT JOIN tf f USING (doc_id)),
+       |gated AS (SELECT doc_id, nt AS n_tokens,
+       |  CASE WHEN nt < $GateMinTokens THEN 'too_short'
+       |       WHEN n_chars > $GateMaxChars THEN 'too_long'
+       |       WHEN n_stop * 50 < nt THEN 'low_stopword'
+       |       WHEN max_tf * 50 > nt * 9
+       |         OR (nt - 1 - nbgd) * 100 > (nt - 1) * 9 THEN 'repetitive'
+       |       ELSE 'kept' END AS reason
+       |  FROM sig)""".stripMargin
+  }
+
+  /** Shared CTE chain for the two split oracles — the dd_components
+    * recursive chain plus the md5-threshold side assignment, ending in
+    * `sides(doc_id, grp, side)`. */
+  private def splitCtes: String =
+    s"""WITH RECURSIVE ${DedupPack.minhashPairCtes("documents")},
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mhpairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM mhpairs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, rc.r FROM edges e
+       |  JOIN reach rc ON rc.id = e.dst),
+       |comp AS (SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+       |sides AS (SELECT d.doc_id,
+       |  COALESCE(c.rep, d.doc_id) AS grp,
+       |  CASE WHEN ('0x' || substr(md5('split:' ||
+       |      CAST(COALESCE(c.rep, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT
+       |      % 1000 < $ValPermille
+       |    THEN 'val' ELSE 'train' END AS side
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)"""
+      .stripMargin
+
   val oracles: Map[String, String] = Map(
+    "pipe_quality_gate" ->
+      s"""$gateCtes
+         |SELECT doc_id, n_tokens, reason, reason = 'kept' AS keep
+         |FROM gated ORDER BY doc_id""".stripMargin,
+
+    "pipe_quality_funnel" ->
+      s"""$gateCtes,
+         |f AS (SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM gated GROUP BY reason)
+         |SELECT reason, n_docs,
+         |  CAST(n_docs * 1000 // (SELECT SUM(n_docs) FROM f) AS BIGINT)
+         |    AS permille
+         |FROM f ORDER BY reason""".stripMargin,
+
+    "pipe_leak_safe_split" ->
+      s"""$splitCtes
+         |SELECT doc_id, grp, side FROM sides ORDER BY doc_id""".stripMargin,
+
+    "pipe_split_stats" ->
+      s"""$splitCtes
+         |SELECT side, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups
+         |FROM sides GROUP BY side ORDER BY side""".stripMargin,
+
     "pipe_negative_pairs" ->
       s"""WITH d AS (SELECT doc_id, source FROM documents),
          |reps0 AS (

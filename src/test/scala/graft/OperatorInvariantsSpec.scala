@@ -638,4 +638,53 @@ class OperatorInvariantsSpec extends SparkSpec {
       df.unpersist()
     } finally System.clearProperty("graft.bench.profile")
   }
+
+  test("pipe_quality_gate/funnel: cascade partitions the corpus, every " +
+    "rule fires, funnel reconciles with the per-doc gate") {
+    val docs = Tables.documents(spark, sfTiny).count()
+    val gate = run("pipe_quality_gate").cache()
+    // one verdict per document; keep <=> reason 'kept'
+    assert(gate.count() == docs)
+    assert(gate.filter(col("keep") =!= (col("reason") === "kept"))
+      .count() == 0)
+    val funnel = run("pipe_quality_funnel").collect()
+    val byReason = funnel.map(r =>
+      r.getAs[String]("reason") -> r.getAs[Long]("n_docs")).toMap
+    // thresholds are tuned so EVERY rule kills something at the fixture —
+    // a silent rule is an untested rule
+    assert(byReason.keySet ==
+      Set("kept", "too_short", "too_long", "low_stopword", "repetitive"))
+    assert(byReason.values.forall(_ > 0) && byReason.values.sum == docs)
+    // funnel rows are exactly the gate's grouped counts
+    val grouped = gate.groupBy("reason").count().collect()
+      .map(r => r.getAs[String]("reason") -> r.getAs[Long]("count")).toMap
+    assert(grouped == byReason)
+    gate.unpersist()
+  }
+
+  test("pipe_leak_safe_split: no near-dup pair straddles the train/val " +
+    "boundary; sides partition the corpus") {
+    import operators.DedupPack
+    val docs = Tables.documents(spark, sfTiny)
+    val split = run("pipe_leak_safe_split").cache()
+    assert(split.count() == docs.count())
+    val sides = split.select(col("doc_id"), col("side"))
+    // the operator's contract: every MinHash-LSH candidate pair lands on
+    // ONE side (this is what hash-splitting on the raw doc id violates)
+    val pairs = DedupPack.minhashPairs(docs)
+    assert(pairs.count() > 0, "no near-dup pairs at sfTiny — vacuous")
+    val straddle = pairs
+      .join(sides.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("side", "side_a"), Seq("doc_a"))
+      .join(sides.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("side", "side_b"), Seq("doc_b"))
+      .filter(col("side_a") =!= col("side_b"))
+    assert(straddle.count() == 0)
+    // both sides materially populated (split fraction is sane)
+    val bySide = split.groupBy("side").count().collect()
+      .map(r => r.getAs[String]("side") -> r.getAs[Long]("count")).toMap
+    assert(bySide.keySet == Set("train", "val") &&
+      bySide.values.forall(_ > 0))
+    split.unpersist()
+  }
 }
