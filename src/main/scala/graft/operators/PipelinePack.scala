@@ -347,8 +347,15 @@ object PipelinePack {
   }
 
   /** Leak-safe split rows: (doc_id, grp, side) — see `pipe_leak_safe_split`. */
-  private def leakSafeSplit(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  private def leakSafeSplit(s: SparkSession, d: String): DataFrame =
+    leakSafeSplitOf(Tables.documents(s, d))
+
+  /** Frame-based core of the leak-safe split. The side is a pure function
+    * of the GROUP key alone — never of corpus size or composition — which
+    * is what makes assignments STABLE as the corpus grows: a document
+    * changes side only if new near-duplicates merge its component into
+    * one with a lower representative (property-spec'd). */
+  private[graft] def leakSafeSplitOf(docs: DataFrame): DataFrame = {
     val comps = DedupPack.connectedComponents(DedupPack.minhashPairs(docs))
     val grp = coalesce(col("rep"), col("doc_id"))
     val u = conv(

@@ -132,4 +132,20 @@ object DocStream {
     * bucket size, independent of corpus size. */
   def dedupGate(spark: SparkSession, dir: String)(batch: DataFrame): DataFrame =
     graft.operators.DedupPack.probeBandIndexed(spark, dir, batch)
+
+  /** Attributed quality-gate at ingest: the batch `pipe_quality_gate`
+    * CASCADE (first-failing rule per document, C4/Gopher rule order)
+    * applied to one arriving micro-batch — the ingest half of the
+    * threshold-tuning loop, because the funnel a pipeline operator reads
+    * is built from these per-document reasons. Deployment shape:
+    * `foreachBatch((b, _) => qualityGate(b)…)`, like [[dedupGate]].
+    * Every signal (token counts, stopword ratio, top-token mass,
+    * duplicate-bigram fraction) is per-DOCUMENT, so batches are
+    * independent and no streaming state accumulates; the one wide stage
+    * (the top-token aggregate) is batch-local. Runs the batch operator's
+    * code verbatim ([[graft.operators.PipelinePack.qualityGate]]), so
+    * stream/batch parity holds by construction (pinned in
+    * StreamingSpec). */
+  def qualityGate(batch: DataFrame): DataFrame =
+    graft.operators.PipelinePack.qualityGate(batch)
 }

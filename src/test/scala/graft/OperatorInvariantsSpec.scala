@@ -687,4 +687,29 @@ class OperatorInvariantsSpec extends SparkSpec {
       bySide.values.forall(_ > 0))
     split.unpersist()
   }
+
+  test("pipe_leak_safe_split: assignments are stable under corpus growth " +
+    "(side is a function of the group key alone)") {
+    import operators.PipelinePack
+    val docs = Tables.documents(spark, sfTiny)
+    // grow the corpus: a prefix slice vs the full fixture (new docs have
+    // strictly higher ids, the ingest pattern)
+    val cut = 350L
+    val sub = PipelinePack.leakSafeSplitOf(docs.filter(col("doc_id") < cut))
+      .select(col("doc_id"), col("grp").as("g1"), col("side").as("s1"))
+    val full = PipelinePack.leakSafeSplitOf(docs)
+      .select(col("doc_id"), col("grp").as("g2"), col("side").as("s2"))
+    val j = sub.join(full, Seq("doc_id")).cache()
+    // a doc whose component rep did not change keeps its side — growth
+    // can never reshuffle the split (what corpus-size-dependent hashing
+    // would break, and why eval sets stay valid across ingest)
+    assert(j.filter(col("g1") === col("g2") && col("s1") =!= col("s2"))
+      .count() == 0)
+    // reps are min-ids: growth can only MERGE components, never raise a
+    // surviving doc's rep
+    assert(j.filter(col("g2") > col("g1")).count() == 0)
+    // non-vacuous: the prefix overlaps the full corpus with unchanged groups
+    assert(j.filter(col("g1") === col("g2")).count() > 0)
+    j.unpersist()
+  }
 }

@@ -67,6 +67,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == batchDistinct && out.count() > 0)
   }
 
+  test("foreachBatch quality gate equals the batch cascade verdicts") {
+    import graft.streaming.DocStream
+    // drive the attributed gate per micro-batch, the deployment shape
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Boolean)]()
+    val q = DocStream.source(spark, sfTiny)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= DocStream.qualityGate(batch)
+          .select("doc_id", "n_tokens", "reason", "keep").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getBoolean(3)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val want = SparkEntry.queries("pipe_quality_gate")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    assert(want.nonEmpty && got.toSet == want.toSet,
+      s"stream gated ${got.size} rows, batch ${want.size}")
+  }
+
   test("foreachBatch contamination gate agrees with the batch sweep") {
     import graft.streaming.DocStream
     import graft.operators.DedupPack
