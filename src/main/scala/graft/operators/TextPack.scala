@@ -49,6 +49,12 @@ object TextPack {
   private[graft] val PiiIpv4 =
     "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
 
+  /** CCNet-style perplexity bucket edges, applied to the ROUNDED mean
+    * surprisal so both engines threshold the identical value (head ≈ best
+    * quartile, tail ≈ worst quartile on the fixture corpus). */
+  private[graft] val PplHeadMax = 3.399
+  private[graft] val PplMiddleMax = 3.405
+
   /** Context-window chunking: tokens per training chunk. */
   private[graft] val ChunkLen = 64
 
@@ -221,6 +227,81 @@ object TextPack {
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred_lang")
+    }),
+
+    // ---- unigram-LM perplexity scoring (CCNet-style quality buckets) -----
+    // The language-model quality filter: score each document by its mean
+    // token surprisal under the corpus's own unigram LM (−ln c(t)/N), and
+    // bucket into head/middle/tail (CCNet's split) on the ROUNDED score so
+    // both engines threshold the identical value. Plan shape: one corpus
+    // aggregate builds the (token, count) LM; per-doc (doc, token, tf)
+    // rows — already a combinable aggregate — join the LM on token and
+    // reduce per doc. The join keys on (doc-distinct) tokens, not token
+    // OCCURRENCES, so hot tokens cost one row per document, not per
+    // occurrence; at deployment scale the LM frame is vocab-sized
+    // (broadcastable for real vocabularies, sharded join otherwise). -------
+    "tx_unigram_ppl" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+        .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+      val lm = tf.groupBy(col("tk")).agg(sum(col("tf")).as("c"))
+      val n = lm.agg(sum(col("c")).as("n"))
+      // per-(doc, token) surprisal mass tf·(ln N − ln c), quantized to the
+      // 1e-9 decimal grid BEFORE summation (the A6/dimStats discipline):
+      // decimal sums are exact and order-independent, so the result is
+      // bit-stable across partitionings and engines
+      val scored = tf.join(lm, Seq("tk")).crossJoin(broadcast(n))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum((col("tf").cast(DoubleType) *
+            (log(col("n").cast(DoubleType)) - log(col("c").cast(DoubleType))))
+            .cast(DecimalType(28, 9))).as("nll"))
+      val mean = round(col("nll").cast(DoubleType) /
+        col("n_tokens").cast(DoubleType), 6)
+      scored
+        .select(col("doc_id"), col("n_tokens"), mean.as("mean_nll"),
+          when(mean < PplHeadMax, "head").when(mean < PplMiddleMax, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- per-source unigram drift vs the corpus (mixture monitor) --------
+    // The distribution-shift monitor a corpus build runs per ingest
+    // source: L1 distance between each source's unigram distribution and
+    // the whole corpus's, in EXACT integer arithmetic —
+    // Σ_t |c_s(t)·N − c(t)·N_s| over the common denominator N_s·N, scaled
+    // to parts-per-million via exact integer division. No floats anywhere,
+    // so the oracle hash can never flake on summation order. Two
+    // combinable aggregates + a join on (doc-distinct) tokens; the
+    // per-source totals ride a 20-row broadcast. ---------------------------
+    "tx_source_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val st = docs
+        .select(col("source"), explode(tokens(col("text"))).as("tk"))
+        .groupBy(col("source"), col("tk")).agg(count(lit(1)).as("cs"))
+      val corpus = st.groupBy(col("tk")).agg(sum(col("cs")).as("c"))
+      val totals = st.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+      val n = corpus.agg(sum(col("c")).as("n"))
+      // |cs·N − c·Ns| summed per source is the L1 numerator over N·Ns;
+      // tokens ABSENT from a source still contribute c·Ns — add them via
+      // the complement term: Σ_{t∉s} c(t)·Ns = (N − Σ_{t∈s} c(t))·Ns
+      val present = st.join(corpus, Seq("tk"))
+        .join(broadcast(totals), Seq("source")).crossJoin(broadcast(n))
+        .groupBy(col("source"), col("ns"), col("n"))
+        .agg(sum(abs(col("cs") * col("n") - col("c") * col("ns")))
+            .as("num_present"),
+          sum(col("c")).as("c_present"))
+      present
+        .withColumn("num",
+          col("num_present") + (col("n") - col("c_present")) * col("ns"))
+        // exact BIGINT division (`div`, mirrored by DuckDB `//`); the
+        // ppm-scaled numerator stays in long range while N·Ns < ~4.6e12
+        // (≈2M-token sources in a 2M-token corpus) — beyond that the same
+        // formula moves to DECIMAL(38,0), like the domain-mix thresholds
+        .select(col("source"), col("ns").as("n_tokens"),
+          expr("(num * 1000000L) div (n * ns)").as("l1_ppm"))
+        .orderBy("source")
     })
   )
 
@@ -321,6 +402,47 @@ object TextPack {
 
     "a8_confusion_matrix" ->
       s"""SELECT lang, $langCaseSql AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n
-         |FROM documents GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+         |FROM documents GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
+    "tx_unigram_ppl" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |tf AS (SELECT doc_id, tk2 AS tk, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS tk2 FROM t) x
+         |  GROUP BY doc_id, tk2),
+         |lm AS (SELECT tk, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY tk),
+         |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM lm),
+         |sc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  SUM(CAST(CAST(tf AS DOUBLE) * (ln(CAST(nn.n AS DOUBLE))
+         |    - ln(CAST(c AS DOUBLE))) AS DECIMAL(28,9))) AS nll
+         |  FROM tf JOIN lm USING (tk) CROSS JOIN nn GROUP BY doc_id),
+         |m AS (SELECT doc_id, n_tokens,
+         |  round(CAST(nll AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |    AS mean_nll FROM sc)
+         |SELECT doc_id, n_tokens, mean_nll,
+         |  CASE WHEN mean_nll < $PplHeadMax THEN 'head'
+         |       WHEN mean_nll < $PplMiddleMax THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "tx_source_drift" ->
+      s"""WITH t AS (SELECT source, $toksSql AS tk FROM documents),
+         |st AS (SELECT source, tk2 AS tk, CAST(COUNT(*) AS BIGINT) AS cs
+         |  FROM (SELECT source, unnest(tk) AS tk2 FROM t) x
+         |  GROUP BY source, tk2),
+         |corpus AS (SELECT tk, CAST(SUM(cs) AS BIGINT) AS c
+         |  FROM st GROUP BY tk),
+         |totals AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns
+         |  FROM st GROUP BY source),
+         |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM corpus),
+         |present AS (SELECT st.source, ns, n,
+         |  CAST(SUM(abs(cs * n - c * ns)) AS BIGINT) AS num_present,
+         |  CAST(SUM(c) AS BIGINT) AS c_present
+         |  FROM st JOIN corpus USING (tk) JOIN totals USING (source)
+         |    CROSS JOIN nn
+         |  GROUP BY st.source, ns, n)
+         |SELECT source, ns AS n_tokens,
+         |  CAST((num_present + (n - c_present) * ns) * 1000000 // (n * ns)
+         |    AS BIGINT) AS l1_ppm
+         |FROM present ORDER BY source""".stripMargin
   )
 }

@@ -712,4 +712,34 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(j.filter(col("g1") === col("g2")).count() > 0)
     j.unpersist()
   }
+
+  test("tx_unigram_ppl: one verdict per doc, surprisal positive, every " +
+    "bucket populated, token counts agree with tx_token_stats") {
+    val ppl = run("tx_unigram_ppl").cache()
+    val docs = Tables.documents(spark, sfTiny).count()
+    assert(ppl.count() == docs)
+    assert(ppl.filter(col("mean_nll") <= 0).count() == 0)
+    val buckets = ppl.groupBy("bucket").count().collect()
+      .map(r => r.getAs[String]("bucket") -> r.getAs[Long]("count")).toMap
+    assert(buckets.keySet == Set("head", "middle", "tail") &&
+      buckets.values.forall(_ > 0))
+    val toks = run("tx_token_stats").select(col("doc_id"),
+      col("n_tokens").as("nt2"))
+    assert(ppl.join(toks, Seq("doc_id"))
+      .filter(col("n_tokens") =!= col("nt2")).count() == 0)
+    ppl.unpersist()
+  }
+
+  test("tx_source_drift: one row per source, L1 within its exact bounds") {
+    val drift = run("tx_source_drift").cache()
+    val sources = Tables.documents(spark, sfTiny)
+      .select("source").distinct().count()
+    assert(drift.count() == sources)
+    // L1 distance between two distributions lies in [0, 2] — ppm-scaled
+    assert(drift.filter(col("l1_ppm") < 0 || col("l1_ppm") > 2000000L)
+      .count() == 0)
+    // non-degenerate: at least one source measurably drifts
+    assert(drift.filter(col("l1_ppm") > 0).count() > 0)
+    drift.unpersist()
+  }
 }
