@@ -148,4 +148,44 @@ object DocStream {
     * StreamingSpec). */
   def qualityGate(batch: DataFrame): DataFrame =
     graft.operators.PipelinePack.qualityGate(batch)
+
+  /** Streaming first-fit sequence packing: the batch `pipe_pack_sequences`
+    * assignment (bin = floor(preceding-cum-tokens / budget), position
+    * within bin) computed AS DOCUMENTS LAND, one running token cursor per
+    * source shard held in `flatMapGroupsWithState`. The batch window
+    * formulation needs the whole shard sorted; the stream needs only the
+    * cursor — (cum, last bin, last pos), three longs per SOURCE, so state
+    * is bounded by shard count, not corpus size, and no timeout/eviction
+    * is needed (shards are a fixed deployment property). Each micro-batch
+    * slice is sorted per source in memory (slices are batch-bounded);
+    * parity with the batch rebuild holds whenever each source's documents
+    * arrive in ascending doc_id across batches — the append-only ingest
+    * pattern — and is spec-pinned across a multi-batch delivery. */
+  def packingGate(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).as("n_tokens"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, rows: Iterator[(Long, String, Long)],
+         state: GroupState[(Long, Long, Long)]) => {
+          var (cum, lastBin, lastPos) =
+            state.getOption.getOrElse((0L, -1L, 0L))
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _, nt) =>
+            // floor(cum-before / budget): cum and budget are non-negative,
+            // so Long division IS the floor — same bin as the batch window
+            val bin = cum / PipelinePack.PackBudget
+            val pos = if (bin == lastBin) lastPos + 1 else 1L
+            cum += nt; lastBin = bin; lastPos = pos
+            (id, source, nt, bin, pos)
+          }
+          state.update((cum, lastBin, lastPos))
+          out.iterator
+        })
+      .toDF("doc_id", "source", "n_tokens", "bin", "bin_pos")
+  }
 }

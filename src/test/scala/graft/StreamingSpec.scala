@@ -67,6 +67,45 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == batchDistinct && out.count() > 0)
   }
 
+  test("streaming packing gate equals batch first-fit packing across " +
+    "micro-batches (per-source cursor state carries between batches)") {
+    import graft.streaming.DocStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // deliver the fixture in TWO micro-batches split on doc_id, the
+    // append-only ingest pattern — the second batch's bins must continue
+    // from the first's per-source cursors, which only state can provide
+    val rows = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val ms = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long, Long)]()
+    val q = DocStream.packingGate(
+        ms.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+        ()
+      }
+      .start()
+    ms.addData(first.toIndexedSeq); q.processAllAvailable()
+    ms.addData(second.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val want = operators.PipelinePack
+      .packSequences(Tables.documents(spark, sfTiny)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(want.nonEmpty && got.toSet == want.toSet,
+      s"stream packed ${got.size} rows, batch ${want.size}")
+    // non-vacuous state carry: the second batch must CONTINUE at least one
+    // source's bin numbering (some bin > 0 only makes sense with carry)
+    assert(got.exists(_._4 > 0))
+  }
+
   test("foreachBatch quality gate equals the batch cascade verdicts") {
     import graft.streaming.DocStream
     // drive the attributed gate per micro-batch, the deployment shape
