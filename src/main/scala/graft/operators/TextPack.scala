@@ -55,6 +55,14 @@ object TextPack {
   private[graft] val PplHeadMax = 3.399
   private[graft] val PplMiddleMax = 3.405
 
+  /** Keywords kept per document by the BM25-idf extractor. */
+  private[graft] val Bm25TopK = 3L
+
+  /** Boilerplate df floor denominator: a shingle is boilerplate within its
+    * source when `BoilerDfDen · df >= n_docs(source)` (≥ 10% of the
+    * source's documents carry it). */
+  private[graft] val BoilerDfDen = 10L
+
   /** Context-window chunking: tokens per training chunk. */
   private[graft] val ChunkLen = 64
 
@@ -266,6 +274,71 @@ object TextPack {
         .orderBy("doc_id")
     }),
 
+    // ---- BM25-idf keyword extraction (top-K tokens per document) ---------
+    // The per-document keyword surface (search indexing / tagging / topic
+    // drift monitors all start here): rank each document's tokens by
+    // tf·idf with the BM25+ idf (ln(1 + (N − df + ½)/(df + ½)), always
+    // positive), keep the top [[Bm25TopK]]. The score is ROUNDED to 1e-6
+    // before ranking and the token string breaks ties, so the order is
+    // identical in both engines (two tokens with equal (tf, df) score
+    // exactly equal and fall to the string tiebreak). Plan: two combinable
+    // aggregates (per-doc tf, corpus df) + a join keyed on doc-DISTINCT
+    // tokens, then one per-doc window — df rides a vocab-sized frame. ------
+    "tx_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+        .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tk"))
+        .agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("nd"))
+      val idf = log(lit(1.0) +
+        (col("nd").cast(DoubleType) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)))
+      val scored = tf.join(df, Seq("tk")).crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("tk").as("token"),
+          round(col("tf").cast(DoubleType) * idf, 6).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      scored
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= Bm25TopK)
+        .select(col("doc_id"), col("rank"), col("token"), col("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // ---- boilerplate detection (C4-style repeated-shingle scrub) ---------
+    // Per-SOURCE frequent 3-gram shingles are boilerplate (headers,
+    // footers, templates repeat within a crawl source, not across the
+    // corpus): a shingle is boilerplate in its source when it appears in
+    // ≥ 1/[[BoilerDfDen]] of that source's documents (exact integer
+    // cross-multiplication), and each document reports what fraction of
+    // its shingles that set covers — the score C4's boilerplate scrub
+    // thresholds on. Plan: doc-distinct shingles → one (source, shingle)
+    // combinable df aggregate; the qualifying set is tiny and BROADCASTS
+    // back; per-source doc totals ride a #sources-row broadcast. -----------
+    "tx_boilerplate" -> ((s, d) => {
+      import graft.functions.HashFunctions.wordShingles
+      val docs = Tables.documents(s, d)
+      val sh = docs.select(col("doc_id"), col("source"),
+        explode(wordShingles(col("text"), 3)).as("g"))
+      val df = sh.groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).as("df"))
+      val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val boiler = df.join(broadcast(nd), Seq("source"))
+        .filter(col("df") * BoilerDfDen >= col("n"))
+        .select(col("source"), col("g"))
+        .withColumn("inb", lit(1))
+      sh.join(broadcast(boiler), Seq("source", "g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(col("inb")).as("n_boiler"))
+        .withColumn("boiler_frac",
+          round(col("n_boiler").cast(DoubleType) / col("n_shingles"), 8))
+        .orderBy("doc_id")
+    }),
+
     // ---- per-source unigram drift vs the corpus (mixture monitor) --------
     // The distribution-shift monitor a corpus build runs per ingest
     // source: L1 distance between each source's unigram distribution and
@@ -423,6 +496,48 @@ object TextPack {
          |       WHEN mean_nll < $PplMiddleMax THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "tx_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |tf AS (SELECT doc_id, tk2 AS tk, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS tk2 FROM t) x
+         |  GROUP BY doc_id, tk2),
+         |df AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+         |  GROUP BY tk),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+         |sc AS (SELECT doc_id, tf.tk AS token,
+         |  round(CAST(tf AS DOUBLE) * ln(1.0 +
+         |    (CAST(nd.nd AS DOUBLE) - df + 0.5) / (df + 0.5)), 6) AS score
+         |  FROM tf JOIN df USING (tk) CROSS JOIN nd),
+         |rk AS (SELECT doc_id, token, score,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, token) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT doc_id, rank, token, score FROM rk
+         |WHERE rank <= $Bm25TopK ORDER BY doc_id, rank""".stripMargin,
+
+    "tx_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  regexp_split_to_array(text, '\\s+') AS t, text FROM documents),
+         |sh AS (SELECT doc_id, source, unnest(
+         |    CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+         |      generate_series(1, len(t) - 2),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |    ELSE [text] END) AS g
+         |  FROM t),
+         |df AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM sh GROUP BY source, g),
+         |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY source),
+         |boiler AS (SELECT d.source, d.g, 1 AS inb
+         |  FROM df d JOIN nd USING (source)
+         |  WHERE df * $BoilerDfDen >= n)
+         |SELECT s.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(COUNT(b.inb) AS BIGINT) AS n_boiler,
+         |  round(CAST(COUNT(b.inb) AS DOUBLE) / COUNT(*), 8) AS boiler_frac
+         |FROM sh s LEFT JOIN boiler b ON b.source = s.source AND b.g = s.g
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "tx_source_drift" ->
       s"""WITH t AS (SELECT source, $toksSql AS tk FROM documents),

@@ -730,6 +730,39 @@ class OperatorInvariantsSpec extends SparkSpec {
     ppl.unpersist()
   }
 
+  test("tx_bm25_topk: dense positive-score top-K per document, " +
+    "non-increasing within a document") {
+    import operators.TextPack
+    val kw = run("tx_bm25_topk").cache()
+    val perDoc = kw.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), min("rank").as("mn"), max("rank").as("mx"),
+        countDistinct(col("rank")).as("u"))
+    // every fixture doc has >= K distinct tokens, so exactly K dense ranks
+    assert(perDoc.filter(col("n") =!= TextPack.Bm25TopK ||
+      col("mn") =!= 1 || col("mx") =!= TextPack.Bm25TopK ||
+      col("u") =!= col("n")).count() == 0)
+    assert(kw.filter(col("score") <= 0).count() == 0)
+    // rank order implies score order (ties broken by token, never by rank
+    // inversion)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("rank")
+    assert(kw.withColumn("prev", lag(col("score"), 1).over(w))
+      .filter(col("prev").isNotNull && col("score") > col("prev"))
+      .count() == 0)
+    kw.unpersist()
+  }
+
+  test("tx_boilerplate: one row per doc, fraction within [0,1], " +
+    "boilerplate non-vacuous at the fixture") {
+    val b = run("tx_boilerplate").cache()
+    assert(b.count() == Tables.documents(spark, sfTiny).count())
+    assert(b.filter(col("n_boiler") > col("n_shingles") ||
+      col("boiler_frac") < 0 || col("boiler_frac") > 1).count() == 0)
+    assert(b.filter(col("n_boiler") > 0).count() > 0,
+      "no boilerplate shingles at sfTiny — threshold is vacuous")
+    b.unpersist()
+  }
+
   test("tx_source_drift: one row per source, L1 within its exact bounds") {
     val drift = run("tx_source_drift").cache()
     val sources = Tables.documents(spark, sfTiny)
