@@ -223,4 +223,37 @@ class PlanSpec extends SparkSpec {
     val got = exact.collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == want && got.nonEmpty)
   }
+
+  test("tx_boilerplate: the qualifying set broadcasts back over the " +
+    "shingle stream — no sort-merge join anywhere") {
+    // the boilerplate set is df-thresholded (tiny by construction); a
+    // sort-merge join would re-shuffle the full doc-distinct shingle
+    // stream a second time just to tag it
+    val plan = planText(run("tx_boilerplate"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tx_boilerplate: expected broadcast tag join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"tx_boilerplate: shingle-stream sort-merge join in:\n$plan")
+  }
+
+  test("tx_source_drift: per-source totals and the grand total ride " +
+    "broadcasts — the token-level join is the only wide work") {
+    val plan = planText(run("tx_source_drift"))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"tx_source_drift: expected broadcast totals in:\n$plan")
+    // the corpus-level count must never become a cartesian shuffle
+    assert(!plan.contains("CartesianProduct"),
+      s"tx_source_drift: cartesian product in:\n$plan")
+  }
+
+  test("pipe_quality_gate: signal pass joins the top-token aggregate on " +
+    "the bucketed id — no cartesian, single aggregate chain") {
+    val plan = planText(run("pipe_quality_gate"))
+    assert(!plan.contains("CartesianProduct"),
+      s"pipe_quality_gate: cartesian product in:\n$plan")
+    // the only explodes are the token stream feeding the tf aggregate
+    assert(plan.contains("Generate"),
+      s"pipe_quality_gate: expected the token explode in:\n$plan")
+  }
 }
