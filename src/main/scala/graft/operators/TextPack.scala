@@ -55,6 +55,67 @@ object TextPack {
   private[graft] val PplHeadMax = 3.399
   private[graft] val PplMiddleMax = 3.405
 
+  /** Per-(doc, token) term frequencies — the shared first stage of the
+    * LM scoring paths. */
+  private def docTf(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+
+  /** Shared unigram-LM scoring core: per-(doc, token) surprisal mass
+    * tf·(ln N − ln c), quantized to the 1e-9 decimal grid BEFORE summation
+    * (the A6/dimStats discipline) — decimal sums are exact and
+    * order-independent, so the result is bit-stable across partitionings,
+    * engines, and the inline/indexed/streaming callers. Tokens absent
+    * from the LM drop out of the join — correct for same-corpus scoring;
+    * a deployment scoring FUTURE drops against a frozen LM adds add-one
+    * smoothing to the count member (the formula, not the plan, changes). */
+  private[graft] def pplScore(tf: org.apache.spark.sql.DataFrame,
+      lm: org.apache.spark.sql.DataFrame,
+      total: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val scored = tf.join(lm, Seq("tk")).crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum((col("tf").cast(DoubleType) *
+          (log(col("n").cast(DoubleType)) - log(col("c").cast(DoubleType))))
+          .cast(DecimalType(28, 9))).as("nll"))
+    val mean = round(col("nll").cast(DoubleType) /
+      col("n_tokens").cast(DoubleType), 6)
+    scored.select(col("doc_id"), col("n_tokens"), mean.as("mean_nll"),
+      when(mean < PplHeadMax, "head").when(mean < PplMiddleMax, "middle")
+        .otherwise("tail").as("bucket"))
+  }
+
+  /** Build constants of [[ensureLmIndex]] — the tokenizer recipe is the
+    * only thing the member layout depends on. */
+  private[graft] val LmIndexParams = "tokenizer=ws_v1"
+
+  /** Persisted corpus unigram LM: the (token, count) member plus the
+    * one-row total — the text-side build-once/serve-many artifact (the
+    * ANN IndexStore posture applied to LM quality scoring): built once at
+    * ingest, every scoring job and the streaming ppl gate read only the
+    * members, never re-counting the corpus. */
+  private[graft] def ensureLmIndex(s: SparkSession, d: String): String =
+    graft.sim.IndexStore.ensure(s, d, "unigram_lm",
+      Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id",
+      LmIndexParams) { p =>
+      val lm = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tk"))
+        .groupBy(col("tk")).agg(count(lit(1)).as("c"))
+      lm.write.mode("overwrite").parquet(s"$p/lm")
+      lm.agg(sum(col("c")).as("n")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$p/total")
+    }
+
+  /** Score an arbitrary (doc_id, text) frame against `dir`'s persisted LM
+    * artifact — the serving core shared by the `tx_unigram_ppl_indexed`
+    * batch twin and the streaming ppl gate (DocStream.pplGate). */
+  private[graft] def pplServe(s: SparkSession, d: String,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = ensureLmIndex(s, d)
+    pplScore(docTf(docs), s.read.parquet(s"$p/lm"),
+      s.read.parquet(s"$p/total"))
+  }
+
   /** Keywords kept per document by the BM25-idf extractor. */
   private[graft] val Bm25TopK = 3L
 
@@ -250,29 +311,22 @@ object TextPack {
     // (broadcastable for real vocabularies, sharded join otherwise). -------
     "tx_unigram_ppl" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tf = docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
-        .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+      val tf = docTf(docs)
       val lm = tf.groupBy(col("tk")).agg(sum(col("tf")).as("c"))
       val n = lm.agg(sum(col("c")).as("n"))
-      // per-(doc, token) surprisal mass tf·(ln N − ln c), quantized to the
-      // 1e-9 decimal grid BEFORE summation (the A6/dimStats discipline):
-      // decimal sums are exact and order-independent, so the result is
-      // bit-stable across partitionings and engines
-      val scored = tf.join(lm, Seq("tk")).crossJoin(broadcast(n))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("tf")).as("n_tokens"),
-          sum((col("tf").cast(DoubleType) *
-            (log(col("n").cast(DoubleType)) - log(col("c").cast(DoubleType))))
-            .cast(DecimalType(28, 9))).as("nll"))
-      val mean = round(col("nll").cast(DoubleType) /
-        col("n_tokens").cast(DoubleType), 6)
-      scored
-        .select(col("doc_id"), col("n_tokens"), mean.as("mean_nll"),
-          when(mean < PplHeadMax, "head").when(mean < PplMiddleMax, "middle")
-            .otherwise("tail").as("bucket"))
-        .orderBy("doc_id")
+      pplScore(tf, lm, n).orderBy("doc_id")
     }),
+
+    // ---- the same scoring served from the PERSISTED LM artifact ----------
+    // The text-side twin of the ANN `_indexed` family: the corpus LM
+    // (token counts + total) is a build-once IndexStore artifact, and
+    // scoring touches ONLY the scored documents plus the artifact — the
+    // corpus is never re-counted per scoring job (plan-asserted). Rows are
+    // identical to the inline entry by construction (shared scoring core
+    // over the same exact counts), which is what the row-identity oracle
+    // checks. -------------------------------------------------------------
+    "tx_unigram_ppl_indexed" -> ((s, d) =>
+      pplServe(s, d, Tables.documents(s, d)).orderBy("doc_id")),
 
     // ---- BM25-idf keyword extraction (top-K tokens per document) ---------
     // The per-document keyword surface (search indexing / tagging / topic
@@ -496,6 +550,13 @@ object TextPack {
          |       WHEN mean_nll < $PplMiddleMax THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    // row-identity against the inline entry's already-oracle-checked
+    // verify output (the ANN `_indexed` twins' pattern — the artifact
+    // serves IDENTICAL rows by construction; the plan-level "reads the
+    // artifact, never re-counts the corpus" half is PlanSpec's)
+    "tx_unigram_ppl_indexed" ->
+      "SELECT * FROM '__GRAFT_OUT__/tx_unigram_ppl/*.parquet'",
 
     "tx_bm25_topk" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

@@ -149,6 +149,18 @@ object DocStream {
   def qualityGate(batch: DataFrame): DataFrame =
     graft.operators.PipelinePack.qualityGate(batch)
 
+  /** LM-quality gate at ingest: score one arriving micro-batch's mean
+    * token surprisal against the PERSISTED corpus unigram LM
+    * ([[graft.operators.TextPack.ensureLmIndex]]) — the CCNet perplexity
+    * filter in its deployment form. Deployment shape: `foreachBatch((b, _)
+    * => pplGate(spark, dir)(b)…)` like [[dedupGate]]; each batch pays its
+    * own token counts plus an LM-member join, the corpus is never
+    * re-counted (same build-once/serve-many posture as the ANN serving
+    * gates). Runs the batch scoring core verbatim, so stream/batch parity
+    * holds by construction (pinned in StreamingSpec). */
+  def pplGate(spark: SparkSession, dir: String)(batch: DataFrame): DataFrame =
+    graft.operators.TextPack.pplServe(spark, dir, batch)
+
   /** Streaming first-fit sequence packing: the batch `pipe_pack_sequences`
     * assignment (bin = floor(preceding-cum-tokens / budget), position
     * within bin) computed AS DOCUMENTS LAND, one running token cursor per

@@ -224,6 +224,27 @@ class PlanSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("tx_unigram_ppl_indexed serves from the LM artifact and equals " +
+    "the inline scoring") {
+    val indexed = run("tx_unigram_ppl_indexed")
+    val served = indexed.collect()
+    val idxPlan = indexed.queryExecution.executedPlan.toString
+    assert(idxPlan.contains("unigram_lm"),
+      s"tx_unigram_ppl_indexed: no LM artifact scan in:\n$idxPlan")
+    // the artifact replaces the corpus-wide LM build: the serving plan
+    // scans the documents table strictly fewer times than the inline
+    // recompute (only the scored docs' own token counts remain)
+    val inlineDf = run("tx_unigram_ppl")
+    val inline = inlineDf.collect()
+    val inPlan = inlineDf.queryExecution.executedPlan.toString
+    def docScans(p: String) = "graft_documents".r.findAllIn(p).size
+    assert(docScans(idxPlan) < docScans(inPlan),
+      s"indexed plan scans documents ${docScans(idxPlan)}x vs inline " +
+        s"${docScans(inPlan)}x:\n$idxPlan")
+    assert(served.map(_.toString).toSeq == inline.map(_.toString).toSeq &&
+      served.nonEmpty)
+  }
+
   test("tx_boilerplate: the qualifying set broadcasts back over the " +
     "shingle stream — no sort-merge join anywhere") {
     // the boilerplate set is df-thresholded (tiny by construction); a

@@ -129,6 +129,29 @@ class StreamingSpec extends SparkSpec {
       s"stream gated ${got.size} rows, batch ${want.size}")
   }
 
+  test("foreachBatch LM-perplexity gate equals the artifact-served batch " +
+    "scoring") {
+    import graft.streaming.DocStream
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, String)]()
+    val q = DocStream.source(spark, sfTiny)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= DocStream.pplGate(spark, sfTiny)(batch)
+          .select("doc_id", "n_tokens", "mean_nll", "bucket").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getString(3)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val want = SparkEntry.queries("tx_unigram_ppl_indexed")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(want.nonEmpty && got.toSet == want.toSet,
+      s"stream scored ${got.size} rows, batch ${want.size}")
+  }
+
   test("foreachBatch contamination gate agrees with the batch sweep") {
     import graft.streaming.DocStream
     import graft.operators.DedupPack
