@@ -114,6 +114,32 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.isFresh(spark, p, fp, kmeansPh))
   }
 
+  test("concurrent ensure on the same artifact builds exactly once") {
+    // the per-path lock contract behind Bench's prepare fan-out: racing
+    // threads on ONE artifact serialize, the losers see the winner's
+    // fresh manifest and skip the build (a nanoTime params salt forces
+    // exactly one rebuild per test run under the stable root)
+    val emb = Tables.embeddings(spark, sfTiny)
+    val params = s"probe=${System.nanoTime()}"
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map(_ => pool.submit(new Runnable {
+        def run(): Unit = {
+          IndexStore.ensure(spark, sfTiny, "concurrency_probe", emb,
+            "vec_id", params) { p =>
+            builds.incrementAndGet()
+            emb.limit(1).write.mode("overwrite").parquet(s"$p/member")
+          }
+          ()
+        }
+      }))
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    assert(builds.get() == 1,
+      s"expected exactly one build under concurrent ensure, got ${builds.get()}")
+  }
+
   test("an older manifest layout reads as stale, not as an error") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfTiny)
