@@ -35,6 +35,11 @@ object DedupPack {
   // same documents by construction — a literal 3 there would silently
   // de-synchronize on a future change here.
   private[graft] val ShingleN = 3
+
+  /** Token-window width of the ExactSubstr duplicated-span signal
+    * (`dd_exact_substr`) — Lee et al. use 50 BPE tokens; 8 whitespace
+    * tokens is the equivalent discrimination on the fixture vocabulary. */
+  private[graft] val SpanK = 8
   private[graft] val JaccardThreshold = 0.8
 
   /** Document-frequency cap: shingles appearing in more documents than this
@@ -117,6 +122,45 @@ object DedupPack {
     // linear scan. Shingle identity is xxhash64 like the Jaccard plan
     // (8-byte keys; the oracle joins the raw strings — equal unless two
     // shingles collide in 64 bits).
+    // ---- duplicated-span fraction (ExactSubstr-style signal) -------------
+    // Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    // Better") deduplicates exact TOKEN SPANS, not whole documents; this
+    // operator computes its per-document signal: the fraction of a
+    // document's [[SpanK]]-token windows that also occur verbatim in some
+    // OTHER document (internal repeats don't count — the doc-distinct df
+    // decides). The reference method builds a suffix array; the
+    // distributed re-expression is a shingle-position stream aggregated on
+    // a span key — one shuffle keyed on xxhash64(span) (8-byte keys, the
+    // jaccard-plan trick; collisions ~n²/2⁶⁵, the oracle joins the raw
+    // strings), a doc-distinct df over the same stream, and a join back.
+    // The cross-doc span set can be corpus-sized, so the tag join stays a
+    // shuffle join by design — never a broadcast assumption. ---------------
+    "dd_exact_substr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val spans = docs.select(col("doc_id"),
+        explode(bindArray(split(col("text"), "\\s+"), t =>
+          when(size(t) >= SpanK,
+            transform(sequence(lit(1), size(t) - (SpanK - 1)),
+              i => xxhash64(concat_ws(" ",
+                (0 until SpanK).map(k => element_at(t, i + k)): _*))))
+            .otherwise(array().cast("array<bigint>")))).as("gh"))
+      val ddf = spans.distinct()
+        .groupBy(col("gh")).agg(count(lit(1)).as("ddf"))
+      val dup = ddf.filter(col("ddf") >= 2)
+        .select(col("gh")).withColumn("ind", lit(1))
+      val agg = spans.join(dup, Seq("gh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), count(col("ind")).as("n_dup_spans"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+        .withColumn("dup_frac", when(col("n_spans") === 0, lit(0.0))
+          .otherwise(
+            round(col("n_dup_spans").cast(DoubleType) / col("n_spans"), 8)))
+        .orderBy("doc_id")
+    }),
+
     "dd_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
@@ -548,6 +592,30 @@ object DedupPack {
       s"""WITH ${minhashPairCtes("documents")}
          |SELECT doc_a, doc_b FROM mhpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd_exact_substr" -> {
+      val spanSql = (0 until SpanK).map(k => s"t[i+$k]")
+        .mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+         |  FROM documents),
+         |pos AS (SELECT doc_id, $spanSql AS g
+         |  FROM t, unnest(generate_series(1, greatest(len(t) - ${SpanK - 1},
+         |    0))) AS u(i)
+         |  WHERE len(t) >= $SpanK),
+         |ddf AS (SELECT g, COUNT(DISTINCT doc_id) AS ddf FROM pos GROUP BY g),
+         |dup AS (SELECT g, 1 AS ind FROM ddf WHERE ddf >= 2),
+         |agg AS (SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |  CAST(COUNT(dup.ind) AS BIGINT) AS n_dup_spans
+         |  FROM pos p LEFT JOIN dup ON dup.g = p.g GROUP BY p.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_spans, 0) AS n_spans,
+         |  COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+         |  CASE WHEN COALESCE(a.n_spans, 0) = 0 THEN 0.0
+         |    ELSE round(CAST(a.n_dup_spans AS DOUBLE) / a.n_spans, 8)
+         |  END AS dup_frac
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "dd_contamination" ->
       s"""WITH tokc AS (SELECT doc_id, source, text,

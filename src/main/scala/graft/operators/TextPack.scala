@@ -116,6 +116,38 @@ object TextPack {
       s.read.parquet(s"$p/total"))
   }
 
+  /** L1 unigram drift of an arbitrary (text) frame against `dir`'s
+    * persisted LM artifact — the `tx_source_drift` arithmetic (exact
+    * BIGINT cross-multiplication, ppm by integer division) generalized
+    * with the unseen-token term `(ns − cs_present)·N` so tokens the
+    * frozen LM has never seen still contribute their full mass (zero
+    * when the frame is a corpus subset, which is what the parity spec
+    * pins). One row (n_tokens, l1_ppm); empty frames yield no row (the
+    * L1 of an empty distribution is undefined, not zero). Serving core
+    * of the streaming drift gate (DocStream.driftGate). */
+  private[graft] def driftServe(s: SparkSession, d: String,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = ensureLmIndex(s, d)
+    val lm = s.read.parquet(s"$p/lm")
+    val total = s.read.parquet(s"$p/total")
+    val bt = docs.select(explode(tokens(col("text"))).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("cs"))
+    val ns = bt.agg(sum(col("cs")).as("ns"))
+    bt.join(lm, Seq("tk"))
+      .crossJoin(broadcast(ns)).crossJoin(broadcast(total))
+      .groupBy(col("ns"), col("n"))
+      .agg(sum(abs(col("cs") * col("n") - col("c") * col("ns")))
+          .as("num_present"),
+        sum(col("c")).as("c_present"),
+        sum(col("cs")).as("cs_present"))
+      .withColumn("num",
+        col("num_present") + (col("n") - col("c_present")) * col("ns") +
+          (col("ns") - col("cs_present")) * col("n"))
+      .filter(col("ns") > 0)
+      .select(col("ns").as("n_tokens"),
+        expr("(num * 1000000L) div (n * ns)").as("l1_ppm"))
+  }
+
   /** Keywords kept per document by the BM25-idf extractor. */
   private[graft] val Bm25TopK = 3L
 

@@ -161,6 +161,21 @@ object DocStream {
   def pplGate(spark: SparkSession, dir: String)(batch: DataFrame): DataFrame =
     graft.operators.TextPack.pplServe(spark, dir, batch)
 
+  /** Distribution-drift gate at ingest: one (n_tokens, l1_ppm) row per
+    * arriving micro-batch — the L1 distance between the batch's unigram
+    * distribution and the PERSISTED corpus LM (exact BIGINT arithmetic
+    * end to end, the `tx_source_drift` formula with the unseen-token term
+    * added for post-freeze vocabulary). The alerting monitor of a
+    * continuous corpus build: a source gone rogue (spam flood, encoding
+    * break, language shift) moves this number long before any per-doc
+    * gate fires. Deployment shape: `foreachBatch((b, _) =>
+    * driftGate(spark, dir)(b)…)`; each batch pays its own token counts
+    * plus the vocab-sized LM join — the corpus is never re-counted.
+    * Parity pin: a batch holding exactly one source's documents equals
+    * that source's `tx_source_drift` row (StreamingSpec). */
+  def driftGate(spark: SparkSession, dir: String)(batch: DataFrame): DataFrame =
+    graft.operators.TextPack.driftServe(spark, dir, batch)
+
   /** Streaming first-fit sequence packing: the batch `pipe_pack_sequences`
     * assignment (bin = floor(preceding-cum-tokens / budget), position
     * within bin) computed AS DOCUMENTS LAND, one running token cursor per

@@ -763,6 +763,19 @@ class OperatorInvariantsSpec extends SparkSpec {
     b.unpersist()
   }
 
+  test("dd_exact_substr: every span of an exact-duplicate doc is shared; " +
+    "fractions bounded; coverage complete") {
+    val spans = run("dd_exact_substr").cache()
+    assert(spans.count() == Tables.documents(spark, sfTiny).count())
+    assert(spans.filter(col("n_dup_spans") > col("n_spans") ||
+      col("dup_frac") < 0 || col("dup_frac") > 1).count() == 0)
+    // sharing is mutual: a cross-doc span lives in >= 2 documents, so
+    // flagged documents can never be a singleton set
+    val flagged = spans.filter(col("n_dup_spans") > 0).count()
+    assert(flagged >= 2, s"$flagged flagged docs — sharing must be mutual")
+    spans.unpersist()
+  }
+
   test("tx_source_drift: one row per source, L1 within its exact bounds") {
     val drift = run("tx_source_drift").cache()
     val sources = Tables.documents(spark, sfTiny)

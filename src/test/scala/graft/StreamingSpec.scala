@@ -152,6 +152,33 @@ class StreamingSpec extends SparkSpec {
       s"stream scored ${got.size} rows, batch ${want.size}")
   }
 
+  test("foreachBatch drift gate: a single-source batch equals that " +
+    "source's tx_source_drift row; empty batches yield no row") {
+    import graft.streaming.DocStream
+    val src = "src5"
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = DocStream.source(spark, sfTiny)
+      .filter(col("source") === src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= DocStream.driftGate(spark, sfTiny)(batch)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val want = SparkEntry.queries("tx_source_drift")(spark, sfTiny)
+      .filter(col("source") === src)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(want.length == 1 && got.toList == want.toList,
+      s"stream drift ${got.toList}, batch ${want.toList}")
+    // the empty-batch boundary: no row, not a zero or a division error
+    import graft.operators.TextPack
+    val empty = Tables.documents(spark, sfTiny).filter(lit(false))
+    assert(TextPack.driftServe(spark, sfTiny, empty).count() == 0)
+  }
+
   test("foreachBatch contamination gate agrees with the batch sweep") {
     import graft.streaming.DocStream
     import graft.operators.DedupPack
