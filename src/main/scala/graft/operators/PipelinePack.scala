@@ -393,7 +393,7 @@ object PipelinePack {
     * [[qualityGate]] stage for stage (same tokenizer, same all-BIGINT
     * threshold comparisons), ending in `gated(doc_id, n_tokens, reason,
     * keep)`. */
-  private def gateCtes: String = {
+  private[operators] def gateCtes: String = {
     import TextPack.toksSql
     val stopList = EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,

@@ -85,6 +85,17 @@ object TextPack {
         .otherwise("tail").as("bucket"))
   }
 
+  /** Inline LM scoring over `docs` — the LM is built from the same frame
+    * it scores (the `tx_unigram_ppl` contract; the indexed twin and the
+    * streaming gate read the persisted artifact instead). */
+  private[graft] def lmScoreInline(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tf = docTf(docs)
+    val lm = tf.groupBy(col("tk")).agg(sum(col("tf")).as("c"))
+    val n = lm.agg(sum(col("c")).as("n"))
+    pplScore(tf, lm, n)
+  }
+
   /** Build constants of [[ensureLmIndex]] — the tokenizer recipe is the
     * only thing the member layout depends on. */
   private[graft] val LmIndexParams = "tokenizer=ws_v1"
@@ -341,13 +352,8 @@ object TextPack {
     // OCCURRENCES, so hot tokens cost one row per document, not per
     // occurrence; at deployment scale the LM frame is vocab-sized
     // (broadcastable for real vocabularies, sharded join otherwise). -------
-    "tx_unigram_ppl" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val tf = docTf(docs)
-      val lm = tf.groupBy(col("tk")).agg(sum(col("tf")).as("c"))
-      val n = lm.agg(sum(col("c")).as("n"))
-      pplScore(tf, lm, n).orderBy("doc_id")
-    }),
+    "tx_unigram_ppl" -> ((s, d) =>
+      lmScoreInline(Tables.documents(s, d)).orderBy("doc_id")),
 
     // ---- the same scoring served from the PERSISTED LM artifact ----------
     // The text-side twin of the ANN `_indexed` family: the corpus LM
@@ -423,6 +429,34 @@ object TextPack {
         .withColumn("boiler_frac",
           round(col("n_boiler").cast(DoubleType) / col("n_shingles"), 8))
         .orderBy("doc_id")
+    }),
+
+    // ---- per-source curation dashboard (the dataset-card view) -----------
+    // The cross-operator report a corpus build publishes per ingest
+    // source: document count, quality-gate keep rate (exact integer
+    // per-mille), and mean LM surprisal (decimal-exact average of the
+    // already-1e-6-grid per-doc scores — rounded inputs make the decimal
+    // sum exact, so the average is engine-identical). One gate pass + one
+    // LM scoring pass, joined per doc on the bucketed id, one #sources
+    // aggregate. ----------------------------------------------------------
+    "tx_source_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val gate = PipelinePack.qualityGate(docs)
+        .select(col("doc_id"), col("reason"))
+      val ppl = lmScoreInline(docs).select(col("doc_id"), col("mean_nll"))
+      docs.select(col("doc_id"), col("source"))
+        .join(gate, Seq("doc_id"))
+        .join(ppl, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("reason") === "kept", 1)).as("n_kept"),
+          count(col("mean_nll")).as("n_scored"),
+          sum(col("mean_nll").cast(DecimalType(18, 6))).as("nllsum"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          expr("(n_kept * 1000L) div n_docs").as("kept_permille"),
+          round(col("nllsum").cast(DoubleType) /
+            col("n_scored").cast(DoubleType), 6).as("mean_nll_avg"))
+        .orderBy("source")
     }),
 
     // ---- per-source unigram drift vs the corpus (mixture monitor) --------
@@ -631,6 +665,33 @@ object TextPack {
          |  round(CAST(COUNT(b.inb) AS DOUBLE) / COUNT(*), 8) AS boiler_frac
          |FROM sh s LEFT JOIN boiler b ON b.source = s.source AND b.g = s.g
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "tx_source_quality" ->
+      s"""${PipelinePack.gateCtes},
+         |ptf AS (SELECT doc_id, tk2 AS tk, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS tk2 FROM t) x
+         |  GROUP BY doc_id, tk2),
+         |plm AS (SELECT tk, CAST(SUM(tf) AS BIGINT) AS c FROM ptf
+         |  GROUP BY tk),
+         |pnn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM plm),
+         |psc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS nt,
+         |  SUM(CAST(CAST(tf AS DOUBLE) * (ln(CAST(pnn.n AS DOUBLE))
+         |    - ln(CAST(c AS DOUBLE))) AS DECIMAL(28,9))) AS nll
+         |  FROM ptf JOIN plm USING (tk) CROSS JOIN pnn GROUP BY doc_id),
+         |pm AS (SELECT doc_id,
+         |  round(CAST(nll AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS mean_nll
+         |  FROM psc),
+         |jq AS (SELECT d.source, g.reason, pm.mean_nll
+         |  FROM documents d JOIN gated g ON g.doc_id = d.doc_id
+         |  LEFT JOIN pm ON pm.doc_id = d.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) FILTER (WHERE reason = 'kept') AS BIGINT)
+         |    AS n_kept,
+         |  CAST(COUNT(*) FILTER (WHERE reason = 'kept') * 1000 // COUNT(*)
+         |    AS BIGINT) AS kept_permille,
+         |  round(CAST(SUM(CAST(mean_nll AS DECIMAL(18,6))) AS DOUBLE)
+         |    / COUNT(mean_nll), 6) AS mean_nll_avg
+         |FROM jq GROUP BY source ORDER BY source""".stripMargin,
 
     "tx_source_drift" ->
       s"""WITH t AS (SELECT source, $toksSql AS tk FROM documents),

@@ -776,6 +776,23 @@ class OperatorInvariantsSpec extends SparkSpec {
     spans.unpersist()
   }
 
+  test("tx_source_quality: per-source totals reconcile with the gate " +
+    "funnel and the corpus") {
+    val sq = run("tx_source_quality").cache()
+    val docs = Tables.documents(spark, sfTiny)
+    assert(sq.count() == docs.select("source").distinct().count())
+    val agg = sq.agg(sum("n_docs"), sum("n_kept")).head()
+    assert(agg.getLong(0) == docs.count())
+    // total kept across sources = the funnel's kept row
+    val kept = run("pipe_quality_funnel")
+      .filter(col("reason") === "kept").head().getAs[Long]("n_docs")
+    assert(agg.getLong(1) == kept)
+    assert(sq.filter(col("kept_permille") < 0 ||
+      col("kept_permille") > 1000 || col("mean_nll_avg") <= 0)
+      .count() == 0)
+    sq.unpersist()
+  }
+
   test("tx_source_drift: one row per source, L1 within its exact bounds") {
     val drift = run("tx_source_drift").cache()
     val sources = Tables.documents(spark, sfTiny)
