@@ -92,6 +92,23 @@ class PropertySpec extends SparkSpec {
     assert(pairs(off) == small)
   }
 
+  test("jaccardPairs drops a posting above MaxShingleDf — the pair-" +
+    "explosion guard the 8x scale-smoke measured") {
+    // one shingle shared by cap+1 documents (quadratic pair mass if
+    // generated: (cap+1)·cap/2 pairs) and one shared by exactly two:
+    // the hot posting must be dropped wholesale, the cold one must pair
+    import graft.operators.DedupPack
+    val hotN = DedupPack.MaxShingleDf + 1
+    val rows = (1 to hotN).map(i => (i.toLong, Seq("hot shingle only"))) ++
+      Seq((2000001L, Seq("cold pair shingle")),
+        (2000002L, Seq("cold pair shingle")))
+    val sh = rows.toDF("doc_id", "sh")
+    val got = DedupPack.jaccardPairs(sh)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((2000001L, 2000002L)),
+      s"expected only the cold pair, got ${got.size} pairs")
+  }
+
   test("wordShingles: n-gram count, distinctness, and short-text fallback") {
     val texts = samples(Gen.chooseNum(0, 8).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("a", "b", "cc", "ddd"))
