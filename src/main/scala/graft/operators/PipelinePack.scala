@@ -92,18 +92,37 @@ object PipelinePack {
     * move to DECIMAL(38,0) (both engines have it) — the formula, not the
     * plan, changes. Returns per-doc rows with `u` and `thresh` attached. */
   private def domainMix(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val docs = Tables.documents(s, d)
       .filter(col("lang").isin(MixWeights.map(_._1): _*))
+    mixApply(docs, mixThresholds(s, d))
+  }
+
+  /** The 5-row (lang, n, wt, thresh) mixture-threshold frame derived from
+    * `dir`'s corpus counts — in deployment this is computed once per
+    * corpus VERSION and frozen (thresholds are a function of the corpus a
+    * mixture was sized against, not of the batch being filtered), which
+    * is what lets the streaming mix gate apply it per micro-batch without
+    * rescanning the corpus. */
+  private[graft] def mixThresholds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val weights = MixWeights.toDF("lang", "wt")
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val counts = Tables.documents(s, d)
+      .filter(col("lang").isin(MixWeights.map(_._1): _*))
+      .groupBy("lang").agg(count(lit(1)).as("n"))
       .join(weights, "lang")
     val nout = counts.agg(
       min(idiv(col("n") * MixDen, col("wt"))).as("nout"))
-    val thresholds = counts.crossJoin(nout).select(
+    counts.crossJoin(nout).select(
       col("lang"), col("n"), col("wt"),
       idiv(col("wt") * col("nout") * MixScale, col("n") * MixDen)
         .as("thresh"))
+  }
+
+  /** Membership half of the mix: tag each doc with its hash draw `u` and
+    * its language's threshold — a pure per-row filter against a 5-row
+    * broadcast, shared by the batch resample and the streaming gate. */
+  private[graft] def mixApply(docs: DataFrame,
+      thresholds: DataFrame): DataFrame = {
     val u = conv(
       substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8),
       16, 10).cast("long")

@@ -176,6 +176,20 @@ object DocStream {
   def driftGate(spark: SparkSession, dir: String)(batch: DataFrame): DataFrame =
     graft.operators.TextPack.driftServe(spark, dir, batch)
 
+  /** Domain-mix gate at ingest: apply a FROZEN mixture-threshold frame
+    * ([[graft.operators.PipelinePack.mixThresholds]], computed once per
+    * corpus version — thresholds are a property of the corpus the mixture
+    * was sized against, never of the arriving batch) to one micro-batch:
+    * a pure per-row md5-threshold filter against the 5-row broadcast,
+    * the only mixture-sampling shape that needs no per-batch corpus
+    * work. Runs the batch membership code verbatim
+    * ([[graft.operators.PipelinePack.mixApply]]), so gating the corpus
+    * stream reproduces `pipe_domain_mix` exactly (StreamingSpec). */
+  def mixGate(thresholds: DataFrame)(batch: DataFrame): DataFrame =
+    graft.operators.PipelinePack.mixApply(batch, thresholds)
+      .filter(col("u") < col("thresh"))
+      .select(col("doc_id"), col("lang"))
+
   /** Streaming first-fit sequence packing: the batch `pipe_pack_sequences`
     * assignment (bin = floor(preceding-cum-tokens / budget), position
     * within bin) computed AS DOCUMENTS LAND, one running token cursor per

@@ -129,6 +129,31 @@ class StreamingSpec extends SparkSpec {
       s"stream gated ${got.size} rows, batch ${want.size}")
   }
 
+  test("foreachBatch domain-mix gate with frozen thresholds equals the " +
+    "batch resample") {
+    import graft.streaming.DocStream
+    import graft.operators.PipelinePack
+    // thresholds computed ONCE from the corpus version, then applied per
+    // micro-batch — the deployment split the gate's contract encodes
+    val th = PipelinePack.mixThresholds(spark, sfTiny).cache()
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = DocStream.source(spark, sfTiny)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= DocStream.mixGate(th)(batch)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val want = SparkEntry.queries("pipe_domain_mix")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(want.nonEmpty && got.toSet == want.toSet,
+      s"stream kept ${got.size} docs, batch ${want.length}")
+    th.unpersist()
+  }
+
   test("foreachBatch LM-perplexity gate equals the artifact-served batch " +
     "scoring") {
     import graft.streaming.DocStream
