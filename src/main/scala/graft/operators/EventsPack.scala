@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, LongType}
 
 /** Event-time operators beyond the reference's daily rollups
   * (db/submission_stats.py) — the two shapes every large-scale event
@@ -80,10 +81,58 @@ object EventsPack {
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"), col("view_id"), col("view_ts"))
         .orderBy("click_id")
+    }),
+
+    // ---- cohort retention triangle ---------------------------------------
+    // The standard product-analytics rollup (and, for a training-data
+    // platform, the contributor-activity view): users cohorted by their
+    // FIRST active day, each cohort's distinct-active count at every day
+    // offset, with the retention rate as exact integer per-mille against
+    // the cohort size. Plan shape: one per-user min (combinable), a join
+    // back on the bucketed user stream, one (cohort, offset)
+    // distinct-count — all shuffles keyed on user_id or the tiny
+    // (cohort, offset) grid; nothing quadratic, nothing ordered globally. -
+    "ev_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast(DateType).as("day"))
+      val firstDay = ev.groupBy("user_id")
+        .agg(min(col("day")).as("cohort_day"))
+      val cohortSize = firstDay.groupBy("cohort_day")
+        .agg(count(lit(1)).as("cohort_n"))
+      ev.join(firstDay, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast(LongType)
+            .as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(cohortSize), Seq("cohort_day"))
+        .select(col("cohort_day"), col("day_offset"), col("n_active"),
+          col("cohort_n"),
+          expr("(n_active * 1000L) div cohort_n").as("retention_permille"))
+        .orderBy("cohort_day", "day_offset")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |  CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |fd AS (SELECT user_id, MIN(day) AS cohort_day FROM ev
+        |  GROUP BY user_id),
+        |cs AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_n
+        |  FROM fd GROUP BY cohort_day),
+        |cell AS (SELECT f.cohort_day,
+        |  CAST(date_diff('day', f.cohort_day, e.day) AS BIGINT)
+        |    AS day_offset,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |  FROM ev e JOIN fd f USING (user_id)
+        |  GROUP BY f.cohort_day, day_offset)
+        |SELECT c.cohort_day, c.day_offset, c.n_active, cs.cohort_n,
+        |  CAST(c.n_active * 1000 // cs.cohort_n AS BIGINT)
+        |    AS retention_permille
+        |FROM cell c JOIN cs USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
     "ev_sessionize" ->
       s"""WITH g AS (
          |  SELECT user_id, event_id, ts,

@@ -776,6 +776,25 @@ class OperatorInvariantsSpec extends SparkSpec {
     spans.unpersist()
   }
 
+  test("ev_retention: day-0 retention is total, cells bounded by cohort " +
+    "size, cohorts partition the user base") {
+    val r = run("ev_retention").cache()
+    // every user is active on their first day: offset-0 cells saturate
+    val day0 = r.filter(col("day_offset") === 0)
+    assert(day0.count() > 0)
+    assert(day0.filter(col("n_active") =!= col("cohort_n") ||
+      col("retention_permille") =!= 1000).count() == 0)
+    assert(r.filter(col("n_active") > col("cohort_n") ||
+      col("day_offset") < 0).count() == 0)
+    // cohort sizes sum to the distinct user count
+    val users = Tables.events(spark, sfTiny)
+      .select("user_id").distinct().count()
+    val cohortTotal = r.select("cohort_day", "cohort_n").distinct()
+      .agg(sum("cohort_n")).head().getLong(0)
+    assert(cohortTotal == users)
+    r.unpersist()
+  }
+
   test("tx_source_quality: per-source totals reconcile with the gate " +
     "funnel and the corpus") {
     val sq = run("tx_source_quality").cache()
