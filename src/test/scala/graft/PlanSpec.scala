@@ -245,6 +245,16 @@ class PlanSpec extends SparkSpec {
       served.nonEmpty)
   }
 
+  test("ev_retention: cohort sizes broadcast, no inequality or cartesian " +
+    "join") {
+    val plan = planText(run("ev_retention"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ev_retention: expected broadcast cohort-size join in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"ev_retention: quadratic join in:\n$plan")
+  }
+
   test("tx_boilerplate: the qualifying set broadcasts back over the " +
     "shingle stream — no sort-merge join anywhere") {
     // the boilerplate set is df-thresholded (tiny by construction); a
