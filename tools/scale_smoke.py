@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Build the 8x-replicated scale-smoke corpus under /tmp/scale8.
+
+Dev-side tool (python + duckdb, like check_oracle.py) — reproduces the
+inputs behind BASELINE.md's "Scale-smoke: 8x corpus replication" section.
+Documents get distinct contents (a per-replica tag) so the smoke measures
+pure scaling on a HIGH-OVERLAP corpus (every original doc gains 7
+near-copies sharing most shingles); embeddings get a small per-replica
+perturbation so vectors are distinct.
+
+Usage:
+    python3 tools/scale_smoke.py [sf_dir] [out_dir] [replicas]
+
+Then time any query subset at 1x vs Nx with the Bench subset arg:
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 java ... graft.Bench "q1,q2"
+    SPARK_GRAFT_SF_DIR=/tmp/scale8        java ... graft.Bench "q1,q2"
+
+(Bench subset runs never overwrite bench_detail.json.)
+"""
+import shutil
+import sys
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale8"
+N = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+UNCHANGED = ["region", "nation", "customer", "supplier", "part",
+             "orders", "lineitem", "events"]
+
+
+def main():
+    import os
+    os.makedirs(OUT, exist_ok=True)
+    for t in UNCHANGED:
+        shutil.copy(f"{SF}/{t}.parquet", f"{OUT}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute(f"""
+COPY (
+  SELECT doc_id + r.i * 10000000 AS doc_id,
+         text || ' rep' || CAST(r.i AS VARCHAR) AS text,
+         lang, source, n_chars + 5 AS n_chars
+  FROM '{SF}/documents.parquet'
+  CROSS JOIN (SELECT unnest(generate_series(0, {N - 1})) AS i) r
+) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
+""")
+    con.execute(f"""
+COPY (
+  SELECT vec_id + r.i * 10000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x + r.i * 0.001 AS FLOAT))
+           AS embedding,
+         label
+  FROM '{SF}/embeddings.parquet'
+  CROSS JOIN (SELECT unnest(generate_series(0, {N - 1})) AS i) r
+) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
+""")
+    docs = con.execute(
+        f"SELECT COUNT(*) FROM '{OUT}/documents.parquet'").fetchone()[0]
+    emb = con.execute(
+        f"SELECT COUNT(*) FROM '{OUT}/embeddings.parquet'").fetchone()[0]
+    print(f"{OUT}: documents={docs} embeddings={emb} (x{N} from {SF})")
+
+
+if __name__ == "__main__":
+    main()
