@@ -245,6 +245,19 @@ class PlanSpec extends SparkSpec {
       served.nonEmpty)
   }
 
+  test("dd_exact_substr: span stream shuffles on the hashed key, " +
+    "no cartesian and no corpus self-join") {
+    val plan = planText(run("dd_exact_substr"))
+    // the span tag join is a SHUFFLE join by design (the cross-doc span
+    // set can be corpus-sized — a broadcast assumption would OOM at
+    // scale), and nothing in the plan may degenerate to a cross product
+    assert(plan.contains("xxhash64"),
+      s"dd_exact_substr: span keys not hashed in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"dd_exact_substr: quadratic join in:\n$plan")
+  }
+
   test("ev_retention: cohort sizes broadcast, no inequality or cartesian " +
     "join") {
     val plan = planText(run("ev_retention"))
