@@ -137,13 +137,7 @@ object DedupPack {
     // shuffle join by design — never a broadcast assumption. ---------------
     "dd_exact_substr" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val spans = docs.select(col("doc_id"),
-        explode(bindArray(split(col("text"), "\\s+"), t =>
-          when(size(t) >= SpanK,
-            transform(sequence(lit(1), size(t) - (SpanK - 1)),
-              i => xxhash64(concat_ws(" ",
-                (0 until SpanK).map(k => element_at(t, i + k)): _*))))
-            .otherwise(array().cast("array<bigint>")))).as("gh"))
+      val spans = spanStream(docs).select(col("doc_id"), col("gh"))
       val ddf = spans.distinct()
         .groupBy(col("gh")).agg(count(lit(1)).as("ddf"))
       val dup = ddf.filter(col("ddf") >= 2)
@@ -158,6 +152,57 @@ object DedupPack {
         .withColumn("dup_frac", when(col("n_spans") === 0, lit(0.0))
           .otherwise(
             round(col("n_dup_spans").cast(DoubleType) / col("n_spans"), 8)))
+        .orderBy("doc_id")
+    }),
+
+    // ---- ExactSubstr SCRUB: rewrite documents with cross-document
+    //      duplicated spans removed ----------------------------------------
+    // The transform half of Lee et al. 2022 (the entry above only measures
+    // the signal): every token covered by a [[SpanK]]-token span that
+    // occurs verbatim in ≥2 distinct documents is dropped from every doc
+    // EXCEPT the span's KEEPER — the lowest doc_id containing it, the
+    // same keep-lowest policy as exact dedup (D1). Defined semantics,
+    // mirrored in the oracle: (a) span identity is the verbatim
+    // whitespace-token window (xxhash64 key, raw strings in the oracle);
+    // (b) a token is dropped iff ≥1 non-keeper duplicated span covers it;
+    // (c) `scrubbed_text` is the space-join of surviving tokens in
+    // position order (whitespace-NORMALIZED output — the rewrite is a
+    // token stream, not a byte splice). Plan shape: the same
+    // non-quadratic span-hash shuffle as the signal (one groupBy on the
+    // 8-byte span key derives ddf AND keeper together), the marked spans
+    // explode to ≤ SpanK positions each, and the rebuild is one
+    // (doc_id)-keyed aggregate over the linear token stream — nothing
+    // grows faster than the corpus token count. ---------------------------
+    "dd_exact_substr_scrub" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val spans = spanStream(docs)
+      val keepers = spans.select(col("doc_id"), col("gh")).distinct()
+        .groupBy(col("gh"))
+        .agg(count(lit(1)).as("ddf"), min(col("doc_id")).as("keeper"))
+        .filter(col("ddf") >= 2)
+        .select(col("gh"), col("keeper"))
+      // token positions covered by a non-keeper duplicated span
+      val dropped = spans.join(keepers, Seq("gh"))
+        .filter(col("keeper") =!= col("doc_id"))
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + (SpanK - 1))).as("j"))
+        .distinct()
+      val toks = docs.select(col("doc_id"),
+          posexplode(split(col("text"), "\\s+")).as(Seq("p", "tok")))
+        .select(col("doc_id"), (col("p") + 1).cast(LongType).as("j"),
+          col("tok"))
+      val rebuilt = toks.join(dropped, Seq("doc_id", "j"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("j"), col("tok")))),
+            x => x.getField("tok")), " ").as("scrubbed_text"))
+      docs.select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast(LongType).as("n_tokens"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+          coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
         .orderBy("doc_id")
     }),
 
@@ -270,6 +315,27 @@ object DedupPack {
           .filter(col("source") === IncrementalBatchSource)))
   )
 
+  /** (doc_id, i, gh) ExactSubstr span-position stream over any
+    * (doc_id, text, …) frame: one row per [[SpanK]]-token window, `i` the
+    * 1-based start position, `gh` the xxhash64 of the verbatim
+    * space-joined window — shared by the `dd_exact_substr` signal (which
+    * drops `i`) and the `dd_exact_substr_scrub` rewrite (which explodes
+    * `i..i+K−1` into dropped positions). One Generate per document; the
+    * token array is let-bound ([[bindArray]]) so the regex split runs
+    * once per row, not once per span reference. */
+  private[graft] def spanStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(bindArray(split(col("text"), "\\s+"), t =>
+          when(size(t) >= SpanK,
+            transform(sequence(lit(1), size(t) - (SpanK - 1)),
+              i => struct(i.cast(LongType).as("i"),
+                xxhash64(concat_ws(" ",
+                  (0 until SpanK).map(k => element_at(t, i + k)): _*))
+                  .as("gh"))))
+            .otherwise(array().cast("array<struct<i:bigint,gh:bigint>>"))))
+          .as("sp"))
+      .select(col("doc_id"), col("sp.i").as("i"), col("sp.gh").as("gh"))
+
   /** Probe the persisted corpus band index with an arbitrary batch of
     * (doc_id, text) rows — the serving core of `dd_incremental_indexed`,
     * shared verbatim with the streaming `DocStream.dedupGate` micro-batch
@@ -330,12 +396,20 @@ object DedupPack {
     * artifacts (reference posture: the corpus index lives on shared
     * storage, ingest batches only probe it). Freshness is the standard
     * fingerprint gate over (doc_id, text) of the corpus slice. */
+  /** Build-constant string of the MinHash-LSH recipe — every artifact
+    * whose member layout depends on the banding (the band index here, the
+    * split-components index in PipelinePack) stamps this into its
+    * IndexStore params hash, so a recipe change can never serve a stale
+    * artifact built under the old banding. */
+  private[graft] def lshParams: String =
+    s"shingle=$ShingleN,hashes=$NumHashes,bands=$Bands,rows=$Rows"
+
   private[graft] def ensureBandIndex(s: SparkSession, d: String): String = {
     val corpus = Tables.documents(s, d)
       .filter(col("source") =!= IncrementalBatchSource)
     graft.sim.IndexStore.ensure(s, d, "minhash_bands",
       corpus.select(col("doc_id"), col("text")), "doc_id",
-      s"shingle=$ShingleN,hashes=$NumHashes,bands=$Bands,rows=$Rows") { p =>
+      lshParams) { p =>
       bandedKeys(corpus)
         .groupBy(col("band"), col("key"))
         .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
@@ -615,6 +689,42 @@ object DedupPack {
          |  END AS dup_frac
          |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // mirrors dd_exact_substr_scrub: span keeper = MIN(doc_id) over the
+    // doc-distinct span stream, positions of non-keeper duplicated spans
+    // explode to their covered token indexes, and the rewrite is a
+    // position-ordered string_agg of the surviving tokens (raw span
+    // strings here vs xxhash64 keys in the engine — equal unless two
+    // spans collide in 64 bits)
+    "dd_exact_substr_scrub" -> {
+      val spanSql = (0 until SpanK).map(k => s"t[i+$k]")
+        .mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+         |  FROM documents),
+         |pos AS (SELECT doc_id, i, $spanSql AS g
+         |  FROM t, unnest(generate_series(1, greatest(len(t) - ${SpanK - 1},
+         |    0))) AS u(i)
+         |  WHERE len(t) >= $SpanK),
+         |dup AS (SELECT g, MIN(doc_id) AS keeper FROM pos GROUP BY g
+         |  HAVING COUNT(DISTINCT doc_id) >= 2),
+         |marked AS (SELECT p.doc_id, p.i FROM pos p
+         |  JOIN dup ON dup.g = p.g AND dup.keeper <> p.doc_id),
+         |dropped AS (SELECT DISTINCT m.doc_id, j FROM marked m,
+         |  unnest(generate_series(m.i, m.i + ${SpanK - 1})) AS v(j)),
+         |toks AS (SELECT doc_id, CAST(j AS BIGINT) AS j, t[j] AS tok
+         |  FROM t, unnest(generate_series(1, len(t))) AS w(j)),
+         |kept AS (SELECT k.doc_id, k.j, k.tok FROM toks k
+         |  LEFT JOIN dropped d ON d.doc_id = k.doc_id AND d.j = k.j
+         |  WHERE d.j IS NULL),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  string_agg(tok, ' ' ORDER BY j) AS scrubbed_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT tt.doc_id, CAST(len(tt.t) AS BIGINT) AS n_tokens,
+         |  CAST(len(tt.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+         |  COALESCE(a.scrubbed_text, '') AS scrubbed_text
+         |FROM t tt LEFT JOIN agg a ON a.doc_id = tt.doc_id
+         |ORDER BY tt.doc_id""".stripMargin
     },
 
     "dd_contamination" ->

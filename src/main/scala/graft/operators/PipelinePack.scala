@@ -87,10 +87,10 @@ object PipelinePack {
     * noise in the achieved counts (binomial around k_l) — exactly the
     * trade a production mixture sampler makes.
     *
-    * Scale note on the threshold arithmetic: `w·N_out·2^32` stays inside
-    * BIGINT up to ~10^9 docs per language; beyond that the product must
-    * move to DECIMAL(38,0) (both engines have it) — the formula, not the
-    * plan, changes. Returns per-doc rows with `u` and `thresh` attached. */
+    * The threshold arithmetic runs in DECIMAL(38,0) (HUGEINT in the
+    * oracle) — see [[mixThresholdsFromCounts]]; the BIGINT form wrapped
+    * at ~10^9 docs per language, i.e. AT deployment scale. Returns
+    * per-doc rows with `u` and `thresh` attached. */
   private def domainMix(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .filter(col("lang").isin(MixWeights.map(_._1): _*))
@@ -110,12 +110,24 @@ object PipelinePack {
       .filter(col("lang").isin(MixWeights.map(_._1): _*))
       .groupBy("lang").agg(count(lit(1)).as("n"))
       .join(weights, "lang")
-    val nout = counts.agg(
-      min(idiv(col("n") * MixDen, col("wt"))).as("nout"))
+    mixThresholdsFromCounts(counts)
+  }
+
+  /** Threshold arithmetic of the mix over a (lang, n, wt) counts frame —
+    * all products in DECIMAL(38,0) (`div` = IntegralDivide, defined on
+    * decimals, result BIGINT; the oracle mirrors with HUGEINT). The
+    * all-BIGINT form wrapped at `wt·N_out·2³²` ≈ 10⁹ docs per language —
+    * exactly deployment scale; the decimal form is exact to ~10²⁶ docs.
+    * The threshold itself is < 2³², so the OUTPUT type stays BIGINT.
+    * Factored out so the overflow spec can drive it with counts past the
+    * long boundary against a BigInt reference. */
+  private[graft] def mixThresholdsFromCounts(counts: DataFrame): DataFrame = {
+    val nout = counts.agg(min(
+        expr(s"(CAST(n AS DECIMAL(38,0)) * $MixDen) div wt")).as("nout"))
     counts.crossJoin(nout).select(
       col("lang"), col("n"), col("wt"),
-      idiv(col("wt") * col("nout") * MixScale, col("n") * MixDen)
-        .as("thresh"))
+      expr(s"(CAST(wt AS DECIMAL(38,0)) * nout * ${MixScale}L) div " +
+        s"(CAST(n AS DECIMAL(38,0)) * $MixDen)").as("thresh"))
   }
 
   /** Membership half of the mix: tag each doc with its hash draw `u` and
@@ -311,7 +323,21 @@ object PipelinePack {
       .groupBy(col("side"))
       .agg(count(lit(1)).as("n_docs"),
         count_distinct(col("grp")).as("n_groups"))
-      .orderBy("side"))
+      .orderBy("side")),
+
+    // ---- the split served from the PERSISTED component labels ------------
+    // The production twin of `pipe_leak_safe_split` (the `_indexed`
+    // artifact-vs-inline pattern): component labels are a build-once
+    // IndexStore artifact, and side assignment touches ONLY the assigned
+    // docs plus the label member — the pair graph is never rebuilt per
+    // job (plan-asserted: no re-shingling in the serving plan). Rows are
+    // identical to the inline entry by construction (shared sideAssign
+    // over the same label policy), which is what the row-identity oracle
+    // checks. --------------------------------------------------------------
+    "pipe_split_indexed" -> ((s, d) =>
+      splitServe(s, d, Tables.documents(s, d))
+        .select(col("doc_id"), col("grp"), col("side"))
+        .orderBy("doc_id"))
   )
 
   /** Quality-gate thresholds (rule order: shortest prefix that fails).
@@ -374,8 +400,20 @@ object PipelinePack {
     * is what makes assignments STABLE as the corpus grows: a document
     * changes side only if new near-duplicates merge its component into
     * one with a lower representative (property-spec'd). */
-  private[graft] def leakSafeSplitOf(docs: DataFrame): DataFrame = {
-    val comps = DedupPack.connectedComponents(DedupPack.minhashPairs(docs))
+  private[graft] def leakSafeSplitOf(docs: DataFrame): DataFrame =
+    sideAssign(docs,
+      DedupPack.connectedComponents(DedupPack.minhashPairs(docs)))
+
+  /** Side-assignment half of the split, shared by the inline rebuild, the
+    * artifact-served twin, and the streaming gate (ONE definition — the
+    * `_indexed` row-identity oracle rests on all three assigning
+    * identically): docs LEFT-join the (doc_id, rep) component labels,
+    * grp = rep with the document's own id as the singleton fallback (docs
+    * in no near-dup pair carry no label row — a small minority of the
+    * corpus, so the join is corpus × small), side = md5 threshold on the
+    * GROUP key so every member of a component lands together by
+    * construction. */
+  private def sideAssign(docs: DataFrame, comps: DataFrame): DataFrame = {
     val grp = coalesce(col("rep"), col("doc_id"))
     val u = conv(
       substring(md5(concat(lit("split:"), grp.cast("string"))), 1, 8),
@@ -385,6 +423,37 @@ object PipelinePack {
       .select(col("doc_id"), grp.as("grp"),
         when(pmod(u, lit(1000L)) < ValPermille, "val").otherwise("train")
           .as("side"))
+  }
+
+  /** Build-once near-dup component-label artifact: the connected-component
+    * representatives over the corpus's MinHash-LSH pair graph, persisted
+    * as an IndexStore member — the split analogue of the dedup band index.
+    * At 100 TB the pair graph + iterative label propagation is a
+    * corpus-build step, not a per-job recompute: every split consumer
+    * (and the streaming split gate) reads the labels, never re-shingles.
+    * Params stamp the LSH recipe AND the split constant, so a banding or
+    * threshold change rebuilds instead of serving stale labels. */
+  private[graft] def ensureComponentsIndex(s: SparkSession, d: String): String =
+    graft.sim.IndexStore.ensure(s, d, "split_components",
+      Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id",
+      s"${DedupPack.lshParams},val_permille=$ValPermille") { p =>
+      DedupPack.connectedComponents(
+        DedupPack.minhashPairs(Tables.documents(s, d)))
+        .write.mode("overwrite").parquet(s"$p/components")
+    }
+
+  /** Serve split sides for an arbitrary (doc_id, …) batch from the
+    * persisted component labels — the serving core of
+    * `pipe_split_indexed` and the streaming `DocStream.splitGate`.
+    * Arriving docs pay ONE bucket-join against the label member; docs the
+    * artifact has never seen (no near-dup pair at build time) fall back
+    * to their own id, which is exactly the stability property's singleton
+    * case — their side can only change if a future rebuild merges them
+    * into a lower-rep component. */
+  private[graft] def splitServe(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val p = ensureComponentsIndex(s, d)
+    sideAssign(batch, s.read.parquet(s"$p/components"))
   }
 
   /** Shared CTE chain for the two domain-mix oracles — mirrors
@@ -398,9 +467,11 @@ object PipelinePack {
        |  WHERE lang IN ($langList) GROUP BY lang),
        |w(lang, wt) AS (VALUES $valuesSql),
        |cw AS (SELECT c.lang, c.n, w.wt FROM c JOIN w USING (lang)),
-       |no AS (SELECT MIN(n * $MixDen // wt) AS nout FROM cw),
+       |no AS (SELECT MIN(CAST(n AS HUGEINT) * $MixDen // wt) AS nout
+       |  FROM cw),
        |th AS (SELECT lang, n, wt,
-       |  CAST(wt * no.nout * $MixScale // (n * $MixDen) AS BIGINT) AS thresh
+       |  CAST(CAST(wt AS HUGEINT) * no.nout * $MixScale
+       |    // (CAST(n AS HUGEINT) * $MixDen) AS BIGINT) AS thresh
        |  FROM cw, no),
        |uu AS (SELECT d.doc_id, d.lang, th.wt, th.thresh,
        |  ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
@@ -481,6 +552,13 @@ object PipelinePack {
     "pipe_leak_safe_split" ->
       s"""$splitCtes
          |SELECT doc_id, grp, side FROM sides ORDER BY doc_id""".stripMargin,
+
+    // row-identity against the inline split's already-oracle-checked
+    // verify output (the `_indexed` twins' pattern — the artifact serves
+    // IDENTICAL rows by construction; the plan-level "reads the labels,
+    // never re-shingles" half is PlanSpec's)
+    "pipe_split_indexed" ->
+      "SELECT * FROM '__GRAFT_OUT__/pipe_leak_safe_split/*.parquet'",
 
     "pipe_split_stats" ->
       s"""$splitCtes

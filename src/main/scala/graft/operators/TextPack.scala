@@ -85,6 +85,36 @@ object TextPack {
         .otherwise("tail").as("bucket"))
   }
 
+  /** Add-one-smoothed LM scoring core — the POST-FREEZE variant of
+    * [[pplScore]] for scoring arbitrary future batches against a frozen
+    * LM: p(t) = (c(t)+1)/(N+V) (Laplace; Σ_t (c_t+1) = N+V so the seen
+    * vocabulary still sums to one, unseen tokens carry mass 1/(N+V)).
+    * The LEFT join keeps every batch token, so `n_tokens` counts the
+    * batch's own tokens — a document whose vocabulary the LM has never
+    * seen still gets a row (high surprisal, `tail` bucket) instead of
+    * silently vanishing, which is exactly the out-of-distribution case a
+    * streaming quality gate exists to catch. Same 1e-9-grid decimal
+    * summation discipline as the exact core. */
+  private[graft] def pplScoreSmoothed(tf: org.apache.spark.sql.DataFrame,
+      lm: org.apache.spark.sql.DataFrame,
+      total: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cEff = coalesce(col("c"), lit(0L))
+    val scored = tf.join(lm, Seq("tk"), "left")
+      .crossJoin(broadcast(total)).crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum((col("tf").cast(DoubleType) *
+          (log((col("n") + col("v")).cast(DoubleType)) -
+            log((cEff + lit(1L)).cast(DoubleType))))
+          .cast(DecimalType(28, 9))).as("nll"))
+    val mean = round(col("nll").cast(DoubleType) /
+      col("n_tokens").cast(DoubleType), 6)
+    scored.select(col("doc_id"), col("n_tokens"), mean.as("mean_nll"),
+      when(mean < PplHeadMax, "head").when(mean < PplMiddleMax, "middle")
+        .otherwise("tail").as("bucket"))
+  }
+
   /** Inline LM scoring over `docs` — the LM is built from the same frame
     * it scores (the `tx_unigram_ppl` contract; the indexed twin and the
     * streaming gate read the persisted artifact instead). */
@@ -127,15 +157,43 @@ object TextPack {
       s.read.parquet(s"$p/total"))
   }
 
+  /** Smoothed artifact-served scoring — the streaming ppl gate's core
+    * (DocStream.pplGate): batches arriving AFTER the LM freeze carry
+    * vocabulary the LM has never seen, so the exact-match core would drop
+    * all-unseen documents and undercount partially-unseen ones. The vocab
+    * size V is one count over the LM member (vocab-sized, not
+    * corpus-sized). The batch twin is `tx_unigram_ppl_smoothed`. */
+  private[graft] def pplServeSmoothed(s: SparkSession, d: String,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = ensureLmIndex(s, d)
+    val lm = s.read.parquet(s"$p/lm")
+    pplScoreSmoothed(docTf(docs), lm, s.read.parquet(s"$p/total"),
+      lm.agg(count(lit(1)).as("v")))
+  }
+
+  /** Overflow-safe cast for the L1 cross-multiplication members: two
+    * DECIMAL(38,0) longs multiply into DECIMAL(38,0) (max long² ≈ 8.5e37
+    * < 10³⁸, so the product is always exact), the engine's own `dimStats`
+    * exact-decimal discipline. The ppm step bounds the whole chain:
+    * num·10⁶ ≤ 2·N·Ns·10⁶ must stay under 10³⁸, i.e. exact up to
+    * ~7·10¹⁵-token corpora — petatoken scale, vs the ~2·10⁶-token wrap
+    * the all-BIGINT form silently hit with ANSI off (the DuckDB mirror
+    * uses HUGEINT, bound 1.7e38). Pinned against a BigInt reference past
+    * the long boundary in OperatorInvariantsSpec. */
+  private def big(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(DecimalType(38, 0))
+
   /** L1 unigram drift of an arbitrary (text) frame against `dir`'s
     * persisted LM artifact — the `tx_source_drift` arithmetic (exact
-    * BIGINT cross-multiplication, ppm by integer division) generalized
-    * with the unseen-token term `(ns − cs_present)·N` so tokens the
-    * frozen LM has never seen still contribute their full mass (zero
-    * when the frame is a corpus subset, which is what the parity spec
-    * pins). One row (n_tokens, l1_ppm); empty frames yield no row (the
-    * L1 of an empty distribution is undefined, not zero). Serving core
-    * of the streaming drift gate (DocStream.driftGate). */
+    * DECIMAL(38,0) cross-multiplication, ppm by integer division)
+    * generalized for post-freeze vocabulary: the LM side joins LEFT with
+    * `coalesce(c, 0)`, so batch tokens the frozen LM has never seen
+    * contribute their full |cs·N − 0| mass — an all-unseen batch (the
+    * encoding-break / language-shift alert case) yields the full-drift
+    * row l1_ppm = 2,000,000 instead of silently vanishing (spec-pinned).
+    * One row (n_tokens, l1_ppm); empty frames yield no row (the L1 of an
+    * empty distribution is undefined, not zero). Serving core of the
+    * streaming drift gate (DocStream.driftGate). */
   private[graft] def driftServe(s: SparkSession, d: String,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val p = ensureLmIndex(s, d)
@@ -144,19 +202,22 @@ object TextPack {
     val bt = docs.select(explode(tokens(col("text"))).as("tk"))
       .groupBy(col("tk")).agg(count(lit(1)).as("cs"))
     val ns = bt.agg(sum(col("cs")).as("ns"))
-    bt.join(lm, Seq("tk"))
+    val cEff = coalesce(col("c"), lit(0L))
+    bt.join(lm, Seq("tk"), "left")
       .crossJoin(broadcast(ns)).crossJoin(broadcast(total))
       .groupBy(col("ns"), col("n"))
-      .agg(sum(abs(col("cs") * col("n") - col("c") * col("ns")))
+      .agg(sum(abs(big(col("cs")) * big(col("n")) - big(cEff) * big(col("ns"))))
           .as("num_present"),
-        sum(col("c")).as("c_present"),
-        sum(col("cs")).as("cs_present"))
+        sum(cEff).as("c_present"))
+      // tokens ABSENT from the batch contribute their full c·Ns mass via
+      // the complement term (N − Σ_present c)·Ns; batch tokens absent from
+      // the LM are already inside num_present as cs·N (coalesced c = 0)
       .withColumn("num",
-        col("num_present") + (col("n") - col("c_present")) * col("ns") +
-          (col("ns") - col("cs_present")) * col("n"))
+        col("num_present") + (big(col("n")) - big(col("c_present"))) * big(col("ns")))
       .filter(col("ns") > 0)
+      .withColumn("den", big(col("n")) * big(col("ns")))
       .select(col("ns").as("n_tokens"),
-        expr("(num * 1000000L) div (n * ns)").as("l1_ppm"))
+        expr("(num * 1000000L) div den").as("l1_ppm"))
   }
 
   /** Keywords kept per document by the BM25-idf extractor. */
@@ -172,6 +233,39 @@ object TextPack {
 
   /** Chunk stride (ChunkLen − stride = 16 tokens of overlap). */
   private[graft] val ChunkStride = 48
+
+  /** Arithmetic core of `tx_source_drift` over a pre-aggregated
+    * (source, tk, cs) token-count frame: per-source L1 distance to the
+    * corpus mixture, Σ_t |c_s(t)·N − c(t)·N_s| over the common denominator
+    * N_s·N, scaled to exact-integer parts-per-million. All
+    * cross-multiplications and their sum run in DECIMAL(38,0) (see [[big]]
+    * — the all-BIGINT form silently wrapped past N·Ns ≈ 4.6e12 with ANSI
+    * off, i.e. at ~2M-token corpora; the decimal form is exact to
+    * petatoken scale and mirrored by HUGEINT in the oracle). Tokens ABSENT
+    * from a source still contribute c·Ns — added via the complement term
+    * Σ_{t∉s} c(t)·Ns = (N − Σ_{t∈s} c(t))·Ns. Factored out so the
+    * overflow spec can drive it with synthetic counts past the long
+    * boundary (real corpora that size don't fit a test). */
+  private[graft] def sourceDriftFromCounts(
+      st: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val corpus = st.groupBy(col("tk")).agg(sum(col("cs")).as("c"))
+    val totals = st.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+    val n = corpus.agg(sum(col("c")).as("n"))
+    val present = st.join(corpus, Seq("tk"))
+      .join(broadcast(totals), Seq("source")).crossJoin(broadcast(n))
+      .groupBy(col("source"), col("ns"), col("n"))
+      .agg(sum(abs(big(col("cs")) * big(col("n")) - big(col("c")) * big(col("ns"))))
+          .as("num_present"),
+        sum(col("c")).as("c_present"))
+    present
+      .withColumn("num",
+        col("num_present") + (big(col("n")) - big(col("c_present"))) * big(col("ns")))
+      .withColumn("den", big(col("n")) * big(col("ns")))
+      // exact integer division (`div` = IntegralDivide, defined on
+      // decimals, result BIGINT; mirrored by DuckDB HUGEINT `//`)
+      .select(col("source"), col("ns").as("n_tokens"),
+        expr("(num * 1000000L) div den").as("l1_ppm"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- token counting (whitespace + distinct + BPE estimate) -----------
@@ -366,6 +460,17 @@ object TextPack {
     "tx_unigram_ppl_indexed" -> ((s, d) =>
       pplServe(s, d, Tables.documents(s, d)).orderBy("doc_id")),
 
+    // ---- add-one-smoothed scoring from the persisted LM ------------------
+    // The POST-FREEZE serving semantics (and the streaming ppl gate's
+    // batch twin — DocStream.pplGate runs this core verbatim): Laplace
+    // p(t) = (c+1)/(N+V), LEFT-joined so documents whose vocabulary the
+    // frozen LM has never seen still score (tail bucket) instead of
+    // silently dropping, and n_tokens counts the BATCH's tokens, not the
+    // LM-matched subset. On the corpus itself every token is present, so
+    // this entry pins the smoothing arithmetic end to end in DuckDB. ------
+    "tx_unigram_ppl_smoothed" -> ((s, d) =>
+      pplServeSmoothed(s, d, Tables.documents(s, d)).orderBy("doc_id")),
+
     // ---- BM25-idf keyword extraction (top-K tokens per document) ---------
     // The per-document keyword surface (search indexing / tagging / topic
     // drift monitors all start here): rank each document's tokens by
@@ -469,32 +574,10 @@ object TextPack {
     // combinable aggregates + a join on (doc-distinct) tokens; the
     // per-source totals ride a 20-row broadcast. ---------------------------
     "tx_source_drift" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val st = docs
+      val st = Tables.documents(s, d)
         .select(col("source"), explode(tokens(col("text"))).as("tk"))
         .groupBy(col("source"), col("tk")).agg(count(lit(1)).as("cs"))
-      val corpus = st.groupBy(col("tk")).agg(sum(col("cs")).as("c"))
-      val totals = st.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
-      val n = corpus.agg(sum(col("c")).as("n"))
-      // |cs·N − c·Ns| summed per source is the L1 numerator over N·Ns;
-      // tokens ABSENT from a source still contribute c·Ns — add them via
-      // the complement term: Σ_{t∉s} c(t)·Ns = (N − Σ_{t∈s} c(t))·Ns
-      val present = st.join(corpus, Seq("tk"))
-        .join(broadcast(totals), Seq("source")).crossJoin(broadcast(n))
-        .groupBy(col("source"), col("ns"), col("n"))
-        .agg(sum(abs(col("cs") * col("n") - col("c") * col("ns")))
-            .as("num_present"),
-          sum(col("c")).as("c_present"))
-      present
-        .withColumn("num",
-          col("num_present") + (col("n") - col("c_present")) * col("ns"))
-        // exact BIGINT division (`div`, mirrored by DuckDB `//`); the
-        // ppm-scaled numerator stays in long range while N·Ns < ~4.6e12
-        // (≈2M-token sources in a 2M-token corpus) — beyond that the same
-        // formula moves to DECIMAL(38,0), like the domain-mix thresholds
-        .select(col("source"), col("ns").as("n_tokens"),
-          expr("(num * 1000000L) div (n * ns)").as("l1_ppm"))
-        .orderBy("source")
+      sourceDriftFromCounts(st).orderBy("source")
     })
   )
 
@@ -624,6 +707,32 @@ object TextPack {
     "tx_unigram_ppl_indexed" ->
       "SELECT * FROM '__GRAFT_OUT__/tx_unigram_ppl/*.parquet'",
 
+    // full smoothing-arithmetic mirror: Laplace (c+1)/(N+V) with the LEFT
+    // join (structural on the corpus itself — every token is LM-present —
+    // but the formula is the post-freeze one the streaming gate serves)
+    "tx_unigram_ppl_smoothed" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |tf AS (SELECT doc_id, tk2 AS tk, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS tk2 FROM t) x
+         |  GROUP BY doc_id, tk2),
+         |lm AS (SELECT tk, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY tk),
+         |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM lm),
+         |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lm),
+         |sc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  SUM(CAST(CAST(tf AS DOUBLE) * (ln(CAST(nn.n + vv.v AS DOUBLE))
+         |    - ln(CAST(COALESCE(c, 0) + 1 AS DOUBLE))) AS DECIMAL(28,9)))
+         |    AS nll
+         |  FROM tf LEFT JOIN lm USING (tk) CROSS JOIN nn CROSS JOIN vv
+         |  GROUP BY doc_id),
+         |m AS (SELECT doc_id, n_tokens,
+         |  round(CAST(nll AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |    AS mean_nll FROM sc)
+         |SELECT doc_id, n_tokens, mean_nll,
+         |  CASE WHEN mean_nll < $PplHeadMax THEN 'head'
+         |       WHEN mean_nll < $PplMiddleMax THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM m ORDER BY doc_id""".stripMargin,
+
     "tx_bm25_topk" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |tf AS (SELECT doc_id, tk2 AS tk, CAST(COUNT(*) AS BIGINT) AS tf
@@ -693,6 +802,8 @@ object TextPack {
          |    / COUNT(mean_nll), 6) AS mean_nll_avg
          |FROM jq GROUP BY source ORDER BY source""".stripMargin,
 
+    // HUGEINT (int128) cross-multiplication — the oracle's mirror of the
+    // engine's DECIMAL(38,0) overflow-safe L1 arithmetic
     "tx_source_drift" ->
       s"""WITH t AS (SELECT source, $toksSql AS tk FROM documents),
          |st AS (SELECT source, tk2 AS tk, CAST(COUNT(*) AS BIGINT) AS cs
@@ -704,14 +815,15 @@ object TextPack {
          |  FROM st GROUP BY source),
          |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM corpus),
          |present AS (SELECT st.source, ns, n,
-         |  CAST(SUM(abs(cs * n - c * ns)) AS BIGINT) AS num_present,
+         |  SUM(abs(CAST(cs AS HUGEINT) * n - CAST(c AS HUGEINT) * ns))
+         |    AS num_present,
          |  CAST(SUM(c) AS BIGINT) AS c_present
          |  FROM st JOIN corpus USING (tk) JOIN totals USING (source)
          |    CROSS JOIN nn
          |  GROUP BY st.source, ns, n)
          |SELECT source, ns AS n_tokens,
-         |  CAST((num_present + (n - c_present) * ns) * 1000000 // (n * ns)
-         |    AS BIGINT) AS l1_ppm
+         |  CAST((num_present + CAST(n - c_present AS HUGEINT) * ns) * 1000000
+         |    // (CAST(n AS HUGEINT) * ns) AS BIGINT) AS l1_ppm
          |FROM present ORDER BY source""".stripMargin
   )
 }

@@ -156,23 +156,34 @@ object DocStream {
     * => pplGate(spark, dir)(b)…)` like [[dedupGate]]; each batch pays its
     * own token counts plus an LM-member join, the corpus is never
     * re-counted (same build-once/serve-many posture as the ANN serving
-    * gates). Runs the batch scoring core verbatim, so stream/batch parity
-    * holds by construction (pinned in StreamingSpec). */
+    * gates). Serving is the ADD-ONE-SMOOTHED core
+    * ([[graft.operators.TextPack.pplServeSmoothed]], batch twin
+    * `tx_unigram_ppl_smoothed`): post-freeze batches carry vocabulary the
+    * LM has never seen, and the smoothed LEFT join scores those documents
+    * (high surprisal → tail) with n_tokens from the batch's own counts —
+    * the exact-match core would silently drop all-unseen documents and
+    * underweight partially-unseen ones, losing precisely the most
+    * out-of-distribution arrivals. Stream/batch parity and the all-unseen
+    * case are pinned in StreamingSpec. */
   def pplGate(spark: SparkSession, dir: String)(batch: DataFrame): DataFrame =
-    graft.operators.TextPack.pplServe(spark, dir, batch)
+    graft.operators.TextPack.pplServeSmoothed(spark, dir, batch)
 
   /** Distribution-drift gate at ingest: one (n_tokens, l1_ppm) row per
     * arriving micro-batch — the L1 distance between the batch's unigram
-    * distribution and the PERSISTED corpus LM (exact BIGINT arithmetic
-    * end to end, the `tx_source_drift` formula with the unseen-token term
-    * added for post-freeze vocabulary). The alerting monitor of a
-    * continuous corpus build: a source gone rogue (spam flood, encoding
-    * break, language shift) moves this number long before any per-doc
-    * gate fires. Deployment shape: `foreachBatch((b, _) =>
-    * driftGate(spark, dir)(b)…)`; each batch pays its own token counts
-    * plus the vocab-sized LM join — the corpus is never re-counted.
-    * Parity pin: a batch holding exactly one source's documents equals
-    * that source's `tx_source_drift` row (StreamingSpec). */
+    * distribution and the PERSISTED corpus LM (exact DECIMAL(38,0)
+    * cross-multiplication end to end, the `tx_source_drift` formula with
+    * the LM side LEFT-joined so post-freeze vocabulary keeps its full
+    * mass — an all-unseen batch reports the full-drift row l1_ppm =
+    * 2,000,000, the encoding-break / language-shift alarm, instead of
+    * emitting nothing). The alerting monitor of a continuous corpus
+    * build: a source gone rogue (spam flood, encoding break, language
+    * shift) moves this number long before any per-doc gate fires.
+    * Deployment shape: `foreachBatch((b, _) => driftGate(spark, dir)(b)…)`;
+    * each batch pays its own token counts plus the vocab-sized LM join —
+    * the corpus is never re-counted. Parity pins (StreamingSpec): a batch
+    * holding exactly one source's documents equals that source's
+    * `tx_source_drift` row; an all-unseen batch yields the full-drift
+    * row. */
   def driftGate(spark: SparkSession, dir: String)(batch: DataFrame): DataFrame =
     graft.operators.TextPack.driftServe(spark, dir, batch)
 
@@ -189,6 +200,22 @@ object DocStream {
     graft.operators.PipelinePack.mixApply(batch, thresholds)
       .filter(col("u") < col("thresh"))
       .select(col("doc_id"), col("lang"))
+
+  /** Leak-safe split gate at ingest: assign each arriving document its
+    * train/val side from the PERSISTED near-dup component labels
+    * ([[graft.operators.PipelinePack.ensureComponentsIndex]]) — the
+    * serving half of `pipe_leak_safe_split` in its deployment form.
+    * Deployment shape: `foreachBatch((b, _) => splitGate(spark, dir)(b)…)`
+    * like [[dedupGate]]; each batch pays one join against the label
+    * member, the pair graph is never rebuilt per batch. Documents the
+    * artifact has never seen fall back to their own-id hash — the
+    * stability property's singleton case, so a label-rebuild can only
+    * move them by merging them into a lower-rep component. Runs the batch
+    * serving core verbatim ([[graft.operators.PipelinePack.splitServe]]),
+    * so stream/batch parity holds by construction (pinned in
+    * StreamingSpec). */
+  def splitGate(spark: SparkSession, dir: String)(batch: DataFrame): DataFrame =
+    graft.operators.PipelinePack.splitServe(spark, dir, batch)
 
   /** Streaming first-fit sequence packing: the batch `pipe_pack_sequences`
     * assignment (bin = floor(preceding-cum-tokens / budget), position

@@ -824,4 +824,101 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(drift.filter(col("l1_ppm") > 0).count() > 0)
     drift.unpersist()
   }
+
+  test("dd_exact_substr_scrub: no non-keeper duplicated span survives, " +
+    "token accounting reconciles, and corpus dup mass collapses") {
+    import operators.DedupPack
+    val scrub = run("dd_exact_substr_scrub").cache()
+    val docs = Tables.documents(spark, sfTiny)
+    // accounting: drops bounded by the doc's own tokens; scrub non-vacuous
+    assert(scrub.filter(col("n_dropped") < 0 ||
+      col("n_dropped") > col("n_tokens")).count() == 0)
+    assert(scrub.filter(col("n_dropped") > 0).count() > 0,
+      "no document was scrubbed — invariant test is vacuous")
+    // original duplicated spans + their keepers
+    val origSpans = DedupPack.spanStream(docs).select("doc_id", "gh")
+    val dup = origSpans.distinct().groupBy("gh")
+      .agg(count(lit(1)).as("ddf"), min("doc_id").as("keeper"))
+      .filter(col("ddf") >= 2).cache()
+    assert(dup.count() > 0, "fixture has no duplicated spans — vacuous")
+    // re-span the SCRUBBED corpus: every original dup span may survive
+    // ONLY in its keeper document
+    val scrubbed = scrub.select(col("doc_id"),
+      col("scrubbed_text").as("text"))
+    val afterSpans = DedupPack.spanStream(scrubbed)
+      .select("doc_id", "gh").cache()
+    val survivors = afterSpans.distinct()
+      .join(dup.select("gh", "keeper"), Seq("gh"))
+      .filter(col("doc_id") =!= col("keeper"))
+    assert(survivors.count() == 0,
+      s"duplicated spans survived outside their keeper")
+    // and the scrubbed corpus's OWN duplicated-span mass is ~zero (the
+    // rewrite can create new adjacencies, so exactly-zero is not the
+    // contract — but the dup fraction must collapse)
+    val afterDup = afterSpans.distinct().groupBy("gh")
+      .agg(count(lit(1)).as("ddf")).filter(col("ddf") >= 2).select("gh")
+    val afterDupSpans = afterSpans.join(afterDup, Seq("gh")).count()
+    val beforeDupSpans = origSpans
+      .join(dup.select("gh"), Seq("gh")).count()
+    assert(afterDupSpans * 20 < beforeDupSpans,
+      s"dup span mass $beforeDupSpans -> $afterDupSpans did not collapse")
+    scrub.unpersist(); dup.unpersist(); afterSpans.unpersist()
+  }
+
+  test("tx_source_drift L1 arithmetic stays exact past the BIGINT product " +
+    "boundary (DECIMAL(38,0) cross-multiplication vs a BigInt reference)") {
+    import spark.implicits._
+    // petatoken-scale synthetic counts: cs·N ≈ 7.8e30 — the all-BIGINT
+    // formulation silently wrapped here (ANSI off); real corpora this
+    // size don't fit a test, which is why the core takes a counts frame
+    val T = 1000000000000000L // 1e15 tokens
+    val counts = Seq(
+      ("srcA", "x", 2 * T), ("srcA", "z", T / 2),
+      ("srcB", "y", T), ("srcB", "z", T / 2))
+    val got = operators.TextPack
+      .sourceDriftFromCounts(counts.toDF("source", "tk", "cs"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // independent BigInt reference of the same formula
+    val c = counts.groupBy(_._2).map { case (tk, xs) =>
+      tk -> xs.map(x => BigInt(x._3)).sum }
+    val n = c.values.sum
+    val want = counts.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, xs) =>
+      val ns = xs.map(x => BigInt(x._3)).sum
+      val present = xs.map { case (_, tk, cs) =>
+        (BigInt(cs) * n - c(tk) * ns).abs }.sum
+      val cPresent = xs.map(x => c(x._2)).sum
+      val num = present + (n - cPresent) * ns
+      (src, ns.toLong, (num * 1000000 / (n * ns)).toLong)
+    }
+    assert(got == want, s"got $got want $want")
+    // non-vacuous: the cross-products genuinely exceed Long range
+    assert(BigInt(2 * T) * n > BigInt(Long.MaxValue))
+    // and the values are sane L1 ppm
+    assert(want.forall(w => w._3 >= 0 && w._3 <= 2000000L))
+  }
+
+  test("domain-mix thresholds stay exact past the BIGINT product boundary " +
+    "(DECIMAL(38,0) vs a BigInt reference at ~10^9 docs per language)") {
+    import spark.implicits._
+    import operators.PipelinePack
+    // per-language corpus sizes at real deployment scale: wt·nout·2^32
+    // wraps Long here (the latent bug the widening fixes)
+    val counts = Seq(("de", 2000000000L, 2L), ("en", 5000000000L, 4L),
+      ("es", 800000000L, 1L), ("fr", 1900000000L, 2L), ("zh", 700000000L, 1L))
+    val got = PipelinePack
+      .mixThresholdsFromCounts(counts.toDF("lang", "n", "wt"))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSeq
+    val mixDen = BigInt(PipelinePack.MixDen)
+    val scale = BigInt(PipelinePack.MixScale)
+    val nout = counts.map(c => BigInt(c._2) * mixDen / c._3).min
+    val want = counts.map { case (l, n, wt) =>
+      (l, (BigInt(wt) * nout * scale / (BigInt(n) * mixDen)).toLong) }
+    assert(got == want, s"got $got want $want")
+    // non-vacuous: the widest product genuinely exceeds Long range …
+    assert(BigInt(4) * nout * scale > BigInt(Long.MaxValue))
+    // … and every threshold lands in the hash-draw domain [0, 2^32]
+    assert(want.forall(w => w._2 >= 0 && w._2 <= 4294967296L))
+  }
 }

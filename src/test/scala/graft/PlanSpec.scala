@@ -224,6 +224,33 @@ class PlanSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("pipe_split_indexed serves from the component-label artifact and " +
+    "equals the inline split") {
+    val indexed = run("pipe_split_indexed")
+    val served = indexed.collect()
+    val idxPlan = indexed.queryExecution.executedPlan.toString
+    // the serving side reads the persisted label member …
+    assert(idxPlan.contains("split_components"),
+      s"pipe_split_indexed: no artifact scan in:\n$idxPlan")
+    // … and replaces the pair-graph rebuild entirely. (The usual
+    // docScans(indexed) < docScans(inline) comparison is meaningless
+    // here: the inline rebuild's label propagation runs EAGERLY behind
+    // localCheckpoint, so its executed plan hides the pair-graph scans.)
+    // Serving must be pure storage-backed join work: no Generate (the
+    // rebuild's shingle explode), and no ExistingRDD (the rebuild's
+    // checkpointed in-memory labels — an artifact serve depends on
+    // nothing a fresh job wouldn't have).
+    assert(!idxPlan.contains("Generate"),
+      s"pipe_split_indexed re-computes signatures:\n$idxPlan")
+    assert(!idxPlan.contains("ExistingRDD"),
+      s"pipe_split_indexed depends on in-memory checkpoint state:\n$idxPlan")
+    // and the serving rows equal the inline recompute (artifact-vs-inline
+    // split contract, same as the other `_indexed` twins)
+    val inline = run("pipe_leak_safe_split").collect()
+    assert(served.nonEmpty &&
+      served.map(_.toString).toSeq == inline.map(_.toString).toSeq)
+  }
+
   test("tx_unigram_ppl_indexed serves from the LM artifact and equals " +
     "the inline scoring") {
     val indexed = run("tx_unigram_ppl_indexed")

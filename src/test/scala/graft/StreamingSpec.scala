@@ -170,11 +170,53 @@ class StreamingSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable(); q.stop()
-    val want = SparkEntry.queries("tx_unigram_ppl_indexed")(spark, sfTiny)
+    // the gate serves the SMOOTHED core (post-freeze semantics) — parity
+    // is against its batch twin, not the exact-match indexed entry
+    val want = SparkEntry.queries("tx_unigram_ppl_smoothed")(spark, sfTiny)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
     assert(want.nonEmpty && got.toSet == want.toSet,
       s"stream scored ${got.size} rows, batch ${want.size}")
+  }
+
+  test("ppl gate scores all-unseen-vocabulary documents instead of " +
+    "dropping them (the out-of-distribution arrivals the gate exists for)") {
+    import graft.streaming.DocStream
+    import spark.implicits._
+    // a post-freeze batch sharing ZERO vocabulary with the frozen LM: the
+    // exact-match join would emit no rows at all for these documents
+    val batch = Seq(
+      (900001L, "zzqx1 zzqx2 zzqx3 zzqx4"),
+      (900002L, "zzqx5 zzqx5 zzqx6")).toDF("doc_id", "text")
+    val rows = DocStream.pplGate(spark, sfTiny)(batch)
+      .orderBy("doc_id").collect()
+    assert(rows.length == 2, s"expected 2 scored rows, got ${rows.length}")
+    // n_tokens counts the BATCH's own tokens, not the LM-matched subset
+    assert(rows(0).getAs[Long]("n_tokens") == 4L)
+    assert(rows(1).getAs[Long]("n_tokens") == 3L)
+    // all-unseen surprisal is ln(N+V) − ln(1) per token — far beyond the
+    // tail threshold, and exactly computable from the artifact's totals
+    val p = operators.TextPack.ensureLmIndex(spark, sfTiny)
+    val n = spark.read.parquet(s"$p/total").head().getLong(0)
+    val v = spark.read.parquet(s"$p/lm").count()
+    val wantNll = math.log((n + v).toDouble)
+    assert(rows.forall(_.getAs[String]("bucket") == "tail"))
+    assert(math.abs(rows(0).getAs[Double]("mean_nll") - wantNll) < 1e-5)
+  }
+
+  test("drift gate emits the full-drift row for an all-unseen batch " +
+    "(l1_ppm = 2,000,000), not an empty frame") {
+    import graft.streaming.DocStream
+    import spark.implicits._
+    val batch = Seq(
+      (900001L, "zzqx1 zzqx2 zzqx3 zzqx4"),
+      (900002L, "zzqx5 zzqx5 zzqx6")).toDF("doc_id", "text")
+    val rows = DocStream.driftGate(spark, sfTiny)(batch).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("n_tokens") == 7L)
+    // zero shared vocabulary = maximal L1: Σ|p_batch − p_corpus| = 2
+    assert(rows(0).getAs[Long]("l1_ppm") == 2000000L,
+      s"expected full drift, got ${rows(0)}")
   }
 
   test("foreachBatch drift gate: a single-source batch equals that " +
@@ -432,6 +474,32 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString)
     assert(want.nonEmpty && got.toSet == want.toSet,
       s"stream served ${got.size} rows, batch ${want.size}")
+  }
+
+  test("streaming split gate equals the batch leak-safe split " +
+    "(sides served per micro-batch from the component-label artifact)") {
+    import graft.streaming.DocStream
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    val q = DocStream.source(spark, sfTiny)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= DocStream.splitGate(spark, sfTiny)(batch)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val want = SparkEntry.queries("pipe_leak_safe_split")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(want.nonEmpty && got.toSet == want.toSet,
+      s"stream assigned ${got.size} rows, batch ${want.size}")
+    // non-vacuous leak-safety: both sides occur, and at least one doc is
+    // assigned through a component REP different from its own id
+    assert(got.map(_._3).toSet == Set("train", "val"))
+    assert(got.exists(r => r._2 != r._1))
   }
 
   test("streaming near-dup gate equals the batch indexed incremental dedup") {
