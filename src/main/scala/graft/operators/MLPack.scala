@@ -104,6 +104,64 @@ object MLPack {
         .orderBy("lang")
     }),
 
+    // ---- dataset structural validation rules (reference M7 second half:
+    //      utils/dataset_validator.py — name length 1..100 for datasets
+    //      AND classes, recordings must be canonical UUIDs, completeness
+    //      = ≥2 classes per dataset / ≥2 recordings per class). The
+    //      fixture's derived entities are valid by construction, so rule
+    //      inputs are DETERMINISTICALLY PERTURBED first (the tx_pii_scrub
+    //      injection pattern): names get an md5-derived x/y pad (some
+    //      cross the 100-char bound), and every 97th recording's
+    //      synthesized MBID gets a non-hex version nibble. One row per
+    //      violation, the validator's error enumeration as a frame.
+    //      Plan: three tiny distinct/grouped aggregates + one per-row
+    //      regex pass — nothing wider than the corpus scan. --------------
+    "m7_validate_rules" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def u(prefix: String, c: org.apache.spark.sql.Column) = conv(
+        substring(md5(concat(lit(prefix), c)), 1, 8), 16, 10).cast("long")
+      val nameMax = 100
+      val datasets = docs.select(col("source")).distinct()
+        .withColumn("k", u("dsname:", col("source")) % 120)
+        .withColumn("name", expr("concat(source, repeat('x', CAST(k AS INT)))"))
+      val badDs = datasets
+        .filter(length(col("name")) > nameMax || length(col("name")) < 1)
+        .select(lit("dataset_name_length").as("rule"), col("source"),
+          lit("").as("lang"), col("name").as("item"))
+      val classes = docs.select(col("source"), col("lang")).distinct()
+        .withColumn("k",
+          u("clname:", concat(col("source"), lit(":"), col("lang"))) % 120)
+        .withColumn("name", expr("concat(lang, repeat('y', CAST(k AS INT)))"))
+      val badCl = classes
+        .filter(length(col("name")) > nameMax || length(col("name")) < 1)
+        .select(lit("class_name_length").as("rule"), col("source"),
+          col("lang"), col("name").as("item"))
+      // canonical-form UUID (flask_uuid UUID_RE's strict lowercase shape,
+      // the defined contract here), version nibble corrupted every 97th id
+      val mbid = concat(
+        lpad(lower(hex(col("doc_id") % 4294967296L)), 8, "0"), lit("-0000-"),
+        when(col("doc_id") % 97 === 0, lit("z000")).otherwise(lit("4000")),
+        lit("-8000-"), lpad(lower(hex(col("doc_id"))), 12, "0"))
+      val UuidRe =
+        "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+      val badRec = docs.select(col("source"), col("lang"), mbid.as("item"))
+        .filter(!col("item").rlike(UuidRe))
+        .select(lit("recording_mbid_invalid").as("rule"), col("source"),
+          col("lang"), col("item"))
+      val smallCl = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n")).filter(col("n") < 2)
+        .select(lit("class_too_small").as("rule"), col("source"),
+          col("lang"), col("n").cast(StringType).as("item"))
+      val smallDs = docs.select(col("source"), col("lang")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .filter(col("n") < 2)
+        .select(lit("dataset_too_small").as("rule"), col("source"),
+          lit("").as("lang"), col("n").cast(StringType).as("item"))
+      badDs.unionAll(badCl).unionAll(badRec).unionAll(smallCl)
+        .unionAll(smallDs)
+        .orderBy("rule", "source", "lang", "item")
+    }),
+
     // ---- deterministic sample (reference F19: TABLESAMPLE / random.sample,
     //      made reproducible via hash order) ------------------------------
     "f19_deterministic_sample" -> ((s, d) => {
@@ -316,6 +374,45 @@ object MLPack {
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
         |FROM documents WHERE n_chars > 0
         |GROUP BY lang HAVING COUNT(*) >= 2 ORDER BY lang""".stripMargin,
+
+    "m7_validate_rules" ->
+      s"""WITH ds AS (SELECT source,
+         |  source || repeat('x', CAST(
+         |    ('0x' || substr(md5('dsname:' || source), 1, 8))::BIGINT % 120
+         |    AS INTEGER)) AS name
+         |  FROM (SELECT DISTINCT source FROM documents) t),
+         |bad_ds AS (SELECT 'dataset_name_length' AS rule, source,
+         |    '' AS lang, name AS item
+         |  FROM ds WHERE length(name) > 100 OR length(name) < 1),
+         |cl AS (SELECT source, lang,
+         |  lang || repeat('y', CAST(
+         |    ('0x' || substr(md5('clname:' || source || ':' || lang), 1, 8))
+         |      ::BIGINT % 120 AS INTEGER)) AS name
+         |  FROM (SELECT DISTINCT source, lang FROM documents) t),
+         |bad_cl AS (SELECT 'class_name_length' AS rule, source, lang,
+         |    name AS item
+         |  FROM cl WHERE length(name) > 100 OR length(name) < 1),
+         |recs AS (SELECT source, lang,
+         |  lpad(lower(hex(doc_id % 4294967296)), 8, '0') || '-0000-' ||
+         |  CASE WHEN doc_id % 97 = 0 THEN 'z000' ELSE '4000' END ||
+         |  '-8000-' || lpad(lower(hex(doc_id)), 12, '0') AS item
+         |  FROM documents),
+         |bad_rec AS (SELECT 'recording_mbid_invalid' AS rule, source, lang,
+         |    item
+         |  FROM recs WHERE NOT regexp_matches(item,
+         |    '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$$')),
+         |small_cl AS (SELECT 'class_too_small' AS rule, source, lang,
+         |    CAST(COUNT(*) AS VARCHAR) AS item
+         |  FROM documents GROUP BY source, lang HAVING COUNT(*) < 2),
+         |small_ds AS (SELECT 'dataset_too_small' AS rule, source,
+         |    '' AS lang, CAST(COUNT(*) AS VARCHAR) AS item
+         |  FROM (SELECT DISTINCT source, lang FROM documents) t
+         |  GROUP BY source HAVING COUNT(*) < 2)
+         |SELECT * FROM (
+         |  SELECT * FROM bad_ds UNION ALL SELECT * FROM bad_cl
+         |  UNION ALL SELECT * FROM bad_rec UNION ALL SELECT * FROM small_cl
+         |  UNION ALL SELECT * FROM small_ds) u
+         |ORDER BY rule, source, lang, item""".stripMargin,
 
     "f19_deterministic_sample" ->
       s"""SELECT doc_id, lang FROM

@@ -228,7 +228,15 @@ object DocStream {
     * slice is sorted per source in memory (slices are batch-bounded);
     * parity with the batch rebuild holds whenever each source's documents
     * arrive in ascending doc_id across batches — the append-only ingest
-    * pattern — and is spec-pinned across a multi-batch delivery. */
+    * pattern — and is spec-pinned across a multi-batch delivery.
+    *
+    * The append-only contract is ENFORCED, not assumed: the state carries
+    * each source's highest packed doc_id, and a batch delivering an id at
+    * or below it fails the query loudly. Out-of-order delivery would
+    * otherwise pack the late document at the cursor's CURRENT position —
+    * a silently different binning from the batch rebuild, which is the
+    * one failure mode a deterministic packer must not have (spec-pinned:
+    * regression delivery throws, it never diverges quietly). */
   def packingGate(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val s = docs.sparkSession
@@ -240,18 +248,25 @@ object DocStream {
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (source: String, rows: Iterator[(Long, String, Long)],
-         state: GroupState[(Long, Long, Long)]) => {
-          var (cum, lastBin, lastPos) =
-            state.getOption.getOrElse((0L, -1L, 0L))
-          val out = rows.toSeq.sortBy(_._1).map { case (id, _, nt) =>
+         state: GroupState[(Long, Long, Long, Long)]) => {
+          var (cum, lastBin, lastPos, lastId) =
+            state.getOption.getOrElse((0L, -1L, 0L, Long.MinValue))
+          val sorted = rows.toSeq.sortBy(_._1)
+          if (sorted.nonEmpty && sorted.head._1 <= lastId)
+            throw new IllegalStateException(
+              s"packingGate: source '$source' delivered doc_id " +
+                s"${sorted.head._1} after already packing up to $lastId — " +
+                "out-of-order ingest breaks first-fit parity with the " +
+                "batch packer; replay the shard in doc_id order")
+          val out = sorted.map { case (id, _, nt) =>
             // floor(cum-before / budget): cum and budget are non-negative,
             // so Long division IS the floor — same bin as the batch window
             val bin = cum / PipelinePack.PackBudget
             val pos = if (bin == lastBin) lastPos + 1 else 1L
-            cum += nt; lastBin = bin; lastPos = pos
+            cum += nt; lastBin = bin; lastPos = pos; lastId = id
             (id, source, nt, bin, pos)
           }
-          state.update((cum, lastBin, lastPos))
+          state.update((cum, lastBin, lastPos, lastId))
           out.iterator
         })
       .toDF("doc_id", "source", "n_tokens", "bin", "bin_pos")

@@ -825,6 +825,29 @@ class OperatorInvariantsSpec extends SparkSpec {
     drift.unpersist()
   }
 
+  test("m7_validate_rules: every validator rule family fires on the " +
+    "perturbed fixture and each violation genuinely breaks its rule") {
+    val v = run("m7_validate_rules").cache()
+    val rules = v.select("rule").distinct().collect()
+      .map(_.getString(0)).toSet
+    // the three injected families must fire (completeness rules depend on
+    // fixture class sizes and may legitimately be empty)
+    assert(Set("dataset_name_length", "class_name_length",
+      "recording_mbid_invalid").subsetOf(rules), s"rules seen: $rules")
+    // name-length violations really exceed the reference's 100-char bound
+    assert(v.filter(col("rule").isin("dataset_name_length",
+        "class_name_length") &&
+      length(col("item")).between(1, 100)).count() == 0)
+    // every flagged MBID carries the corrupted version nibble, and every
+    // corrupted id (doc_id % 97 == 0) is flagged — no more, no less
+    val flagged = v.filter(col("rule") === "recording_mbid_invalid")
+    assert(flagged.filter(!col("item").contains("-z000-")).count() == 0)
+    val corrupted = Tables.documents(spark, sfTiny)
+      .filter(col("doc_id") % 97 === 0).count()
+    assert(flagged.count() == corrupted && corrupted > 0)
+    v.unpersist()
+  }
+
   test("dd_exact_substr_scrub: no non-keeper duplicated span survives, " +
     "token accounting reconciles, and corpus dup mass collapses") {
     import operators.DedupPack

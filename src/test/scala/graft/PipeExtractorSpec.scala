@@ -48,6 +48,57 @@ class PipeExtractorSpec extends SparkSpec {
     assert(out.values.count(_ == "{}") == 7)
   }
 
+  test("M4→M8 compose: the eval winner's profile drives the extractor " +
+    "over the unprocessed queue end-to-end") {
+    import graft.ingest.{EvalProfile, PipeExtractor}
+    // a REAL (grid-trimmed) evaluation: the bench-profile 2-combo grid
+    // trains actual SMO models, so the composed path starts from a
+    // genuine winner, not a synthetic frame
+    System.setProperty("graft.bench.profile", "true")
+    val evalDf = try {
+      // the grid search runs eagerly at query construction; the returned
+      // frame is the confusion matrix stamped with the winner columns
+      val df = SparkEntry.queries("m4_train_eval")(spark, sfTiny).cache()
+      df.count()
+      df
+    } finally System.clearProperty("graft.bench.profile")
+    val prof = EvalProfile.fromEval(evalDf, "fixture-genre")
+    evalDf.unpersist()
+    // the winner is a member of the declared grid
+    assert(prof.gridSize == 2L)
+    assert(Seq("basic", "normalized", "gaussianized", "lowlevel", "nobands")
+      .contains(prof.bestPrep))
+    assert(prof.cvAccuracy >= 0.0 && prof.cvAccuracy <= 1.0)
+    // queue scan: docs with doc_id % 3 == 0 already have results
+    val docs = Tables.documents(spark, sfTiny)
+    val done = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+    val qIds = EvalProfile.unprocessedQueue(docs, done)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(qIds.length == PipeExtractor.DocumentsPerQuery)
+    assert(qIds.forall(_ % 3 != 0), "queue contains processed docs")
+    // profile-echo stub: each answered line carries back the profile argv
+    // (proving the winner reached the binary); ids % 5 == 0 stay silent
+    val pstub = {
+      val f = java.nio.file.Files.createTempFile("graft_profile_stub", ".sh")
+      java.nio.file.Files.writeString(f,
+        """#!/bin/sh
+          |exec awk -F'\t' -v p="$1" '$1 % 5 != 0 {print $1 "\t" p}'
+          |""".stripMargin)
+      f.toFile.setExecutable(true)
+      f.toString
+    }
+    val out = EvalProfile.runBatch(spark, docs, done, prof, Seq(pstub))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(out.map(_._1).sorted.toSeq == qIds.sorted.toSeq,
+      "extractor output does not cover the queue exactly")
+    val (silent, answered) = out.partition(_._1 % 5 == 0)
+    assert(silent.nonEmpty && silent.forall(_._2 == "{}"))
+    assert(answered.nonEmpty && answered.forall(_._2 == prof.toJson))
+    assert(out.forall(r => r._3 == "fixture-genre" &&
+      r._4 == EvalProfile.ModelVersion))
+  }
+
   test("every doc is answered; extractor-silent docs are marked {} (processed)") {
     val out = run(50, 4) // multi-partition: sizes vary but the cap holds
     assert(out.keySet == (1L to 50L).toSet)

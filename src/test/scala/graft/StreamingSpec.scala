@@ -106,6 +106,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_._4 > 0))
   }
 
+  test("packing gate fails loudly on out-of-order delivery instead of " +
+    "silently diverging from the batch packer") {
+    import graft.streaming.DocStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val ms = MemoryStream[(Long, String, String)]
+    val q = DocStream.packingGate(
+        ms.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pack_ooo_out")
+      .start()
+    // deliver the HIGH half first, then the low half — the regression the
+    // cursor state must reject (a quiet pack here would bin the low ids
+    // at the cursor's end position, diverging from the batch rebuild)
+    ms.addData(second.toIndexedSeq); q.processAllAvailable()
+    ms.addData(first.toIndexedSeq)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      String.valueOf(c.getMessage).contains("out-of-order ingest")),
+      s"expected the packingGate order guard, got: $e")
+    q.stop()
+  }
+
   test("foreachBatch quality gate equals the batch cascade verdicts") {
     import graft.streaming.DocStream
     // drive the attributed gate per micro-batch, the deployment shape
