@@ -220,6 +220,176 @@ object TextPack {
         expr("(num * 1000000L) div den").as("l1_ppm"))
   }
 
+  /** Number of BPE merge operations `tx_bpe_merges` induces. */
+  private[graft] val BpeMerges = 6
+
+  /** Symbol separator of the BPE working representation — a control
+    * character no sane corpus token contains (defined constraint,
+    * shared with the oracle's chr(1)). */
+  private[graft] val BpeSep = "\u0001"
+
+  /** Tokenizer vocabulary induction: the first `k` byte-pair-encoding
+    * merges over `docs`' whitespace-token stream (Sennrich et al. 2016)
+    * — the step that turns a cleaned corpus into a tokenizer. Exact
+    * deterministic semantics, mirrored stage-for-stage in the oracle:
+    * symbols start as characters; each round counts ADJACENT symbol
+    * pairs weighted by word frequency (overlapping positions each
+    * count, the canonical tally), picks the max-count pair with a
+    * lexicographic (lhs, rhs) tie-break, and rewrites every word by the
+    * canonical greedy left-to-right non-overlapping merge — expressed
+    * as a fold (`aggregate`) whose "merge here" test is anchored on the
+    * separator, so a symbol just produced by this round's merge can
+    * never be the left half of another merge at the same site.
+    *
+    * Scale shape: one corpus scan builds the (word, freq) table — BPE
+    * state is VOCAB-sized from then on, never corpus-sized — and each
+    * round is one explode + combinable pair-count aggregate + a 1-row
+    * top-1 over the vocab frame. Rounds are data-dependent (round k's
+    * pairs exist only after k−1's rewrite), so the k-round chain is
+    * inherently sequential — the same unrolled-iteration discipline as
+    * the tuned-IVF Lloyd training, with `localCheckpoint` truncating
+    * the per-round lineage. The driver sees k one-row winners (grid
+    * metadata, like m4's fold scores), never data. */
+  private[graft] def bpeMerges(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var cur = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(col("f"), expr(
+        "concat_ws('\u0001', transform(sequence(1, length(w)), " +
+          "i -> substring(w, i, 1)))").as("rep"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var round = 1
+    while (round <= k) {
+      val best = cur
+        .select(col("f"), split(col("rep"), BpeSep).as("sy"))
+        .select(col("f"), explode(when(size(col("sy")) >= 2, expr(
+          "transform(sequence(1, size(sy) - 1), " +
+            "i -> struct(element_at(sy, i) AS lhs, element_at(sy, i + 1) AS rhs))"))
+          .otherwise(expr(
+            "CAST(array() AS array<struct<lhs:string,rhs:string>>)")))
+          .as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) round = k + 1
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((round.toLong, l, r, cnt))
+        // canonical greedy left-to-right merge as a fold: append r
+        // directly (no separator) when the accumulated tail symbol is
+        // exactly l — the separator anchor means "exactly", never "ends
+        // with the characters of l"
+        cur = cur
+          .select(col("f"), aggregate(split(col("rep"), BpeSep), lit(""),
+            (acc, x) => when(acc === "", x)
+              .when(x === lit(r) &&
+                (acc === lit(l) || acc.endsWith(lit(BpeSep + l))),
+                concat(acc, x))
+              .otherwise(concat(acc, lit(BpeSep), x))).as("rep"))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("merge_idx", "lhs", "rhs", "cnt")
+      .orderBy("merge_idx")
+  }
+
+  /** DuckDB CTE chain replaying the [[bpeMerges]] rounds: `w0..wK`
+    * carry (w, f, rep) — the word string rides along so consumers can
+    * join the fully-merged vocabulary `wK` back to a token stream —
+    * and `b1..bK` are the per-round 1-row winners. chr(1) mirrors the
+    * engine's \u0001 separator; `list_reduce` is the engine's
+    * `aggregate` fold with ends_with anchoring the "tail symbol is
+    * exactly lhs" test identically. */
+  private def bpeRoundCtes: String = {
+    val rounds = (1 to BpeMerges).map { n =>
+      s"""p$n AS (SELECT s[i] AS lhs, s[i+1] AS rhs, f
+         |  FROM (SELECT f, str_split(rep, chr(1)) AS s FROM w${n - 1}) t,
+         |  unnest(generate_series(1, len(s) - 1)) AS u(i)),
+         |b$n AS (SELECT lhs, rhs, CAST(SUM(f) AS BIGINT) AS cnt FROM p$n
+         |  GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |w$n AS (SELECT w, f, list_reduce(str_split(rep, chr(1)),
+         |  (acc, x) -> CASE WHEN x = b.rhs AND (acc = b.lhs
+         |      OR ends_with(acc, chr(1) || b.lhs)) THEN acc || x
+         |    ELSE acc || chr(1) || x END) AS rep
+         |  FROM w${n - 1}, b$n b)""".stripMargin
+    }.mkString(",\n")
+    s"""wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM
+       |  (SELECT unnest($toksSql) AS w FROM documents) t GROUP BY w),
+       |w0 AS (SELECT w, f, array_to_string(list_transform(
+       |    generate_series(1, length(w)), i -> substring(w, i, 1)), chr(1))
+       |    AS rep FROM wf),
+       |$rounds""".stripMargin
+  }
+
+  /** Build constants of [[ensureBpeIndex]]. */
+  private[graft] val BpeIndexParams =
+    s"merges=$BpeMerges,tokenizer=ws_v1,sep=u0001"
+
+  /** Persisted trained tokenizer: the [[bpeMerges]] winner table as a
+    * build-once IndexStore artifact — induction is the expensive
+    * sequential half (K corpus-vocab rounds), application is a pure
+    * per-word fold any job or stream can serve from the K-row member. */
+  private[graft] def ensureBpeIndex(s: SparkSession, d: String): String =
+    graft.sim.IndexStore.ensure(s, d, "bpe_merges",
+      Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id",
+      BpeIndexParams) { p =>
+      bpeMerges(Tables.documents(s, d), BpeMerges)
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/merges")
+    }
+
+  /** Tokenize arbitrary documents with an ordered merge list: per-doc
+    * whitespace-token count and REAL BPE token count under the trained
+    * tokenizer (replacing the `est_bpe_tokens` length heuristic where
+    * the real number matters — packing budgets, billing, curricula).
+    * Unseen words need no OOV path: they enter as characters and any
+    * learned pair inside them still merges — the defining BPE property.
+    * Plan shape: the fold chain runs once per DISTINCT batch word
+    * (vocab-sized), then one join back to the token stream and a per-doc
+    * combinable aggregate. */
+  private[graft] def bpeEncodeWith(docs: org.apache.spark.sql.DataFrame,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val words0 = docs.select(explode(tokens(col("text"))).as("w")).distinct()
+      .withColumn("rep", expr(
+        "concat_ws('\u0001', transform(sequence(1, length(w)), " +
+          "i -> substring(w, i, 1)))"))
+    val folded = merges.foldLeft(words0) { case (df, (l, r)) =>
+      df.withColumn("rep", aggregate(split(col("rep"), BpeSep), lit(""),
+        (acc, x) => when(acc === "", x)
+          .when(x === lit(r) &&
+            (acc === lit(l) || acc.endsWith(lit(BpeSep + l))),
+            concat(acc, x))
+          .otherwise(concat(acc, lit(BpeSep), x))))
+    }
+    val wtok = folded.select(col("w"),
+      size(split(col("rep"), BpeSep)).cast(LongType).as("n_sym"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(wtok, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sym")).as("n_bpe_tokens"))
+  }
+
+  /** Serve BPE tokenization from `dir`'s persisted merge artifact — the
+    * core of `tx_bpe_encode` and the streaming token-count gate
+    * (DocStream.bpeCountGate). The K-row merge table is driver-side
+    * metadata by construction (K literals parameterize the fold), the
+    * same posture as m4's winner scalars. */
+  private[graft] def bpeEncodeServe(s: SparkSession, d: String,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = ensureBpeIndex(s, d)
+    val merges = s.read.parquet(s"$p/merges")
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    bpeEncodeWith(docs, merges)
+  }
+
   /** Keywords kept per document by the BM25-idf extractor. */
   private[graft] val Bm25TopK = 3L
 
@@ -470,6 +640,24 @@ object TextPack {
     // this entry pins the smoothing arithmetic end to end in DuckDB. ------
     "tx_unigram_ppl_smoothed" -> ((s, d) =>
       pplServeSmoothed(s, d, Tables.documents(s, d)).orderBy("doc_id")),
+
+    // ---- BPE merge induction (tokenizer vocabulary training) -------------
+    // See [[bpeMerges]]: the first [[BpeMerges]] byte-pair-encoding merge
+    // operations over the corpus token stream — max-count adjacent symbol
+    // pair per round (lexicographic tie-break), canonical greedy rewrite,
+    // all-integer counts. The oracle unrolls the identical rounds as a
+    // CTE chain (the tuned-IVF Lloyd-unroll technique), with the greedy
+    // rewrite as a list_reduce fold matching the engine's aggregate(). ----
+    "tx_bpe_merges" -> ((s, d) =>
+      bpeMerges(Tables.documents(s, d), BpeMerges)),
+
+    // ---- trained-tokenizer application (real BPE token accounting) -------
+    // Serves the persisted merge artifact over the corpus: per-document
+    // whitespace and BPE token counts. The oracle replays the induction
+    // chain and applies its fully-merged vocabulary — artifact and
+    // replay coincide by determinism (the ivf-oracle pattern). ------------
+    "tx_bpe_encode" -> ((s, d) =>
+      bpeEncodeServe(s, d, Tables.documents(s, d)).orderBy("doc_id")),
 
     // ---- BM25-idf keyword extraction (top-K tokens per document) ---------
     // The per-document keyword surface (search indexing / tagging / topic
@@ -732,6 +920,33 @@ object TextPack {
          |       WHEN mean_nll < $PplMiddleMax THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the engine's k sequential BPE rounds unrolled: pair tally → 1-row
+    // winner → list_reduce greedy rewrite, per round; chr(1) mirrors the
+    // engine's \u0001 symbol separator, ends_with anchors the fold's
+    // "tail symbol is exactly lhs" test identically
+    "tx_bpe_merges" -> {
+      val sel = (1 to BpeMerges).map(n =>
+        s"SELECT CAST($n AS BIGINT) AS merge_idx, lhs, rhs, cnt FROM b$n")
+        .mkString("\nUNION ALL ")
+      s"""WITH $bpeRoundCtes
+         |$sel
+         |ORDER BY merge_idx""".stripMargin
+    },
+
+    // the trained-tokenizer application: the same unrolled round chain
+    // produces the fully-merged vocabulary w<K>, whose per-word symbol
+    // counts join back to the document token stream (the engine serves
+    // the same winners from the persisted artifact — determinism makes
+    // replay and artifact identical, the ivf-oracle pattern)
+    "tx_bpe_encode" ->
+      s"""WITH $bpeRoundCtes,
+         |tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(len(str_split(x.rep, chr(1)))) AS BIGINT)
+         |    AS n_bpe_tokens
+         |FROM tok t JOIN w$BpeMerges x USING (w)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "tx_bm25_topk" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

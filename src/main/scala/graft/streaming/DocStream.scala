@@ -201,6 +201,22 @@ object DocStream {
       .filter(col("u") < col("thresh"))
       .select(col("doc_id"), col("lang"))
 
+  /** Trained-tokenizer accounting gate at ingest: real BPE token counts
+    * per arriving document, served from the PERSISTED merge artifact
+    * ([[graft.operators.TextPack.ensureBpeIndex]]) — the token-budget
+    * meter of a continuous corpus build (packing budgets, billing,
+    * curricula want the trained tokenizer's counts, not the length
+    * heuristic). Deployment shape: `foreachBatch((b, _) =>
+    * bpeCountGate(spark, dir)(b)…)` like [[dedupGate]]; each batch pays
+    * one fold pass over its own DISTINCT words — unseen post-freeze
+    * words enter as characters and still receive any learned merges
+    * that apply inside them (BPE's defining no-OOV property). Runs the
+    * batch serving core verbatim
+    * ([[graft.operators.TextPack.bpeEncodeServe]]), so stream/batch
+    * parity holds by construction (pinned in StreamingSpec). */
+  def bpeCountGate(spark: SparkSession, dir: String)(batch: DataFrame): DataFrame =
+    graft.operators.TextPack.bpeEncodeServe(spark, dir, batch)
+
   /** Leak-safe split gate at ingest: assign each arriving document its
     * train/val side from the PERSISTED near-dup component labels
     * ([[graft.operators.PipelinePack.ensureComponentsIndex]]) — the

@@ -535,6 +535,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(r => r._2 != r._1))
   }
 
+  test("streaming BPE token-count gate equals the batch artifact-served " +
+    "encode; unseen-vocabulary batches still tokenize (no OOV path)") {
+    import graft.streaming.DocStream
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = DocStream.source(spark, sfTiny)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= DocStream.bpeCountGate(spark, sfTiny)(batch)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val want = SparkEntry.queries("tx_bpe_encode")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(want.nonEmpty && got.toSet == want.toSet,
+      s"stream counted ${got.size} rows, batch ${want.size}")
+    // BPE must compress: some document's BPE count is below its char
+    // count but at/above its word count
+    assert(got.forall(r => r._3 >= r._2))
+    // an all-unseen batch tokenizes from characters — no row is dropped
+    import spark.implicits._
+    val unseen = Seq((900001L, "zzqx9 wvut8")).toDF("doc_id", "text")
+    val rows = DocStream.bpeCountGate(spark, sfTiny)(unseen).collect()
+    assert(rows.length == 1 && rows(0).getLong(1) == 2L &&
+      rows(0).getLong(2) >= 2L && rows(0).getLong(2) <= 10L)
+  }
+
   test("streaming near-dup gate equals the batch indexed incremental dedup") {
     import graft.streaming.DocStream
     import graft.operators.DedupPack
