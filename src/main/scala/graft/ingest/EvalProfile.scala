@@ -30,13 +30,21 @@ object EvalProfile {
   final case class Profile(modelName: String, bestC: Double,
       bestGamma: Double, bestPrep: String, gridSize: Long,
       cvAccuracy: Double) {
+    require(!bestC.isNaN && !bestC.isInfinite &&
+      !bestGamma.isNaN && !bestGamma.isInfinite &&
+      !cvAccuracy.isNaN && !cvAccuracy.isInfinite,
+      "profile doubles must be finite — NaN/Infinity are not JSON")
     /** Deterministic profile serialization (sorted keys, no whitespace) —
-      * the argv-borne stand-in for the reference's profile.conf. */
-    def toJson: String =
+      * the argv-borne stand-in for the reference's profile.conf. The
+      * free-text fields (dataset names are user input in the reference)
+      * go through the engine's shared JSON escaper. */
+    def toJson: String = {
+      import graft.JsonUtil.str
       s"""{"best_c":$bestC,"best_gamma":$bestGamma,""" +
-        s""""best_prep":"$bestPrep","cv_accuracy":$cvAccuracy,""" +
-        s""""grid_size":$gridSize,"model_name":"$modelName",""" +
+        s""""best_prep":${str(bestPrep)},"cv_accuracy":$cvAccuracy,""" +
+        s""""grid_size":$gridSize,"model_name":${str(modelName)},""" +
         s""""model_version":"$ModelVersion"}"""
+    }
   }
 
   /** Read the winning arm off an `m4_train_eval` result frame. Every
@@ -56,28 +64,39 @@ object EvalProfile {
 
   /** The daemon's queue scan
     * (get_unprocessed_highlevel_documents_for_model — the J4 anti-join
-    * shape): documents with no result row for this model yet, lowest ids
-    * first, at most [[PipeExtractor.DocumentsPerQuery]] per poll. The
-    * anti-join prunes against the result set (at scale: the results
-    * table bucketed on doc_id, same layout the queue queries use); the
-    * cap bounds one POLL, not the pipeline — the daemon loops until the
-    * queue drains, exactly the reference's batch-at-a-time posture. */
-  def unprocessedQueue(docs: DataFrame, results: DataFrame): DataFrame =
-    docs.join(results.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    * shape): documents with no result row FOR THIS MODEL yet, lowest ids
+    * first, at most [[PipeExtractor.DocumentsPerQuery]] per poll.
+    * `results` is the (doc_id, model, …) results table — the per-model
+    * filter is part of the contract (the reference daemon runs one model
+    * at a time against a shared results table; without it, a document
+    * extracted under model A would silently never be extracted under
+    * model B). The anti-join prunes against the filtered result set (at
+    * scale: the results table bucketed on doc_id, same layout the queue
+    * queries use); the cap bounds one POLL, not the pipeline — the
+    * daemon loops until the queue drains, exactly the reference's
+    * batch-at-a-time posture. */
+  def unprocessedQueue(docs: DataFrame, results: DataFrame,
+      modelName: String): DataFrame =
+    docs.join(
+        results.filter(col("model") === modelName).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
       .limit(PipeExtractor.DocumentsPerQuery)
 
   /** One daemon pass: scan the queue, run the external extractor over it
     * with the profile appended to the command line, and return
-    * (id, hl_data, model, model_version) rows ready for the results
-    * upsert (D5's MERGE shape). Silent/failed docs come back `{}` —
-    * marked processed, so the next poll's anti-join skips them
-    * (db/data.py:393-404 via [[PipeExtractor.extract]]). */
+    * (doc_id, hl_data, model, model_version) rows ready for the results
+    * upsert (D5's MERGE shape) — keyed so the output FEEDS BACK into
+    * [[unprocessedQueue]] directly, which is the daemon loop. Silent or
+    * failed docs come back `{}` — marked processed, so the next poll's
+    * anti-join skips them (db/data.py:393-404 via
+    * [[PipeExtractor.extract]]). */
   def runBatch(spark: SparkSession, docs: DataFrame, results: DataFrame,
       profile: Profile, command: Seq[String]): DataFrame = {
-    val queue = unprocessedQueue(docs, results)
+    val queue = unprocessedQueue(docs, results, profile.modelName)
       .select(col("doc_id").as("id"), col("text").as("payload"))
     PipeExtractor.extract(spark, queue, command :+ profile.toJson)
+      .withColumnRenamed("id", "doc_id")
       .withColumn("model", lit(profile.modelName))
       .withColumn("model_version", lit(ModelVersion))
   }

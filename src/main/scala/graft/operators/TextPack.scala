@@ -72,12 +72,21 @@ object TextPack {
   private[graft] def pplScore(tf: org.apache.spark.sql.DataFrame,
       lm: org.apache.spark.sql.DataFrame,
       total: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val scored = tf.join(lm, Seq("tk")).crossJoin(broadcast(total))
+    bucketize(tf.join(lm, Seq("tk")).crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
         sum((col("tf").cast(DoubleType) *
           (log(col("n").cast(DoubleType)) - log(col("c").cast(DoubleType))))
-          .cast(DecimalType(28, 9))).as("nll"))
+          .cast(DecimalType(28, 9))).as("nll")))
+  }
+
+  /** Shared (doc_id, n_tokens, nll) → scored-row tail of BOTH LM scoring
+    * cores: the 1e-6 rounding grid and the head/middle/tail thresholds
+    * are oracle-mirrored in the exact AND smoothed entries, so they live
+    * in exactly one place — a one-sided change would silently break one
+    * oracle. */
+  private def bucketize(
+      scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val mean = round(col("nll").cast(DoubleType) /
       col("n_tokens").cast(DoubleType), 6)
     scored.select(col("doc_id"), col("n_tokens"), mean.as("mean_nll"),
@@ -100,19 +109,14 @@ object TextPack {
       total: org.apache.spark.sql.DataFrame,
       vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val cEff = coalesce(col("c"), lit(0L))
-    val scored = tf.join(lm, Seq("tk"), "left")
+    bucketize(tf.join(lm, Seq("tk"), "left")
       .crossJoin(broadcast(total)).crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
         sum((col("tf").cast(DoubleType) *
           (log((col("n") + col("v")).cast(DoubleType)) -
             log((cEff + lit(1L)).cast(DoubleType))))
-          .cast(DecimalType(28, 9))).as("nll"))
-    val mean = round(col("nll").cast(DoubleType) /
-      col("n_tokens").cast(DoubleType), 6)
-    scored.select(col("doc_id"), col("n_tokens"), mean.as("mean_nll"),
-      when(mean < PplHeadMax, "head").when(mean < PplMiddleMax, "middle")
-        .otherwise("tail").as("bucket"))
+          .cast(DecimalType(28, 9))).as("nll")))
   }
 
   /** Inline LM scoring over `docs` — the LM is built from the same frame
@@ -250,6 +254,23 @@ object TextPack {
     * the tuned-IVF Lloyd training, with `localCheckpoint` truncating
     * the per-round lineage. The driver sees k one-row winners (grid
     * metadata, like m4's fold scores), never data. */
+  /** The canonical greedy left-to-right merge of pair (l, r) over a
+    * [[BpeSep]]-joined symbol string, as a fold: append r WITHOUT a
+    * separator when the accumulated tail symbol is exactly l (the
+    * separator anchor makes "exactly" precise — a longer symbol merely
+    * ENDING in l's characters never matches). ONE definition shared by
+    * induction ([[bpeMerges]]) and application ([[bpeEncodeWith]]) — the
+    * oracle-parity and artifact-twin contracts both rest on the two
+    * staying semantically identical. */
+  private def greedyMergeFold(rep: org.apache.spark.sql.Column,
+      l: String, r: String): org.apache.spark.sql.Column =
+    aggregate(split(rep, BpeSep), lit(""),
+      (acc, x) => when(acc === "", x)
+        .when(x === lit(r) &&
+          (acc === lit(l) || acc.endsWith(lit(BpeSep + l))),
+          concat(acc, x))
+        .otherwise(concat(acc, lit(BpeSep), x)))
+
   private[graft] def bpeMerges(docs: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
@@ -282,17 +303,8 @@ object TextPack {
         val (l, r, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((round.toLong, l, r, cnt))
-        // canonical greedy left-to-right merge as a fold: append r
-        // directly (no separator) when the accumulated tail symbol is
-        // exactly l — the separator anchor means "exactly", never "ends
-        // with the characters of l"
         cur = cur
-          .select(col("f"), aggregate(split(col("rep"), BpeSep), lit(""),
-            (acc, x) => when(acc === "", x)
-              .when(x === lit(r) &&
-                (acc === lit(l) || acc.endsWith(lit(BpeSep + l))),
-                concat(acc, x))
-              .otherwise(concat(acc, lit(BpeSep), x))).as("rep"))
+          .select(col("f"), greedyMergeFold(col("rep"), l, r).as("rep"))
           .localCheckpoint(true)
         round += 1
       }
@@ -307,7 +319,12 @@ object TextPack {
     * and `b1..bK` are the per-round 1-row winners. chr(1) mirrors the
     * engine's \u0001 separator; `list_reduce` is the engine's
     * `aggregate` fold with ends_with anchoring the "tail symbol is
-    * exactly lhs" test identically. */
+    * exactly lhs" test identically. Rounds join `bN` via LEFT JOIN ON
+    * TRUE: a vocabulary that fully merges before round K leaves later
+    * `bN` empty, and the null-guard passes reps through unchanged —
+    * matching the engine's early exit — instead of a comma cross join
+    * annihilating the vocabulary (and with it every tx_bpe_encode
+    * row). */
   private def bpeRoundCtes: String = {
     val rounds = (1 to BpeMerges).map { n =>
       s"""p$n AS (SELECT s[i] AS lhs, s[i+1] AS rhs, f
@@ -315,11 +332,12 @@ object TextPack {
          |  unnest(generate_series(1, len(s) - 1)) AS u(i)),
          |b$n AS (SELECT lhs, rhs, CAST(SUM(f) AS BIGINT) AS cnt FROM p$n
          |  GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-         |w$n AS (SELECT w, f, list_reduce(str_split(rep, chr(1)),
-         |  (acc, x) -> CASE WHEN x = b.rhs AND (acc = b.lhs
-         |      OR ends_with(acc, chr(1) || b.lhs)) THEN acc || x
-         |    ELSE acc || chr(1) || x END) AS rep
-         |  FROM w${n - 1}, b$n b)""".stripMargin
+         |w$n AS (SELECT w, f, CASE WHEN b.lhs IS NULL THEN rep
+         |  ELSE list_reduce(str_split(rep, chr(1)),
+         |    (acc, x) -> CASE WHEN x = b.rhs AND (acc = b.lhs
+         |        OR ends_with(acc, chr(1) || b.lhs)) THEN acc || x
+         |      ELSE acc || chr(1) || x END) END AS rep
+         |  FROM w${n - 1} LEFT JOIN b$n b ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM
        |  (SELECT unnest($toksSql) AS w FROM documents) t GROUP BY w),
@@ -361,12 +379,7 @@ object TextPack {
         "concat_ws('\u0001', transform(sequence(1, length(w)), " +
           "i -> substring(w, i, 1)))"))
     val folded = merges.foldLeft(words0) { case (df, (l, r)) =>
-      df.withColumn("rep", aggregate(split(col("rep"), BpeSep), lit(""),
-        (acc, x) => when(acc === "", x)
-          .when(x === lit(r) &&
-            (acc === lit(l) || acc.endsWith(lit(BpeSep + l))),
-            concat(acc, x))
-          .otherwise(concat(acc, lit(BpeSep), x))))
+      df.withColumn("rep", greedyMergeFold(col("rep"), l, r))
     }
     val wtok = folded.select(col("w"),
       size(split(col("rep"), BpeSep)).cast(LongType).as("n_sym"))

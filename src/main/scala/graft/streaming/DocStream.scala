@@ -248,7 +248,11 @@ object DocStream {
     *
     * The append-only contract is ENFORCED, not assumed: the state carries
     * each source's highest packed doc_id, and a batch delivering an id at
-    * or below it fails the query loudly. Out-of-order delivery would
+    * or below it fails the query loudly. (Adding the id widened the state
+    * tuple from 3 to 4 longs — a deployment restarting from a checkpoint
+    * written by the 3-field encoder must start a fresh checkpoint; there
+    * is no in-place state migration, and the guard's cursor cannot be
+    * reconstructed from the old state anyway.) Out-of-order delivery would
     * otherwise pack the late document at the cursor's CURRENT position —
     * a silently different binning from the batch rebuild, which is the
     * one failure mode a deterministic packer must not have (spec-pinned:

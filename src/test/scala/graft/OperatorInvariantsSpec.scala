@@ -864,6 +864,24 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(want.exists(m => m._2.length > 1 || m._3.length > 1))
   }
 
+  test("bpeMerges early-exits when the vocabulary runs dry; the shorter " +
+    "merge list still encodes every document (oracle LEFT-JOIN twin)") {
+    import spark.implicits._
+    import operators.TextPack
+    // a corpus whose only pair merges in round 1 — rounds 2..6 find no
+    // pairs and must stop, not fail or fabricate winners
+    val docs = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val m = TextPack.bpeMerges(docs, 6).collect()
+    assert(m.length == 1)
+    assert((m(0).getString(1), m(0).getString(2), m(0).getLong(3)) ==
+      ("a", "b", 3L))
+    val enc = TextPack.bpeEncodeWith(docs,
+        m.map(r => (r.getString(1), r.getString(2))).toSeq)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(enc == Seq((1L, 2L, 2L), (2L, 1L, 1L)), s"got $enc")
+  }
+
   test("bpeEncodeWith applies an explicit merge list with canonical " +
     "greedy semantics, including merged-symbol pairs and unseen words") {
     import spark.implicits._

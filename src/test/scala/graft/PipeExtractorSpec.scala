@@ -69,10 +69,14 @@ class PipeExtractorSpec extends SparkSpec {
     assert(Seq("basic", "normalized", "gaussianized", "lowlevel", "nobands")
       .contains(prof.bestPrep))
     assert(prof.cvAccuracy >= 0.0 && prof.cvAccuracy <= 1.0)
-    // queue scan: docs with doc_id % 3 == 0 already have results
+    // queue scan: docs with doc_id % 3 == 0 already extracted for THIS
+    // model; the same table also carries another model's rows, which
+    // must NOT shadow this model's queue (per-model anti-join contract)
     val docs = Tables.documents(spark, sfTiny)
-    val done = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
-    val qIds = EvalProfile.unprocessedQueue(docs, done)
+    val done = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), lit("fixture-genre").as("model"))
+      .unionAll(docs.select(col("doc_id"), lit("other-model").as("model")))
+    val qIds = EvalProfile.unprocessedQueue(docs, done, "fixture-genre")
       .select("doc_id").collect().map(_.getLong(0))
     assert(qIds.length == PipeExtractor.DocumentsPerQuery)
     assert(qIds.forall(_ % 3 != 0), "queue contains processed docs")
@@ -97,6 +101,18 @@ class PipeExtractorSpec extends SparkSpec {
     assert(answered.nonEmpty && answered.forall(_._2 == prof.toJson))
     assert(out.forall(r => r._3 == "fixture-genre" &&
       r._4 == EvalProfile.ModelVersion))
+    // daemon loop round-trip: runBatch output IS a results increment —
+    // feeding it back shrinks the queue by exactly the processed batch
+    val batchOut = EvalProfile.runBatch(spark, docs, done, prof, Seq(pstub))
+    val next = EvalProfile
+      .unprocessedQueue(docs, done.unionByName(
+        batchOut.select("doc_id", "model"), allowMissingColumns = false),
+        "fixture-genre")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(next.intersect(qIds).isEmpty,
+      "second poll re-queued documents the first batch already processed")
+    assert(next.length == PipeExtractor.DocumentsPerQuery,
+      "queue did not advance to the next unprocessed ids")
   }
 
   test("every doc is answered; extractor-silent docs are marked {} (processed)") {
