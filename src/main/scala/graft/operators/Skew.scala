@@ -86,6 +86,52 @@ object Skew {
       .toDF("key", "count_lb")
   }
 
+  /** K-minimum-values distinct-count sketch per group (Bar-Yossef et al.
+    * 2002; the (k−1)/U_(k) estimator of Beyer et al., SIGMOD 2007): keep
+    * each group's k smallest DISTINCT hash draws; when a group holds ≥ k
+    * draws the estimate is `(k−1)·2³² div kth-smallest-draw`, otherwise
+    * the draw count IS the cardinality (the sketch is exact below k).
+    * The draw is the engine's md5-prefix recipe — 32-bit uniform and
+    * reproducible in DuckDB — and the estimator is pure integer
+    * cross-multiplication, so the ESTIMATE itself is oracle-checkable
+    * bit-for-bit (the reason this is KMV and not HyperLogLog: HLL's
+    * register layout is engine-private, its estimates can never share an
+    * oracle). Relative error ≈ 1/√(k−2).
+    *
+    * Scale shape: the sketch is the mergeable-summaries answer to
+    * "distinct per group" at 100 TB — per-partition k-min sets union and
+    * re-take the k smallest (merge = min-union, associative and
+    * order-free), so only O(groups · k) draws ever shuffle; the
+    * `distinct + window` formulation here lets Catalyst run exactly that
+    * partial-aggregate plan. The exact `count_distinct` column rides
+    * along for the error report — a monitor calibrating the sketch at
+    * gate scale; at deployment scale you drop it (paying it IS the full
+    * distinct shuffle the sketch exists to avoid). */
+  def kmvDistinct(df: DataFrame, group: String, value: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val u = conv(
+      substring(md5(concat(lit("kmv:"), value.cast(StringType))), 1, 8),
+      16, 10).cast(LongType)
+    val draws = df.select(col(group), u.as("u")).distinct()
+    val w = Window.partitionBy(col(group)).orderBy(col("u"))
+    val kth = draws.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k)
+      .select(col(group), col("u").as("kth_u"))
+    val nd = draws.groupBy(col(group)).agg(count(lit(1)).as("n_draws"))
+    val ex = df.groupBy(col(group))
+      .agg(count_distinct(value).as("n_exact"))
+    ex.join(nd, Seq(group)).join(kth, Seq(group), "left")
+      .select(col(group), col("n_exact"),
+        when(col("kth_u").isNull, col("n_draws"))
+          .otherwise(expr(
+            s"CAST(${k - 1} AS BIGINT) * 4294967296L div greatest(kth_u, 1L)"))
+          .as("est_distinct"))
+      .withColumn("err_permille",
+        expr("abs(est_distinct - n_exact) * 1000L div n_exact"))
+  }
+
   /** The exact second pass behind [[frequentKeys]]: true counts for the
     * (few) surfaced candidate keys. The `isin` membership predicate
     * reaches the parquet scan as a pushed filter (PlanSpec-pinned), so

@@ -102,6 +102,28 @@ object StatsPack {
           col("value"), col("event_id"), buckets = 8)
         .orderBy("key")),
 
+    // ---- KMV distinct-count sketch per source (vocabulary monitor) -------
+    // Per-source distinct word-3-gram-shingle cardinality via the
+    // k-minimum-values sketch (Skew.kmvDistinct, k = 64): the
+    // mergeable-summaries answer to "distinct per group" that never pays
+    // a full distinct shuffle at 100 TB, with the exact count riding
+    // along as the calibration column. Integer-exact estimator — the
+    // oracle reproduces the ESTIMATE bit-for-bit, not just the exact
+    // count. Shingles, not tokens, as the counted value: the fixture's
+    // per-source token vocabulary (~30) sits below k, which would leave
+    // the estimator path dead code at the gate; the shingle space
+    // (thousands per source) exercises it — and n-gram-space cardinality
+    // is the monitor a dedup pipeline actually watches (it sizes the
+    // MinHash universe). ---------------------------------------------------
+    "sk_kmv_distinct" -> ((s, d) => {
+      import graft.functions.HashFunctions.wordShingles
+      val sh = Tables.documents(s, d)
+        .select(col("source"),
+          explode(wordShingles(col("text"), 3)).as("w"))
+      Skew.kmvDistinct(sh, "source", col("w"), k = 64)
+        .orderBy("source")
+    }),
+
     // ---- upsert / MERGE semantics as a deterministic batch plan
     //      (reference D5: ON CONFLICT DO UPDATE, db/similarity.py:501-513;
     //      on Delta this is a MERGE — here the equivalent full-outer
@@ -198,6 +220,40 @@ object StatsPack {
         | quantile_cont(value, 0.95) AS p95,
         | CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the KMV estimator replayed stage-for-stage: same md5-prefix draw,
+    // same (k−1)·2^32 // kth integer estimator — the ESTIMATE matches
+    // bit-for-bit, not just the exact calibration column
+    "sk_kmv_distinct" ->
+      s"""WITH shl AS (SELECT source,
+         |  CASE WHEN len(regexp_split_to_array(text, '\\s+')) >= 3 THEN
+         |    list_distinct(list_transform(generate_series(1,
+         |      len(regexp_split_to_array(text, '\\s+')) - 2),
+         |      i -> regexp_split_to_array(text, '\\s+')[i] || ' ' ||
+         |        regexp_split_to_array(text, '\\s+')[i+1] || ' ' ||
+         |        regexp_split_to_array(text, '\\s+')[i+2]))
+         |  ELSE [text] END AS sh
+         |  FROM documents),
+         |tok AS (SELECT source, unnest(sh) AS w FROM shl),
+         |draws AS (SELECT DISTINCT source,
+         |  ('0x' || substr(md5('kmv:' || w), 1, 8))::BIGINT AS u FROM tok),
+         |ranked AS (SELECT source, u,
+         |  row_number() OVER (PARTITION BY source ORDER BY u) AS rn
+         |  FROM draws),
+         |kth AS (SELECT source, u AS kth_u FROM ranked WHERE rn = 64),
+         |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_draws
+         |  FROM draws GROUP BY source),
+         |ex AS (SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_exact
+         |  FROM tok GROUP BY source),
+         |est AS (SELECT ex.source, ex.n_exact,
+         |  CAST(CASE WHEN kth.kth_u IS NULL THEN nd.n_draws
+         |    ELSE 63 * 4294967296 // greatest(kth.kth_u, 1) END AS BIGINT)
+         |    AS est_distinct
+         |  FROM ex JOIN nd USING (source) LEFT JOIN kth USING (source))
+         |SELECT source, n_exact, est_distinct,
+         |  CAST(abs(est_distinct - n_exact) * 1000 // n_exact AS BIGINT)
+         |    AS err_permille
+         |FROM est ORDER BY source""".stripMargin,
 
     // the plain single-phase aggregate: salting must be invisible in the
     // result (decimal-exact partial merge), so the oracle needs no salt

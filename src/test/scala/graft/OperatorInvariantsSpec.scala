@@ -864,6 +864,42 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(want.exists(m => m._2.length > 1 || m._3.length > 1))
   }
 
+  test("sk_kmv_distinct: sub-k groups are exact, large groups estimate " +
+    "inside the k=64 error envelope, and min-union merge is lossless") {
+    import spark.implicits._
+    import operators.Skew
+    val r = run("sk_kmv_distinct").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.nonEmpty)
+    // every fixture source's shingle space is comfortably past k — the
+    // estimator path — and the relative error stays inside ~3σ of
+    // 1/√(k−2) ≈ 12.7%
+    assert(r.forall(_._2 > 64), "fixture group below k — estimator untested")
+    assert(r.forall(_._4 <= 400), s"KMV error blew the envelope: $r")
+    // sub-k groups report the EXACT cardinality (the sketch's identity
+    // regime), duplicates notwithstanding
+    val tiny = Seq(("g", "x"), ("g", "y"), ("g", "z"), ("g", "x"))
+      .toDF("source", "w")
+    val t = Skew.kmvDistinct(tiny, "source", col("w"), 64).collect()
+    assert(t.length == 1 && t(0).getLong(1) == 3L &&
+      t(0).getLong(2) == 3L && t(0).getLong(3) == 0L)
+    // mergeability (the 100 TB contract): the k smallest of the UNION of
+    // two halves' k-min sets equal the global k-min set — so the kth
+    // draw, and with it the estimate, survives any partitioning
+    val src = Tables.documents(spark, sfTiny)
+      .filter(col("source") === "src3")
+      .select(explode(graft.functions.HashFunctions
+        .wordShingles(col("text"), 3)).as("w"))
+      .select(conv(substring(md5(concat(lit("kmv:"), col("w"))), 1, 8),
+        16, 10).cast("long").as("u"), (col("w").substr(1, 1) <= "m").as("half"))
+      .collect().map(x => (x.getLong(0), x.getBoolean(1)))
+    val k = 64
+    val (a, b) = src.partition(_._2)
+    def kmin(xs: Seq[Long]) = xs.distinct.sorted.take(k)
+    val merged = kmin(kmin(a.map(_._1).toSeq) ++ kmin(b.map(_._1).toSeq))
+    assert(merged == kmin(src.map(_._1).toSeq) && merged.length == k)
+  }
+
   test("bpeMerges early-exits when the vocabulary runs dry; the shorter " +
     "merge list still encodes every document (oracle LEFT-JOIN twin)") {
     import spark.implicits._
