@@ -481,13 +481,15 @@ object DedupPack {
     * large-star/small-star [Kiveris et al., "Connected Components in
     * MapReduce and Beyond"], which converges in O(log² n) with the same
     * join-per-iteration shape. */
-  /** Iteration ceiling for [[connectedComponents]]. Min-label propagation
-    * converges in O(graph diameter) rounds; near-dup graphs are dense
-    * clique unions (diameter a few hops), so a propagation still changing
-    * labels after this many rounds means the input is NOT a near-dup graph
-    * (e.g. a pathological long chain) and the right behavior is a LOUD
-    * failure naming the fix (the large-star/small-star upgrade below), not
-    * an hours-long silent join loop on a 1000-executor cluster. */
+  /** Iteration ceiling for [[connectedComponents]]' min-label phase.
+    * Propagation converges in O(graph diameter) rounds; near-dup graphs
+    * are dense clique unions (diameter a few hops), so a propagation
+    * still changing labels after this many rounds means the input is NOT
+    * near-dup-shaped (e.g. a pathological long chain) — the computation
+    * then switches to the large-star/small-star decomposition
+    * ([[connectedComponentsLSS]]), which converges in O(log² n) rounds on
+    * ANY graph, instead of grinding a join loop per diameter hop on a
+    * 1000-executor cluster. */
   private[graft] val MaxComponentIters = 50
 
   private[graft] def connectedComponents(
@@ -502,11 +504,14 @@ object DedupPack {
     var iters = 0
     while (changed > 0) {
       iters += 1
-      if (iters > maxIters)
-        throw new IllegalStateException(
-          s"connected components still propagating after $maxIters " +
-            "iterations — the edge graph's diameter is far beyond near-dup " +
-            "shape; use a large-star/small-star decomposition for this input")
+      if (iters > maxIters) {
+        // not near-dup-shaped after all — restart under the
+        // diameter-independent decomposition (identical labels: the
+        // component minimum is unique, so the two algorithms agree
+        // row-for-row; property-spec'd)
+        e.unpersist()
+        return connectedComponentsLSS(edges)
+      }
       val nbrRep = adj
         .join(labels.select(col("id").as("nid"), col("rep")),
           col("nbr") === col("nid"))
@@ -522,6 +527,84 @@ object DedupPack {
     }
     e.unpersist()
     labels.select(col("id").as("doc_id"), col("rep"))
+  }
+
+  /** Round ceiling for [[connectedComponentsLSS]] — the alternation
+    * converges in O(log² n) rounds on any graph (Kiveris et al.), so a
+    * run still moving after this many rounds is a genuine bug, not an
+    * input shape. */
+  private[graft] val MaxLssRounds = 64
+
+  /** Connected components by large-star/small-star alternation [Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC 2014] —
+    * the diameter-INDEPENDENT algorithm min-label propagation hands off
+    * to: each round is two neighborhood aggregations instead of one
+    * label join, but the round count is O(log² n) on ANY graph (a
+    * million-hop chain finishes in tens of rounds, not a million).
+    * Same contract as [[connectedComponents]]: (doc_id, rep) with rep =
+    * the component's minimum id, one row per node appearing in any edge
+    * — the two implementations agree row-for-row (property-spec'd),
+    * because the component minimum is unique whatever the algorithm.
+    *
+    * Round semantics (edges kept as unordered pairs, self-loops dropped):
+    *   large-star: every node u links each STRICTLY-LARGER neighbor v to
+    *     m(u) = min(N(u) ∪ {u}) — big nodes shortcut toward small ones;
+    *   small-star: every node u links each not-larger neighbor (and
+    *     itself) to the minimum of that closed not-larger neighborhood —
+    *     local stars flatten onto their minimum.
+    * The fixpoint is a star forest: every edge is (root, member) with
+    * root = component min, read off directly as the label frame. */
+  private[graft] def connectedComponentsLSS(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    // canonical undirected pair set (a < b), self-loops out
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("doc_a") =!= col("doc_b"))
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .distinct()
+    val nodes = edges.select(col("doc_a").as("doc_id"))
+      .union(edges.select(col("doc_b").as("doc_id"))).distinct()
+      .localCheckpoint(true)
+    def adj(e: DataFrame): DataFrame =
+      e.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val a = adj(e)
+      val m = a.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      canon(a.join(m, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("doc_a"), col("m").as("doc_b")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // closed not-larger neighborhood: neighbors v <= u plus u itself
+      val a = adj(e).filter(col("v") <= col("u"))
+        .union(adj(e).select(col("u"), col("u").as("v")).distinct())
+      val m = a.groupBy(col("u")).agg(min(col("v")).as("m"))
+      canon(a.join(m, Seq("u"))
+        .select(col("v").as("doc_a"), col("m").as("doc_b")))
+    }
+    var cur = canon(edges).localCheckpoint(true)
+    var rounds = 0
+    var stable = false
+    while (!stable) {
+      rounds += 1
+      if (rounds > MaxLssRounds)
+        throw new IllegalStateException(
+          s"large-star/small-star still moving after $MaxLssRounds rounds" +
+            " — beyond the O(log^2 n) bound; this is a bug, not an input")
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      // fixpoint: the canonical pair sets coincide (both directions of
+      // except, since counts alone can't see a swap)
+      stable = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      cur = next
+    }
+    // star forest: (root, member) pairs; roots label themselves
+    val members = cur.select(col("doc_b").as("doc_id"), col("doc_a").as("rep"))
+      .union(cur.select(col("doc_a").as("doc_id"), col("doc_a").as("rep")))
+      .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
+    // isolated-in-the-star-forest guard: every input node gets a row
+    nodes.join(members, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
   }
 
   /** MinHash+LSH candidate pairs (doc_a < doc_b, distinct) over any

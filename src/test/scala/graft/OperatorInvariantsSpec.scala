@@ -864,6 +864,52 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(want.exists(m => m._2.length > 1 || m._3.length > 1))
   }
 
+  test("large-star/small-star components equal min-label propagation AND " +
+    "a union-find reference; the propagation cap falls back instead of " +
+    "failing") {
+    import spark.implicits._
+    import operators.DedupPack
+    def unionFind(edges: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.toSeq.map(k => k -> find(k)).sorted
+    }
+    val rnd = new scala.util.Random(42)
+    val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val graphs: Seq[Seq[(Long, Long)]] = Seq(
+      chain, // diameter 11 — the shape propagation is worst at
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L))
+    ) ++ (1 to 3).map { _ =>
+      (1 to 25).map(_ =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter(p => p._1 != p._2)
+    }
+    for (g <- graphs) {
+      val e = g.toDF("doc_a", "doc_b")
+      val want = unionFind(g)
+      val lss = DedupPack.connectedComponentsLSS(e).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(lss == want, s"LSS mismatch on $g: $lss vs $want")
+      val prop = DedupPack.connectedComponents(e).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(prop == want, s"propagation mismatch on $g")
+    }
+    // a graph deeper than the propagation cap now COMPLETES via the LSS
+    // fallback (identical labels) instead of throwing
+    val viaFallback = DedupPack
+      .connectedComponents(chain.toDF("doc_a", "doc_b"), maxIters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaFallback == unionFind(chain))
+  }
+
   test("sk_kmv_distinct: sub-k groups are exact, large groups estimate " +
     "inside the k=64 error envelope, and min-union merge is lossless") {
     import spark.implicits._
