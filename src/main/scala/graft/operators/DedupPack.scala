@@ -343,8 +343,16 @@ object DedupPack {
     * its own signatures + a bucket-join probe; the exact-Jaccard verify
     * re-shingles only semi-join-pruned corpus candidates. */
   private[graft] def probeBandIndexed(s: SparkSession, d: String,
-      batch: DataFrame): DataFrame = {
-    val p = ensureBandIndex(s, d)
+      batch: DataFrame): DataFrame =
+    probeBandIndexedAt(s, d, ensureBandIndex(s, d), batch)
+
+  /** Path-resolved probe — the streaming gate's per-batch half: the band
+    * index is already ensured (one corpus fingerprint at stream start),
+    * so a batch pays only its own signatures, the bucket join, and the
+    * semi-join-pruned candidate re-shingle (`d` is still needed for the
+    * candidates' text — candidate-sized, never a corpus scan). */
+  private[graft] def probeBandIndexedAt(s: SparkSession, d: String,
+      p: String, batch: DataFrame): DataFrame = {
     val buckets = s.read.parquet(s"$p/buckets")
       .filter(size(col("ids")) <= MaxLshBucket)
     val docs = Tables.documents(s, d)

@@ -451,10 +451,15 @@ object PipelinePack {
     * case — their side can only change if a future rebuild merges them
     * into a lower-rep component. */
   private[graft] def splitServe(s: SparkSession, d: String,
-      batch: DataFrame): DataFrame = {
-    val p = ensureComponentsIndex(s, d)
+      batch: DataFrame): DataFrame =
+    splitServeAt(s, ensureComponentsIndex(s, d), batch)
+
+  /** Path-resolved split serving — the streaming gate's per-batch half
+    * (artifact ensured once at stream start; a batch pays one label
+    * join). */
+  private[graft] def splitServeAt(s: SparkSession, p: String,
+      batch: DataFrame): DataFrame =
     sideAssign(batch, s.read.parquet(s"$p/components"))
-  }
 
   /** Shared CTE chain for the two domain-mix oracles — mirrors
     * [[domainMix]] stage for stage, all-BIGINT (`//` is DuckDB integer

@@ -168,8 +168,15 @@ object TextPack {
     * size V is one count over the LM member (vocab-sized, not
     * corpus-sized). The batch twin is `tx_unigram_ppl_smoothed`. */
   private[graft] def pplServeSmoothed(s: SparkSession, d: String,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pplServeSmoothedAt(s, ensureLmIndex(s, d), docs)
+
+  /** Path-resolved smoothed serving — the streaming gate's per-batch
+    * half: the artifact is already ensured (one corpus fingerprint at
+    * stream/job start), so a batch pays ONLY its own token counts plus
+    * the member joins. */
+  private[graft] def pplServeSmoothedAt(s: SparkSession, p: String,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val p = ensureLmIndex(s, d)
     val lm = s.read.parquet(s"$p/lm")
     pplScoreSmoothed(docTf(docs), lm, s.read.parquet(s"$p/total"),
       lm.agg(count(lit(1)).as("v")))
@@ -199,8 +206,12 @@ object TextPack {
     * empty distribution is undefined, not zero). Serving core of the
     * streaming drift gate (DocStream.driftGate). */
   private[graft] def driftServe(s: SparkSession, d: String,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    driftServeAt(s, ensureLmIndex(s, d), docs)
+
+  /** Path-resolved drift serving (see [[pplServeSmoothedAt]]). */
+  private[graft] def driftServeAt(s: SparkSession, p: String,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val p = ensureLmIndex(s, d)
     val lm = s.read.parquet(s"$p/lm")
     val total = s.read.parquet(s"$p/total")
     val bt = docs.select(explode(tokens(col("text"))).as("tk"))
@@ -395,13 +406,17 @@ object TextPack {
     * metadata by construction (K literals parameterize the fold), the
     * same posture as m4's winner scalars. */
   private[graft] def bpeEncodeServe(s: SparkSession, d: String,
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val p = ensureBpeIndex(s, d)
-    val merges = s.read.parquet(s"$p/merges")
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bpeEncodeWith(docs, bpeMergesAt(s, ensureBpeIndex(s, d)))
+
+  /** The K-row merge list off an already-ensured artifact — resolve it
+    * once per stream/job, then [[bpeEncodeWith]] each batch against the
+    * literal list (see [[pplServeSmoothedAt]] for the posture). */
+  private[graft] def bpeMergesAt(s: SparkSession,
+      p: String): Seq[(String, String)] =
+    s.read.parquet(s"$p/merges")
       .orderBy("merge_idx").collect()
       .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
-    bpeEncodeWith(docs, merges)
-  }
 
   /** Keywords kept per document by the BM25-idf extractor. */
   private[graft] val Bm25TopK = 3L

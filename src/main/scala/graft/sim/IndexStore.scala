@@ -119,6 +119,15 @@ object IndexStore {
   private val buildLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Number of [[ensure]] invocations this JVM — each one prices a
+    * full-corpus fingerprint aggregate, so consumers that should resolve
+    * an artifact ONCE (a streaming gate at stream start, a batch job at
+    * job start) can pin that they did (StreamingSpec counts the delta
+    * across micro-batches). Telemetry only; never consulted by ensure
+    * itself. */
+  private[graft] val ensureCalls =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Build-once gate: run `build` when the artifact is absent or stale,
     * stamp the manifest, return the artifact path. `params` is the
     * builder's constant string (see [[paramsHash]]) — pass every constant
@@ -129,6 +138,7 @@ object IndexStore {
       idCol: String, params: String = "")(
       build: String => Unit): String = {
     val p = path(dir, name)
+    ensureCalls.incrementAndGet()
     val lock = buildLocks.computeIfAbsent(p, _ => new Object)
     lock.synchronized {
       val fp = fingerprint(corpus, idCol)

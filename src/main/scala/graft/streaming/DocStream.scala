@@ -119,8 +119,9 @@ object DocStream {
     * (doc_id, text) documents against the corpus's PERSISTED MinHash
     * band-bucket index ([[graft.operators.DedupPack.ensureBandIndex]]) —
     * each flagged row reports its best corpus match (doc_id, dup_of,
-    * jaccard). Deployment shape: `stream.writeStream.foreachBatch((b, _)
-    * => dedupGate(spark, dir)(b)…)`, like [[contaminationGate]] — the
+    * jaccard). Deployment shape: `val gate = dedupGate(spark, dir);
+    * stream.writeStream.foreachBatch((b, _) => gate(b)…)` — resolve the
+    * artifact ONCE at stream start, like [[contaminationGate]] — the
     * verify half is a per-batch join + window, bounded by the batch's
     * candidate set, so no streaming state accumulates.
     *
@@ -130,8 +131,14 @@ object DocStream {
     * the corpus is never re-shingled per batch, signatures are paid only
     * on the arriving rows, and serving cost scales with ingest rate ×
     * bucket size, independent of corpus size. */
-  def dedupGate(spark: SparkSession, dir: String)(batch: DataFrame): DataFrame =
-    graft.operators.DedupPack.probeBandIndexed(spark, dir, batch)
+  def dedupGate(spark: SparkSession, dir: String): DataFrame => DataFrame = {
+    // resolve ONCE at stream start — the per-batch half never re-pays the
+    // corpus fingerprint (hoist: `val gate = dedupGate(s, d)` outside
+    // foreachBatch; StreamingSpec counts ensure() calls to pin this)
+    val p = graft.operators.DedupPack.ensureBandIndex(spark, dir)
+    batch => graft.operators.DedupPack
+      .probeBandIndexedAt(spark, dir, p, batch)
+  }
 
   /** Attributed quality-gate at ingest: the batch `pipe_quality_gate`
     * CASCADE (first-failing rule per document, C4/Gopher rule order)
@@ -152,8 +159,10 @@ object DocStream {
   /** LM-quality gate at ingest: score one arriving micro-batch's mean
     * token surprisal against the PERSISTED corpus unigram LM
     * ([[graft.operators.TextPack.ensureLmIndex]]) — the CCNet perplexity
-    * filter in its deployment form. Deployment shape: `foreachBatch((b, _)
-    * => pplGate(spark, dir)(b)…)` like [[dedupGate]]; each batch pays its
+    * filter in its deployment form. Deployment shape: hoist `val gate =
+    * pplGate(spark, dir)` then `foreachBatch((b, _) => gate(b)…)` like
+    * [[dedupGate]] — the artifact (and its corpus fingerprint) resolves
+    * once at stream start; each batch pays its
     * own token counts plus an LM-member join, the corpus is never
     * re-counted (same build-once/serve-many posture as the ANN serving
     * gates). Serving is the ADD-ONE-SMOOTHED core
@@ -165,8 +174,10 @@ object DocStream {
     * underweight partially-unseen ones, losing precisely the most
     * out-of-distribution arrivals. Stream/batch parity and the all-unseen
     * case are pinned in StreamingSpec. */
-  def pplGate(spark: SparkSession, dir: String)(batch: DataFrame): DataFrame =
-    graft.operators.TextPack.pplServeSmoothed(spark, dir, batch)
+  def pplGate(spark: SparkSession, dir: String): DataFrame => DataFrame = {
+    val p = graft.operators.TextPack.ensureLmIndex(spark, dir)
+    batch => graft.operators.TextPack.pplServeSmoothedAt(spark, p, batch)
+  }
 
   /** Distribution-drift gate at ingest: one (n_tokens, l1_ppm) row per
     * arriving micro-batch — the L1 distance between the batch's unigram
@@ -178,14 +189,16 @@ object DocStream {
     * emitting nothing). The alerting monitor of a continuous corpus
     * build: a source gone rogue (spam flood, encoding break, language
     * shift) moves this number long before any per-doc gate fires.
-    * Deployment shape: `foreachBatch((b, _) => driftGate(spark, dir)(b)…)`;
+    * Deployment shape: hoist the gate like [[pplGate]];
     * each batch pays its own token counts plus the vocab-sized LM join —
     * the corpus is never re-counted. Parity pins (StreamingSpec): a batch
     * holding exactly one source's documents equals that source's
     * `tx_source_drift` row; an all-unseen batch yields the full-drift
     * row. */
-  def driftGate(spark: SparkSession, dir: String)(batch: DataFrame): DataFrame =
-    graft.operators.TextPack.driftServe(spark, dir, batch)
+  def driftGate(spark: SparkSession, dir: String): DataFrame => DataFrame = {
+    val p = graft.operators.TextPack.ensureLmIndex(spark, dir)
+    batch => graft.operators.TextPack.driftServeAt(spark, p, batch)
+  }
 
   /** Domain-mix gate at ingest: apply a FROZEN mixture-threshold frame
     * ([[graft.operators.PipelinePack.mixThresholds]], computed once per
@@ -206,23 +219,25 @@ object DocStream {
     * ([[graft.operators.TextPack.ensureBpeIndex]]) — the token-budget
     * meter of a continuous corpus build (packing budgets, billing,
     * curricula want the trained tokenizer's counts, not the length
-    * heuristic). Deployment shape: `foreachBatch((b, _) =>
-    * bpeCountGate(spark, dir)(b)…)` like [[dedupGate]]; each batch pays
+    * heuristic). Deployment shape: hoist the gate like [[pplGate]] (the merge list
+    * collects once at stream start); each batch pays
     * one fold pass over its own DISTINCT words — unseen post-freeze
     * words enter as characters and still receive any learned merges
     * that apply inside them (BPE's defining no-OOV property). Runs the
     * batch serving core verbatim
     * ([[graft.operators.TextPack.bpeEncodeServe]]), so stream/batch
     * parity holds by construction (pinned in StreamingSpec). */
-  def bpeCountGate(spark: SparkSession, dir: String)(batch: DataFrame): DataFrame =
-    graft.operators.TextPack.bpeEncodeServe(spark, dir, batch)
+  def bpeCountGate(spark: SparkSession, dir: String): DataFrame => DataFrame = {
+    val ms = graft.operators.TextPack.bpeMergesAt(spark,
+      graft.operators.TextPack.ensureBpeIndex(spark, dir))
+    batch => graft.operators.TextPack.bpeEncodeWith(batch, ms)
+  }
 
   /** Leak-safe split gate at ingest: assign each arriving document its
     * train/val side from the PERSISTED near-dup component labels
     * ([[graft.operators.PipelinePack.ensureComponentsIndex]]) — the
     * serving half of `pipe_leak_safe_split` in its deployment form.
-    * Deployment shape: `foreachBatch((b, _) => splitGate(spark, dir)(b)…)`
-    * like [[dedupGate]]; each batch pays one join against the label
+    * Deployment shape: hoist the gate like [[pplGate]]; each batch pays one join against the label
     * member, the pair graph is never rebuilt per batch. Documents the
     * artifact has never seen fall back to their own-id hash — the
     * stability property's singleton case, so a label-rebuild can only
@@ -230,8 +245,10 @@ object DocStream {
     * serving core verbatim ([[graft.operators.PipelinePack.splitServe]]),
     * so stream/batch parity holds by construction (pinned in
     * StreamingSpec). */
-  def splitGate(spark: SparkSession, dir: String)(batch: DataFrame): DataFrame =
-    graft.operators.PipelinePack.splitServe(spark, dir, batch)
+  def splitGate(spark: SparkSession, dir: String): DataFrame => DataFrame = {
+    val p = graft.operators.PipelinePack.ensureComponentsIndex(spark, dir)
+    batch => graft.operators.PipelinePack.splitServeAt(spark, p, batch)
+  }
 
   /** Streaming first-fit sequence packing: the batch `pipe_pack_sequences`
     * assignment (bin = floor(preceding-cum-tokens / budget), position

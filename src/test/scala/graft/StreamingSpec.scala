@@ -190,11 +190,19 @@ class StreamingSpec extends SparkSpec {
   test("foreachBatch LM-perplexity gate equals the artifact-served batch " +
     "scoring") {
     import graft.streaming.DocStream
+    // batch twin FIRST (it pays its own ensure), then the gate with the
+    // ensure-call counter bracketing the whole streamed run
+    val want = SparkEntry.queries("tx_unigram_ppl_smoothed")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    val c0 = graft.sim.IndexStore.ensureCalls.get()
+    // the deployment posture: resolve the gate ONCE, outside foreachBatch
+    val gate = DocStream.pplGate(spark, sfTiny)
     val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, String)]()
     val q = DocStream.source(spark, sfTiny)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        got ++= DocStream.pplGate(spark, sfTiny)(batch)
+        got ++= gate(batch)
           .select("doc_id", "n_tokens", "mean_nll", "bucket").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
             r.getString(3)))
@@ -205,11 +213,12 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     // the gate serves the SMOOTHED core (post-freeze semantics) — parity
     // is against its batch twin, not the exact-match indexed entry
-    val want = SparkEntry.queries("tx_unigram_ppl_smoothed")(spark, sfTiny)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
     assert(want.nonEmpty && got.toSet == want.toSet,
       s"stream scored ${got.size} rows, batch ${want.size}")
+    // the corpus fingerprint was paid ONCE at gate construction — the
+    // per-batch serve never re-ensures (the resolve-once contract)
+    assert(graft.sim.IndexStore.ensureCalls.get() - c0 == 1L,
+      "streaming gate re-ensured the artifact per batch")
   }
 
   test("ppl gate scores all-unseen-vocabulary documents instead of " +
@@ -256,12 +265,13 @@ class StreamingSpec extends SparkSpec {
     "source's tx_source_drift row; empty batches yield no row") {
     import graft.streaming.DocStream
     val src = "src5"
+    val driftG = DocStream.driftGate(spark, sfTiny)
     val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     val q = DocStream.source(spark, sfTiny)
       .filter(col("source") === src)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        got ++= DocStream.driftGate(spark, sfTiny)(batch)
+        got ++= driftG(batch)
           .collect().map(r => (r.getLong(0), r.getLong(1)))
         ()
       }
@@ -512,11 +522,12 @@ class StreamingSpec extends SparkSpec {
   test("streaming split gate equals the batch leak-safe split " +
     "(sides served per micro-batch from the component-label artifact)") {
     import graft.streaming.DocStream
+    val splitG = DocStream.splitGate(spark, sfTiny)
     val got = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
     val q = DocStream.source(spark, sfTiny)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        got ++= DocStream.splitGate(spark, sfTiny)(batch)
+        got ++= splitG(batch)
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
         ()
@@ -538,11 +549,12 @@ class StreamingSpec extends SparkSpec {
   test("streaming BPE token-count gate equals the batch artifact-served " +
     "encode; unseen-vocabulary batches still tokenize (no OOV path)") {
     import graft.streaming.DocStream
+    val bpeG = DocStream.bpeCountGate(spark, sfTiny)
     val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     val q = DocStream.source(spark, sfTiny)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        got ++= DocStream.bpeCountGate(spark, sfTiny)(batch)
+        got ++= bpeG(batch)
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         ()
@@ -561,7 +573,7 @@ class StreamingSpec extends SparkSpec {
     // an all-unseen batch tokenizes from characters — no row is dropped
     import spark.implicits._
     val unseen = Seq((900001L, "zzqx9 wvut8")).toDF("doc_id", "text")
-    val rows = DocStream.bpeCountGate(spark, sfTiny)(unseen).collect()
+    val rows = bpeG(unseen).collect()
     assert(rows.length == 1 && rows(0).getLong(1) == 2L &&
       rows(0).getLong(2) >= 2L && rows(0).getLong(2) <= 10L)
   }
@@ -572,12 +584,13 @@ class StreamingSpec extends SparkSpec {
     // arriving ingest batch = the src6 slice (the same slice the batch
     // dd_incremental_indexed entry probes), served per micro-batch from
     // the persisted band index via the shared probeBandIndexed core
+    val dedupG = DocStream.dedupGate(spark, sfTiny)
     val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
     val q = DocStream.source(spark, sfTiny)
       .filter(col("source") === DedupPack.IncrementalBatchSource)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        got ++= DocStream.dedupGate(spark, sfTiny)(batch)
+        got ++= dedupG(batch)
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         ()
