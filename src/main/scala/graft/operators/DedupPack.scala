@@ -497,8 +497,12 @@ object DedupPack {
     * then switches to the large-star/small-star decomposition
     * ([[connectedComponentsLSS]]), which converges in O(log² n) rounds on
     * ANY graph, instead of grinding a join loop per diameter hop on a
-    * 1000-executor cluster. */
-  private[graft] val MaxComponentIters = 50
+    * 1000-executor cluster. Deliberately TIGHT (was 50 when tripping it
+    * was fatal): the cap is now a cheap same-answer restart, and every
+    * capped iteration is a wasted shuffle join + count, so wrong-shaped
+    * inputs should hand off early — real near-dup graphs converge well
+    * under this. */
+  private[graft] val MaxComponentIters = 15
 
   private[graft] def connectedComponents(
       edges: DataFrame, maxIters: Int = MaxComponentIters): DataFrame = {
@@ -518,6 +522,7 @@ object DedupPack {
         // component minimum is unique, so the two algorithms agree
         // row-for-row; property-spec'd)
         e.unpersist()
+        labels.unpersist()
         return connectedComponentsLSS(edges)
       }
       val nbrRep = adj
@@ -531,17 +536,21 @@ object DedupPack {
       changed = next
         .join(labels.select(col("id"), col("rep").as("old")), "id")
         .filter(col("rep") < col("old")).count()
+      labels.unpersist() // superseded checkpoint blocks — free them now
       labels = next
     }
     e.unpersist()
     labels.select(col("id").as("doc_id"), col("rep"))
   }
 
-  /** Round ceiling for [[connectedComponentsLSS]] — the alternation
-    * converges in O(log² n) rounds on any graph (Kiveris et al.), so a
-    * run still moving after this many rounds is a genuine bug, not an
-    * input shape. */
-  private[graft] val MaxLssRounds = 64
+  /** Round-ceiling FLOOR for [[connectedComponentsLSS]] — the actual
+    * ceiling scales with the node count as `max(floor, 4·⌈log₂ n⌉²)`:
+    * Kiveris et al. prove O(log² n) alternations, so a fixed constant
+    * would mislabel a legitimately huge pathological graph as a bug
+    * (⌈log₂ n⌉² alone exceeds 64 past ~256 nodes in the worst case,
+    * though real graphs converge in a handful of rounds). A run still
+    * moving past the SCALED ceiling is a genuine bug. */
+  private[graft] val MinLssRounds = 64
 
   /** Connected components by large-star/small-star alternation [Kiveris
     * et al., "Connected Components in MapReduce and Beyond", SoCC 2014] —
@@ -591,26 +600,33 @@ object DedupPack {
       canon(a.join(m, Seq("u"))
         .select(col("v").as("doc_a"), col("m").as("doc_b")))
     }
+    val log2n = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, nodes.count() - 1)) // ⌈log₂ n⌉ for n ≥ 1
+    val maxRounds = math.max(MinLssRounds, 4 * log2n * log2n)
     var cur = canon(edges).localCheckpoint(true)
     var rounds = 0
     var stable = false
     while (!stable) {
       rounds += 1
-      if (rounds > MaxLssRounds)
+      if (rounds > maxRounds)
         throw new IllegalStateException(
-          s"large-star/small-star still moving after $MaxLssRounds rounds" +
+          s"large-star/small-star still moving after $maxRounds rounds" +
             " — beyond the O(log^2 n) bound; this is a bug, not an input")
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
       // fixpoint: the canonical pair sets coincide (both directions of
       // except, since counts alone can't see a swap)
       stable = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      cur.unpersist() // superseded checkpoint blocks — free them now
       cur = next
     }
     // star forest: (root, member) pairs; roots label themselves
     val members = cur.select(col("doc_b").as("doc_id"), col("doc_a").as("rep"))
       .union(cur.select(col("doc_a").as("doc_id"), col("doc_a").as("rep")))
       .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
-    // isolated-in-the-star-forest guard: every input node gets a row
+    // isolated-in-the-star-forest guard: every input node gets a row.
+    // (`nodes` and the final `cur` stay checkpointed — the returned plan
+    // reads them; they are freed with the session like every terminal
+    // localCheckpoint in the engine.)
     nodes.join(members, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
   }
