@@ -219,8 +219,8 @@ object DocStream {
     * ([[graft.operators.TextPack.ensureBpeIndex]]) — the token-budget
     * meter of a continuous corpus build (packing budgets, billing,
     * curricula want the trained tokenizer's counts, not the length
-    * heuristic). Deployment shape: hoist the gate like [[pplGate]] (the merge list
-    * collects once at stream start); each batch pays
+    * heuristic). Deployment shape: hoist the gate like [[pplGate]] (the
+    * merge list collects once at stream start); each batch pays
     * one fold pass over its own DISTINCT words — unseen post-freeze
     * words enter as characters and still receive any learned merges
     * that apply inside them (BPE's defining no-OOV property). Runs the
@@ -237,8 +237,9 @@ object DocStream {
     * train/val side from the PERSISTED near-dup component labels
     * ([[graft.operators.PipelinePack.ensureComponentsIndex]]) — the
     * serving half of `pipe_leak_safe_split` in its deployment form.
-    * Deployment shape: hoist the gate like [[pplGate]]; each batch pays one join against the label
-    * member, the pair graph is never rebuilt per batch. Documents the
+    * Deployment shape: hoist the gate like [[pplGate]]; each batch pays
+    * one join against the label member, the pair graph is never rebuilt
+    * per batch. Documents the
     * artifact has never seen fall back to their own-id hash — the
     * stability property's singleton case, so a label-rebuild can only
     * move them by merging them into a lower-rep component. Runs the batch
