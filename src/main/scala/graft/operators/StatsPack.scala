@@ -87,6 +87,37 @@ object StatsPack {
         .orderBy("event_type")
     }),
 
+    // ---- hash-sampled quantile sketch (the mergeable-summaries answer
+    //      to a10's 100 TB memory wall) ----------------------------------
+    // Exact percentile buffers every group value; approx_percentile
+    // (t-digest) bounds memory but its merge is partition-order-dependent
+    // and can never share an oracle. The middle ground a monitor actually
+    // wants: a DETERMINISTIC md5-threshold row sample (keep 1-in-8 by
+    // event_id draw) + the EXACT percentile of the sample. The sample is
+    // a pure row filter, so partition-wise samples union losslessly
+    // (trivially mergeable — spec-pinned), the per-group buffer shrinks
+    // by the sampling factor, and both engines compute identical
+    // interpolated values over the identical sampled rows — the SKETCH
+    // output is oracle-checked, not just the exact calibration columns
+    // riding along. ------------------------------------------------------
+    "sk_sampled_quantiles" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val u = conv(
+        substring(md5(concat(lit("qsamp:"), col("event_id").cast(StringType))),
+          1, 8), 16, 10).cast(LongType)
+      val samp = ev.filter(pmod(u, lit(8L)) === 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sample"),
+          percentile(col("value"), lit(0.5)).as("p50_sample"),
+          percentile(col("value"), lit(0.95)).as("p95_sample"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.95)).as("p95"))
+        .join(samp, Seq("event_type"), "left")
+        .orderBy("event_type")
+    }),
+
     // ---- salted two-phase aggregation (hot-key skew guard) --------------
     //      AQE re-plans skewed JOINS at runtime; a skewed AGGREGATION key
     //      (one key holding a large share of a 100 TB table) still funnels
@@ -220,6 +251,27 @@ object StatsPack {
         | quantile_cont(value, 0.95) AS p95,
         | CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the identical deterministic 1-in-8 draw, exact quantiles over the
+    // identical sampled rows — both engines' linear interpolation agrees
+    // bit-for-bit (the a10 precedent), so the sketch halves match too
+    "sk_sampled_quantiles" ->
+      """WITH u AS (SELECT event_type, value,
+        |  ('0x' || substr(md5('qsamp:' || CAST(event_id AS VARCHAR)), 1, 8))
+        |    ::BIGINT % 8 AS b
+        |  FROM events),
+        |samp AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sample,
+        |  quantile_cont(value, 0.5) AS p50_sample,
+        |  quantile_cont(value, 0.95) AS p95_sample
+        |  FROM u WHERE b = 0 GROUP BY event_type),
+        |ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, e.n, e.p50, e.p95,
+        |  s.n_sample, s.p50_sample, s.p95_sample
+        |FROM ex e LEFT JOIN samp s USING (event_type)
+        |ORDER BY e.event_type""".stripMargin,
 
     // the KMV estimator replayed stage-for-stage: same md5-prefix draw,
     // same (k−1)·2^32 // kth integer estimator — the ESTIMATE matches

@@ -910,6 +910,34 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(viaFallback == unionFind(chain))
   }
 
+  test("sk_sampled_quantiles: the deterministic sample is a pure row " +
+    "filter (losslessly mergeable across any split) and the sketch is " +
+    "internally consistent") {
+    val r = run("sk_sampled_quantiles").cache()
+    assert(r.count() > 0)
+    // ordering sanity on both halves; sample fraction ~1/8 (binomial —
+    // generous 4x bounds so the pin never flakes)
+    assert(r.filter(col("p50") > col("p95")).count() == 0)
+    assert(r.filter(col("p50_sample") > col("p95_sample")).count() == 0)
+    assert(r.filter(col("n_sample") * 2L > col("n") ||
+      col("n_sample") * 32L < col("n")).count() == 0,
+      "sample fraction far from 1/8")
+    r.unpersist()
+    // mergeability: sampling is a per-row predicate, so the union of two
+    // disjoint partitions' samples IS the global sample — the property
+    // t-digest merges lack, and the reason this sketch can shard freely
+    val ev = Tables.events(spark, sfTiny)
+    val u = conv(substring(md5(concat(lit("qsamp:"),
+      col("event_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    def sampleIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(pmod(u, lit(8L)) === 0)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+    val whole = sampleIds(ev)
+    val split = sampleIds(ev.filter(col("user_id") % 2 === 0)) ++
+      sampleIds(ev.filter(col("user_id") % 2 =!= 0))
+    assert(whole == split && whole.nonEmpty)
+  }
+
   test("sk_kmv_distinct: sub-k groups are exact, large groups estimate " +
     "inside the k=64 error envelope, and min-union merge is lossless") {
     import spark.implicits._
