@@ -349,8 +349,13 @@ object DedupPack {
   /** Path-resolved probe — the streaming gate's per-batch half: the band
     * index is already ensured (one corpus fingerprint at stream start),
     * so a batch pays only its own signatures, the bucket join, and the
-    * semi-join-pruned candidate re-shingle (`d` is still needed for the
-    * candidates' text — candidate-sized, never a corpus scan). */
+    * semi-join-pruned candidate re-shingle. `d` is still needed for the
+    * candidates' TEXT: that lookup semi-joins the documents table on the
+    * (typically tiny, broadcast) candidate id set — the shingling
+    * COMPUTE is candidate-sized, while the underlying table read prunes
+    * only as far as the bucketed-by-doc_id layout lets the join push
+    * (at deployment scale, the id-bucketed store is what makes this
+    * lookup cheap, not the semi join alone). */
   private[graft] def probeBandIndexedAt(s: SparkSession, d: String,
       p: String, batch: DataFrame): DataFrame = {
     val buckets = s.read.parquet(s"$p/buckets")
@@ -593,9 +598,14 @@ object DedupPack {
         .select(col("v").as("doc_a"), col("m").as("doc_b")))
     }
     def smallStar(e: DataFrame): DataFrame = {
-      // closed not-larger neighborhood: neighbors v <= u plus u itself
+      // closed not-larger neighborhood: neighbors v <= u plus u itself —
+      // the self rows come from the already-checkpointed node set (nodes
+      // never vanish mid-computation: both contractions keep every
+      // non-isolated node in some edge), so the adjacency is built and
+      // scanned ONCE per round instead of paying a second union plus a
+      // distinct just to enumerate nodes
       val a = adj(e).filter(col("v") <= col("u"))
-        .union(adj(e).select(col("u"), col("u").as("v")).distinct())
+        .union(nodes.select(col("doc_id").as("u"), col("doc_id").as("v")))
       val m = a.groupBy(col("u")).agg(min(col("v")).as("m"))
       canon(a.join(m, Seq("u"))
         .select(col("v").as("doc_a"), col("m").as("doc_b")))
@@ -608,10 +618,12 @@ object DedupPack {
     var stable = false
     while (!stable) {
       rounds += 1
-      if (rounds > maxRounds)
+      if (rounds > maxRounds) {
+        cur.unpersist(); nodes.unpersist() // no leak on the failure path
         throw new IllegalStateException(
           s"large-star/small-star still moving after $maxRounds rounds" +
             " — beyond the O(log^2 n) bound; this is a bug, not an input")
+      }
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
       // fixpoint: the canonical pair sets coincide (both directions of
       // except, since counts alone can't see a swap)

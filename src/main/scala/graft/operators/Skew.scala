@@ -111,16 +111,22 @@ object Skew {
       k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     import org.apache.spark.sql.expressions.Window
+    // NULL values are excluded from the universe up front (defined
+    // semantics, matching COUNT(DISTINCT)'s null-skip): a NULL draw
+    // would sort FIRST in Spark's window but LAST in DuckDB's, silently
+    // diverging the kth pick — and a group with only NULLs would divide
+    // by its zero exact count. Such a group simply has no row.
+    val nn = df.filter(value.isNotNull)
     val u = conv(
       substring(md5(concat(lit("kmv:"), value.cast(StringType))), 1, 8),
       16, 10).cast(LongType)
-    val draws = df.select(col(group), u.as("u")).distinct()
+    val draws = nn.select(col(group), u.as("u")).distinct()
     val w = Window.partitionBy(col(group)).orderBy(col("u"))
     val kth = draws.withColumn("rn", row_number().over(w))
       .filter(col("rn") === k)
       .select(col(group), col("u").as("kth_u"))
     val nd = draws.groupBy(col(group)).agg(count(lit(1)).as("n_draws"))
-    val ex = df.groupBy(col(group))
+    val ex = nn.groupBy(col(group))
       .agg(count_distinct(value).as("n_exact"))
     ex.join(nd, Seq(group)).join(kth, Seq(group), "left")
       .select(col(group), col("n_exact"),

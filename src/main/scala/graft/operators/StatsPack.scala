@@ -277,15 +277,14 @@ object StatsPack {
     // same (k−1)·2^32 // kth integer estimator — the ESTIMATE matches
     // bit-for-bit, not just the exact calibration column
     "sk_kmv_distinct" ->
-      s"""WITH shl AS (SELECT source,
-         |  CASE WHEN len(regexp_split_to_array(text, '\\s+')) >= 3 THEN
-         |    list_distinct(list_transform(generate_series(1,
-         |      len(regexp_split_to_array(text, '\\s+')) - 2),
-         |      i -> regexp_split_to_array(text, '\\s+')[i] || ' ' ||
-         |        regexp_split_to_array(text, '\\s+')[i+1] || ' ' ||
-         |        regexp_split_to_array(text, '\\s+')[i+2]))
+      s"""WITH tt AS (SELECT source, text,
+         |  regexp_split_to_array(text, '\\s+') AS t FROM documents),
+         |shl AS (SELECT source,
+         |  CASE WHEN len(t) >= 3 THEN
+         |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
          |  ELSE [text] END AS sh
-         |  FROM documents),
+         |  FROM tt),
          |tok AS (SELECT source, unnest(sh) AS w FROM shl),
          |draws AS (SELECT DISTINCT source,
          |  ('0x' || substr(md5('kmv:' || w), 1, 8))::BIGINT AS u FROM tok),
