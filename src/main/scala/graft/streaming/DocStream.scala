@@ -94,6 +94,20 @@ object DocStream {
       .distinct()
   }
 
+  /** Span-level DECONTAMINATION gate at ingest: rewrite each arriving
+    * document with every token covered by an eval-set
+    * [[graft.operators.DedupPack.SpanK]]-token window removed — the
+    * surgical sibling of [[contaminationGate]] (which drops whole
+    * documents) for arrivals that QUOTE a benchmark item but are
+    * otherwise clean. `evalSpanHashes` is built once per benchmark
+    * version with [[graft.operators.DedupPack.evalSpanHashes]] and
+    * broadcasts per batch; the gate runs the batch operator's core
+    * verbatim ([[graft.operators.DedupPack.contaminationScrub]]), so
+    * stream/batch parity holds by construction (StreamingSpec). */
+  def contaminationScrubGate(evalSpanHashes: DataFrame)(
+      batch: DataFrame): DataFrame =
+    graft.operators.DedupPack.contaminationScrub(batch, evalSpanHashes)
+
   /** Gated, exact-deduped document stream. Documents have no event time —
     * dedup keys on arrival (processing) time: `current_timestamp()` is
     * fixed per micro-batch, and `dropDuplicatesWithinWatermark` evicts hash

@@ -1031,6 +1031,38 @@ class OperatorInvariantsSpec extends SparkSpec {
     v.unpersist()
   }
 
+  test("dd_contamination_scrub: no eval span survives in the scrubbed " +
+    "corpus, accounting reconciles, and flagged near-copies lose mass") {
+    import operators.DedupPack
+    val scrub = run("dd_contamination_scrub").cache()
+    val docs = Tables.documents(spark, sfTiny)
+    val corpusN = docs
+      .filter(col("source") =!= DedupPack.ContaminationEvalSource).count()
+    assert(scrub.count() == corpusN)
+    assert(scrub.filter(col("n_dropped") < 0 ||
+      col("n_dropped") > col("n_tokens")).count() == 0)
+    assert(scrub.filter(col("n_dropped") > 0).count() > 0,
+      "no token was decontaminated — test is vacuous")
+    // the decontamination guarantee: re-span the scrubbed corpus and
+    // intersect with the eval span set — must be empty
+    val evSpans = DedupPack.spanStream(docs
+        .filter(col("source") === DedupPack.ContaminationEvalSource))
+      .select("gh").distinct()
+    val after = DedupPack.spanStream(
+        scrub.select(col("doc_id"), col("scrubbed_text").as("text")))
+      .select("gh").distinct()
+    assert(after.join(evSpans, Seq("gh")).count() == 0,
+      "eval spans survived the scrub")
+    // docs the WHOLE-DOC sweep flags (>=50% 3-gram overlap) are the
+    // near-copies — the span scrub must bite them hard
+    val flagged = run("dd_contamination").select("doc_id")
+    val bitten = scrub.join(flagged, Seq("doc_id"))
+      .filter(col("n_dropped") * 2L >= col("n_tokens"))
+    assert(flagged.count() > 0 && bitten.count() == flagged.count(),
+      "a flagged near-copy kept most of its tokens")
+    scrub.unpersist()
+  }
+
   test("dd_exact_substr_scrub: no non-keeper duplicated span survives, " +
     "token accounting reconciles, and corpus dup mass collapses") {
     import operators.DedupPack

@@ -289,6 +289,37 @@ class StreamingSpec extends SparkSpec {
     assert(TextPack.driftServe(spark, sfTiny, empty).count() == 0)
   }
 
+  test("streaming span-decontamination gate equals the batch scrub " +
+    "(eval span set frozen once, applied per micro-batch)") {
+    import graft.streaming.DocStream
+    import graft.operators.DedupPack
+    val docs = Tables.documents(spark, sfTiny)
+    val evSpans = DedupPack.evalSpanHashes(
+      docs.filter(col("source") === DedupPack.ContaminationEvalSource))
+      .cache()
+    val gate = DocStream.contaminationScrubGate(evSpans) _
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]()
+    val q = DocStream.source(spark, sfTiny)
+      .filter(col("source") =!= DedupPack.ContaminationEvalSource)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= gate(batch).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val want = SparkEntry.queries("dd_contamination_scrub")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(want.nonEmpty && got.toSet == want.toSet,
+      s"stream scrubbed ${got.size} rows, batch ${want.size}")
+    assert(got.exists(_._3 > 0), "no arrival was decontaminated — vacuous")
+    evSpans.unpersist()
+  }
+
   test("foreachBatch contamination gate agrees with the batch sweep") {
     import graft.streaming.DocStream
     import graft.operators.DedupPack
