@@ -61,6 +61,10 @@ object DedupPack {
     * benchmark-contaminated. */
   val ContaminationThreshold = 0.5
 
+  /** Members kept per near-dup component by `dd_component_cap` (lowest
+    * ids first — the canonical-first policy). */
+  val ComponentCap = 2
+
   /** SimHash banding: 4 blocks of 16 bits guarantee recall for pairs with
     * Hamming distance <= 3 (pigeonhole: 3 differing bits can dirty at most
     * 3 of the 4 blocks). */
@@ -106,6 +110,28 @@ object DedupPack {
     "dd_components" -> ((s, d) => {
       connectedComponents(
         minhashPairs(Tables.documents(s, d)))
+        .orderBy("doc_id")
+    }),
+
+    // ---- near-dup cluster CAP (diversity-preserving dedup policy) --------
+    // The RefinedWeb-style middle ground between keeping everything and
+    // the greedy collapse-to-one of `pipe_corpus_prep`: keep up to
+    // [[ComponentCap]] members of each near-dup COMPONENT (lowest ids
+    // first — the same canonical-first policy as D1), because moderate
+    // duplication can carry signal and collapsing over-prunes; N = 1
+    // recovers the greedy policy. Pure compose: the component labels +
+    // one per-group window over the corpus (at scale the labels come
+    // from the split_components artifact — same frame). ------------------
+    "dd_component_cap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val comps = connectedComponents(minhashPairs(docs))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("doc_id"))
+      docs.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("grp"))
+        .withColumn("member_rank", row_number().over(w).cast(LongType))
+        .withColumn("kept", col("member_rank") <= ComponentCap)
         .orderBy("doc_id")
     }),
 
@@ -962,6 +988,27 @@ object DedupPack {
          |WHERE round(CAST(n_hits AS DOUBLE) / n_shingles, 8)
          |  >= $ContaminationThreshold
          |ORDER BY doc_id""".stripMargin,
+
+    // the dd_components recursive chain + per-group rank over ALL docs
+    // (singleton fallback = own id, like the split oracles)
+    "dd_component_cap" ->
+      s"""WITH RECURSIVE ${minhashPairCtes("documents")},
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mhpairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM mhpairs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src AS id, rc.r FROM edges e
+         |  JOIN reach rc ON rc.id = e.dst),
+         |comp AS (SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+         |g AS (SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS grp
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+         |SELECT doc_id, grp,
+         |  CAST(row_number() OVER (PARTITION BY grp ORDER BY doc_id)
+         |    AS BIGINT) AS member_rank,
+         |  row_number() OVER (PARTITION BY grp ORDER BY doc_id)
+         |    <= $ComponentCap AS kept
+         |FROM g ORDER BY doc_id""".stripMargin,
 
     // component minimum via transitive closure (UNION-dedup bounds the
     // recursion; near-dup components are tiny at oracle scale)

@@ -1031,6 +1031,30 @@ class OperatorInvariantsSpec extends SparkSpec {
     v.unpersist()
   }
 
+  test("dd_component_cap keeps exactly min(size, cap) lowest-id members " +
+    "per near-dup component and the cap genuinely fires") {
+    import operators.DedupPack
+    val r = run("dd_component_cap").cache()
+    assert(r.count() == Tables.documents(spark, sfTiny).count())
+    // per group: kept = min(size, cap); kept members are the LOWEST ids
+    val per = r.groupBy("grp").agg(
+      count(lit(1)).as("size"),
+      count(when(col("kept"), 1)).as("n_kept"),
+      max(when(col("kept"), col("doc_id"))).as("max_kept"),
+      min(when(!col("kept"), col("doc_id"))).as("min_dropped"))
+    assert(per.filter(col("n_kept") =!=
+      least(col("size"), lit(DedupPack.ComponentCap.toLong))).count() == 0)
+    assert(per.filter(col("min_dropped").isNotNull &&
+      col("max_kept") > col("min_dropped")).count() == 0,
+      "a dropped member has a lower id than a kept one")
+    // non-vacuous: at least one component is actually capped, and
+    // singletons are all kept
+    assert(per.filter(col("size") > DedupPack.ComponentCap).count() > 0)
+    assert(r.filter(col("grp") === col("doc_id") &&
+      col("member_rank") === 1 && !col("kept")).count() == 0)
+    r.unpersist()
+  }
+
   test("dd_contamination_scrub: no eval span survives in the scrubbed " +
     "corpus, accounting reconciles, and flagged near-copies lose mass") {
     import operators.DedupPack
