@@ -20,6 +20,44 @@ object Bench {
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
   }
 
+  /** Single-thread CPU calibration: wall ms for a fixed xorshift64* loop
+    * (10⁸ steps). Capture hosts differ round to round — the r10→r9 "diffuse
+    * drift" forensics showed the SAME code producing 2× different
+    * sub-second query times on different capture days — so the record
+    * carries an absolute host-speed yardstick: cross-round per-query
+    * comparisons divide by the calibration ratio before being read as
+    * code regressions. */
+  private def cpuCalMs(): Double = {
+    var x = 88172645463325252L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 100000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e6
+    if (x == 0) System.err.println("unreachable") // keep the loop live
+    dt
+  }
+
+  /** Per-job fixed-overhead calibration: median wall ms of 15 one-row
+    * count jobs on an already-materialized 1-element RDD — pure
+    * submit/schedule/collect round-trip, no planning or IO. The diffuse
+    * drift signature (every sub-second query +0.1–0.3 s, heavy queries
+    * flat) is exactly this overhead moving with host conditions; naming
+    * it in the artifact lets a reader attribute it without a forensic
+    * re-run. */
+  private def schedCalMs(spark: SparkSession): Double = {
+    val rdd = spark.sparkContext.parallelize(Seq(1), 1)
+    rdd.count() // materialize/JIT outside the probe
+    val times = (1 to 15).map { _ =>
+      val t0 = System.nanoTime()
+      rdd.count()
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    times(times.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -116,6 +154,10 @@ object Bench {
         (System.nanoTime() - settleT0) / 1e9 < 150.0)
       Thread.sleep(5000)
     val settleSec = (System.nanoTime() - settleT0) / 1e9
+    // host yardsticks, sampled on the settled machine right before the
+    // timed loop — the state the per-query numbers are measured in
+    val cpuCal = cpuCalMs()
+    val schedCal = schedCalMs(spark)
     val load0 = loadavg()
     val gc0 = gcMillis()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -158,7 +200,8 @@ object Bench {
     val tele = s""""loadavg_pre":${ms(loadPre)},""" +
       s""""loadavg_start":${ms(load0)},"loadavg_end":${ms(load1)},""" +
       s""""gc_ms":$gcMs,"timing":"best_of_2","profile":"bench_reduced_m4",""" +
-      s""""prepare_sec":${ms(prepareSec)},"settle_sec":${ms(settleSec)}"""
+      s""""prepare_sec":${ms(prepareSec)},"settle_sec":${ms(settleSec)},""" +
+      s""""cpu_cal_ms":${ms(cpuCal)},"sched_cal_ms":${ms(schedCal)}"""
     // The driver's artifact keeps only the LAST ~2.2 KB of stdout, so the
     // full named per-query map (~2.9 KB for 100+ queries) can never fit —
     // r7's tail head-truncated the ann_*/dd_* values into unrecoverability.

@@ -718,11 +718,17 @@ object DedupPack {
       .union(cur.select(col("doc_a").as("doc_id"), col("doc_a").as("rep")))
       .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
     // isolated-in-the-star-forest guard: every input node gets a row.
-    // (`nodes` and the final `cur` stay checkpointed — the returned plan
-    // reads them; they are freed with the session like every terminal
-    // localCheckpoint in the engine.)
-    nodes.join(members, Seq("doc_id"), "left")
+    // Materialize the label frame EAGERLY so `nodes` and the final `cur`
+    // intermediates can be freed before returning — repeated inline calls
+    // (components, cap, split builds) in a long-lived driver must not
+    // accumulate two pinned checkpoint blocks per invocation; the single
+    // result block is label-sized (two longs per node) and is the one
+    // frame the caller actually reads.
+    val result = nodes.join(members, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+      .localCheckpoint(true)
+    cur.unpersist(); nodes.unpersist()
+    result
   }
 
   /** MinHash+LSH candidate pairs (doc_a < doc_b, distinct) over any

@@ -109,6 +109,27 @@ object Skew {
     * distinct shuffle the sketch exists to avoid). */
   def kmvDistinct(df: DataFrame, group: String, value: Column,
       k: Int): DataFrame = {
+    // calibration monitor: the sketch estimate joined against the exact
+    // count — gate-scale only; the exact column pays the full distinct
+    // shuffle the sketch exists to avoid, so deployment uses
+    // [[kmvDistinctSketch]] instead
+    val nn = df.filter(value.isNotNull)
+    val ex = nn.groupBy(col(group))
+      .agg(count_distinct(value).as("n_exact"))
+    ex.join(kmvDistinctSketch(df, group, value, k), Seq(group))
+      .select(col(group), col("n_exact"), col("est_distinct"))
+      .withColumn("err_permille",
+        expr("abs(est_distinct - n_exact) * 1000L div n_exact"))
+  }
+
+  /** Sketch-only KMV estimate per group — the deployment entry point: no
+    * exact-count calibration column, so the plan never pays a full
+    * per-group distinct shuffle; only O(groups · k) minimum draws move
+    * (partial TOP-k per partition via the distinct + window formulation,
+    * merged by min-union). Same estimator, bit-identical `est_distinct`
+    * to the calibrated monitor. */
+  def kmvDistinctSketch(df: DataFrame, group: String, value: Column,
+      k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     import org.apache.spark.sql.expressions.Window
     // NULL values are excluded from the universe up front (defined
@@ -126,16 +147,12 @@ object Skew {
       .filter(col("rn") === k)
       .select(col(group), col("u").as("kth_u"))
     val nd = draws.groupBy(col(group)).agg(count(lit(1)).as("n_draws"))
-    val ex = nn.groupBy(col(group))
-      .agg(count_distinct(value).as("n_exact"))
-    ex.join(nd, Seq(group)).join(kth, Seq(group), "left")
-      .select(col(group), col("n_exact"),
+    nd.join(kth, Seq(group), "left")
+      .select(col(group),
         when(col("kth_u").isNull, col("n_draws"))
           .otherwise(expr(
             s"CAST(${k - 1} AS BIGINT) * 4294967296L div greatest(kth_u, 1L)"))
           .as("est_distinct"))
-      .withColumn("err_permille",
-        expr("abs(est_distinct - n_exact) * 1000L div n_exact"))
   }
 
   /** The exact second pass behind [[frequentKeys]]: true counts for the

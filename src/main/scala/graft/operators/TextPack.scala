@@ -51,7 +51,19 @@ object TextPack {
 
   /** CCNet-style perplexity bucket edges, applied to the ROUNDED mean
     * surprisal so both engines threshold the identical value (head ≈ best
-    * quartile, tail ≈ worst quartile on the fixture corpus). */
+    * quartile, tail ≈ worst quartile on the fixture corpus).
+    *
+    * Calibration scope: these edges were fit on the EXACT core's score
+    * scale (ln(N/c)). The Laplace-smoothed core shifts every score
+    * upward (ln((N+V)/(c+1)) > ln(N/c) whenever V > c+… mass moves to
+    * unseen tokens), so the same document can land one bucket later
+    * under the smoothed gate than under the exact batch entries — an
+    * intentional semantic difference (the smoothed gate scores
+    * out-of-distribution batches the exact core cannot see at all), not
+    * drift. A consumer needing bucket parity between the two cores must
+    * recalibrate edges on smoothed scores for its frozen LM (the shift
+    * is corpus-dependent: ≈ ln((N+V)/N) for high-frequency tokens,
+    * larger for rare ones), rather than reuse these. */
   private[graft] val PplHeadMax = 3.399
   private[graft] val PplMiddleMax = 3.405
 
@@ -282,8 +294,113 @@ object TextPack {
           concat(acc, x))
         .otherwise(concat(acc, lit(BpeSep), x)))
 
+  /** Vocabulary-size ceiling under which the merge loop runs DRIVER-LOCAL
+    * after the one corpus scan. BPE state is vocab-sized (word types ×
+    * short symbol strings) the moment the (f, rep) table exists; at 10⁶
+    * types it is tens of MB — driver metadata, like m4's grid scores.
+    * Below the ceiling a K-round induction is a driver loop over that
+    * table (seconds for K in the hundreds — measured in BpeSpec's note)
+    * instead of 2 sequential Spark jobs per round (~100k job round-trips
+    * for a production K≈50k tokenizer — driver-orchestration cost, not
+    * data cost). Above it, the per-round Spark path below remains the
+    * shape: its pair-count aggregate and top-1 are distributed and
+    * combinable. */
+  private[graft] val BpeDriverMaxVocab = 1000000L
+
+  /** Unsigned UTF-8 byte order — Spark's UTF8String (and DuckDB's
+    * VARCHAR) comparison, which the driver-local tie-break must mirror
+    * bit-for-bit; JVM String.compareTo is UTF-16 code-unit order and
+    * diverges on supplementary characters. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-local K-round merge loop over a collected (f, symbols)
+    * vocabulary — semantics identical to the per-round Spark path
+    * (overlapping adjacent-pair tally weighted by word frequency,
+    * max-count winner with unsigned-UTF8 (lhs, rhs) tie-break, canonical
+    * greedy left-to-right non-overlapping rewrite), property-pinned
+    * against the Spark path in BpeSpec and against the DuckDB round
+    * replay by the `tx_bpe_merges` oracle. Incremental bookkeeping (the
+    * strategy of Sennrich et al. 2016's published implementation): a
+    * pair→count table plus a pair→words inverted index, so each round
+    * rewrites ONLY the words containing the winning pair and adjusts the
+    * tally by their delta — rounds after the first touch a shrinking
+    * fraction of the vocabulary. */
+  private def bpeMergeLoopLocal(vocab: Array[(Long, Array[String])],
+      k: Int): Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    val pairCnt = mutable.HashMap[(String, String), Long]()
+    val pairWords = mutable.HashMap[(String, String), mutable.Set[Int]]()
+    def tally(wi: Int, syms: Array[String], f: Long, sign: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val c = pairCnt.getOrElse(p, 0L) + sign * f
+        if (c == 0L) { pairCnt.remove(p); pairWords.remove(p) }
+        else {
+          pairCnt(p) = c
+          if (sign > 0L) pairWords.getOrElseUpdate(p, mutable.Set[Int]()) += wi
+        }
+        i += 1
+      }
+    }
+    val reps = vocab.map(_._2)
+    val freqs = vocab.map(_._1)
+    var wi = 0
+    while (wi < reps.length) { tally(wi, reps(wi), freqs(wi), 1L); wi += 1 }
+    val merges = mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var round = 1
+    while (round <= k && pairCnt.nonEmpty) {
+      var bl: String = null; var br: String = null; var bc = Long.MinValue
+      pairCnt.foreach { case ((l, r), c) =>
+        if (c > bc || (c == bc && (utf8Less(l, bl) ||
+            (l == bl && utf8Less(r, br))))) { bl = l; br = r; bc = c }
+      }
+      merges += ((round.toLong, bl, br, bc))
+      // snapshot: the tally mutates the inverted index as it goes. The
+      // index may hold words that no longer contain the pair (their
+      // occurrences merged away in an earlier round while OTHER words
+      // kept the count alive) — remove-then-re-add below is a no-op
+      // rewrite for those, so staleness costs a scan, never correctness.
+      val affected = pairWords.get((bl, br))
+        .map(_.toArray).getOrElse(Array.empty[Int])
+      java.util.Arrays.sort(affected)
+      affected.foreach { w =>
+        val old = reps(w)
+        tally(w, old, freqs(w), -1L)
+        val out = mutable.ArrayBuffer[String]()
+        old.foreach { x =>
+          if (out.nonEmpty && out.last == bl && x == br)
+            out(out.length - 1) = bl + br
+          else out += x
+        }
+        reps(w) = out.toArray
+        tally(w, reps(w), freqs(w), 1L)
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
   private[graft] def bpeMerges(docs: org.apache.spark.sql.DataFrame,
-      k: Int): org.apache.spark.sql.DataFrame = {
+      k: Int): org.apache.spark.sql.DataFrame =
+    bpeMerges(docs, k, BpeDriverMaxVocab)
+
+  /** `driverMaxVocab` is a test seam: 0 forces the distributed per-round
+    * path regardless of vocabulary size (BpeSpec pins the two paths
+    * identical on the same corpus). */
+  private[graft] def bpeMerges(docs: org.apache.spark.sql.DataFrame,
+      k: Int, driverMaxVocab: Long): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     var cur = docs
@@ -294,31 +411,43 @@ object TextPack {
           "i -> substring(w, i, 1)))").as("rep"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-    var round = 1
-    while (round <= k) {
-      val best = cur
-        .select(col("f"), split(col("rep"), BpeSep).as("sy"))
-        .select(col("f"), explode(when(size(col("sy")) >= 2, expr(
-          "transform(sequence(1, size(sy) - 1), " +
-            "i -> struct(element_at(sy, i) AS lhs, element_at(sy, i + 1) AS rhs))"))
-          .otherwise(expr(
-            "CAST(array() AS array<struct<lhs:string,rhs:string>>)")))
-          .as("p"))
-        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        .agg(sum(col("f")).as("cnt"))
-        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
-        .limit(1)
-        .collect()
-      if (best.isEmpty) round = k + 1
-      else {
-        val (l, r, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((round.toLong, l, r, cnt))
-        cur = cur
-          .select(col("f"), greedyMergeFold(col("rep"), l, r).as("rep"))
-          .localCheckpoint(true)
-        round += 1
+    if (cur.count() <= driverMaxVocab) {
+      // vocab fits in driver metadata: one collect, then the whole
+      // K-round loop runs local — zero per-round Spark jobs
+      val vocab = cur.select(col("f"), split(col("rep"), BpeSep).as("sy"))
+        .as[(Long, Array[String])].collect()
+      cur.unpersist()
+      merges ++= bpeMergeLoopLocal(vocab, k)
+    } else {
+      var round = 1
+      while (round <= k) {
+        val best = cur
+          .select(col("f"), split(col("rep"), BpeSep).as("sy"))
+          .select(col("f"), explode(when(size(col("sy")) >= 2, expr(
+            "transform(sequence(1, size(sy) - 1), " +
+              "i -> struct(element_at(sy, i) AS lhs, element_at(sy, i + 1) AS rhs))"))
+            .otherwise(expr(
+              "CAST(array() AS array<struct<lhs:string,rhs:string>>)")))
+            .as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("f")).as("cnt"))
+          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+          .limit(1)
+          .collect()
+        if (best.isEmpty) round = k + 1
+        else {
+          val (l, r, cnt) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((round.toLong, l, r, cnt))
+          val next = cur
+            .select(col("f"), greedyMergeFold(col("rep"), l, r).as("rep"))
+            .localCheckpoint(true)
+          cur.unpersist() // superseded round state — free it now
+          cur = next
+          round += 1
+        }
       }
+      cur.unpersist() // merges are driver metadata; the rep frame is done
     }
     merges.toSeq.toDF("merge_idx", "lhs", "rhs", "cnt")
       .orderBy("merge_idx")

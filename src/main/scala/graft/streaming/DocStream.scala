@@ -304,12 +304,21 @@ object DocStream {
           var (cum, lastBin, lastPos, lastId) =
             state.getOption.getOrElse((0L, -1L, 0L, Long.MinValue))
           val sorted = rows.toSeq.sortBy(_._1)
-          if (sorted.nonEmpty && sorted.head._1 <= lastId)
-            throw new IllegalStateException(
-              s"packingGate: source '$source' delivered doc_id " +
-                s"${sorted.head._1} after already packing up to $lastId — " +
-                "out-of-order ingest breaks first-fit parity with the " +
-                "batch packer; replay the shard in doc_id order")
+          // strict monotonic increase across the WHOLE sorted batch, not
+          // just its head: a duplicate doc_id arriving twice within one
+          // micro-batch sorts adjacent and would otherwise be packed
+          // twice — the same silent divergence from the batch packer the
+          // cross-batch guard exists to prevent
+          sorted.iterator.foldLeft(lastId) { (prev, row) =>
+            if (row._1 <= prev)
+              throw new IllegalStateException(
+                s"packingGate: source '$source' delivered doc_id " +
+                  s"${row._1} at or below the already-packed cursor $prev " +
+                  "— out-of-order or duplicate ingest breaks first-fit " +
+                  "parity with the batch packer; replay the shard in " +
+                  "strictly ascending doc_id order")
+            row._1
+          }
           val out = sorted.map { case (id, _, nt) =>
             // floor(cum-before / budget): cum and budget are non-negative,
             // so Long division IS the floor — same bin as the batch window
