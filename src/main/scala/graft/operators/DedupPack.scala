@@ -73,6 +73,23 @@ object DedupPack {
 
   private val minhashAggsList = minhashAggs(col("h"), NumHashes)
 
+  /** The keep-N cap policy over a (doc_id, rep) component-label frame:
+    * every document gets its group (label, or own id for singletons), a
+    * rank among the group's members (lowest ids first — canonical-first),
+    * and the keep verdict. ONE definition shared by the inline entry
+    * (labels recomputed in-plan — the verification shape) and the
+    * `_indexed` twin (labels read off the split_components artifact —
+    * the 100 TB shape), so the two can only diverge if the labels do. */
+  private[graft] def capAssign(docs: DataFrame, comps: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("grp"))
+      .withColumn("member_rank", row_number().over(w).cast(LongType))
+      .withColumn("kept", col("member_rank") <= ComponentCap)
+  }
+
   /** (doc_id, shingles) with distinct word-3-gram shingles. Shingling +
     * hashing is the pipeline's expression-bound map stage; the bucketed
     * documents layout scans one task per bucket, so it parallelizes
@@ -124,14 +141,23 @@ object DedupPack {
     // from the split_components artifact — same frame). ------------------
     "dd_component_cap" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val comps = connectedComponents(minhashPairs(docs))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("grp")).orderBy(col("doc_id"))
-      docs.select(col("doc_id"))
-        .join(comps, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("grp"))
-        .withColumn("member_rank", row_number().over(w).cast(LongType))
-        .withColumn("kept", col("member_rank") <= ComponentCap)
+      capAssign(docs, connectedComponents(minhashPairs(docs)))
+        .orderBy("doc_id")
+    }),
+
+    // ---- the cap policy served from the PERSISTED component labels -------
+    // Production twin of `dd_component_cap` (the `_indexed` pattern): the
+    // keep-N policy is a label CONSUMER, exactly like the leak-safe split
+    // — at 100 TB the pair graph + propagation is the corpus-build step
+    // behind [[graft.operators.PipelinePack.ensureComponentsIndex]], and
+    // applying a cap is one label join + one per-group window, never a
+    // re-shingle (plan-asserted). Rows identical to the inline entry by
+    // construction (shared capAssign over the same labels), which is what
+    // the row-identity oracle checks. -------------------------------------
+    "dd_component_cap_indexed" -> ((s, d) => {
+      val p = PipelinePack.ensureComponentsIndex(s, d)
+      capAssign(Tables.documents(s, d),
+        s.read.parquet(s"$p/components"))
         .orderBy("doc_id")
     }),
 
@@ -1015,6 +1041,12 @@ object DedupPack {
          |  row_number() OVER (PARTITION BY grp ORDER BY doc_id)
          |    <= $ComponentCap AS kept
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // row-identity against the inline cap's already-oracle-checked verify
+    // output (the `_indexed` twins' pattern; the plan-level "reads the
+    // labels, never re-shingles" half is PlanSpec's)
+    "dd_component_cap_indexed" ->
+      "SELECT * FROM '__GRAFT_OUT__/dd_component_cap/*.parquet'",
 
     // component minimum via transitive closure (UNION-dedup bounds the
     // recursion; near-dup components are tiny at oracle scale)

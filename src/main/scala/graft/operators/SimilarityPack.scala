@@ -205,6 +205,47 @@ object SimilarityPack {
     //      instantiation, not just DefaultQueries. --------------------------
     "n4_topk_param" -> ((s, d) => topkFor(s, d, paramRequestIds(s, d))),
 
+    // ---- the FULL serving composition of a similarity request ------------
+    // One plan running everything webserver/views/api/v1/similarity.py:
+    // 114-185 does per request, end to end: BulkParams-parsed recording
+    // ids (core.py:184-254) → artifact-served tuned-IVF bulk top-K →
+    // `_check_index_params` n_neighbours clamp → `_limit_recordings_by_
+    // threshold` (distance ≤ t, unit-angular domain like P6) →
+    // `_sort_and_remove_duplicate_submissions` mode `all` (W7) — the
+    // pieces are individually oracle-green; THIS row gates their
+    // composition, which is what a caller actually invokes. Submissions
+    // model: 4 per recording (rec = vec div 4, offset = vec mod 4), the
+    // reference's mbid/offset structure over the embeddings table. The
+    // plan stays corpus-free (artifact members only; PlanSpec). ----------
+    "n4_serve_composed" -> ((s, d) => {
+      val prm = graft.api.IndexParams.check("mfccs",
+        nNeighbours = Some("7"), threshold = Some("0.61"),
+        removeDups = Some("ALL"))
+        .fold(e => throw new IllegalArgumentException(e), identity)
+      val p = ensureTunedIndex(s, d)
+      val scored = tunedRankScoredFor(
+        s.read.parquet(s"$p/assignments"),
+        s.read.parquet(s"$p/centroids"),
+        querySetOf(paramRequestIds(s, d))(
+          s.read.parquet(s"$p/assignments"))
+          .select(col("vec_id").as("query_id"), col("iv").as("qiv"),
+            col("nrm").as("qnrm")))
+      val wDedup = Window.partitionBy(col("query_id"), col("rec_id"))
+        .orderBy(col("dist"), col("sub_offset"))
+      scored
+        .filter(col("rank") <= prm.nNeighbours)
+        .withColumn("dist",
+          sqrt(lit(2.0) * (lit(1.0) - col("cos"))) / lit(2.0))
+        .filter(col("dist") <= lit(prm.threshold.get))
+        .withColumn("rec_id", expr("neighbor_id div 4"))
+        .withColumn("sub_offset", pmod(col("neighbor_id"), lit(4L)))
+        .withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("rec_id"), col("sub_offset"),
+          round(col("dist"), 8).as("dist"))
+        .orderBy("query_id", "dist", "rec_id", "sub_offset")
+    }),
+
     // ---- pairwise angular distance (reference N5:
     //      similarity/index_model.py:226-244) -----------------------------
     "n5_pairwise_distance" -> ((s, d) => {
@@ -798,6 +839,16 @@ object SimilarityPack {
     * vectors are identical by construction, so this reproduces the
     * id-injected path row-for-row (pinned in StreamingSpec). */
   private def tunedRankFor(assign: DataFrame, cents: DataFrame,
+      q: DataFrame): DataFrame =
+    tunedRankScoredFor(assign, cents, q)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+
+  /** [[tunedRankFor]] keeping the ranking cosine — the serving
+    * composition (`n4_serve_composed`) thresholds and sorts on the
+    * DISTANCE derived from it, so the score must ride out of the rank
+    * stage instead of being recomputed. */
+  private def tunedRankScoredFor(assign: DataFrame, cents: DataFrame,
       q: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cell"))
@@ -817,8 +868,6 @@ object SimilarityPack {
           .as("cos"))
       .withColumn("rank", asLong(row_number().over(wRank)))
       .filter(col("rank") <= 10)
-      .select("query_id", "rank", "neighbor_id")
-      .orderBy("query_id", "rank")
   }
 
   /** Tuned-IVF with the training INLINE in the plan — the trainer-contract
@@ -1610,6 +1659,32 @@ object SimilarityPack {
     // every chain twice and blew the driver's DuckDB budget; the r6↔r7
     // shared-SQL form cost ~54-90 s EXTRA per twin at sf0.01).
     "ann_tuned_indexed" -> sameRowsAs("ann_ivf_tuned"),
+
+    // the full request composition: the tuned-IVF chain at the param-id
+    // query set, then clamp → threshold → submission-dedup exactly as the
+    // engine composes them (rank window recomputed with the score kept —
+    // same expression as {p}ranked, so the two cannot disagree)
+    "n4_serve_composed" ->
+      s"""WITH $tivCte,
+         |${ivfTunedCtes("cm", a => s"$a.vec_id IN (5, 23, 77, 311)")},
+         |cmscored AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dp / (nq.nrm * nn.nrm) DESC, neighbor_id) AS rank,
+         |  dp / (nq.nrm * nn.nrm) AS cs
+         |  FROM cmnd
+         |  JOIN cmvn nq ON nq.vec_id = query_id
+         |  JOIN cmvn nn ON nn.vec_id = neighbor_id),
+         |cmthr AS (SELECT query_id, neighbor_id,
+         |    sqrt(2 * (1 - cs)) / 2 AS dist
+         |  FROM cmscored
+         |  WHERE rank <= 7 AND sqrt(2 * (1 - cs)) / 2 <= 0.61),
+         |cmmap AS (SELECT query_id, neighbor_id // 4 AS rec_id,
+         |    neighbor_id % 4 AS sub_offset, dist FROM cmthr),
+         |cmdd AS (SELECT * FROM (SELECT query_id, rec_id, sub_offset, dist,
+         |    row_number() OVER (PARTITION BY query_id, rec_id
+         |      ORDER BY dist, sub_offset) AS rn FROM cmmap) t WHERE rn = 1)
+         |SELECT query_id, rec_id, sub_offset, round(dist, 8) AS dist
+         |FROM cmdd ORDER BY query_id, dist, rec_id, sub_offset""".stripMargin,
 
     "ann_pq_adc" -> pqOracleSql,
 

@@ -864,6 +864,53 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(want.exists(m => m._2.length > 1 || m._3.length > 1))
   }
 
+  test("bpeMerges driver-local loop equals the distributed per-round path " +
+    "merge-for-merge on a tie-heavy corpus") {
+    import spark.implicits._
+    // constructed to exercise tie-breaks (equal-count pairs), multi-char
+    // merges consuming earlier merges, and words that run dry
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcd"
+    val words = (1 to 120).map { _ =>
+      val len = 2 + rnd.nextInt(6)
+      (1 to len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    } ++ Seq("x", "yy", "zzz")
+    val docs = words.flatMap(w => Seq.fill(1 + rnd.nextInt(5))(w))
+      .mkString(" ").split(" ").grouped(20).map(_.mkString(" "))
+      .toSeq.toDF("text")
+    val local = operators.TextPack.bpeMerges(docs, 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // driverMaxVocab = 0 forces every round through the Spark path
+    val dist = operators.TextPack.bpeMerges(docs, 10, 0L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(local == dist, s"local $local\ndistributed $dist")
+    assert(local.size == 10) // non-vacuous: the corpus survives 10 rounds
+  }
+
+  test("driver-local BPE induction runs hundreds of merge rounds in " +
+    "seconds, not Spark jobs (the production-K posture)") {
+    import spark.implicits._
+    // vocab-scale corpus: ~6k word types over a 6-letter alphabet
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcdef"
+    val words = (1 to 6000).map { _ =>
+      val len = 3 + rnd.nextInt(8)
+      (1 to len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }
+    val docs = words.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val t0 = System.nanoTime()
+    val m = operators.TextPack.bpeMerges(docs, 200).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(m.length == 200, s"ran dry at ${m.length}")
+    // one corpus scan + collect, then 200 local rounds: the bound is
+    // generous (CI machines vary) but two orders of magnitude under the
+    // ~2 jobs/round Spark loop's driver-orchestration floor
+    assert(sec < 60.0, s"took $sec s")
+    info(f"K=200 merges over ${words.distinct.size} word types: $sec%.2f s")
+  }
+
   test("large-star/small-star components equal min-label propagation AND " +
     "a union-find reference; the propagation cap falls back instead of " +
     "failing") {

@@ -251,6 +251,59 @@ class PlanSpec extends SparkSpec {
       served.map(_.toString).toSeq == inline.map(_.toString).toSeq)
   }
 
+  test("n4_serve_composed is one corpus-free plan: artifact members plus " +
+    "an id-only dimension lookup") {
+    val composed = run("n4_serve_composed")
+    val plan = composed.queryExecution.executedPlan.toString
+    // vectors come from the tuned artifact, never the corpus table …
+    assert(plan.contains("angular_ivf_tuned"),
+      s"n4_serve_composed: no artifact scan in:\n$plan")
+    // … the only embeddings-table touch is the mbid→vec_id dimension
+    // lookup, which must prune to the id column (never read the vectors)
+    val embScans = plan.linesIterator
+      .filter(l => l.contains("embeddings") && l.contains("ReadSchema"))
+      .toSeq
+    assert(embScans.forall(
+      _.contains("ReadSchema: struct<vec_id:bigint>")),
+      s"n4_serve_composed reads corpus vectors:\n${embScans.mkString("\n")}")
+    // and no shingle/vector re-derivation anywhere
+    assert(!plan.contains("Generate"),
+      s"n4_serve_composed re-derives data in-plan:\n$plan")
+    // the composition is non-vacuous on the gate corpus: the threshold
+    // and the submission-dedup each drop at least one row vs the raw
+    // capped serve (guards against a parameterization that silently
+    // reduces this row to the plain bulk top-K)
+    val rows = composed.collect()
+    assert(rows.nonEmpty)
+    val raw = graft.operators.SimilarityPack
+      .indexedTopkFor(spark, sfTiny,
+        run("n4_serve_composed")
+          .select(org.apache.spark.sql.functions.col("query_id")
+            .as("vec_id"))
+          .distinct())
+    assert(rows.length < raw.count(),
+      "composition dropped nothing — parameterization is vacuous")
+  }
+
+  test("dd_component_cap_indexed serves from the component-label artifact " +
+    "and equals the inline cap") {
+    val indexed = run("dd_component_cap_indexed")
+    val served = indexed.collect()
+    val idxPlan = indexed.queryExecution.executedPlan.toString
+    // same three-way pin as pipe_split_indexed: reads the persisted label
+    // member, never re-shingles (no Generate), depends on nothing a fresh
+    // job wouldn't have (no checkpointed in-memory labels)
+    assert(idxPlan.contains("split_components"),
+      s"dd_component_cap_indexed: no artifact scan in:\n$idxPlan")
+    assert(!idxPlan.contains("Generate"),
+      s"dd_component_cap_indexed re-computes signatures:\n$idxPlan")
+    assert(!idxPlan.contains("ExistingRDD"),
+      s"dd_component_cap_indexed depends on checkpoint state:\n$idxPlan")
+    val inline = run("dd_component_cap").collect()
+    assert(served.nonEmpty &&
+      served.map(_.toString).toSeq == inline.map(_.toString).toSeq)
+  }
+
   test("tx_unigram_ppl_indexed serves from the LM artifact and equals " +
     "the inline scoring") {
     val indexed = run("tx_unigram_ppl_indexed")

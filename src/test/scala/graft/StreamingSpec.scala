@@ -134,9 +134,27 @@ class StreamingSpec extends SparkSpec {
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: causes(t.getCause)
     assert(causes(e).exists(c =>
-      String.valueOf(c.getMessage).contains("out-of-order ingest")),
+      String.valueOf(c.getMessage).contains("breaks first-fit parity")),
       s"expected the packingGate order guard, got: $e")
     q.stop()
+
+    // the guard is whole-batch, not head-only: a duplicate doc_id INSIDE
+    // one micro-batch sorts adjacent (the head still advances past the
+    // cursor) and would be packed twice by a head-only check
+    val ms2 = MemoryStream[(Long, String, String)]
+    val q2 = DocStream.packingGate(
+        ms2.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pack_dup_out")
+      .start()
+    ms2.addData((first :+ first.last).toIndexedSeq)
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(causes(e2).exists(c =>
+      String.valueOf(c.getMessage).contains("breaks first-fit parity")),
+      s"expected the duplicate guard, got: $e2")
+    q2.stop()
   }
 
   test("foreachBatch quality gate equals the batch cascade verdicts") {
