@@ -163,6 +163,121 @@ object Dump {
   def writeArchive(dumpDir: String, archive: String): Unit =
     writeEnvelopeZip(dumpDir, archive, listMembers(dumpDir))
 
+  // --------------------------------------------------------------------
+  // tar.zst envelope — byte-level REFERENCE-ECOSYSTEM parity (db/dump.py
+  // :226-252, :631-634, :968-1014). The zip envelope above carries the
+  // same contract JVM-natively; this container is for exchanging dumps
+  // with the reference's own tooling: `zstd -d | tar x` reads ours, and
+  // ours reads an archive produced by the reference's tarfile|zstd pipe.
+  // Layout (member ORDER is the import contract — the reference streams
+  // the tar and validates SCHEMA_SEQUENCE as it passes, so metadata
+  // precedes data):
+  //   <name>/SCHEMA_SEQUENCE      schema version
+  //   <name>/TIMESTAMP            "YYYY-MM-DD HH:MM:SS.ffffff"
+  //   <name>/COPYING              CC0 dedication (db/licenses/)
+  //   <name>/abdump/<member...>   data files, nested paths preserved
+  //     (db/dump.py:255-260; partitioned tables nest one level deeper,
+  //      <table>/<table>-<n> — db/dump.py:203-238)
+  // --------------------------------------------------------------------
+
+  /** COPYING member body: the reference ships its dumps into the public
+    * domain under CC0 (db/licenses/COPYING-PublicDomain); the member's
+    * presence and placement are the ecosystem contract. */
+  private val CopyingText =
+    "Creative Commons Legal Code\n\nCC0 1.0 Universal\n\n" +
+      "The person who associated a work with this deed has dedicated the " +
+      "work to\nthe public domain by waiving all of his or her rights to " +
+      "the work\nworldwide under copyright law, including all related and " +
+      "neighboring\nrights, to the extent allowed by law.\n"
+
+  /** zstd level matching the reference's `zstd --compress -10`
+    * (db/dump.py:539, 631 — "good tradeoff between compression speed and
+    * final file size with AB data"). */
+  private val ZstdLevel = 10
+
+  /** Package a dump directory as a reference-layout `.tar.zst` — the
+    * ecosystem-exchange twin of [[writeArchive]]. The archive NAME becomes
+    * the tar's root directory (basename up to the first dot, exactly the
+    * reference's `os.path.basename(path).split('.')[0]`). */
+  def writeTarZstArchive(dumpDir: String, archive: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val name = Paths.get(archive).getFileName.toString.split("\\.")(0)
+    val root = Paths.get(dumpDir)
+    val tos = new TarArchiveOutputStream(
+      new com.github.luben.zstd.ZstdOutputStream(
+        new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(archive)), ZstdLevel), "UTF-8")
+    tos.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+    def member(path: String, bytes: Array[Byte]): Unit = {
+      val e = new TarArchiveEntry(s"$name/$path")
+      e.setSize(bytes.length.toLong)
+      tos.putArchiveEntry(e)
+      tos.write(bytes)
+      tos.closeArchiveEntry()
+    }
+    try {
+      member("SCHEMA_SEQUENCE", SchemaSequence.toString.getBytes("UTF-8"))
+      // Python datetime.isoformat(" ") — space separator, microseconds
+      member("TIMESTAMP", java.time.LocalDateTime.now()
+        .toString.replace('T', ' ').getBytes("UTF-8"))
+      member("COPYING", CopyingText.getBytes("UTF-8"))
+      for (f <- listMembers(dumpDir))
+        member(s"abdump/$f", Files.readAllBytes(root.resolve(f)))
+    } finally tos.close()
+  }
+
+  /** Stream-import a reference-layout `.tar.zst` into `destDir` — the
+    * twin of [[readArchive]] and the mirror of the reference's
+    * `import_db_dump` (db/dump.py:449-497): the tar is read as a STREAM,
+    * `SCHEMA_SEQUENCE` is validated as it passes, and — stricter than the
+    * reference, which silently imports whatever precedes it — any data
+    * member arriving before the schema was validated aborts, so a
+    * reordered or truncated archive can never half-import. Member paths
+    * under `<anything>/abdump/` extract with the same containment guard
+    * as the zip reader. Returns extracted member names. */
+  def readTarZstArchive(archive: String, destDir: String,
+      expectedSchema: Int = SchemaSequence): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    val tis = new TarArchiveInputStream(
+      new com.github.luben.zstd.ZstdInputStream(
+        new java.io.BufferedInputStream(
+          new java.io.FileInputStream(archive))), "UTF-8")
+    val dest = Paths.get(destDir).toAbsolutePath.normalize()
+    Files.createDirectories(dest)
+    val extracted = Seq.newBuilder[String]
+    var schemaSeen = false
+    try {
+      var e = tis.getNextEntry
+      while (e != null) {
+        val base = e.getName.split("/").last
+        val dataIdx = e.getName.indexOf("/abdump/")
+        if (!e.isDirectory && base == "SCHEMA_SEQUENCE") {
+          val v = new String(tis.readAllBytes(), "UTF-8").trim.toInt
+          if (v != expectedSchema)
+            throw new SchemaMismatchException(
+              s"archive schema $v != expected $expectedSchema")
+          schemaSeen = true
+        } else if (!e.isDirectory && dataIdx >= 0) {
+          if (!schemaSeen)
+            throw new SchemaMismatchException(
+              s"data member ${e.getName} precedes SCHEMA_SEQUENCE — " +
+                "refusing to import an unvalidated stream")
+          val rel = e.getName.substring(dataIdx + "/abdump/".length)
+          val out = dest.resolve(rel).normalize()
+          require(out.startsWith(dest),
+            s"member path escapes destination: ${e.getName}")
+          Files.createDirectories(out.getParent)
+          Files.write(out, tis.readAllBytes())
+          extracted += rel
+        }
+        e = tis.getNextEntry
+      }
+    } finally tis.close()
+    extracted.result()
+  }
+
   /** Root manifest name of a sharded archive set. */
   private val RootManifest = "MANIFEST"
 

@@ -83,6 +83,90 @@ class DumpSpec extends SparkSpec {
     assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
   }
 
+  test("tar.zst envelope round-trips, keeps reference member order, and " +
+    "refuses mismatch/unvalidated streams") {
+    val dumpDir = tmp("tz_dump")
+    val src = Tables.nation(spark, sfTiny)
+    Dump.writeTsv(src, dumpDir)
+    // a partitioned-table-style nested member too (db/dump.py:203-238
+    // lays out <table>/<table>-<n>)
+    Files.createDirectories(java.nio.file.Paths.get(s"$dumpDir/lowlevel_json"))
+    Files.write(java.nio.file.Paths.get(
+      s"$dumpDir/lowlevel_json/lowlevel_json-1"),
+      "1\t{}\n2\t{}\n".getBytes("UTF-8"))
+    val archive = tmp("tz_arch") + "/acousticbrainz-dataset-dump-20260814-000000.tar.zst"
+    Dump.writeTarZstArchive(dumpDir, archive)
+    // round-trip: every member byte-identical
+    val dest = tmp("tz_out")
+    val members = Dump.readTarZstArchive(archive, dest)
+    assert(members.contains("lowlevel_json/lowlevel_json-1"))
+    for (m <- members)
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(java.nio.file.Paths.get(s"$dumpDir/$m")),
+        Files.readAllBytes(java.nio.file.Paths.get(s"$dest/$m"))), m)
+    val back = Dump.readTsv(spark, dest, src.schema)
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+    // schema refusal extracts NOTHING (metadata precedes data in-stream)
+    val badDest = tmp("tz_bad")
+    intercept[Dump.SchemaMismatchException] {
+      Dump.readTarZstArchive(archive, badDest,
+        expectedSchema = Dump.SchemaSequence + 1)
+    }
+    assert(new java.io.File(badDest).listFiles().forall(_ => false))
+  }
+
+  test("tar.zst archives interchange byte-for-byte with the reference's " +
+    "own tooling (system tar + zstd)") {
+    val zstdBin = Seq("/root/miniconda/bin/zstd", "/usr/bin/zstd",
+      "/usr/local/bin/zstd").find(p => new java.io.File(p).canExecute)
+    val tarBin = Seq("/usr/bin/tar", "/bin/tar")
+      .find(p => new java.io.File(p).canExecute)
+    assume(zstdBin.isDefined && tarBin.isDefined,
+      "system tar/zstd unavailable — interop covered by the JVM round-trip")
+    import scala.sys.process._
+    val dumpDir = tmp("it_dump")
+    Dump.writeTsv(Tables.nation(spark, sfTiny), dumpDir)
+    // OUR writer → THEIR reader: the real tar|zstd pipeline lists the
+    // reference layout in the reference ORDER (schema before data)
+    val name = "acousticbrainz-dataset-dump-20260814-111111"
+    val archive = tmp("it_arch") + s"/$name.tar.zst"
+    Dump.writeTarZstArchive(dumpDir, archive)
+    val listing = (s"${zstdBin.get} -d --stdout $archive" #|
+      s"${tarBin.get} -t").!!.split("\n").toSeq
+    assert(listing.take(3) == Seq(s"$name/SCHEMA_SEQUENCE",
+      s"$name/TIMESTAMP", s"$name/COPYING"), listing.mkString("\n"))
+    assert(listing.drop(3).forall(_.startsWith(s"$name/abdump/")))
+    val sysOut = tmp("it_sysout")
+    (s"${zstdBin.get} -d --stdout $archive" #|
+      s"${tarBin.get} -x -C $sysOut").!!
+    assert(new String(Files.readAllBytes(java.nio.file.Paths.get(
+      s"$sysOut/$name/SCHEMA_SEQUENCE")), "UTF-8").trim.toInt ==
+      Dump.SchemaSequence)
+    // THEIR writer → OUR reader: an archive produced by the reference's
+    // exact pipe (tarfile | zstd — here the system tools) imports cleanly
+    val stage = tmp("it_stage")
+    val sname = "acousticbrainz-dataset-dump-20260814-222222"
+    Files.createDirectories(java.nio.file.Paths.get(s"$stage/$sname/abdump"))
+    Files.write(java.nio.file.Paths.get(s"$stage/$sname/SCHEMA_SEQUENCE"),
+      Dump.SchemaSequence.toString.getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$stage/$sname/TIMESTAMP"),
+      "2026-08-14 00:00:00.000000".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$stage/$sname/abdump/dataset"),
+      "id\tname\n7\trock\n".getBytes("UTF-8"))
+    val theirArchive = tmp("it_their") + s"/$sname.tar.zst"
+    // member order matters: schema first, like _dump_tables
+    (Process(Seq(tarBin.get, "-c", "-C", stage,
+      s"$sname/SCHEMA_SEQUENCE", s"$sname/TIMESTAMP",
+      s"$sname/abdump/dataset")) #>
+      new java.io.File(theirArchive + ".tar")).!!
+    (s"${zstdBin.get} -10 ${theirArchive + ".tar"} -o $theirArchive").!!
+    val theirDest = tmp("it_theirout")
+    val got = Dump.readTarZstArchive(theirArchive, theirDest)
+    assert(got == Seq("dataset"))
+    assert(new String(Files.readAllBytes(java.nio.file.Paths.get(
+      s"$theirDest/dataset")), "UTF-8") == "id\tname\n7\trock\n")
+  }
+
   test("sharded archives round-trip, refuse at the root, and spread members") {
     val dumpDir = tmp("shard_dump")
     val src = Tables.customer(spark, sfTiny)
