@@ -207,6 +207,130 @@ object MLPack {
         .orderBy("class")
     }),
 
+    // ---- dataset mutation lifecycle (reference db/dataset.py:24-144,
+    //      383-478): create_from_dict, add_class, add_recordings,
+    //      delete_recordings, delete_class, update_dataset_meta and the
+    //      full `update`, applied as ONE deterministic batch of
+    //      MERGE-shaped set operations over the dataset tables — each
+    //      reference per-row INSERT/DELETE loop becomes its set form
+    //      (insert-if-not-exists = anti-join union, delete = left_anti,
+    //      update = broadcast-keyed projection), which is how a 100 TB
+    //      engine applies an edit log: one pass per operation class, no
+    //      driver loops. Semantics faithfully kept: add_class/
+    //      add_recordings are idempotent WHERE-NOT-EXISTS inserts
+    //      (:402-409, :444-453), add_recordings targets only EXISTING
+    //      classes (:376-380 raises otherwise — here the command batch
+    //      inner-joins the class table), delete_class cascades members
+    //      (:456-470), update_dataset_meta does NOT touch last_edited
+    //      while the full update sets it (:63-116 — the bump is the
+    //      update path's defining side effect), and the full update
+    //      REPLACES the dataset's classes outright (:119-133). The
+    //      command batch is derived deterministically from the fixture
+    //      (the m7_validate_rules perturbation technique); the oracle
+    //      enumerates the complete post-mutation state: every dataset's
+    //      meta + per-class member count and content hash. ---------------
+    "m9_dataset_lifecycle" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      def mbid(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lpad(lower(hex(c % 4294967296L)), 8, "0"),
+          lit("-0000-4000-8000-"), lpad(lower(hex(c)), 12, "0"))
+      val ds0 = docs.select(col("source")).distinct()
+        .select(col("source").as("ds_id"), col("source").as("name"),
+          lit("").as("description"), lit(true).as("public"),
+          lit(0L).as("last_edited"))
+      val cls0 = docs
+        .select(col("source").as("ds_id"), col("lang").as("class")).distinct()
+      val mem0 = docs.select(col("source").as("ds_id"),
+        col("lang").as("class"), mbid(col("doc_id")).as("mbid"))
+      // 1. create_from_dict: a new dataset with two classes; the batch
+      // timestamp T=1 is its created/last_edited (deterministic logical
+      // clock standing in for now())
+      val dsNew = Seq(("zz_merged", "zz_merged", "", true, 1L))
+        .toDF("ds_id", "name", "description", "public", "last_edited")
+      val memNew = docs.filter(col("doc_id") < 10)
+        .select(lit("zz_merged").as("ds_id"),
+          when(col("doc_id") < 6, "all").otherwise("rest").as("class"),
+          mbid(col("doc_id")).as("mbid"))
+      val clsNew = memNew.select("ds_id", "class").distinct()
+      // 2. add_class 'extra' to every dataset — WHERE NOT EXISTS as an
+      // anti-join (a second add of an existing class is a no-op by the
+      // same join)
+      val clsA = cls0.union(clsNew)
+      val clsExtra = ds0.select(col("ds_id"))
+        .union(dsNew.select(col("ds_id")))
+        .select(col("ds_id"), lit("extra").as("class"))
+        .join(clsA, Seq("ds_id", "class"), "left_anti")
+      val cls1 = clsA.union(clsExtra)
+      // 3. add_recordings to each dataset's 'en' class: re-add its lowest
+      // English member (idempotent no-op) plus one brand-new mbid; the
+      // semi-join keeps commands for existing classes only
+      val enCmds = docs.filter(col("lang") === "en")
+        .groupBy(col("source").as("ds_id")).agg(min(col("doc_id")).as("lo"))
+        .select(col("ds_id"), lit("en").as("class"),
+          explode(array(mbid(col("lo")), mbid(col("lo") + 1000000L)))
+            .as("mbid"))
+      val memA = mem0.union(memNew)
+      val memAdd = enCmds
+        .join(cls1, Seq("ds_id", "class"), "left_semi")
+        .join(memA, Seq("ds_id", "class", "mbid"), "left_anti")
+      val mem1 = memA.union(memAdd)
+      // 4. delete_recordings: every 5th French member
+      val frDel = docs.filter(col("lang") === "fr" && col("doc_id") % 5 === 0)
+        .select(col("source").as("ds_id"), lit("fr").as("class"),
+          mbid(col("doc_id")).as("mbid"))
+      val mem2 = mem1.join(frDel, Seq("ds_id", "class", "mbid"), "left_anti")
+      // 5. delete_class 'zh' everywhere, members cascading
+      val cls2 = cls1.filter(col("class") =!= "zh")
+      val mem3 = mem2.filter(col("class") =!= "zh")
+      // 6./7. update_dataset_meta (description only, NO last_edited bump)
+      // on the md5-even datasets, then the FULL update on the minimum
+      // dataset: meta + last_edited = T, classes REPLACED by one 'solo'
+      // class of its 3 lowest members. The when-chain applies them in
+      // reference order (the full update wins on its target).
+      val minSrc = ds0.agg(min(col("ds_id")).as("min_src"))
+      val metaEven = pmod(conv(substring(
+        md5(concat(lit("meta:"), col("ds_id"))), 1, 8), 16, 10)
+        .cast("long"), lit(2L)) === 0
+      val dsUpd = ds0.crossJoin(broadcast(minSrc))
+        .select(col("ds_id"),
+          when(col("ds_id") === col("min_src"),
+            concat(col("ds_id"), lit("_v2"))).otherwise(col("name"))
+            .as("name"),
+          when(col("ds_id") === col("min_src"), lit("v2"))
+            .when(metaEven, lit("edited"))
+            .otherwise(col("description")).as("description"),
+          when(col("ds_id") === col("min_src"), lit(false))
+            .otherwise(col("public")).as("public"),
+          when(col("ds_id") === col("min_src"), lit(1L))
+            .otherwise(col("last_edited")).as("last_edited"))
+      val dsF = dsUpd.union(dsNew)
+      val soloMem = docs.crossJoin(broadcast(minSrc))
+        .filter(col("source") === col("min_src"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("source").as("ds_id"), lit("solo").as("class"),
+          mbid(col("doc_id")).as("mbid"))
+      val clsF = cls2.crossJoin(broadcast(minSrc))
+        .filter(col("ds_id") =!= col("min_src")).drop("min_src")
+        .union(soloMem.select("ds_id", "class").distinct())
+      val memF = mem3.crossJoin(broadcast(minSrc))
+        .filter(col("ds_id") =!= col("min_src")).drop("min_src")
+        .union(soloMem)
+      // post-mutation state enumeration: meta + per-class membership
+      clsF.join(memF, Seq("ds_id", "class"), "left")
+        .groupBy(col("ds_id"), col("class"))
+        .agg(count(col("mbid")).as("n_members"),
+          md5(array_join(sort_array(collect_list(col("mbid"))), ","))
+            .as("members_md5"))
+        .join(dsF, Seq("ds_id"))
+        .select(col("ds_id"), col("name"), col("description"),
+          col("public"), col("last_edited"), col("class"),
+          col("n_members"), col("members_md5"))
+        .orderBy("ds_id", "class")
+    }),
+
     // ---- grid-search training + confusion-matrix eval (reference M4/A8:
     //      db/dataset_eval.py:43-45 + dataset_eval/gaia_wrapper.py:22-119 —
     //      gaia/libsvm C-SVC with the RBF kernel over a C × gamma ×
@@ -437,6 +561,91 @@ object MLPack {
         |   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) ||
         | ']}' AS snapshot
         |FROM documents GROUP BY lang ORDER BY class""".stripMargin,
+
+    // the same mutation batch replayed as set-SQL; the final SELECT
+    // enumerates identical post-mutation state (meta + per-class count +
+    // membership hash). string_agg ORDER BY mbid mirrors the engine's
+    // sort_array; COALESCE('') covers member-less classes.
+    "m9_dataset_lifecycle" ->
+      """WITH ds0 AS (SELECT DISTINCT source AS ds_id FROM documents),
+        |mb AS (SELECT doc_id, source, lang,
+        |  lpad(lower(hex(doc_id % 4294967296)), 8, '0') ||
+        |    '-0000-4000-8000-' || lpad(lower(hex(doc_id)), 12, '0') AS mbid
+        |  FROM documents),
+        |cls0 AS (SELECT DISTINCT source AS ds_id, lang AS class
+        |  FROM documents),
+        |mem0 AS (SELECT source AS ds_id, lang AS class, mbid FROM mb),
+        |memnew AS (SELECT 'zz_merged' AS ds_id,
+        |    CASE WHEN doc_id < 6 THEN 'all' ELSE 'rest' END AS class, mbid
+        |  FROM mb WHERE doc_id < 10),
+        |clsnew AS (SELECT DISTINCT ds_id, class FROM memnew),
+        |clsa AS (SELECT * FROM cls0 UNION ALL SELECT * FROM clsnew),
+        |clsextra AS (SELECT d.ds_id, 'extra' AS class FROM
+        |    (SELECT ds_id FROM ds0 UNION ALL SELECT 'zz_merged') d
+        |  WHERE NOT EXISTS (SELECT 1 FROM clsa c
+        |    WHERE c.ds_id = d.ds_id AND c.class = 'extra')),
+        |cls1 AS (SELECT * FROM clsa UNION ALL SELECT * FROM clsextra),
+        |mbx AS (SELECT source, MIN(doc_id) AS lo FROM documents
+        |  WHERE lang = 'en' GROUP BY source),
+        |encmds AS (
+        |  SELECT source AS ds_id, 'en' AS class,
+        |    lpad(lower(hex(lo % 4294967296)), 8, '0') ||
+        |      '-0000-4000-8000-' || lpad(lower(hex(lo)), 12, '0') AS mbid
+        |  FROM mbx
+        |  UNION ALL
+        |  SELECT source, 'en',
+        |    lpad(lower(hex((lo + 1000000) % 4294967296)), 8, '0') ||
+        |      '-0000-4000-8000-' || lpad(lower(hex(lo + 1000000)), 12, '0')
+        |  FROM mbx),
+        |mema0 AS (SELECT * FROM mem0 UNION ALL SELECT * FROM memnew),
+        |memadd AS (SELECT e.* FROM encmds e
+        |  WHERE EXISTS (SELECT 1 FROM cls1 c
+        |      WHERE c.ds_id = e.ds_id AND c.class = e.class)
+        |    AND NOT EXISTS (SELECT 1 FROM mema0 m
+        |      WHERE m.ds_id = e.ds_id AND m.class = e.class
+        |        AND m.mbid = e.mbid)),
+        |mem1 AS (SELECT * FROM mema0 UNION ALL SELECT * FROM memadd),
+        |frdel AS (SELECT source AS ds_id, 'fr' AS class, mbid FROM mb
+        |  WHERE lang = 'fr' AND doc_id % 5 = 0),
+        |mem2 AS (SELECT m.* FROM mem1 m WHERE NOT EXISTS
+        |  (SELECT 1 FROM frdel f WHERE f.ds_id = m.ds_id
+        |    AND f.class = m.class AND f.mbid = m.mbid)),
+        |cls2 AS (SELECT * FROM cls1 WHERE class <> 'zh'),
+        |mem3 AS (SELECT * FROM mem2 WHERE class <> 'zh'),
+        |msrc AS (SELECT MIN(ds_id) AS min_src FROM ds0),
+        |dsf AS (
+        |  SELECT d.ds_id,
+        |    CASE WHEN d.ds_id = m.min_src THEN d.ds_id || '_v2'
+        |      ELSE d.ds_id END AS name,
+        |    CASE WHEN d.ds_id = m.min_src THEN 'v2'
+        |      WHEN ('0x' || substr(md5('meta:' || d.ds_id), 1, 8))::BIGINT
+        |        % 2 = 0 THEN 'edited'
+        |      ELSE '' END AS description,
+        |    d.ds_id <> m.min_src AS public,
+        |    CAST(CASE WHEN d.ds_id = m.min_src THEN 1 ELSE 0 END AS BIGINT)
+        |      AS last_edited
+        |  FROM ds0 d, msrc m
+        |  UNION ALL SELECT 'zz_merged', 'zz_merged', '', true, 1),
+        |solo AS (SELECT ds_id, 'solo' AS class, mbid FROM
+        |  (SELECT b.source AS ds_id, b.mbid,
+        |     row_number() OVER (PARTITION BY b.source ORDER BY b.doc_id)
+        |       AS rn
+        |   FROM mb b, msrc WHERE b.source = min_src) t WHERE rn <= 3),
+        |clsf AS (SELECT c.* FROM cls2 c, msrc WHERE c.ds_id <> min_src
+        |  UNION ALL SELECT DISTINCT ds_id, class FROM solo),
+        |memf AS (SELECT m.* FROM mem3 m, msrc WHERE m.ds_id <> min_src
+        |  UNION ALL SELECT * FROM solo),
+        |agg AS (SELECT c.ds_id, c.class,
+        |    CAST(COUNT(m.mbid) AS BIGINT) AS n_members,
+        |    md5(COALESCE(string_agg(m.mbid, ',' ORDER BY m.mbid), ''))
+        |      AS members_md5
+        |  FROM clsf c LEFT JOIN memf m
+        |    ON m.ds_id = c.ds_id AND m.class = c.class
+        |  GROUP BY c.ds_id, c.class)
+        |SELECT a.ds_id, f.name, f.description, f.public, f.last_edited,
+        |  a.class, a.n_members, a.members_md5
+        |FROM agg a JOIN dsf f ON f.ds_id = a.ds_id
+        |ORDER BY a.ds_id, a.class""".stripMargin,
 
     "m4_split_sizes" ->
       """SELECT CAST(label AS BIGINT) AS label,
