@@ -25,6 +25,36 @@ import org.apache.spark.sql.types._
   */
 object DocStream {
 
+  /** Operational translation for a streaming-state incompatibility: when a
+    * stateful gate's state tuple widens (the packing gate went 3 → 4 longs
+    * to carry the order-guard cursor), a deployment restarting from a
+    * checkpoint written by the OLD encoder fails with an opaque
+    * state-schema/decode error buried in the cause chain. This names it:
+    * walk the causes of a failed `StreamingQuery` and, if the failure is a
+    * state schema/decode mismatch, return the "start a fresh checkpoint"
+    * guidance (there is no in-place migration — the old state cannot
+    * reconstruct the new cursor anyway, see [[packingGate]]). `None` means
+    * the failure is something else; rethrow it. */
+  def explainStreamFailure(t: Throwable): Option[String] = {
+    def causes(x: Throwable): List[Throwable] =
+      if (x == null) Nil else x :: causes(x.getCause)
+    val stateMarkers = Seq(
+      "STATE_STORE_", "StateSchemaNotCompatible", "state schema",
+      "does not match existing state", "Error reading streaming state",
+      "Error reading delta file", "InvalidUnsafeRowException")
+    val hit = causes(t).exists { c =>
+      val s = c.toString
+      stateMarkers.exists(m => s.toLowerCase.contains(m.toLowerCase))
+    }
+    if (hit) Some(
+      "streaming state is incompatible with this gate version (a state " +
+        "tuple widened across an upgrade — e.g. the packing gate's 3→4 " +
+        "long cursor). There is no in-place state migration: restart the " +
+        "stream with a FRESH checkpoint location and replay the shard " +
+        "from a clean cursor.")
+    else None
+  }
+
   /** Raw schema of the documents parquet. */
   val rawSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -985,6 +985,30 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(whole == split && whole.nonEmpty)
   }
 
+  test("kmvDistinctSketch: bit-identical estimates to the calibrated " +
+    "monitor without paying the exact-distinct aggregate") {
+    import operators.Skew
+    val sh = Tables.documents(spark, sfTiny)
+      .select(col("source"), explode(graft.functions.HashFunctions
+        .wordShingles(col("text"), 3)).as("w"))
+    val calibrated = Skew.kmvDistinct(sh, "source", col("w"), 64)
+    val sketch = Skew.kmvDistinctSketch(sh, "source", col("w"), 64)
+    // deployment contract: same estimate values per group …
+    val want = calibrated.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val got = sketch.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+    // … but the sketch-only plan never runs the per-group COUNT(DISTINCT)
+    // the sketch exists to avoid (the calibrated monitor does — that is
+    // its job at gate scale)
+    assert(calibrated.queryExecution.optimizedPlan.toString
+      .contains("count(distinct"))
+    assert(!sketch.queryExecution.optimizedPlan.toString
+      .contains("count(distinct"),
+      "sketch-only path still pays the exact distinct aggregate")
+  }
+
   test("sk_kmv_distinct: sub-k groups are exact, large groups estimate " +
     "inside the k=64 error envelope, and min-union merge is lossless") {
     import spark.implicits._

@@ -157,6 +157,67 @@ class StreamingSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("a checkpoint written by the old 3-long packing cursor fails the " +
+    "restart with the NAMED fresh-checkpoint guidance") {
+    import graft.streaming.DocStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_pack_ckpt").toString
+    // the PRE-UPGRADE gate: identical key/output, 3-long state (no order
+    // cursor) — exactly what a deployment's existing checkpoints hold
+    val ms = MemoryStream[(Long, String, String)]
+    val oldGate = ms.toDF().toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "source", "CAST(length(text) AS BIGINT) AS nt")
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, rows: Iterator[(Long, String, Long)],
+         state: GroupState[(Long, Long, Long)]) => {
+          var (cum, lastBin, lastPos) =
+            state.getOption.getOrElse((0L, -1L, 0L))
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _, nt) =>
+            val bin = cum / 64L
+            val pos = if (bin == lastBin) lastPos + 1 else 1L
+            cum += nt; lastBin = bin; lastPos = pos
+            (id, source, nt, bin, pos)
+          }
+          state.update((cum, lastBin, lastPos))
+          out.iterator
+        })
+      .toDF("doc_id", "source", "n_tokens", "bin", "bin_pos")
+    // file sink: the one sink kind that SUPPORTS checkpoint recovery —
+    // this test is precisely about restarting from an existing checkpoint
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_pack_out").toString
+    val q1 = oldGate.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir).start()
+    ms.addData((1L, "aaa", "s1"), (2L, "bbbb", "s1"))
+    q1.processAllAvailable(); q1.stop()
+    // restart the SAME checkpoint under the current 4-long gate
+    val restart = scala.util.Try {
+      val q2 = DocStream.packingGate(
+          ms.toDF().toDF("doc_id", "text", "source"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).start()
+      ms.addData((3L, "cc", "s1"))
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(restart.isFailure, "old-state restart unexpectedly succeeded")
+    val e = restart.failed.get
+    val explained = DocStream.explainStreamFailure(e)
+    assert(explained.isDefined,
+      s"state break not translated; raw failure was: $e")
+    assert(explained.get.contains("FRESH checkpoint"))
+    // and a non-state failure is NOT claimed by the translator
+    assert(DocStream.explainStreamFailure(
+      new RuntimeException("disk full")).isEmpty)
+  }
+
   test("foreachBatch quality gate equals the batch cascade verdicts") {
     import graft.streaming.DocStream
     // drive the attributed gate per micro-batch, the deployment shape
