@@ -155,6 +155,20 @@ object StatsPack {
         .orderBy("source")
     }),
 
+    // ---- the sketch-only KMV deployment path, oracle-gated --------------
+    // Same estimator as `sk_kmv_distinct` with the calibration columns
+    // dropped — the at-scale entry point whose plan never runs the
+    // per-group COUNT(DISTINCT) (spec-pinned); this row gates the
+    // deployment path's VALUES, not just its plan shape. ------------------
+    "sk_kmv_sketch" -> ((s, d) => {
+      import graft.functions.HashFunctions.wordShingles
+      val sh = Tables.documents(s, d)
+        .select(col("source"),
+          explode(wordShingles(col("text"), 3)).as("w"))
+      Skew.kmvDistinctSketch(sh, "source", col("w"), k = 64)
+        .orderBy("source")
+    }),
+
     // ---- upsert / MERGE semantics as a deterministic batch plan
     //      (reference D5: ON CONFLICT DO UPDATE, db/similarity.py:501-513;
     //      on Delta this is a MERGE — here the equivalent full-outer
@@ -305,6 +319,32 @@ object StatsPack {
          |  CAST(abs(est_distinct - n_exact) * 1000 // n_exact AS BIGINT)
          |    AS err_permille
          |FROM est ORDER BY source""".stripMargin,
+
+    // the sketch-only twin: same chain minus the exact-count calibration
+    "sk_kmv_sketch" ->
+      s"""WITH tt AS (SELECT source, text,
+         |  regexp_split_to_array(text, '\\s+') AS t FROM documents),
+         |shl AS (SELECT source,
+         |  CASE WHEN len(t) >= 3 THEN
+         |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |  ELSE [text] END AS sh
+         |  FROM tt),
+         |tok AS (SELECT source, unnest(sh) AS w FROM shl),
+         |draws AS (SELECT DISTINCT source,
+         |  ('0x' || substr(md5('kmv:' || w), 1, 8))::BIGINT AS u FROM tok),
+         |ranked AS (SELECT source, u,
+         |  row_number() OVER (PARTITION BY source ORDER BY u) AS rn
+         |  FROM draws),
+         |kth AS (SELECT source, u AS kth_u FROM ranked WHERE rn = 64),
+         |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_draws
+         |  FROM draws GROUP BY source)
+         |SELECT nd.source,
+         |  CAST(CASE WHEN kth.kth_u IS NULL THEN nd.n_draws
+         |    ELSE 63 * 4294967296 // greatest(kth.kth_u, 1) END AS BIGINT)
+         |    AS est_distinct
+         |FROM nd LEFT JOIN kth USING (source)
+         |ORDER BY source""".stripMargin,
 
     // the plain single-phase aggregate: salting must be invisible in the
     // result (decimal-exact partial merge), so the oracle needs no salt
