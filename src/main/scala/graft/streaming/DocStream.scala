@@ -295,6 +295,55 @@ object DocStream {
     batch => graft.operators.PipelinePack.splitServeAt(spark, p, batch)
   }
 
+  /** Near-dup cluster-cap gate at ingest: the `dd_component_cap` keep-N
+    * policy applied AS DOCUMENTS LAND — each arriving doc takes its
+    * component from the PERSISTED labels
+    * ([[graft.operators.PipelinePack.ensureComponentsIndex]], resolved
+    * ONCE at stream construction; per batch it is one stream-static label
+    * join), and a per-component member counter in
+    * `flatMapGroupsWithState` assigns the arrival rank — two longs of
+    * state per component seen, never corpus-sized. Parity with the batch
+    * `dd_component_cap_indexed` rows holds whenever docs arrive in
+    * ascending doc_id (the append-only ingest pattern — the batch rank
+    * orders by doc_id); the contract is ENFORCED like [[packingGate]]'s:
+    * an id at or below a component's cursor fails the query loudly
+    * instead of silently re-ranking. Unseen docs fall back to their own
+    * id (singleton rank 1, always kept — the stability property's
+    * singleton case). */
+  def capGate(spark: SparkSession, dir: String)(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val p = graft.operators.PipelinePack.ensureComponentsIndex(spark, dir)
+    val labels = spark.read.parquet(s"$p/components")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("grp"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (grp: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long)]) => {
+          var (cnt, lastId) = state.getOption.getOrElse((0L, Long.MinValue))
+          val sorted = rows.toSeq.sortBy(_._1)
+          sorted.iterator.foldLeft(lastId) { (prev, r) =>
+            if (r._1 <= prev)
+              throw new IllegalStateException(
+                s"capGate: component $grp received doc_id ${r._1} at or " +
+                  s"below its ranked cursor $prev — out-of-order or " +
+                  "duplicate ingest breaks rank parity with the batch " +
+                  "cap; replay in ascending doc_id order")
+            r._1
+          }
+          val out = sorted.map { case (id, g) =>
+            cnt += 1L; lastId = id
+            (id, g, cnt, cnt <= graft.operators.DedupPack.ComponentCap)
+          }
+          state.update((cnt, lastId))
+          out.iterator
+        })
+      .toDF("doc_id", "grp", "member_rank", "kept")
+  }
+
   /** Streaming first-fit sequence packing: the batch `pipe_pack_sequences`
     * assignment (bin = floor(preceding-cum-tokens / budget), position
     * within bin) computed AS DOCUMENTS LAND, one running token cursor per

@@ -106,6 +106,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_._4 > 0))
   }
 
+  test("streaming cluster-cap gate equals the batch indexed cap across " +
+    "micro-batches (per-component rank cursor carries between batches)") {
+    import graft.streaming.DocStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // resolve-once deployment shape: construct the gate, THEN stream
+    val gate = DocStream.capGate(spark, sfTiny) _
+    val rows = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val ms = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Boolean)]()
+    val q = gate(ms.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        ()
+      }
+      .start()
+    ms.addData(first.toIndexedSeq); q.processAllAvailable()
+    ms.addData(second.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    // batch twin: the artifact-served cap (same labels by construction)
+    val want = SparkEntry.queries("dd_component_cap_indexed")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(want.nonEmpty && got.toSet == want.toSet,
+      s"stream capped ${got.size} rows, batch ${want.size}")
+    // non-vacuous: some component's cap actually fires, and at least one
+    // component spans the batch boundary (rank > first-batch count is
+    // impossible for a singleton — carry is what makes ranks continue)
+    assert(got.exists(!_._4), "cap never fired at the fixture")
+    val firstIds = first.map(_._1).toSet
+    val carried = got.filter(r => !firstIds.contains(r._1) && r._3 > 1)
+      .map(_._2).toSet
+    val earlier = got.filter(r => firstIds.contains(r._1)).map(_._2).toSet
+    assert(carried.intersect(earlier).nonEmpty,
+      "no component rank carried across the batch boundary")
+  }
+
   test("packing gate fails loudly on out-of-order delivery instead of " +
     "silently diverging from the batch packer") {
     import graft.streaming.DocStream
