@@ -188,6 +188,12 @@ object Bench {
     }
     val load1 = loadavg()
     val gcMs = gcMillis() - gc0
+    // persisted/checkpointed RDDs still registered after the timed loop —
+    // the leak detector for "inline operators pin checkpoint blocks until
+    // session end" (the round-10 LSS finding). A growing number here
+    // across rounds means some query path stopped cleaning up after
+    // itself; artifact serving reads parquet and never contributes.
+    val residRdds = spark.sparkContext.getPersistentRDDs.size
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
@@ -201,7 +207,8 @@ object Bench {
       s""""loadavg_start":${ms(load0)},"loadavg_end":${ms(load1)},""" +
       s""""gc_ms":$gcMs,"timing":"best_of_2","profile":"bench_reduced_m4",""" +
       s""""prepare_sec":${ms(prepareSec)},"settle_sec":${ms(settleSec)},""" +
-      s""""cpu_cal_ms":${ms(cpuCal)},"sched_cal_ms":${ms(schedCal)}"""
+      s""""cpu_cal_ms":${ms(cpuCal)},"sched_cal_ms":${ms(schedCal)},""" +
+      s""""resid_rdds":$residRdds"""
     // The driver's artifact keeps only the LAST ~2.2 KB of stdout, so the
     // full named per-query map (~2.9 KB for 100+ queries) can never fit —
     // r7's tail head-truncated the ann_*/dd_* values into unrecoverability.
