@@ -20,6 +20,16 @@ import org.apache.spark.sql.types._
   */
 object StatsPack {
 
+  /** Count-Min grid shape for `sk_cms_freq`: 4 independent md5-derived
+    * rows × 4096 buckets — 16k longs of state (always broadcastable),
+    * ε = e/4096 ≈ 0.066% of the stream length per estimate at δ = e⁻⁴:
+    * on the fixture's ~10⁵-shingle stream that is a ≈±60 absolute error
+    * band, tight enough that a hot-posting guard at MaxShingleDf-scale
+    * thresholds reads the estimate directly; the fixture still produces
+    * visible (one-sided) collisions for the overcount monitor. */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 4096
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- daily incremental stats + running cumulative (T1) ---------------
     "t1_daily_stats" -> ((s, d) => {
@@ -167,6 +177,52 @@ object StatsPack {
           explode(wordShingles(col("text"), 3)).as("w"))
       Skew.kmvDistinctSketch(sh, "source", col("w"), k = 64)
         .orderBy("source")
+    }),
+
+    // ---- Count-Min point-frequency sketch (Cormode & Muthukrishnan,
+    //      "An Improved Data Stream Summary: the Count-Min Sketch and its
+    //      Applications", J. Algorithms 2005) -----------------------------
+    // The fourth member of the mergeable-summaries family (Misra-Gries
+    // heavy hitters, KMV cardinality, hash-sampled quantiles, CMS point
+    // frequency): a depth×width counter grid, est(x) = min over rows of
+    // the cell x hashes into — one-sided (never an undercount), ε = e/w
+    // relative to the stream length, mergeable by CELL-WISE SUM (the
+    // 100 TB contract: per-partition grids union by +, nothing but
+    // depth·width longs ever moves). The estimator is deterministic given
+    // the md5-derived row hashes, so — like KMV and unlike HLL — the
+    // ESTIMATE itself is oracle-checkable bit-for-bit. The probe side
+    // joins the (≤ depth·width)-row grid, which broadcasts. Calibration
+    // columns (n_exact, overcount ≥ 0) are the gate-scale monitor, same
+    // posture as `sk_kmv_distinct` vs `sk_kmv_sketch`. ------------------
+    "sk_cms_freq" -> ((s, d) => {
+      import graft.functions.HashFunctions.wordShingles
+      val dep = CmsDepth
+      val w = CmsWidth
+      def cells(tk: org.apache.spark.sql.Column) = array((0 until dep).map(i =>
+        pmod(conv(substring(md5(concat(lit(s"cms$i:"), tk)), 1, 8), 16, 10)
+          .cast(LongType), lit(w.toLong))): _*)
+      // the counted stream is the MinHash universe itself: per-document
+      // DISTINCT word-3-gram shingles, so est(x) approximates x's
+      // document frequency — the statistic dedup's hot-posting guard
+      // (MaxShingleDf) actually needs at 100 TB, for every shingle at
+      // once in depth·width longs
+      val toks = Tables.documents(s, d)
+        .select(explode(wordShingles(col("text"), DedupPack.ShingleN)).as("tk"))
+      val grid = toks
+        .select(posexplode(cells(col("tk"))).as(Seq("row", "bucket")))
+        .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("c"))
+      // point-query the repeated shingles (df ≥ 2 — the dedup-relevant
+      // ones); the grid itself is built over the FULL stream
+      val keys = toks.groupBy(col("tk")).agg(count(lit(1)).as("n_exact"))
+        .filter(col("n_exact") >= 2)
+      keys
+        .select(col("tk"), col("n_exact"),
+          posexplode(cells(col("tk"))).as(Seq("row", "bucket")))
+        .join(grid, Seq("row", "bucket"))
+        .groupBy(col("tk"), col("n_exact"))
+        .agg(min(col("c")).as("est_cms"))
+        .withColumn("overcount", col("est_cms") - col("n_exact"))
+        .orderBy("tk")
     }),
 
     // ---- upsert / MERGE semantics as a deterministic batch plan
@@ -319,6 +375,39 @@ object StatsPack {
          |  CAST(abs(est_distinct - n_exact) * 1000 // n_exact AS BIGINT)
          |    AS err_permille
          |FROM est ORDER BY source""".stripMargin,
+
+    // the CMS estimator replayed: same md5-derived row hashes, same grid
+    // counts, same min-over-rows — bit-for-bit including the overcounts
+    "sk_cms_freq" ->
+      s"""WITH tt AS (SELECT source, text,
+         |  regexp_split_to_array(text, '\\s+') AS t FROM documents),
+         |shl AS (SELECT source,
+         |  CASE WHEN len(t) >= 3 THEN
+         |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |  ELSE [text] END AS sh
+         |  FROM tt),
+         |toks AS (SELECT unnest(sh) AS tk FROM shl),
+         |cells AS (SELECT t.tk, g.i,
+         |    ('0x' || substr(md5('cms' || g.i || ':' || t.tk), 1, 8))
+         |      ::BIGINT % ${CmsWidth} AS bucket
+         |  FROM toks t CROSS JOIN generate_series(0, ${CmsDepth - 1})
+         |    AS g(i)),
+         |grid AS (SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM cells GROUP BY i, bucket),
+         |keys AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM toks GROUP BY tk HAVING COUNT(*) >= 2),
+         |probes AS (SELECT DISTINCT k.tk, k.n_exact, g.i,
+         |    ('0x' || substr(md5('cms' || g.i || ':' || k.tk), 1, 8))
+         |      ::BIGINT % ${CmsWidth} AS bucket
+         |  FROM keys k CROSS JOIN generate_series(0, ${CmsDepth - 1})
+         |    AS g(i)),
+         |est AS (SELECT p.tk, p.n_exact, MIN(gr.c) AS est_cms
+         |  FROM probes p JOIN grid gr
+         |    ON gr.i = p.i AND gr.bucket = p.bucket
+         |  GROUP BY p.tk, p.n_exact)
+         |SELECT tk, n_exact, est_cms, est_cms - n_exact AS overcount
+         |FROM est ORDER BY tk""".stripMargin,
 
     // the sketch-only twin: same chain minus the exact-count calibration
     "sk_kmv_sketch" ->

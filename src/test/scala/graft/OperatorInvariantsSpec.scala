@@ -1009,6 +1009,51 @@ class OperatorInvariantsSpec extends SparkSpec {
       "sketch-only path still pays the exact distinct aggregate")
   }
 
+  test("sk_cms_freq: one-sided inside the epsilon envelope, collisions " +
+    "really fire, and per-half grids merge by cell-wise sum") {
+    import operators.StatsPack
+    val r = run("sk_cms_freq").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.nonEmpty)
+    // CMS contract: NEVER an undercount …
+    assert(r.forall(_._4 >= 0L), "CMS undercounted — not a CMS")
+    // … collisions genuinely fire at the fixture (else the grid is
+    // oversized and the monitor is vacuous) …
+    assert(r.exists(_._4 > 0L), "no collision observed — vacuous grid")
+    // … and every overcount respects the ε = e/w envelope on the stream
+    // length (loose bound; a violation means broken hashing, not luck)
+    val streamLen = Tables.documents(spark, sfTiny)
+      .select(explode(graft.functions.HashFunctions
+        .wordShingles(col("text"), 3)).as("w")).count()
+    val eps = math.E / StatsPack.CmsWidth
+    val bound = math.ceil(3 * eps * streamLen).toLong
+    assert(r.forall(_._4 <= bound),
+      s"overcount past 3x the epsilon envelope ($bound): " +
+        r.filter(_._4 > bound).take(3).mkString(", "))
+    // mergeability (the 100 TB contract): the grid built over the WHOLE
+    // stream equals the cell-wise SUM of grids built over two halves —
+    // counts are additive, so partial grids union by +
+    import spark.implicits._
+    def cellsOf(half: org.apache.spark.sql.DataFrame) = half
+      .select(explode(graft.functions.HashFunctions
+        .wordShingles(col("text"), 3)).as("tk"))
+      .select(posexplode(org.apache.spark.sql.functions.array(
+        (0 until StatsPack.CmsDepth).map(i =>
+          pmod(conv(substring(md5(concat(lit(s"cms$i:"), col("tk"))), 1, 8),
+            16, 10).cast("long"), lit(StatsPack.CmsWidth.toLong))): _*))
+        .as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(x => (x.getInt(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val docs = Tables.documents(spark, sfTiny)
+    val whole = cellsOf(docs)
+    val a = cellsOf(docs.filter(col("doc_id") % 2 === 0))
+    val b = cellsOf(docs.filter(col("doc_id") % 2 =!= 0))
+    val merged = (a.keySet ++ b.keySet)
+      .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
+
   test("sk_kmv_distinct: sub-k groups are exact, large groups estimate " +
     "inside the k=64 error envelope, and min-union merge is lossless") {
     import spark.implicits._

@@ -251,6 +251,19 @@ class PlanSpec extends SparkSpec {
       served.map(_.toString).toSeq == inline.map(_.toString).toSeq)
   }
 
+  test("m9_dataset_lifecycle stays broadcast-shaped: an edit batch over " +
+    "metadata-scale tables must never sort-merge or go cartesian") {
+    val plan = planText(run("m9_dataset_lifecycle"))
+    // every join keys on dataset/class/member dims (metadata-scale at any
+    // corpus size — the corpus itself is never joined); the only
+    // nested-loop joins are the broadcast ONE-ROW min-dataset key
+    assert(!plan.contains("SortMergeJoin"),
+      s"m9 fell off the broadcast path:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"m9 has an unconstrained cross join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("n4_serve_composed is one corpus-free plan: artifact members plus " +
     "an id-only dimension lookup") {
     val composed = run("n4_serve_composed")
