@@ -217,34 +217,8 @@ object SimilarityPack {
     // model: 4 per recording (rec = vec div 4, offset = vec mod 4), the
     // reference's mbid/offset structure over the embeddings table. The
     // plan stays corpus-free (artifact members only; PlanSpec). ----------
-    "n4_serve_composed" -> ((s, d) => {
-      val prm = graft.api.IndexParams.check("mfccs",
-        nNeighbours = Some("7"), threshold = Some("0.61"),
-        removeDups = Some("ALL"))
-        .fold(e => throw new IllegalArgumentException(e), identity)
-      val p = ensureTunedIndex(s, d)
-      val scored = tunedRankScoredFor(
-        s.read.parquet(s"$p/assignments"),
-        s.read.parquet(s"$p/centroids"),
-        querySetOf(paramRequestIds(s, d))(
-          s.read.parquet(s"$p/assignments"))
-          .select(col("vec_id").as("query_id"), col("iv").as("qiv"),
-            col("nrm").as("qnrm")))
-      val wDedup = Window.partitionBy(col("query_id"), col("rec_id"))
-        .orderBy(col("dist"), col("sub_offset"))
-      scored
-        .filter(col("rank") <= prm.nNeighbours)
-        .withColumn("dist",
-          sqrt(lit(2.0) * (lit(1.0) - col("cos"))) / lit(2.0))
-        .filter(col("dist") <= lit(prm.threshold.get))
-        .withColumn("rec_id", expr("neighbor_id div 4"))
-        .withColumn("sub_offset", pmod(col("neighbor_id"), lit(4L)))
-        .withColumn("rn", row_number().over(wDedup))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("rec_id"), col("sub_offset"),
-          round(col("dist"), 8).as("dist"))
-        .orderBy("query_id", "dist", "rec_id", "sub_offset")
-    }),
+    "n4_serve_composed" -> ((s, d) =>
+      composedServe(s, d, paramRequestIds(s, d), ComposedDefaultParams)),
 
     // ---- pairwise angular distance (reference N5:
     //      similarity/index_model.py:226-244) -----------------------------
@@ -843,6 +817,74 @@ object SimilarityPack {
     tunedRankScoredFor(assign, cents, q)
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
+
+  /** The gate instantiation of the composed request (exercises the
+    * string-parse + clamp + lowercase paths of `_check_index_params`). */
+  private[graft] val ComposedDefaultParams: graft.api.IndexParams.Params =
+    graft.api.IndexParams.check("mfccs",
+      nNeighbours = Some("7"), threshold = Some("0.61"),
+      removeDups = Some("ALL"))
+      .fold(e => throw new IllegalArgumentException(e), identity)
+
+  /** The FULL similarity-request pipeline for an arbitrary id frame —
+    * webserver/views/api/v1/similarity.py:114-185 end to end as ONE plan:
+    * artifact-served tuned-IVF scored top-K → n_neighbours clamp →
+    * `_limit_recordings_by_threshold` (distance ≤ t, unit-angular domain
+    * like P6) → `_sort_and_remove_duplicate_submissions` mode `all` (the
+    * W7 keep-first window; submissions model: 4 per recording, rec = vec
+    * div 4, offset = vec mod 4). ONE core shared by the oracle row
+    * `n4_serve_composed` and the streaming request path
+    * (QueryStream.serveComposedBatch), so stream/batch parity holds by
+    * construction. The plan is corpus-free (artifact members only —
+    * PlanSpec). */
+  private[graft] def composedServe(s: SparkSession, d: String,
+      ids: DataFrame, prm: graft.api.IndexParams.Params): DataFrame = {
+    val p = ensureTunedIndex(s, d)
+    composedServeAt(s, p, ids, prm)
+  }
+
+  /** Path-resolved [[composedServe]] — the streaming gate's per-batch
+    * half (artifact ensured once at stream start). */
+  private[graft] def composedServeAt(s: SparkSession, p: String,
+      ids: DataFrame, prm: graft.api.IndexParams.Params): DataFrame = {
+    val scored = tunedRankScoredFor(
+      s.read.parquet(s"$p/assignments"),
+      s.read.parquet(s"$p/centroids"),
+      querySetOf(ids)(s.read.parquet(s"$p/assignments"))
+        .select(col("vec_id").as("query_id"), col("iv").as("qiv"),
+          col("nrm").as("qnrm")))
+    val wDedup = Window.partitionBy(col("query_id"), col("rec_id"))
+      .orderBy(col("dist"), col("sub_offset"))
+    val thresholded = scored
+      .filter(col("rank") <= prm.nNeighbours)
+      .withColumn("dist",
+        sqrt(lit(2.0) * (lit(1.0) - col("cos"))) / lit(2.0))
+    // threshold=None means no distance filtering (reference :33-35)
+    val limited = prm.threshold
+      .map(t => thresholded.filter(col("dist") <= lit(t)))
+      .getOrElse(thresholded)
+    val mapped = limited
+      .withColumn("rec_id", expr("neighbor_id div 4"))
+      .withColumn("sub_offset", pmod(col("neighbor_id"), lit(4L)))
+    // dedup modes: `all` keeps each recording's closest submission,
+    // `samescore` drops equal-distance duplicates of the same recording,
+    // `none` passes through (reference :38-67)
+    val deduped = prm.removeDups match {
+      case "all" => mapped
+        .withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1).drop("rn")
+      case "samescore" => mapped
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"), col("rec_id"), col("dist"))
+            .orderBy(col("sub_offset"))))
+        .filter(col("rn") === 1).drop("rn")
+      case _ => mapped
+    }
+    deduped
+      .select(col("query_id"), col("rec_id"), col("sub_offset"),
+        round(col("dist"), 8).as("dist"))
+      .orderBy("query_id", "dist", "rec_id", "sub_offset")
+  }
 
   /** [[tunedRankFor]] keeping the ranking cosine — the serving
     * composition (`n4_serve_composed`) thresholds and sorts on the

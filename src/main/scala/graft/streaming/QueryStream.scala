@@ -73,4 +73,21 @@ object QueryStream {
   def servePqBatch(s: SparkSession, dir: String,
       batch: DataFrame): DataFrame =
     SimilarityPack.ivfPqTopkFor(s, dir, batch.select(col("vec_id")))
+
+  /** The FULL request pipeline on a stream of parsed requests — the
+    * deployment form of `n4_serve_composed`: each micro-batch of
+    * (vec_id) request rows runs artifact-served top-K → n_neighbours
+    * clamp → threshold → submission-dedup through the SAME
+    * [[SimilarityPack.composedServeAt]] core the oracle row pins, with
+    * the artifact resolved ONCE at gate construction (the resolve-once
+    * contract every ingest gate honors). Requests in different
+    * micro-batches are independent lookups, so any batch split yields
+    * the same union of results (pinned in StreamingSpec). */
+  def composedGate(s: SparkSession, dir: String,
+      prm: graft.api.IndexParams.Params = SimilarityPack.ComposedDefaultParams)
+      : DataFrame => DataFrame = {
+    val p = SimilarityPack.ensureTunedIndex(s, dir)
+    batch => SimilarityPack.composedServeAt(s, p,
+      batch.select(col("vec_id")), prm)
+  }
 }

@@ -559,6 +559,34 @@ class StreamingSpec extends SparkSpec {
       s"stream served ${got.size} rows, batch ${want.size}")
   }
 
+  test("streaming composed request gate equals the batch full-pipeline " +
+    "row across a micro-batch split") {
+    import graft.streaming.QueryStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // resolve-once deployment shape: construct the gate, THEN stream
+    val gate = QueryStream.composedGate(spark, sfTiny)
+    val ms = MemoryStream[Long]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+    // foreachBatch drive: requests in two independent micro-batches
+    val query = ms.toDF().toDF("vec_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= gate(batch).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        ()
+      }
+      .start()
+    ms.addData(5L, 23L); query.processAllAvailable()
+    ms.addData(77L, 311L); query.processAllAvailable()
+    query.stop()
+    val want = SparkEntry.queries("n4_serve_composed")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(want.nonEmpty && got.toSet == want.toSet,
+      s"stream served ${got.size} rows, batch ${want.size}")
+  }
+
   test("streaming k-NN serving: an empty micro-batch serves zero rows") {
     import graft.streaming.QueryStream
     import graft.functions.VectorFunctions.asDouble
