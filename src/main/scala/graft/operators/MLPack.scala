@@ -228,7 +228,13 @@ object MLPack {
     //      command batch is derived deterministically from the fixture
     //      (the m7_validate_rules perturbation technique); the oracle
     //      enumerates the complete post-mutation state: every dataset's
-    //      meta + per-class member count and content hash. ---------------
+    //      meta + per-class member count and content hash. The plan
+    //      re-scans the fixture table once per derived base frame —
+    //      deliberate: the REAL inputs at any corpus size are the dataset
+    //      tables themselves (metadata-scale — members are id pairs, not
+    //      documents), so every join here is broadcast-shaped
+    //      (PlanSpec-pinned: no sort-merge, no cartesian) and caching the
+    //      derivations would pin blocks for no measurable win. -----------
     "m9_dataset_lifecycle" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)

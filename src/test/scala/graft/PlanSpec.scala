@@ -251,6 +251,15 @@ class PlanSpec extends SparkSpec {
       served.map(_.toString).toSeq == inline.map(_.toString).toSeq)
   }
 
+  test("sk_cms_freq probes the grid by broadcast: the depth-x-width " +
+    "counter table must never shuffle the key stream to meet it") {
+    val plan = planText(run("sk_cms_freq"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"CMS grid join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"CMS fell off the broadcast path:\n$plan")
+  }
+
   test("m9_dataset_lifecycle stays broadcast-shaped: an edit batch over " +
     "metadata-scale tables must never sort-merge or go cartesian") {
     val plan = planText(run("m9_dataset_lifecycle"))
