@@ -776,6 +776,57 @@ object TextPack {
     "tx_unigram_ppl" -> ((s, d) =>
       lmScoreInline(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // ---- interpolated bigram-LM scoring (the CCNet-style quality score
+    //      one order up) -------------------------------------------------
+    // Jelinek–Mercer interpolation: p(v|u) = λ·c₂(u,v)/c₁(u) +
+    // (1−λ)·c₁(v)/N, λ = 3/4 — the standard fix for the bigram MLE's
+    // zero-probability holes WITHOUT the count-dependent discounts
+    // (Kneser-Ney) whose float accumulation can't be oracle-mirrored
+    // bit-for-bit. Every per-position surprisal is quantized to the 1e-9
+    // decimal grid BEFORE summation (the pplScore discipline), so the
+    // score is bit-stable across partitionings and engines. Documents
+    // under 2 tokens have no bigram and no row (defined semantics).
+    // Scale shape: the bigram LM is a (u,v)-keyed count table —
+    // combinable partial aggregation, shuffle keyed on the bigram; the
+    // two probability joins key on (u,v) and u/v respectively, all
+    // count-table-sized, corpus-scan-count fixed at 2. ------------------
+    "tx_bigram_ppl" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toked = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      val big = toked
+        .select(col("doc_id"), explode(when(size(col("t")) >= 2, expr(
+          "transform(sequence(2, size(t)), " +
+            "i -> struct(element_at(t, i - 1) AS u, element_at(t, i) AS v))"))
+          .otherwise(expr(
+            "CAST(array() AS array<struct<u:string,v:string>>)"))).as("b"))
+        .select(col("doc_id"), col("b.u").as("u"), col("b.v").as("v"))
+      val tf2 = big.groupBy(col("doc_id"), col("u"), col("v"))
+        .agg(count(lit(1)).as("tf2"))
+      val lm2 = big.groupBy(col("u"), col("v")).agg(count(lit(1)).as("c2"))
+      val toks = docs.select(explode(tokens(col("text"))).as("tk"))
+      val lm1 = toks.groupBy(col("tk")).agg(count(lit(1)).as("c1"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      val lam = 0.75
+      // expression shape mirrored verbatim in the oracle: the two
+      // divisions and the weighted sum happen in the same order
+      val pInterp =
+        (lit(lam) * (col("c2").cast(DoubleType) / col("c1u").cast(DoubleType))) +
+          (lit(1.0 - lam) * (col("c1v").cast(DoubleType) / col("n").cast(DoubleType)))
+      tf2
+        .join(lm2, Seq("u", "v"))
+        .join(lm1.select(col("tk").as("u"), col("c1").as("c1u")), Seq("u"))
+        .join(lm1.select(col("tk").as("v"), col("c1").as("c1v")), Seq("v"))
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf2")).as("n_bigrams"),
+          sum((col("tf2").cast(DoubleType) * -log(pInterp))
+            .cast(DecimalType(28, 9))).as("nll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("nll").cast(DoubleType) /
+            col("n_bigrams").cast(DoubleType), 6).as("mean_nll"))
+        .orderBy("doc_id")
+    }),
+
     // ---- the same scoring served from the PERSISTED LM artifact ----------
     // The text-side twin of the ANN `_indexed` family: the corpus LM
     // (token counts + total) is a build-once IndexStore artifact, and
@@ -1044,6 +1095,40 @@ object TextPack {
          |       WHEN mean_nll < $PplMiddleMax THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the interpolation replayed with the identical expression tree
+    // (same division order, same weighted sum, same -ln, same 1e-9
+    // decimal quantization before the per-doc sum)
+    "tx_bigram_ppl" ->
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |big AS (SELECT doc_id, b[1] AS u, b[2] AS v FROM
+         |  (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+         |      THEN list_transform(generate_series(2, len(t)),
+         |        i -> [t[i-1], t[i]])
+         |      ELSE CAST([] AS VARCHAR[][]) END) AS b FROM tt) s),
+         |tf2 AS (SELECT doc_id, u, v, CAST(COUNT(*) AS BIGINT) AS tf2
+         |  FROM big GROUP BY 1, 2, 3),
+         |lm2 AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS c2
+         |  FROM big GROUP BY 1, 2),
+         |toks AS (SELECT unnest(t) AS tk FROM tt),
+         |lm1 AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS c1
+         |  FROM toks GROUP BY tk),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+         |sc AS (SELECT f.doc_id,
+         |    CAST(SUM(f.tf2) AS BIGINT) AS n_bigrams,
+         |    SUM(CAST(CAST(f.tf2 AS DOUBLE) * -ln(
+         |        0.75 * (CAST(l2.c2 AS DOUBLE) / CAST(cu.c1 AS DOUBLE)) +
+         |        0.25 * (CAST(cv.c1 AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+         |      AS DECIMAL(28,9))) AS nll
+         |  FROM tf2 f
+         |  JOIN lm2 l2 ON l2.u = f.u AND l2.v = f.v
+         |  JOIN lm1 cu ON cu.tk = f.u
+         |  JOIN lm1 cv ON cv.tk = f.v, tot
+         |  GROUP BY f.doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  round(CAST(nll AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+         |    AS mean_nll
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     // row-identity against the inline entry's already-oracle-checked
     // verify output (the ANN `_indexed` twins' pattern — the artifact
