@@ -98,8 +98,8 @@ object Bench {
     // contamination from the bench's self-induced load.
     val loadPre = loadavg()
     val prepT0 = System.nanoTime()
-    // The 28 prepare units ((4 bucketed layouts + partitioned events +
-    // 9 artifact families) x 2 dirs) are mutually independent — each
+    // The 30 prepare units ((4 bucketed layouts + partitioned events +
+    // 10 artifact families) x 2 dirs) are mutually independent — each
     // reads raw parquet and writes its own layout/artifact path, and
     // Tables/IndexStore lock per table/path — so they fan out across a
     // fixed pool instead of paying their SUM serially (r8 recorded
@@ -121,6 +121,7 @@ object Bench {
             operators.SimilarityPack.ensureIvfPqIndex,
             operators.DedupPack.ensureBandIndex,
             operators.TextPack.ensureLmIndex,
+            operators.TextPack.ensureBigramLmIndex,
             operators.TextPack.ensureBpeIndex,
             operators.PipelinePack.ensureComponentsIndex)
         } yield () => { b(spark, d); () })

@@ -146,6 +146,129 @@ object TextPack {
     * only thing the member layout depends on. */
   private[graft] val LmIndexParams = "tokenizer=ws_v1"
 
+  /** (doc_id, u, v) adjacent-token bigram stream — the shared first stage
+    * of the bigram-LM family (inline scoring, artifact build, serving). */
+  private def docBigrams(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(when(size(col("t")) >= 2, expr(
+        "transform(sequence(2, size(t)), " +
+          "i -> struct(element_at(t, i - 1) AS u, element_at(t, i) AS v))"))
+        .otherwise(expr(
+          "CAST(array() AS array<struct<u:string,v:string>>)"))).as("b"))
+      .select(col("doc_id"), col("b.u").as("u"), col("b.v").as("v"))
+
+  /** Per-(doc, u, v) bigram frequencies. */
+  private def bigramTf(docs: org.apache.spark.sql.DataFrame) =
+    docBigrams(docs).groupBy(col("doc_id"), col("u"), col("v"))
+      .agg(count(lit(1)).as("tf2"))
+
+  /** Jelinek-Mercer interpolation weight of [[bigramScore]]. */
+  private[graft] val BigramLambda = 0.75
+
+  /** Shared bigram scoring core: p(v|u) = lambda*c2(u,v)/c1(u) +
+    * (1-lambda)*c1(v)/N, per-position surprisal on the 1e-9 decimal grid
+    * BEFORE summation (the pplScore discipline) — one definition for the
+    * inline entry and the artifact twin, the expression tree mirrored
+    * verbatim in the oracle (same division order, same weighted sum). */
+  private[graft] def bigramScore(tf2: org.apache.spark.sql.DataFrame,
+      lm2: org.apache.spark.sql.DataFrame,
+      lm1: org.apache.spark.sql.DataFrame,
+      total: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pInterp =
+      (lit(BigramLambda) *
+        (col("c2").cast(DoubleType) / col("c1u").cast(DoubleType))) +
+        (lit(1.0 - BigramLambda) *
+          (col("c1v").cast(DoubleType) / col("n").cast(DoubleType)))
+    tf2
+      .join(lm2, Seq("u", "v"))
+      .join(lm1.select(col("tk").as("u"), col("c1").as("c1u")), Seq("u"))
+      .join(lm1.select(col("tk").as("v"), col("c1").as("c1v")), Seq("v"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf2")).as("n_bigrams"),
+        sum((col("tf2").cast(DoubleType) * -log(pInterp))
+          .cast(DecimalType(28, 9))).as("nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("nll").cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType), 6).as("mean_nll"))
+  }
+
+  /** Add-one-backed smoothed bigram scoring — the POST-FREEZE variant of
+    * [[bigramScore]] for arbitrary future batches against a frozen
+    * artifact: the unigram backoff term goes Laplace
+    * ((c₁(v)+1)/(N+V) — proper over the frozen vocab, unseen tokens
+    * carry mass), the bigram term contributes only where the frozen LM
+    * has the context (c₁(u) > 0; LEFT joins keep every batch bigram), so
+    * p > 0 always and a document whose vocabulary the LM has never seen
+    * still scores instead of silently vanishing — the pplScoreSmoothed
+    * treatment one order up. On the corpus itself every count is present,
+    * so the oracle entry pins the arithmetic end to end. */
+  private[graft] def bigramScoreSmoothed(tf2: org.apache.spark.sql.DataFrame,
+      lm2: org.apache.spark.sql.DataFrame,
+      lm1: org.apache.spark.sql.DataFrame,
+      total: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val c2e = coalesce(col("c2"), lit(0L))
+    val c1ue = coalesce(col("c1u"), lit(0L))
+    val c1ve = coalesce(col("c1v"), lit(0L))
+    val pBig = when(c1ue > 0,
+      lit(BigramLambda) * (c2e.cast(DoubleType) / c1ue.cast(DoubleType)))
+      .otherwise(lit(0.0))
+    val pUni = lit(1.0 - BigramLambda) *
+      ((c1ve + lit(1L)).cast(DoubleType) /
+        (col("n") + col("vsz")).cast(DoubleType))
+    tf2
+      .join(lm2, Seq("u", "v"), "left")
+      .join(lm1.select(col("tk").as("u"), col("c1").as("c1u")),
+        Seq("u"), "left")
+      .join(lm1.select(col("tk").as("v"), col("c1").as("c1v")),
+        Seq("v"), "left")
+      .crossJoin(broadcast(total)).crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf2")).as("n_bigrams"),
+        sum((col("tf2").cast(DoubleType) * -log(pBig + pUni))
+          .cast(DecimalType(28, 9))).as("nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("nll").cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType), 6).as("mean_nll"))
+  }
+
+  /** Score an arbitrary (doc_id, text) batch against the frozen bigram
+    * artifact with the smoothed core — shared by the
+    * `tx_bigram_ppl_smoothed` batch entry and the streaming gate
+    * (DocStream.bigramPplGate). */
+  private[graft] def bigramServeSmoothedAt(s: SparkSession, p: String,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val lm1 = s.read.parquet(s"$p/lm1")
+    bigramScoreSmoothed(bigramTf(docs),
+      s.read.parquet(s"$p/lm2"), lm1,
+      s.read.parquet(s"$p/total"),
+      // NOT "v": the bigram frame already has a `v` (second token) column
+      lm1.agg(count(lit(1)).as("vsz")))
+  }
+
+  /** Build constants of [[ensureBigramLmIndex]]. */
+  private[graft] val BigramLmIndexParams =
+    s"tokenizer=ws_v1,lambda=$BigramLambda"
+
+  /** Persisted corpus bigram LM: (u, v, c2) + (tk, c1) + one-row total —
+    * [[ensureLmIndex]]'s posture one order up; every scoring job reads
+    * the count members, never the corpus. */
+  private[graft] def ensureBigramLmIndex(s: SparkSession, d: String): String =
+    graft.sim.IndexStore.ensure(s, d, "bigram_lm",
+      Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id",
+      BigramLmIndexParams) { p =>
+      val docs = Tables.documents(s, d)
+      docBigrams(docs).groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("c2"))
+        .write.mode("overwrite").parquet(s"$p/lm2")
+      val lm1 = docs.select(explode(tokens(col("text"))).as("tk"))
+        .groupBy(col("tk")).agg(count(lit(1)).as("c1"))
+      lm1.write.mode("overwrite").parquet(s"$p/lm1")
+      lm1.agg(sum(col("c1")).as("n")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$p/total")
+    }
+
   /** Persisted corpus unigram LM: the (token, count) member plus the
     * one-row total — the text-side build-once/serve-many artifact (the
     * ANN IndexStore posture applied to LM quality scoring): built once at
@@ -792,40 +915,35 @@ object TextPack {
     // count-table-sized, corpus-scan-count fixed at 2. ------------------
     "tx_bigram_ppl" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val toked = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-      val big = toked
-        .select(col("doc_id"), explode(when(size(col("t")) >= 2, expr(
-          "transform(sequence(2, size(t)), " +
-            "i -> struct(element_at(t, i - 1) AS u, element_at(t, i) AS v))"))
-          .otherwise(expr(
-            "CAST(array() AS array<struct<u:string,v:string>>)"))).as("b"))
-        .select(col("doc_id"), col("b.u").as("u"), col("b.v").as("v"))
-      val tf2 = big.groupBy(col("doc_id"), col("u"), col("v"))
-        .agg(count(lit(1)).as("tf2"))
-      val lm2 = big.groupBy(col("u"), col("v")).agg(count(lit(1)).as("c2"))
+      val big = docBigrams(docs)
       val toks = docs.select(explode(tokens(col("text"))).as("tk"))
-      val lm1 = toks.groupBy(col("tk")).agg(count(lit(1)).as("c1"))
-      val total = toks.agg(count(lit(1)).as("n"))
-      val lam = 0.75
-      // expression shape mirrored verbatim in the oracle: the two
-      // divisions and the weighted sum happen in the same order
-      val pInterp =
-        (lit(lam) * (col("c2").cast(DoubleType) / col("c1u").cast(DoubleType))) +
-          (lit(1.0 - lam) * (col("c1v").cast(DoubleType) / col("n").cast(DoubleType)))
-      tf2
-        .join(lm2, Seq("u", "v"))
-        .join(lm1.select(col("tk").as("u"), col("c1").as("c1u")), Seq("u"))
-        .join(lm1.select(col("tk").as("v"), col("c1").as("c1v")), Seq("v"))
-        .crossJoin(broadcast(total))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("tf2")).as("n_bigrams"),
-          sum((col("tf2").cast(DoubleType) * -log(pInterp))
-            .cast(DecimalType(28, 9))).as("nll"))
-        .select(col("doc_id"), col("n_bigrams"),
-          round(col("nll").cast(DoubleType) /
-            col("n_bigrams").cast(DoubleType), 6).as("mean_nll"))
+      bigramScore(bigramTf(docs),
+        big.groupBy(col("u"), col("v")).agg(count(lit(1)).as("c2")),
+        toks.groupBy(col("tk")).agg(count(lit(1)).as("c1")),
+        toks.agg(count(lit(1)).as("n")))
         .orderBy("doc_id")
     }),
+
+    // ---- the same scoring served from the PERSISTED bigram-LM artifact --
+    // The `_indexed` posture one order up: (u,v)/unigram/total count
+    // members are a build-once IndexStore artifact; scoring touches ONLY
+    // the scored documents plus the members — the corpus is never
+    // re-counted per scoring job (plan-asserted). Rows identical to the
+    // inline entry by construction (shared bigramScore core over the
+    // same exact counts) — the row-identity oracle's contract. ----------
+    "tx_bigram_ppl_indexed" -> ((s, d) => {
+      val p = ensureBigramLmIndex(s, d)
+      bigramScore(bigramTf(Tables.documents(s, d)),
+        s.read.parquet(s"$p/lm2"), s.read.parquet(s"$p/lm1"),
+        s.read.parquet(s"$p/total"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- smoothed post-freeze bigram scoring (the streaming bigram
+    //      gate's batch twin — see bigramScoreSmoothed) ------------------
+    "tx_bigram_ppl_smoothed" -> ((s, d) =>
+      bigramServeSmoothedAt(s, ensureBigramLmIndex(s, d),
+        Tables.documents(s, d)).orderBy("doc_id")),
 
     // ---- the same scoring served from the PERSISTED LM artifact ----------
     // The text-side twin of the ANN `_indexed` family: the corpus LM
@@ -1124,6 +1242,51 @@ object TextPack {
          |  JOIN lm2 l2 ON l2.u = f.u AND l2.v = f.v
          |  JOIN lm1 cu ON cu.tk = f.u
          |  JOIN lm1 cv ON cv.tk = f.v, tot
+         |  GROUP BY f.doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  round(CAST(nll AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+         |    AS mean_nll
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // row-identity against the inline bigram entry (the `_indexed`
+    // twins' pattern; plan half is PlanSpec's)
+    "tx_bigram_ppl_indexed" ->
+      "SELECT * FROM '__GRAFT_OUT__/tx_bigram_ppl/*.parquet'",
+
+    // full smoothing-arithmetic mirror: Laplace unigram backoff
+    // (c1+1)/(N+V) plus the context-guarded bigram term, LEFT joins —
+    // structural on the corpus itself (every count present), but the
+    // formula is the post-freeze one the streaming bigram gate serves
+    "tx_bigram_ppl_smoothed" ->
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |big AS (SELECT doc_id, b[1] AS u, b[2] AS v FROM
+         |  (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+         |      THEN list_transform(generate_series(2, len(t)),
+         |        i -> [t[i-1], t[i]])
+         |      ELSE CAST([] AS VARCHAR[][]) END) AS b FROM tt) s),
+         |tf2 AS (SELECT doc_id, u, v, CAST(COUNT(*) AS BIGINT) AS tf2
+         |  FROM big GROUP BY 1, 2, 3),
+         |lm2 AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS c2
+         |  FROM big GROUP BY 1, 2),
+         |toks AS (SELECT unnest(t) AS tk FROM tt),
+         |lm1 AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS c1
+         |  FROM toks GROUP BY tk),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+         |voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lm1),
+         |sc AS (SELECT f.doc_id,
+         |    CAST(SUM(f.tf2) AS BIGINT) AS n_bigrams,
+         |    SUM(CAST(CAST(f.tf2 AS DOUBLE) * -ln(
+         |        (CASE WHEN COALESCE(cu.c1, 0) > 0
+         |          THEN 0.75 * (CAST(COALESCE(l2.c2, 0) AS DOUBLE) /
+         |            CAST(COALESCE(cu.c1, 0) AS DOUBLE))
+         |          ELSE 0.0 END) +
+         |        0.25 * (CAST(COALESCE(cv.c1, 0) + 1 AS DOUBLE) /
+         |          CAST(tot.n + voc.v AS DOUBLE)))
+         |      AS DECIMAL(28,9))) AS nll
+         |  FROM tf2 f
+         |  LEFT JOIN lm2 l2 ON l2.u = f.u AND l2.v = f.v
+         |  LEFT JOIN lm1 cu ON cu.tk = f.u
+         |  LEFT JOIN lm1 cv ON cv.tk = f.v, tot, voc
          |  GROUP BY f.doc_id)
          |SELECT doc_id, n_bigrams,
          |  round(CAST(nll AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)

@@ -244,6 +244,20 @@ object DocStream {
     batch => graft.operators.TextPack.driftServeAt(spark, p, batch)
   }
 
+  /** Bigram-LM quality gate at ingest: score arriving micro-batches
+    * against the FROZEN bigram artifact with the smoothed core
+    * ([[graft.operators.TextPack.bigramServeSmoothedAt]] — Laplace
+    * unigram backoff + context-guarded bigram term, so post-freeze
+    * vocabulary still scores). The unigram `pplGate`'s posture one order
+    * up; artifact resolved once at gate construction, each batch pays
+    * its own bigram counts plus count-table-sized joins. Batch twin:
+    * `tx_bigram_ppl_smoothed` (parity by shared core, pinned in
+    * StreamingSpec incl. the all-unseen batch). */
+  def bigramPplGate(spark: SparkSession, dir: String): DataFrame => DataFrame = {
+    val p = graft.operators.TextPack.ensureBigramLmIndex(spark, dir)
+    batch => graft.operators.TextPack.bigramServeSmoothedAt(spark, p, batch)
+  }
+
   /** Domain-mix gate at ingest: apply a FROZEN mixture-threshold frame
     * ([[graft.operators.PipelinePack.mixThresholds]], computed once per
     * corpus version — thresholds are a property of the corpus the mixture

@@ -326,6 +326,24 @@ class PlanSpec extends SparkSpec {
       served.map(_.toString).toSeq == inline.map(_.toString).toSeq)
   }
 
+  test("tx_bigram_ppl_indexed serves from the bigram-LM artifact and " +
+    "equals the inline scoring") {
+    val indexed = run("tx_bigram_ppl_indexed")
+    val served = indexed.collect()
+    val idxPlan = indexed.queryExecution.executedPlan.toString
+    assert(idxPlan.contains("bigram_lm"),
+      s"tx_bigram_ppl_indexed: no LM artifact scan in:\n$idxPlan")
+    val inlineDf = run("tx_bigram_ppl")
+    val inline = inlineDf.collect()
+    val inPlan = inlineDf.queryExecution.executedPlan.toString
+    def docScans(p: String) = "graft_documents".r.findAllIn(p).size
+    assert(docScans(idxPlan) < docScans(inPlan),
+      s"indexed plan scans documents ${docScans(idxPlan)}x vs inline " +
+        s"${docScans(inPlan)}x:\n$idxPlan")
+    assert(served.map(_.toString).toSeq == inline.map(_.toString).toSeq &&
+      served.nonEmpty)
+  }
+
   test("tx_unigram_ppl_indexed serves from the LM artifact and equals " +
     "the inline scoring") {
     val indexed = run("tx_unigram_ppl_indexed")

@@ -310,6 +310,42 @@ class StreamingSpec extends SparkSpec {
     th.unpersist()
   }
 
+  test("foreachBatch bigram-LM gate equals the smoothed batch twin and " +
+    "scores an all-unseen batch instead of dropping it") {
+    import graft.streaming.DocStream
+    import spark.implicits._
+    val want = SparkEntry.queries("tx_bigram_ppl_smoothed")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val c0 = graft.sim.IndexStore.ensureCalls.get()
+    val gate = DocStream.bigramPplGate(spark, sfTiny)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val q = DocStream.source(spark, sfTiny)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= gate(batch)
+          .select("doc_id", "n_bigrams", "mean_nll").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(want.nonEmpty && got.toSet == want.toSet,
+      s"stream scored ${got.size} rows, batch ${want.size}")
+    assert(graft.sim.IndexStore.ensureCalls.get() - c0 == 1L,
+      "streaming bigram gate re-ensured the artifact per batch")
+    // post-freeze contract: a document whose every token (and bigram)
+    // the frozen LM has never seen still gets a row — its per-position
+    // probability is the pure Laplace floor 0.25/(N+V), not zero
+    val unseen = Seq((999999L, "qzx wvv qzx wvv"))
+      .toDF("doc_id", "text")
+    val r = gate(unseen).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 3L)
+    assert(r(0).getDouble(2) > 0.0 &&
+      !r(0).getDouble(2).isInfinite && !r(0).getDouble(2).isNaN)
+  }
+
   test("foreachBatch LM-perplexity gate equals the artifact-served batch " +
     "scoring") {
     import graft.streaming.DocStream
