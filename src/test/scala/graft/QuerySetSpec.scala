@@ -46,6 +46,34 @@ class QuerySetSpec extends SparkSpec {
     assert(SimilarityPack.indexedTopkFor(spark, sfTiny, none).count() == 0)
   }
 
+  test("composed serving honors every remove_dups mode and threshold=None") {
+    import graft.api.IndexParams
+    val ids = Seq(5L, 23L, 77L, 311L).toDF("vec_id")
+    def prm(rd: String, th: Option[String]) = IndexParams.check("mfccs",
+      nNeighbours = Some("7"), threshold = th, removeDups = Some(rd))
+      .toOption.get
+    def rows(rd: String, th: Option[String]) =
+      SimilarityPack.composedServe(spark, sfTiny, ids, prm(rd, th))
+        .collect().map(_.toString).toSeq
+    val none = rows("none", Some("0.61"))
+    val same = rows("samescore", Some("0.61"))
+    val all = rows("all", Some("0.61"))
+    // the oracle-gated entry IS the `all` instantiation
+    assert(all == SparkEntry.queries("n4_serve_composed")(spark, sfTiny)
+      .collect().map(_.toString).toSeq)
+    // dedup strength ordering: none ⊇ samescore ⊇ all, strict at the
+    // fixture for `all` (a same-recording pair inside top-7) and every
+    // mode's rows are a subset of `none`'s
+    assert(none.size >= same.size && same.size >= all.size)
+    assert(all.size < none.size, "`all` dedup never fired")
+    assert(same.toSet.subsetOf(none.toSet) && all.toSet.subsetOf(none.toSet))
+    // threshold=None disables distance filtering entirely (reference
+    // :33-35): with no threshold the capped serve passes 7 rows/query
+    val unfiltered = rows("none", None)
+    assert(unfiltered.size == 4 * 7)
+    assert(none.size < unfiltered.size, "threshold never filtered")
+  }
+
   test("a BulkParams-parsed request drives an arbitrary bulk top-K") {
     // the reference's recording_ids param shape: `mbid`, `mbid:offset`,
     // duplicates dropped order-preserving (core.py:253-254)
