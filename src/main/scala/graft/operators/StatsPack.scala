@@ -30,6 +30,38 @@ object StatsPack {
   private[graft] val CmsDepth = 4
   private[graft] val CmsWidth = 4096
 
+  /** Deployment CMS probe: estimates for an ARBITRARY (key) frame against
+    * a prebuilt grid — no exact counting anywhere (the `sk_cms_freq` gate
+    * row carries the exact column as its calibration monitor, the same
+    * split as kmvDistinct vs kmvDistinctSketch). At scale the grid is
+    * built once per corpus version ([[cmsGrid]]; cell counts are
+    * additive, so per-partition partial grids merge by sum — spec-pinned)
+    * and any number of key lists probe the broadcastable depth×width
+    * table. */
+  def cmsEstimateFor(grid: DataFrame, keys: DataFrame): DataFrame =
+    keys.select(col("key"),
+      org.apache.spark.sql.functions.posexplode(cmsCells(col("key")))
+        .as(Seq("row", "bucket")))
+      .join(grid, Seq("row", "bucket"))
+      .groupBy(col("key"))
+      .agg(min(col("c")).as("est"))
+
+  /** The (row, bucket, c) counter grid over a one-column `k` key-stream
+    * frame — reusable for tokens, shingles, ids, …; ONE hashing
+    * definition ([[cmsCells]]) shared with the gate row and the probe. */
+  def cmsGrid(keyStream: DataFrame): DataFrame =
+    keyStream
+      .select(org.apache.spark.sql.functions.posexplode(cmsCells(col("k")))
+        .as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("c"))
+
+  /** The depth md5-derived cell coordinates of one key. */
+  private[graft] def cmsCells(
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.array((0 until CmsDepth).map(i =>
+      pmod(conv(substring(md5(concat(lit(s"cms$i:"), key)), 1, 8), 16, 10)
+        .cast(LongType), lit(CmsWidth.toLong))): _*)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- daily incremental stats + running cumulative (T1) ---------------
     "t1_daily_stats" -> ((s, d) => {
@@ -196,11 +228,6 @@ object StatsPack {
     // posture as `sk_kmv_distinct` vs `sk_kmv_sketch`. ------------------
     "sk_cms_freq" -> ((s, d) => {
       import graft.functions.HashFunctions.wordShingles
-      val dep = CmsDepth
-      val w = CmsWidth
-      def cells(tk: org.apache.spark.sql.Column) = array((0 until dep).map(i =>
-        pmod(conv(substring(md5(concat(lit(s"cms$i:"), tk)), 1, 8), 16, 10)
-          .cast(LongType), lit(w.toLong))): _*)
       // the counted stream is the MinHash universe itself: per-document
       // DISTINCT word-3-gram shingles, so est(x) approximates x's
       // document frequency — the statistic dedup's hot-posting guard
@@ -208,16 +235,16 @@ object StatsPack {
       // once in depth·width longs
       val toks = Tables.documents(s, d)
         .select(explode(wordShingles(col("text"), DedupPack.ShingleN)).as("tk"))
-      val grid = toks
-        .select(posexplode(cells(col("tk"))).as(Seq("row", "bucket")))
-        .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("c"))
+      val grid = cmsGrid(toks.select(col("tk").as("k")))
       // point-query the repeated shingles (df ≥ 2 — the dedup-relevant
-      // ones); the grid itself is built over the FULL stream
+      // ones); the grid itself is built over the FULL stream. The exact
+      // count is the gate-scale calibration column; the deployment probe
+      // is [[cmsEstimateFor]] (no exact counting anywhere).
       val keys = toks.groupBy(col("tk")).agg(count(lit(1)).as("n_exact"))
         .filter(col("n_exact") >= 2)
       keys
         .select(col("tk"), col("n_exact"),
-          posexplode(cells(col("tk"))).as(Seq("row", "bucket")))
+          posexplode(cmsCells(col("tk"))).as(Seq("row", "bucket")))
         .join(grid, Seq("row", "bucket"))
         .groupBy(col("tk"), col("n_exact"))
         .agg(min(col("c")).as("est_cms"))

@@ -1052,6 +1052,16 @@ class OperatorInvariantsSpec extends SparkSpec {
     val merged = (a.keySet ++ b.keySet)
       .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
     assert(merged == whole)
+    // the deployment probe (prebuilt grid + arbitrary key list, no exact
+    // counting anywhere) returns the gate row's exact same estimates
+    val stream = docs.select(explode(graft.functions.HashFunctions
+      .wordShingles(col("text"), 3)).as("k"))
+    val grid = StatsPack.cmsGrid(stream)
+    val someKeys = r.take(50).map(_._1).toSeq.toDF("key")
+    val probed = StatsPack.cmsEstimateFor(grid, someKeys).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val want = r.take(50).map(x => x._1 -> x._3).toMap
+    assert(probed == want && probed.nonEmpty)
   }
 
   test("sk_kmv_distinct: sub-k groups are exact, large groups estimate " +
