@@ -218,9 +218,13 @@ object Dump {
     }
     try {
       member("SCHEMA_SEQUENCE", SchemaSequence.toString.getBytes("UTF-8"))
-      // Python datetime.isoformat(" ") — space separator, microseconds
-      member("TIMESTAMP", java.time.LocalDateTime.now()
-        .toString.replace('T', ' ').getBytes("UTF-8"))
+      // Python datetime.isoformat(" ") — space separator, microseconds.
+      // FIXED width: LocalDateTime.toString varies its fractional digits
+      // (and drops ":ss" entirely on exact minutes), which "%Y-%m-%d
+      // %H:%M:%S.%f" parsers reject.
+      member("TIMESTAMP", java.time.LocalDateTime.now().format(
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")).getBytes("UTF-8"))
       member("COPYING", CopyingText.getBytes("UTF-8"))
       for (f <- listMembers(dumpDir))
         member(s"abdump/$f", Files.readAllBytes(root.resolve(f)))
@@ -253,7 +257,10 @@ object Dump {
       while (e != null) {
         val base = e.getName.split("/").last
         val dataIdx = e.getName.indexOf("/abdump/")
-        if (!e.isDirectory && base == "SCHEMA_SEQUENCE") {
+        // the schema member is the TOP-LEVEL <name>/SCHEMA_SEQUENCE only:
+        // a data member that happens to be named .../abdump/.../SCHEMA_
+        // SEQUENCE must extract as data, not hijack the validation branch
+        if (!e.isDirectory && base == "SCHEMA_SEQUENCE" && dataIdx < 0) {
           val v = new String(tis.readAllBytes(), "UTF-8").trim.toInt
           if (v != expectedSchema)
             throw new SchemaMismatchException(

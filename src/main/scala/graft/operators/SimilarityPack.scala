@@ -847,18 +847,27 @@ object SimilarityPack {
     * half (artifact ensured once at stream start). */
   private[graft] def composedServeAt(s: SparkSession, p: String,
       ids: DataFrame, prm: graft.api.IndexParams.Params): DataFrame = {
+    // the rank cap IS the clamped n_neighbours — a request above the old
+    // fixed 10 must serve up to the probed-cells candidate pool, exactly
+    // as the reference index returns n_neighbours items (fewer only when
+    // the candidate pool runs out)
     val scored = tunedRankScoredFor(
       s.read.parquet(s"$p/assignments"),
       s.read.parquet(s"$p/centroids"),
       querySetOf(ids)(s.read.parquet(s"$p/assignments"))
         .select(col("vec_id").as("query_id"), col("iv").as("qiv"),
-          col("nrm").as("qnrm")))
+          col("nrm").as("qnrm")),
+      kCap = prm.nNeighbours)
     val wDedup = Window.partitionBy(col("query_id"), col("rec_id"))
       .orderBy(col("dist"), col("sub_offset"))
+    // least(cos, 1) before the sqrt: duplicate vectors can put the
+    // cosine one ulp above 1, and sqrt of the tiny negative would be a
+    // silent NaN here and a hard error in the oracle's sqrt — the clamp
+    // is mirrored in the SQL
     val thresholded = scored
       .filter(col("rank") <= prm.nNeighbours)
       .withColumn("dist",
-        sqrt(lit(2.0) * (lit(1.0) - col("cos"))) / lit(2.0))
+        sqrt(lit(2.0) * (lit(1.0) - least(col("cos"), lit(1.0)))) / lit(2.0))
     // threshold=None means no distance filtering (reference :33-35)
     val limited = prm.threshold
       .map(t => thresholded.filter(col("dist") <= lit(t)))
@@ -891,7 +900,7 @@ object SimilarityPack {
     * DISTANCE derived from it, so the score must ride out of the rank
     * stage instead of being recomputed. */
   private def tunedRankScoredFor(assign: DataFrame, cents: DataFrame,
-      q: DataFrame): DataFrame = {
+      q: DataFrame, kCap: Int = 10): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cell"))
     val probes = q
@@ -909,7 +918,7 @@ object SimilarityPack {
         (gridDot(col("qiv"), col("iv")) / (col("qnrm") * col("nrm")))
           .as("cos"))
       .withColumn("rank", asLong(row_number().over(wRank)))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= kCap)
   }
 
   /** Tuned-IVF with the training INLINE in the plan — the trainer-contract
@@ -1717,9 +1726,10 @@ object SimilarityPack {
          |  JOIN cmvn nq ON nq.vec_id = query_id
          |  JOIN cmvn nn ON nn.vec_id = neighbor_id),
          |cmthr AS (SELECT query_id, neighbor_id,
-         |    sqrt(2 * (1 - cs)) / 2 AS dist
+         |    sqrt(2 * (1 - least(cs, 1.0))) / 2 AS dist
          |  FROM cmscored
-         |  WHERE rank <= 7 AND sqrt(2 * (1 - cs)) / 2 <= 0.61),
+         |  WHERE rank <= 7
+         |    AND sqrt(2 * (1 - least(cs, 1.0))) / 2 <= 0.61),
          |cmmap AS (SELECT query_id, neighbor_id // 4 AS rec_id,
          |    neighbor_id % 4 AS sub_offset, dist FROM cmthr),
          |cmdd AS (SELECT * FROM (SELECT query_id, rec_id, sub_offset, dist,

@@ -39,12 +39,16 @@ object StatsPack {
     * and any number of key lists probe the broadcastable depth×width
     * table. */
   def cmsEstimateFor(grid: DataFrame, keys: DataFrame): DataFrame =
+    // LEFT join + coalesce(0): an untouched cell IS a zero counter —
+    // the inner-join form silently dropped never-seen keys (no row at
+    // all) and over-estimated keys with a mix of empty and collided
+    // cells (min over only the non-empty ones); canonical CMS answers 0
     keys.select(col("key"),
       org.apache.spark.sql.functions.posexplode(cmsCells(col("key")))
         .as(Seq("row", "bucket")))
-      .join(grid, Seq("row", "bucket"))
+      .join(grid, Seq("row", "bucket"), "left")
       .groupBy(col("key"))
-      .agg(min(col("c")).as("est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
 
   /** The (row, bucket, c) counter grid over a one-column `k` key-stream
     * frame — reusable for tokens, shingles, ids, …; ONE hashing

@@ -94,12 +94,20 @@ class DumpSpec extends SparkSpec {
     Files.write(java.nio.file.Paths.get(
       s"$dumpDir/lowlevel_json/lowlevel_json-1"),
       "1\t{}\n2\t{}\n".getBytes("UTF-8"))
+    // adversarial member name: a DATA file called SCHEMA_SEQUENCE under
+    // abdump/ must extract as data, not hijack the top-level validation
+    // branch (its content is deliberately non-numeric)
+    Files.createDirectories(java.nio.file.Paths.get(s"$dumpDir/meta"))
+    Files.write(java.nio.file.Paths.get(s"$dumpDir/meta/SCHEMA_SEQUENCE"),
+      "not a number\n".getBytes("UTF-8"))
     val archive = tmp("tz_arch") + "/acousticbrainz-dataset-dump-20260814-000000.tar.zst"
     Dump.writeTarZstArchive(dumpDir, archive)
     // round-trip: every member byte-identical
     val dest = tmp("tz_out")
     val members = Dump.readTarZstArchive(archive, dest)
     assert(members.contains("lowlevel_json/lowlevel_json-1"))
+    assert(members.contains("meta/SCHEMA_SEQUENCE"),
+      "data member named SCHEMA_SEQUENCE was hijacked by validation")
     for (m <- members)
       assert(java.util.Arrays.equals(
         Files.readAllBytes(java.nio.file.Paths.get(s"$dumpDir/$m")),
@@ -142,6 +150,13 @@ class DumpSpec extends SparkSpec {
     assert(new String(Files.readAllBytes(java.nio.file.Paths.get(
       s"$sysOut/$name/SCHEMA_SEQUENCE")), "UTF-8").trim.toInt ==
       Dump.SchemaSequence)
+    // TIMESTAMP is FIXED-width "%Y-%m-%d %H:%M:%S.%f" — the format the
+    // reference ecosystem's parsers expect (LocalDateTime.toString would
+    // vary its fraction digits and drop :00 seconds entirely)
+    val ts = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      s"$sysOut/$name/TIMESTAMP")), "UTF-8")
+    assert(ts.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{6}"""),
+      s"TIMESTAMP not reference-parseable: '$ts'")
     // THEIR writer → OUR reader: an archive produced by the reference's
     // exact pipe (tarfile | zstd — here the system tools) imports cleanly
     val stage = tmp("it_stage")

@@ -1034,13 +1034,13 @@ class OperatorInvariantsSpec extends SparkSpec {
     // stream equals the cell-wise SUM of grids built over two halves —
     // counts are additive, so partial grids union by +
     import spark.implicits._
+    // the PRODUCTION cell hashing (StatsPack.cmsCells), not a re-derived
+    // copy — a hash-definition change must not leave this test passing
+    // against a stale formula
     def cellsOf(half: org.apache.spark.sql.DataFrame) = half
       .select(explode(graft.functions.HashFunctions
         .wordShingles(col("text"), 3)).as("tk"))
-      .select(posexplode(org.apache.spark.sql.functions.array(
-        (0 until StatsPack.CmsDepth).map(i =>
-          pmod(conv(substring(md5(concat(lit(s"cms$i:"), col("tk"))), 1, 8),
-            16, 10).cast("long"), lit(StatsPack.CmsWidth.toLong))): _*))
+      .select(posexplode(StatsPack.cmsCells(col("tk")))
         .as(Seq("row", "bucket")))
       .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("c"))
       .collect()
@@ -1062,6 +1062,18 @@ class OperatorInvariantsSpec extends SparkSpec {
       .map(x => x.getString(0) -> x.getLong(1)).toMap
     val want = r.take(50).map(x => x._1 -> x._3).toMap
     assert(probed == want && probed.nonEmpty)
+    // a never-seen key still gets a ROW (an inner join would silently
+    // drop it), and against a SPARSE grid — where untouched cells are
+    // guaranteed — its answer is the canonical CMS 0, not a min over
+    // only the collided cells
+    val ghost = StatsPack.cmsEstimateFor(grid,
+      Seq("zz never seen shingle zz").toDF("key")).collect()
+    assert(ghost.length == 1 && ghost(0).getLong(1) >= 0L)
+    val sparse = StatsPack.cmsGrid(Seq("one", "two").toDF("k"))
+    val ghost0 = StatsPack.cmsEstimateFor(sparse,
+      Seq("zz never seen shingle zz").toDF("key")).collect()
+    assert(ghost0.length == 1 && ghost0(0).getLong(1) == 0L,
+      s"sparse-grid ghost estimate: ${ghost0.mkString}")
   }
 
   test("sk_kmv_distinct: sub-k groups are exact, large groups estimate " +

@@ -49,9 +49,10 @@ class QuerySetSpec extends SparkSpec {
   test("composed serving honors every remove_dups mode and threshold=None") {
     import graft.api.IndexParams
     val ids = Seq(5L, 23L, 77L, 311L).toDF("vec_id")
-    def prm(rd: String, th: Option[String]) = IndexParams.check("mfccs",
-      nNeighbours = Some("7"), threshold = th, removeDups = Some(rd))
-      .toOption.get
+    def prm(rd: String, th: Option[String], nn: String = "7") =
+      IndexParams.check("mfccs",
+        nNeighbours = Some(nn), threshold = th, removeDups = Some(rd))
+        .toOption.get
     def rows(rd: String, th: Option[String]) =
       SimilarityPack.composedServe(spark, sfTiny, ids, prm(rd, th))
         .collect().map(_.toString).toSeq
@@ -72,6 +73,16 @@ class QuerySetSpec extends SparkSpec {
     val unfiltered = rows("none", None)
     assert(unfiltered.size == 4 * 7)
     assert(none.size < unfiltered.size, "threshold never filtered")
+    // the n_neighbours clamp is REAL above the exact-contract 10: a
+    // 50-neighbour request serves more than 10 per query (bounded only
+    // by the probed-cells candidate pool, like the reference index —
+    // the regression was a silent truncation at 10)
+    val wide = SimilarityPack
+      .composedServe(spark, sfTiny, ids, prm("none", None, nn = "50"))
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(wide.nonEmpty && wide.values.forall(_ > 10),
+      s"wide request still truncated at 10: $wide")
+    assert(wide.values.forall(_ <= 50))
   }
 
   test("a BulkParams-parsed request drives an arbitrary bulk top-K") {
