@@ -217,8 +217,18 @@ object TextPack {
     val pUni = lit(1.0 - BigramLambda) *
       ((c1ve + lit(1L)).cast(DoubleType) /
         (col("n") + col("vsz")).cast(DoubleType))
+    // Scale shape of the PER-BATCH serve: lm2 is corpus-vocabulary-
+    // squared-scale, so a plain LEFT join would shuffle the whole count
+    // table per micro-batch. The broadcast SEMI-join prefilter keeps
+    // only the batch's own bigram keys (one columnar scan of lm2, no
+    // shuffle), after which the left join's right side is batch-sized
+    // and broadcasts. Pure optimization — a semi-filtered left join
+    // returns identical rows (rows dropped by the semi could only have
+    // joined nothing).
+    val batchKeys = broadcast(tf2.select(col("u"), col("v")).distinct())
+    val lm2b = lm2.join(batchKeys, Seq("u", "v"), "left_semi")
     tf2
-      .join(lm2, Seq("u", "v"), "left")
+      .join(lm2b, Seq("u", "v"), "left")
       .join(lm1.select(col("tk").as("u"), col("c1").as("c1u")),
         Seq("u"), "left")
       .join(lm1.select(col("tk").as("v"), col("c1").as("c1v")),
