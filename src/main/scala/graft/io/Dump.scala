@@ -209,11 +209,33 @@ object Dump {
         new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(archive)), ZstdLevel), "UTF-8")
     tos.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+    // the reference's lowlevel_json dump members run to tens of GiB:
+    // sizes past the 8 GiB octal header limit need the POSIX big-number
+    // extension (LONGFILE_POSIX above only covers long NAMES)
+    tos.setBigNumberMode(TarArchiveOutputStream.BIGNUMBER_POSIX)
     def member(path: String, bytes: Array[Byte]): Unit = {
       val e = new TarArchiveEntry(s"$name/$path")
       e.setSize(bytes.length.toLong)
       tos.putArchiveEntry(e)
       tos.write(bytes)
+      tos.closeArchiveEntry()
+    }
+    // data members STREAM through a fixed buffer — a multi-GiB table
+    // file must never require a single byte[] (readAllBytes caps at
+    // Integer.MAX_VALUE and OOMs long before)
+    def fileMember(path: String, src: java.nio.file.Path): Unit = {
+      val e = new TarArchiveEntry(s"$name/$path")
+      e.setSize(Files.size(src))
+      tos.putArchiveEntry(e)
+      val in = Files.newInputStream(src)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var nRead = in.read(buf)
+        while (nRead >= 0) {
+          if (nRead > 0) tos.write(buf, 0, nRead)
+          nRead = in.read(buf)
+        }
+      } finally in.close()
       tos.closeArchiveEntry()
     }
     try {
@@ -227,7 +249,7 @@ object Dump {
           .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")).getBytes("UTF-8"))
       member("COPYING", CopyingText.getBytes("UTF-8"))
       for (f <- listMembers(dumpDir))
-        member(s"abdump/$f", Files.readAllBytes(root.resolve(f)))
+        fileMember(s"abdump/$f", root.resolve(f))
     } finally tos.close()
   }
 
@@ -276,7 +298,9 @@ object Dump {
           require(out.startsWith(dest),
             s"member path escapes destination: ${e.getName}")
           Files.createDirectories(out.getParent)
-          Files.write(out, tis.readAllBytes())
+          // stream, never buffer: data members can be multi-GiB
+          Files.copy(tis, out,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           extracted += rel
         }
         e = tis.getNextEntry

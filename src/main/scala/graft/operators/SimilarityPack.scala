@@ -834,7 +834,7 @@ object SimilarityPack {
     * W7 keep-first window; submissions model: 4 per recording, rec = vec
     * div 4, offset = vec mod 4). ONE core shared by the oracle row
     * `n4_serve_composed` and the streaming request path
-    * (QueryStream.serveComposedBatch), so stream/batch parity holds by
+    * (QueryStream.composedGate), so stream/batch parity holds by
     * construction. The plan is corpus-free (artifact members only —
     * PlanSpec). */
   private[graft] def composedServe(s: SparkSession, d: String,
@@ -864,8 +864,9 @@ object SimilarityPack {
     // cosine one ulp above 1, and sqrt of the tiny negative would be a
     // silent NaN here and a hard error in the oracle's sqrt — the clamp
     // is mirrored in the SQL
+    // (the n_neighbours cap already happened inside tunedRankScoredFor
+    // via kCap — no second rank filter here, ONE site owns the clamp)
     val thresholded = scored
-      .filter(col("rank") <= prm.nNeighbours)
       .withColumn("dist",
         sqrt(lit(2.0) * (lit(1.0) - least(col("cos"), lit(1.0)))) / lit(2.0))
     // threshold=None means no distance filtering (reference :33-35)

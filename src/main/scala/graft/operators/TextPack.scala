@@ -207,7 +207,7 @@ object TextPack {
       lm2: org.apache.spark.sql.DataFrame,
       lm1: org.apache.spark.sql.DataFrame,
       total: org.apache.spark.sql.DataFrame,
-      vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      prefilter: Boolean): org.apache.spark.sql.DataFrame = {
     val c2e = coalesce(col("c2"), lit(0L))
     val c1ue = coalesce(col("c1u"), lit(0L))
     val c1ve = coalesce(col("c1v"), lit(0L))
@@ -217,23 +217,30 @@ object TextPack {
     val pUni = lit(1.0 - BigramLambda) *
       ((c1ve + lit(1L)).cast(DoubleType) /
         (col("n") + col("vsz")).cast(DoubleType))
-    // Scale shape of the PER-BATCH serve: lm2 is corpus-vocabulary-
-    // squared-scale, so a plain LEFT join would shuffle the whole count
-    // table per micro-batch. The broadcast SEMI-join prefilter keeps
-    // only the batch's own bigram keys (one columnar scan of lm2, no
-    // shuffle), after which the left join's right side is batch-sized
-    // and broadcasts. Pure optimization — a semi-filtered left join
-    // returns identical rows (rows dropped by the semi could only have
-    // joined nothing).
-    val batchKeys = broadcast(tf2.select(col("u"), col("v")).distinct())
-    val lm2b = lm2.join(batchKeys, Seq("u", "v"), "left_semi")
+    // Scale shape of the PER-BATCH serve (prefilter = true, the gate
+    // path): lm2 is corpus-vocabulary-squared-scale, so a plain LEFT
+    // join would shuffle the whole count table per micro-batch. The
+    // broadcast SEMI-join prefilter keeps only the batch's own bigram
+    // keys (one columnar scan of lm2, no shuffle), after which the left
+    // join's right side is batch-sized and broadcasts. Pure optimization
+    // — a semi-filtered left join returns identical rows (rows dropped
+    // by the semi could only have joined nothing). A CORPUS-sized caller
+    // (the tx_bigram_ppl_smoothed batch entry) passes prefilter = false:
+    // broadcasting its corpus-sized key set would be the scale bug the
+    // prefilter exists to avoid, and the plain shuffle join is the right
+    // plan there.
+    val lm2b =
+      if (prefilter)
+        lm2.join(broadcast(tf2.select(col("u"), col("v")).distinct()),
+          Seq("u", "v"), "left_semi")
+      else lm2
     tf2
       .join(lm2b, Seq("u", "v"), "left")
       .join(lm1.select(col("tk").as("u"), col("c1").as("c1u")),
         Seq("u"), "left")
       .join(lm1.select(col("tk").as("v"), col("c1").as("c1v")),
         Seq("v"), "left")
-      .crossJoin(broadcast(total)).crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(total)) // total carries BOTH n and vsz
       .groupBy(col("doc_id"))
       .agg(sum(col("tf2")).as("n_bigrams"),
         sum((col("tf2").cast(DoubleType) * -log(pBig + pUni))
@@ -248,18 +255,20 @@ object TextPack {
     * `tx_bigram_ppl_smoothed` batch entry and the streaming gate
     * (DocStream.bigramPplGate). */
   private[graft] def bigramServeSmoothedAt(s: SparkSession, p: String,
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val lm1 = s.read.parquet(s"$p/lm1")
+      docs: org.apache.spark.sql.DataFrame,
+      prefilter: Boolean = true): org.apache.spark.sql.DataFrame =
+    // the frozen constants (N, V) ride in the one-row total member —
+    // re-aggregating lm1 per call would be a full member scan per
+    // micro-batch just to recompute a constant
     bigramScoreSmoothed(bigramTf(docs),
-      s.read.parquet(s"$p/lm2"), lm1,
-      s.read.parquet(s"$p/total"),
-      // NOT "v": the bigram frame already has a `v` (second token) column
-      lm1.agg(count(lit(1)).as("vsz")))
-  }
+      s.read.parquet(s"$p/lm2"), s.read.parquet(s"$p/lm1"),
+      s.read.parquet(s"$p/total"), prefilter)
 
-  /** Build constants of [[ensureBigramLmIndex]]. */
+  /** Build constants of [[ensureBigramLmIndex]] — members=v2: the total
+    * member carries (n, vsz) so serving never re-derives the vocabulary
+    * size (a params change rebuilds stale v1 artifacts). */
   private[graft] val BigramLmIndexParams =
-    s"tokenizer=ws_v1,lambda=$BigramLambda"
+    s"tokenizer=ws_v1,lambda=$BigramLambda,members=v2"
 
   /** Persisted corpus bigram LM: (u, v, c2) + (tk, c1) + one-row total —
     * [[ensureLmIndex]]'s posture one order up; every scoring job reads
@@ -275,7 +284,8 @@ object TextPack {
       val lm1 = docs.select(explode(tokens(col("text"))).as("tk"))
         .groupBy(col("tk")).agg(count(lit(1)).as("c1"))
       lm1.write.mode("overwrite").parquet(s"$p/lm1")
-      lm1.agg(sum(col("c1")).as("n")).coalesce(1)
+      // NOT "v": the bigram frame has a `v` (second token) column
+      lm1.agg(sum(col("c1")).as("n"), count(lit(1)).as("vsz")).coalesce(1)
         .write.mode("overwrite").parquet(s"$p/total")
     }
 
@@ -443,19 +453,12 @@ object TextPack {
   /** Unsigned UTF-8 byte order — Spark's UTF8String (and DuckDB's
     * VARCHAR) comparison, which the driver-local tie-break must mirror
     * bit-for-bit; JVM String.compareTo is UTF-16 code-unit order and
-    * diverges on supplementary characters. */
-  private def utf8Less(a: String, b: String): Boolean = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c < 0
-      i += 1
-    }
-    x.length < y.length
-  }
+    * diverges on supplementary characters. UTF-8 byte order equals
+    * Unicode code-point order, so this IS the engine's existing
+    * cross-engine collation ([[graft.plans.PyJson.codePointOrdering]])
+    * — one definition, not a second one that could drift. */
+  private def utf8Less(a: String, b: String): Boolean =
+    graft.plans.PyJson.codePointOrdering.lt(a, b)
 
   /** Driver-local K-round merge loop over a collected (f, symbols)
     * vocabulary — semantics identical to the per-round Spark path
@@ -953,7 +956,7 @@ object TextPack {
     //      gate's batch twin — see bigramScoreSmoothed) ------------------
     "tx_bigram_ppl_smoothed" -> ((s, d) =>
       bigramServeSmoothedAt(s, ensureBigramLmIndex(s, d),
-        Tables.documents(s, d)).orderBy("doc_id")),
+        Tables.documents(s, d), prefilter = false).orderBy("doc_id")),
 
     // ---- the same scoring served from the PERSISTED LM artifact ----------
     // The text-side twin of the ANN `_indexed` family: the corpus LM

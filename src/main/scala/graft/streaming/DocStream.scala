@@ -329,9 +329,21 @@ object DocStream {
     import spark.implicits._
     val p = graft.operators.PipelinePack.ensureComponentsIndex(spark, dir)
     val labels = spark.read.parquet(s"$p/components")
-    docs.select(col("doc_id"))
+    val tagged = docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("grp"))
+    // State discipline: the label member only holds docs that had a
+    // near-dup edge at build time, so post-freeze ingest is MOSTLY
+    // unlabeled — and an unlabeled doc is its own singleton component
+    // (grp = own id, rank 1, always kept) that needs NO cross-batch
+    // state. Routing singletons around the stateful operator keeps the
+    // state store bounded by the LABELED component count (two longs per
+    // component seen), not the corpus; the order/duplicate guard
+    // protects exactly the rows whose rank parity depends on it.
+    val singles = tagged.filter(col("rep").isNull)
+      .select(col("doc_id"), col("doc_id").as("grp"),
+        lit(1L).as("member_rank"), lit(true).as("kept"))
+    val ranked = tagged.filter(col("rep").isNotNull)
+      .select(col("doc_id"), col("rep").as("grp"))
       .as[(Long, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -356,6 +368,7 @@ object DocStream {
           out.iterator
         })
       .toDF("doc_id", "grp", "member_rank", "kept")
+    ranked.unionByName(singles)
   }
 
   /** Streaming first-fit sequence packing: the batch `pipe_pack_sequences`
