@@ -289,6 +289,19 @@ object MLPack {
       // 5. delete_class 'zh' everywhere, members cascading
       val cls2 = cls1.filter(col("class") =!= "zh")
       val mem3 = mem2.filter(col("class") =!= "zh")
+      // 5b. update_class new_name rename (db/dataset.py:476-511): 'de' →
+      // 'da' on the md5-third datasets. The reference keys members on the
+      // stable class ID so a rename keeps them implicitly; in the
+      // name-keyed batch tables the rename CASCADES to the member key —
+      // same visible result, one projection per table
+      val rn = pmod(conv(substring(
+        md5(concat(lit("clrn:"), col("ds_id"))), 1, 8), 16, 10)
+        .cast("long"), lit(3L)) === 0
+      val renamed = when(rn && col("class") === "de", "da")
+        .otherwise(col("class"))
+      val cls3 = cls2.select(col("ds_id"), renamed.as("class"))
+      val mem3r = mem3
+        .select(col("ds_id"), renamed.as("class"), col("mbid"))
       // 6./7. update_dataset_meta (description only, NO last_edited bump)
       // on the md5-even datasets, then the FULL update on the minimum
       // dataset: meta + last_edited = T, classes REPLACED by one 'solo'
@@ -318,10 +331,10 @@ object MLPack {
         .filter(col("rn") <= 3)
         .select(col("source").as("ds_id"), lit("solo").as("class"),
           mbid(col("doc_id")).as("mbid"))
-      val clsF = cls2.crossJoin(broadcast(minSrc))
+      val clsF = cls3.crossJoin(broadcast(minSrc))
         .filter(col("ds_id") =!= col("min_src")).drop("min_src")
         .union(soloMem.select("ds_id", "class").distinct())
-      val memF = mem3.crossJoin(broadcast(minSrc))
+      val memF = mem3r.crossJoin(broadcast(minSrc))
         .filter(col("ds_id") =!= col("min_src")).drop("min_src")
         .union(soloMem)
       // post-mutation state enumeration: meta + per-class membership
@@ -618,6 +631,12 @@ object MLPack {
         |    AND f.class = m.class AND f.mbid = m.mbid)),
         |cls2 AS (SELECT * FROM cls1 WHERE class <> 'zh'),
         |mem3 AS (SELECT * FROM mem2 WHERE class <> 'zh'),
+        |cls3 AS (SELECT ds_id, CASE WHEN class = 'de' AND
+        |    ('0x' || substr(md5('clrn:' || ds_id), 1, 8))::BIGINT % 3 = 0
+        |  THEN 'da' ELSE class END AS class FROM cls2),
+        |mem3r AS (SELECT ds_id, CASE WHEN class = 'de' AND
+        |    ('0x' || substr(md5('clrn:' || ds_id), 1, 8))::BIGINT % 3 = 0
+        |  THEN 'da' ELSE class END AS class, mbid FROM mem3),
         |msrc AS (SELECT MIN(ds_id) AS min_src FROM ds0),
         |dsf AS (
         |  SELECT d.ds_id,
@@ -637,9 +656,9 @@ object MLPack {
         |     row_number() OVER (PARTITION BY b.source ORDER BY b.doc_id)
         |       AS rn
         |   FROM mb b, msrc WHERE b.source = min_src) t WHERE rn <= 3),
-        |clsf AS (SELECT c.* FROM cls2 c, msrc WHERE c.ds_id <> min_src
+        |clsf AS (SELECT c.* FROM cls3 c, msrc WHERE c.ds_id <> min_src
         |  UNION ALL SELECT DISTINCT ds_id, class FROM solo),
-        |memf AS (SELECT m.* FROM mem3 m, msrc WHERE m.ds_id <> min_src
+        |memf AS (SELECT m.* FROM mem3r m, msrc WHERE m.ds_id <> min_src
         |  UNION ALL SELECT * FROM solo),
         |agg AS (SELECT c.ds_id, c.class,
         |    CAST(COUNT(m.mbid) AS BIGINT) AS n_members,
