@@ -34,7 +34,7 @@ object HashFunctions {
     * shorter than n tokens). The token array is let-bound so the regex split
     * runs once per document, not once per element_at. */
   def wordShingles(text: Column, n: Int): Column =
-    bindArray(split(text, "\\s+"), t =>
+    bindArray(split(text, TextFunctions.WsRe), t =>
       array_distinct(
         when(size(t) >= n,
           transform(sequence(lit(1), size(t) - (n - 1)),
@@ -115,5 +115,5 @@ object HashFunctions {
     * higher-order aggregate) evaluated interpreted at ~0.8 ms/document,
     * which made signature computation the dedup pipeline's hot spot. */
   def simhashBits(text: Column): Column =
-    call_function("simhash64", transform(split(text, "\\s+"), t => md5(t)))
+    call_function("simhash64", transform(split(text, TextFunctions.WsRe), t => md5(t)))
 }

@@ -18,8 +18,20 @@ object TextFunctions {
     * yields [""] for empty text, which would inflate token counts and
     * deflate every ratio built on them. Mirrored in the DuckDB oracles via
     * list_filter(..., x -> x <> ''). */
+  /** The tokenizer whitespace class, EXPLICIT on both engines: Java
+    * regex `\\s` includes U+000B (vertical tab) but RE2's `\\s` does
+    * not, so a bare `\\s+` silently tokenizes differently in Spark and
+    * DuckDB on any document containing a vertical tab — invisible at
+    * gate scale (the fixtures carry none), certain in scraped corpora.
+    * This class IS Java's `\\s` set, spelled out; [[WsReSql]] is the
+    * RE2 spelling every oracle uses. */
+  val WsRe = "[ \\t\\n\\u000B\\f\\r]+"
+
+  /** RE2 spelling of [[WsRe]] for the DuckDB oracles. */
+  val WsReSql = "[ \\t\\n\\x0b\\f\\r]+"
+
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    filter(split(text, WsRe), t => t =!= "")
 
   /** Token count (whitespace). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
@@ -52,7 +64,7 @@ object TextFunctions {
 
   /** Mean token length in characters. */
   def meanTokenLength(text: Column): Column =
-    length(regexp_replace(text, "\\s+", "")) / tokenCount(text).cast(DoubleType)
+    length(regexp_replace(text, WsRe, "")) / tokenCount(text).cast(DoubleType)
 
   /** Deterministic MD5 fingerprint: the minimum MD5 over all `k`-char
     * shingles of the document (a 1-permutation MinHash — order-invariant,

@@ -381,7 +381,7 @@ object DedupPack {
     * once per row, not once per span reference. */
   private[graft] def spanStream(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        explode(bindArray(split(col("text"), "\\s+"), t =>
+        explode(bindArray(split(col("text"), graft.functions.TextFunctions.WsRe), t =>
           when(size(t) >= SpanK,
             transform(sequence(lit(1), size(t) - (SpanK - 1)),
               i => struct(i.cast(LongType).as("i"),
@@ -427,7 +427,7 @@ object DedupPack {
   private def rebuildWithout(docs: DataFrame,
       dropped: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
-        posexplode(split(col("text"), "\\s+")).as(Seq("p", "tok")))
+        posexplode(split(col("text"), graft.functions.TextFunctions.WsRe)).as(Seq("p", "tok")))
       .select(col("doc_id"), (col("p") + 1).cast(LongType).as("j"),
         col("tok"))
     val rebuilt = toks.join(dropped, Seq("doc_id", "j"), "left_anti")
@@ -437,7 +437,7 @@ object DedupPack {
           array_sort(collect_list(struct(col("j"), col("tok")))),
           x => x.getField("tok")), " ").as("scrubbed_text"))
     docs.select(col("doc_id"),
-        size(split(col("text"), "\\s+")).cast(LongType).as("n_tokens"))
+        size(split(col("text"), graft.functions.TextFunctions.WsRe)).cast(LongType).as("n_tokens"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
@@ -792,7 +792,7 @@ object DedupPack {
   /** DuckDB CTE producing (doc_id, sh) distinct word-3-gram shingle lists
     * from any (doc_id, text, …) relation — mirrors `wordShingles`. */
   private def shingleCteFrom(src: String): String =
-    s"""toks AS (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS t
+    s"""toks AS (SELECT doc_id, text, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS t
        |         FROM $src),
        |sh AS (SELECT doc_id,
        |         CASE WHEN len(t) >= 3 THEN
@@ -903,7 +903,7 @@ object DedupPack {
     "dd_exact_substr" -> {
       val spanSql = (0 until SpanK).map(k => s"t[i+$k]")
         .mkString(" || ' ' || ")
-      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS t
          |  FROM documents),
          |pos AS (SELECT doc_id, $spanSql AS g
          |  FROM t, unnest(generate_series(1, greatest(len(t) - ${SpanK - 1},
@@ -933,7 +933,7 @@ object DedupPack {
     "dd_exact_substr_scrub" -> {
       val spanSql = (0 until SpanK).map(k => s"t[i+$k]")
         .mkString(" || ' ' || ")
-      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS t
          |  FROM documents),
          |pos AS (SELECT doc_id, i, $spanSql AS g
          |  FROM t, unnest(generate_series(1, greatest(len(t) - ${SpanK - 1},
@@ -967,7 +967,7 @@ object DedupPack {
       val spanSql = (0 until SpanK).map(k => s"t[i+$k]")
         .mkString(" || ' ' || ")
       s"""WITH t AS (SELECT doc_id, source,
-         |  regexp_split_to_array(text, '\\s+') AS t FROM documents),
+         |  regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
          |cpos AS (SELECT doc_id, i, $spanSql AS g
          |  FROM t, unnest(generate_series(1, greatest(len(t) - ${SpanK - 1},
          |    0))) AS u(i)
@@ -999,7 +999,7 @@ object DedupPack {
 
     "dd_contamination" ->
       s"""WITH tokc AS (SELECT doc_id, source, text,
-         |  regexp_split_to_array(text, '\\s+') AS t FROM documents),
+         |  regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
          |shc AS (SELECT doc_id, source,
          |  CASE WHEN len(t) >= 3 THEN
          |    list_distinct(list_transform(generate_series(1, len(t) - 2),

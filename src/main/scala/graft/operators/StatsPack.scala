@@ -379,7 +379,7 @@ object StatsPack {
     // bit-for-bit, not just the exact calibration column
     "sk_kmv_distinct" ->
       s"""WITH tt AS (SELECT source, text,
-         |  regexp_split_to_array(text, '\\s+') AS t FROM documents),
+         |  regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
          |shl AS (SELECT source,
          |  CASE WHEN len(t) >= 3 THEN
          |    list_distinct(list_transform(generate_series(1, len(t) - 2),
@@ -411,7 +411,7 @@ object StatsPack {
     // counts, same min-over-rows — bit-for-bit including the overcounts
     "sk_cms_freq" ->
       s"""WITH tt AS (SELECT source, text,
-         |  regexp_split_to_array(text, '\\s+') AS t FROM documents),
+         |  regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
          |shl AS (SELECT source,
          |  CASE WHEN len(t) >= 3 THEN
          |    list_distinct(list_transform(generate_series(1, len(t) - 2),
@@ -443,7 +443,7 @@ object StatsPack {
     // the sketch-only twin: same chain minus the exact-count calibration
     "sk_kmv_sketch" ->
       s"""WITH tt AS (SELECT source, text,
-         |  regexp_split_to_array(text, '\\s+') AS t FROM documents),
+         |  regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
          |shl AS (SELECT source,
          |  CASE WHEN len(t) >= 3 THEN
          |    list_distinct(list_transform(generate_series(1, len(t) - 2),

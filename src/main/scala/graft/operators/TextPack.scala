@@ -26,7 +26,7 @@ object TextPack {
     * TextFunctions.wordSetCount). */
   private[operators] def countSql(words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> list_contains($lst, x))) AS BIGINT)"
+    s"CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> list_contains($lst, x))) AS BIGINT)"
   }
 
   /** DuckDB CASE expression mirroring TextFunctions.langGuess. */
@@ -76,8 +76,13 @@ object TextPack {
   /** Shared unigram-LM scoring core: per-(doc, token) surprisal mass
     * tf·(ln N − ln c), quantized to the 1e-9 decimal grid BEFORE summation
     * (the A6/dimStats discipline) — decimal sums are exact and
-    * order-independent, so the result is bit-stable across partitionings,
-    * engines, and the inline/indexed/streaming callers. Tokens absent
+    * order-independent, so the result is bit-stable across PARTITIONINGS
+    * and the inline/indexed/streaming callers. Cross-ENGINE agreement is
+    * to the 1e-9 grid with a documented ulp-boundary caveat (JVM
+    * Math.log vs libm ln, and double→decimal rounding conventions, can
+    * disagree by one grid cell when a term lands within an ulp of a
+    * half-cell boundary — see BASELINE.md "known cross-engine tolerance
+    * class"; probability ~1e-8 per value, never observed at the gates). Tokens absent
     * from the LM drop out of the join — correct for same-corpus scoring;
     * a deployment scoring FUTURE drops against a frozen LM adds add-one
     * smoothing to the count member (the formula, not the plan, changes). */
@@ -1123,7 +1128,7 @@ object TextPack {
          | ${countSql(EnglishStopwords)} AS n_stop,
          | CAST(${countSql(EnglishStopwords)} AS DOUBLE)
          |   / len($toksSql) AS stop_ratio,
-         | CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         | CAST(length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', '', 'g')) AS DOUBLE)
          |   / len($toksSql) AS mean_tok_len
          |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -1387,7 +1392,7 @@ object TextPack {
 
     "tx_boilerplate" ->
       s"""WITH t AS (SELECT doc_id, source,
-         |  regexp_split_to_array(text, '\\s+') AS t, text FROM documents),
+         |  regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS t, text FROM documents),
          |sh AS (SELECT doc_id, source, unnest(
          |    CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
          |      generate_series(1, len(t) - 2),

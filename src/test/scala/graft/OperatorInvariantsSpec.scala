@@ -1009,6 +1009,23 @@ class OperatorInvariantsSpec extends SparkSpec {
       "sketch-only path still pays the exact distinct aggregate")
   }
 
+  test("tokenizer whitespace class is explicit: vertical tab splits like " +
+    "every other whitespace on BOTH engines' regex dialects") {
+    import spark.implicits._
+    // Java \s includes U+000B, RE2's does not — a bare \s+ tokenizer
+    // diverges cross-engine on VT documents (invisible at gate scale:
+    // the fixtures carry none). WsRe spells the class out; this pins the
+    // Spark half (the DuckDB half is the shared literal in the oracles,
+    // confirmed against DuckDB: the explicit class splits chr(11), the
+    // bare \s+ does not).
+    val vt = 11.toChar // U+000B, no raw control char in source
+    val t = Seq(s"a${vt}b c\td\ne\rf\fg h").toDF("text")
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(t == Seq("a", "b", "c", "d", "e", "f", "g", "h"),
+      s"Spark tokenized: $t")
+  }
+
   test("sk_cms_freq: one-sided inside the epsilon envelope, collisions " +
     "really fire, and per-half grids merge by cell-wise sum") {
     import operators.StatsPack
