@@ -94,9 +94,10 @@ object Skew {
     * The draw is the engine's md5-prefix recipe — 32-bit uniform and
     * reproducible in DuckDB — and the estimator is pure integer
     * cross-multiplication, so the ESTIMATE itself is oracle-checkable
-    * bit-for-bit (the reason this is KMV and not HyperLogLog: HLL's
-    * register layout is engine-private, its estimates can never share an
-    * oracle). Relative error ≈ 1/√(k−2).
+    * bit-for-bit. (Spark's BUILT-IN approx_count_distinct HLL++ keeps
+    * engine-private buffers and can never share an oracle; the suite's
+    * own [[hllDistinctSketch]] fixes that by DEFINING the register
+    * layout.) Relative error ≈ 1/√(k−2).
     *
     * Scale shape: the sketch is the mergeable-summaries answer to
     * "distinct per group" at 100 TB — per-partition k-min sets union and
@@ -153,6 +154,109 @@ object Skew {
           .otherwise(expr(
             s"CAST(${k - 1} AS BIGINT) * 4294967296L div greatest(kth_u, 1L)"))
           .as("est_distinct"))
+  }
+
+  /** HyperLogLog register count (m = 2^9) and the estimator's frozen
+    * bias constant α_m = 0.7213/(1 + 1.079/m), fixed in parts-per-million
+    * so both engines run the SAME integer numerator — the ppm constant is
+    * the spec, not a rounding of it. Relative error ≈ 1.04/√m ≈ 4.6%. */
+  private[graft] val HllRegisters = 512
+  private[graft] val HllAlphaPpm = 719783L
+  /** α_ppm · m² · 2^52 — the raw-estimator numerator, 27 digits (fits
+    * DECIMAL(38,0)/HUGEINT): est_raw = NUM div sum_scaled div 10^6. */
+  private[graft] val HllNumerator = "849769778534840460212436992"
+
+  /** HyperLogLog distinct-count sketch per group (Flajolet et al., AofA
+    * 2007), with an engine-DEFINED register layout so the estimate is
+    * oracle-replayable bit-for-bit — the property Spark's built-in
+    * `approx_count_distinct` (engine-private HLL++ buffers) cannot give:
+    * the 60-bit md5-prefix draw splits into a 9-bit register index and a
+    * 51-bit remainder; ρ = 52 − bitlen(remainder) (leading zeros + 1,
+    * ρ = 52 when the remainder is 0); each register keeps max ρ. The
+    * register digest is folded to integers — `v_zero` (empty registers)
+    * and `sum_scaled` = Σ_j 2^(52−M_j) (the harmonic sum scaled by 2^52,
+    * ≤ m·2^52 = 2^61) — and the raw estimate α_m·m²/Σ2^−M_j becomes the
+    * pure integer chain [[HllNumerator]] div sum_scaled div 10^6
+    * (DECIMAL(38,0)/HUGEINT; floor-of-floor equals the single floor).
+    * Below 2.5m with empty registers the standard linear-counting branch
+    * `floor(m·ln(m/V))` applies — the one non-integer step, inside the
+    * suite's documented ln ulp-tolerance class (BASELINE.md): a cell
+    * shift needs m·ln(m/V) within an ulp of an integer, which no gate
+    * value approaches. No 32-bit large-range correction is needed: the
+    * draw is 60-bit, so hash saturation sits far beyond any real scale.
+    *
+    * Scale shape: the per-(group, register) MAX is a partial aggregate —
+    * map-side combine leaves O(groups · m) tiny rows to shuffle, and the
+    * merge rule is elementwise register max (associative, order-free,
+    * idempotent — the HLL union is EXACT, unlike KMV's min-union which
+    * is exact only below k). Unlike KMV the chain needs no DISTINCT
+    * anywhere: duplicates cannot move a max. The fixed m·6-bit register
+    * state (≈ 384 bytes/group) is the smallest mergeable distinct
+    * summary in the suite's kit. */
+  def hllDistinctSketch(df: DataFrame, group: String,
+      value: Column): DataFrame =
+    hllFromRegisters(hllRegisters(df, group, value), group)
+
+  /** The sketch STATE: per-(group, register) max ρ — the frame that
+    * merges across shards/batches by elementwise register MAX (exact
+    * union). Kept separate from the estimator so consumers (merge spec,
+    * incremental maintenance) operate on the state the 100 TB contract
+    * actually ships. */
+  private[graft] def hllRegisters(df: DataFrame, group: String,
+      value: Column): DataFrame = {
+    // NULLs leave the universe up front, matching COUNT(DISTINCT) and the
+    // KMV contract (an all-NULL group has no row).
+    val nn = df.filter(value.isNotNull)
+    val h = conv(
+      substring(md5(concat(lit("hll:"), value.cast(StringType))), 1, 15),
+      16, 10).cast(LongType)
+    nn.select(col(group), h.as("hv"))
+      .select(col(group),
+        expr("hv div 2251799813685248L").as("reg"), // top 9 of 60 bits
+        expr("hv % 2251799813685248L").as("rem"))
+      .select(col(group), col("reg"),
+        when(col("rem") === 0L, lit(52))
+          .otherwise(lit(52) - length(conv(col("rem"), 10, 2)))
+          .cast(IntegerType).as("rho"))
+      .groupBy(col(group), col("reg"))
+      .agg(max(col("rho")).as("mj"))
+  }
+
+  /** Digest + estimator over a [[hllRegisters]] state frame. */
+  private[graft] def hllFromRegisters(regs: DataFrame,
+      group: String): DataFrame = {
+    val m = HllRegisters
+    regs.groupBy(col(group))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(1L, 52 - mj)")).as("sum_present"))
+      .select(col(group),
+        (lit(m.toLong) - col("n_regs")).as("v_zero"),
+        (col("sum_present") +
+          (lit(m.toLong) - col("n_regs")) * lit(4503599627370496L))
+          .as("sum_scaled"))
+      .withColumn("est_raw", expr(
+        s"CAST('$HllNumerator' AS DECIMAL(38,0)) div sum_scaled div 1000000"))
+      .withColumn("est_distinct",
+        when(col("v_zero") > 0L && col("est_raw") <= lit(5L * m / 2),
+          floor(lit(m) * log(lit(m.toDouble) / col("v_zero"))))
+          .otherwise(col("est_raw")))
+      .select(col(group), col("v_zero"), col("sum_scaled"),
+        col("est_distinct"))
+  }
+
+  /** Calibrated HLL monitor — [[hllDistinctSketch]] joined against the
+    * exact per-group COUNT(DISTINCT), gate-scale only (the exact column
+    * pays the full distinct shuffle the sketch exists to avoid; at
+    * deployment scale use the sketch entry point). */
+  def hllDistinct(df: DataFrame, group: String, value: Column): DataFrame = {
+    val nn = df.filter(value.isNotNull)
+    val ex = nn.groupBy(col(group))
+      .agg(count_distinct(value).as("n_exact"))
+    ex.join(hllDistinctSketch(df, group, value), Seq(group))
+      .select(col(group), col("n_exact"), col("v_zero"),
+        col("sum_scaled"), col("est_distinct"))
+      .withColumn("err_permille",
+        expr("abs(est_distinct - n_exact) * 1000L div n_exact"))
   }
 
   /** The exact second pass behind [[frequentKeys]]: true counts for the

@@ -215,6 +215,42 @@ object StatsPack {
         .orderBy("source")
     }),
 
+    // ---- HyperLogLog cardinality (Flajolet, Fusy, Gandouet, Meunier,
+    //      "HyperLogLog: the analysis of a near-optimal cardinality
+    //      estimation algorithm", AofA 2007) ------------------------------
+    // The fifth mergeable summary, over the SAME per-source shingle
+    // universe as KMV so the two estimators calibrate against the same
+    // exact column. The register layout is engine-DEFINED (md5-prefix
+    // draw, 9-bit register / 51-bit remainder split, integer-folded
+    // digest), so — uniquely among HLL implementations, whose buffers are
+    // normally engine-private — the ESTIMATE itself is oracle-replayed
+    // stage-for-stage. vs KMV: the HLL union (register max) is EXACT
+    // under any merge order while KMV's min-union degrades below k draws
+    // per part; the state is a fixed ~384 bytes/group vs KMV's k draws;
+    // error 4.6% (m=512) vs 12.7% (k=64). Calibration columns gate-scale
+    // only, same posture as the KMV pair. ---------------------------------
+    "sk_hll_distinct" -> ((s, d) => {
+      import graft.functions.HashFunctions.wordShingles
+      val sh = Tables.documents(s, d)
+        .select(col("source"),
+          explode(wordShingles(col("text"), 3)).as("w"))
+      Skew.hllDistinct(sh, "source", col("w"))
+        .orderBy("source")
+    }),
+
+    // ---- the sketch-only HLL deployment path, oracle-gated --------------
+    // No exact-count calibration — the plan's only shuffle past the
+    // map-side register fold is O(sources · 512) tiny rows (spec-pinned);
+    // this row gates the deployment path's VALUES, digest included. ------
+    "sk_hll_sketch" -> ((s, d) => {
+      import graft.functions.HashFunctions.wordShingles
+      val sh = Tables.documents(s, d)
+        .select(col("source"),
+          explode(wordShingles(col("text"), 3)).as("w"))
+      Skew.hllDistinctSketch(sh, "source", col("w"))
+        .orderBy("source")
+    }),
+
     // ---- Count-Min point-frequency sketch (Cormode & Muthukrishnan,
     //      "An Improved Data Stream Summary: the Count-Min Sketch and its
     //      Applications", J. Algorithms 2005) -----------------------------
@@ -225,8 +261,8 @@ object StatsPack {
     // relative to the stream length, mergeable by CELL-WISE SUM (the
     // 100 TB contract: per-partition grids union by +, nothing but
     // depth·width longs ever moves). The estimator is deterministic given
-    // the md5-derived row hashes, so — like KMV and unlike HLL — the
-    // ESTIMATE itself is oracle-checkable bit-for-bit. The probe side
+    // the md5-derived row hashes, so — like KMV and the defined-layout
+    // HLL — the ESTIMATE itself is oracle-checkable bit-for-bit. The probe side
     // joins the (≤ depth·width)-row grid, which broadcasts. Calibration
     // columns (n_exact, overcount ≥ 0) are the gate-scale monitor, same
     // posture as `sk_kmv_distinct` vs `sk_kmv_sketch`. ------------------
@@ -465,6 +501,84 @@ object StatsPack {
          |    AS est_distinct
          |FROM nd LEFT JOIN kth USING (source)
          |ORDER BY source""".stripMargin,
+
+    // the HLL estimator replayed register-for-register: same 60-bit
+    // md5-prefix draw, same 9/51 split, same ρ = 52 − bitlen(rem), same
+    // integer digest and HUGEINT raw-estimator chain; the ln() of the
+    // linear-counting branch is the suite's one documented ulp class
+    "sk_hll_distinct" ->
+      s"""WITH tt AS (SELECT source, text,
+         |  regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
+         |shl AS (SELECT source,
+         |  CASE WHEN len(t) >= 3 THEN
+         |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |  ELSE [text] END AS sh
+         |  FROM tt),
+         |tok AS (SELECT source, unnest(sh) AS w FROM shl),
+         |h AS (SELECT source,
+         |  ('0x' || substr(md5('hll:' || w), 1, 15))::BIGINT AS hv FROM tok),
+         |rr AS (SELECT source, hv // 2251799813685248 AS reg,
+         |  hv % 2251799813685248 AS rem FROM h),
+         |rho AS (SELECT source, reg,
+         |  CASE WHEN rem = 0 THEN 52 ELSE 52 - length(bin(rem)) END AS rho
+         |  FROM rr),
+         |regs AS (SELECT source, reg, MAX(rho) AS mj FROM rho GROUP BY 1, 2),
+         |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_regs,
+         |  SUM(1::BIGINT << CAST(52 - mj AS INT)) AS sum_present
+         |  FROM regs GROUP BY source),
+         |dig AS (SELECT source, 512 - n_regs AS v_zero,
+         |  CAST(sum_present + (512 - n_regs) * 4503599627370496 AS BIGINT)
+         |    AS sum_scaled FROM agg),
+         |raw AS (SELECT source, v_zero, sum_scaled,
+         |  CAST(('${Skew.HllNumerator}'::HUGEINT // sum_scaled::HUGEINT)
+         |    // 1000000 AS BIGINT) AS est_raw FROM dig),
+         |est AS (SELECT source, v_zero, sum_scaled,
+         |  CASE WHEN v_zero > 0 AND est_raw <= 1280
+         |    THEN CAST(floor(512 * ln(512.0 / v_zero)) AS BIGINT)
+         |    ELSE est_raw END AS est_distinct FROM raw),
+         |ex AS (SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_exact
+         |  FROM tok GROUP BY source)
+         |SELECT ex.source, ex.n_exact, est.v_zero, est.sum_scaled,
+         |  est.est_distinct,
+         |  CAST(abs(est.est_distinct - ex.n_exact) * 1000 // ex.n_exact
+         |    AS BIGINT) AS err_permille
+         |FROM ex JOIN est USING (source)
+         |ORDER BY source""".stripMargin,
+
+    // the sketch-only twin: same register chain minus the exact column
+    "sk_hll_sketch" ->
+      s"""WITH tt AS (SELECT source, text,
+         |  regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
+         |shl AS (SELECT source,
+         |  CASE WHEN len(t) >= 3 THEN
+         |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |  ELSE [text] END AS sh
+         |  FROM tt),
+         |tok AS (SELECT source, unnest(sh) AS w FROM shl),
+         |h AS (SELECT source,
+         |  ('0x' || substr(md5('hll:' || w), 1, 15))::BIGINT AS hv FROM tok),
+         |rr AS (SELECT source, hv // 2251799813685248 AS reg,
+         |  hv % 2251799813685248 AS rem FROM h),
+         |rho AS (SELECT source, reg,
+         |  CASE WHEN rem = 0 THEN 52 ELSE 52 - length(bin(rem)) END AS rho
+         |  FROM rr),
+         |regs AS (SELECT source, reg, MAX(rho) AS mj FROM rho GROUP BY 1, 2),
+         |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_regs,
+         |  SUM(1::BIGINT << CAST(52 - mj AS INT)) AS sum_present
+         |  FROM regs GROUP BY source),
+         |dig AS (SELECT source, 512 - n_regs AS v_zero,
+         |  CAST(sum_present + (512 - n_regs) * 4503599627370496 AS BIGINT)
+         |    AS sum_scaled FROM agg),
+         |raw AS (SELECT source, v_zero, sum_scaled,
+         |  CAST(('${Skew.HllNumerator}'::HUGEINT // sum_scaled::HUGEINT)
+         |    // 1000000 AS BIGINT) AS est_raw FROM dig)
+         |SELECT source, v_zero, sum_scaled,
+         |  CASE WHEN v_zero > 0 AND est_raw <= 1280
+         |    THEN CAST(floor(512 * ln(512.0 / v_zero)) AS BIGINT)
+         |    ELSE est_raw END AS est_distinct
+         |FROM raw ORDER BY source""".stripMargin,
 
     // the plain single-phase aggregate: salting must be invisible in the
     // result (decimal-exact partial merge), so the oracle needs no salt

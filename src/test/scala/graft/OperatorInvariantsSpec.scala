@@ -1129,6 +1129,66 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(merged == kmin(src.map(_._1).toSeq) && merged.length == k)
   }
 
+  test("sk_hll_distinct: estimates inside the m=512 envelope, register " +
+    "state merges by elementwise max losslessly, and the sketch-only twin " +
+    "skips the exact aggregate") {
+    import operators.Skew
+    val r = run("sk_hll_distinct").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))
+    assert(r.nonEmpty)
+    // digest sanity: v_zero ∈ [0, 512]; sum_scaled ≤ m·2^52 and at least
+    // the empty-register floor
+    assert(r.forall(x => x._3 >= 0 && x._3 <= 512))
+    assert(r.forall(x => x._4 >= x._3 * 4503599627370496L &&
+      x._4 <= 512L * 4503599627370496L))
+    // error envelope: ~3σ of 1.04/√512 ≈ 4.6% (and the linear-counting
+    // regime below 2.5m is tighter still)
+    assert(r.forall(_._6 <= 150), s"HLL error blew the envelope: " +
+      r.filter(_._6 > 150).mkString(", "))
+    // mergeability (the 100 TB contract): the register state over the
+    // WHOLE corpus equals the elementwise MAX of the two halves' states —
+    // the union is EXACT under any sharding (unlike KMV's below-k decay),
+    // so the digest and the estimate survive any partitioning. Uses the
+    // PRODUCTION state builder (Skew.hllRegisters), not a re-derivation.
+    val docs = Tables.documents(spark, sfTiny)
+    def regsOf(half: org.apache.spark.sql.DataFrame) = Skew
+      .hllRegisters(half.select(col("source"),
+        explode(graft.functions.HashFunctions
+          .wordShingles(col("text"), 3)).as("w")), "source", col("w"))
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getInt(2)).toMap
+    val whole = regsOf(docs)
+    val a = regsOf(docs.filter(col("doc_id") % 2 === 0))
+    val b = regsOf(docs.filter(col("doc_id") % 2 =!= 0))
+    val merged = (a.keySet ++ b.keySet)
+      .map(k => k -> math.max(a.getOrElse(k, 0), b.getOrElse(k, 0))).toMap
+    assert(merged == whole && whole.nonEmpty)
+    // duplicates cannot move a register max: doubling the stream leaves
+    // the state bit-identical (the reason HLL needs no DISTINCT anywhere)
+    assert(regsOf(docs.union(docs)) == whole)
+    // the sketch-only deployment twin returns the calibrated monitor's
+    // exact digest and estimate per group …
+    val sh = docs.select(col("source"),
+      explode(graft.functions.HashFunctions
+        .wordShingles(col("text"), 3)).as("w"))
+    val calibrated = Skew.hllDistinct(sh, "source", col("w"))
+    val sketch = Skew.hllDistinctSketch(sh, "source", col("w"))
+    val want = calibrated.collect()
+      .map(x => x.getString(0) -> (x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toMap
+    val got = sketch.collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(got == want && got.nonEmpty)
+    // … without paying the per-group COUNT(DISTINCT) the sketch avoids
+    assert(calibrated.queryExecution.optimizedPlan.toString
+      .contains("count(distinct"))
+    assert(!sketch.queryExecution.optimizedPlan.toString
+      .contains("count(distinct"),
+      "HLL sketch-only path still pays the exact distinct aggregate")
+  }
+
   test("bpeMerges early-exits when the vocabulary runs dry; the shorter " +
     "merge list still encodes every document (oracle LEFT-JOIN twin)") {
     import spark.implicits._
