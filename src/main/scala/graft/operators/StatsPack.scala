@@ -336,8 +336,62 @@ object StatsPack {
         .select("user_id", "event_id", "ts")
         .orderBy("ts", "event_id")
         .limit(10)
+    }),
+
+    // ---- Bloom filter: the sixth mergeable summary (see [[Bloom]]).
+    //      The fixture's build side is the J4 "processed ledger" shape —
+    //      distinct part keys of a rare lineitem predicate (~190 keys at
+    //      sf0.01 against a deliberately small m=2048 ⇒ a visible
+    //      false-positive band, the CMS-overcount-monitor precedent).
+    //      The packed (word, wval) rows ARE the sketch that persists and
+    //      merges (bitwise OR); the oracle replays the draw and the
+    //      packing bit-for-bit. -------------------------------------------
+    "sk_bloom_words" -> ((s, d) => {
+      Bloom.bloomWords(bloomLedger(s, d)).orderBy("word")
+    }),
+
+    // ---- bloom-pruned EXACT anti-join (J4 at ledger-too-big-to-
+    //      broadcast scale): bloom-negative parts pass shuffle-free,
+    //      bloom-positive candidates pay the exact left_anti recheck.
+    //      The oracle is the PLAIN anti-join — the bloom must be
+    //      semantically invisible. ----------------------------------------
+    "j11_bloom_anti" -> ((s, d) => {
+      val right = Tables.lineitem(s, d)
+        .filter(col("l_discount") > 0.09 && col("l_quantity") >= 48)
+      Bloom.bloomAntiJoin(Tables.part(s, d), col("p_partkey"),
+          right, col("l_partkey"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    }),
+
+    // ---- the pruning monitor: how much of the probe side the bitset
+    //      removed before the shuffle, and the false-positive band the
+    //      recheck absorbed — every column replayed by the oracle against
+    //      the same bit layout. --------------------------------------------
+    "j11_bloom_stats" -> ((s, d) => {
+      val rk = bloomLedger(s, d)
+      val words = Bloom.collectWords(rk)
+      val flags = Tables.part(s, d)
+        .select(col("p_partkey").as("k"),
+          Bloom.mightContain(col("p_partkey"), words).as("cand"))
+        .join(rk.withColumn("mem", lit(1L)), Seq("k"), "left")
+      flags.agg(
+        count(lit(1)).as("n_left"),
+        sum(when(col("cand"), 1L).otherwise(0L)).as("n_candidates"),
+        sum(coalesce(col("mem"), lit(0L))).as("n_members"),
+        sum(when(col("cand") && col("mem").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"),
+        sum(when(!col("cand"), 1L).otherwise(0L)).as("n_pruned"))
     })
   )
+
+  /** The bloom fixture's build side: distinct "already processed" part
+    * keys (a rare lineitem predicate), shared by all three gate rows. */
+  private def bloomLedger(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_discount") > 0.09 && col("l_quantity") >= 48)
+      .select(col("l_partkey").as("k"))
+      .distinct()
 
   val oracles: Map[String, String] = Map(
     "t1_daily_stats" ->
@@ -616,6 +670,55 @@ object StatsPack {
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 AND event_type = 'error'
-        |ORDER BY ts, event_id LIMIT 10""".stripMargin
+        |ORDER BY ts, event_id LIMIT 10""".stripMargin,
+
+    // the bloom layout replayed: same md5 draw, same mod-2048 positions,
+    // same Σ 2^(bit mod 32) packing — the sketch words match bit-for-bit
+    "sk_bloom_words" ->
+      """WITH r AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+        |  WHERE l_discount > 0.09 AND l_quantity >= 48),
+        |rb AS (SELECT DISTINCT
+        |  ('0x' || substr(md5('bloom' || g.i || ':' || CAST(k AS VARCHAR)),
+        |    1, 8))::BIGINT % 2048 AS bit
+        |  FROM r CROSS JOIN generate_series(0, 2) AS g(i))
+        |SELECT bit // 32 AS word,
+        |  CAST(SUM(1::BIGINT << CAST(bit % 32 AS INTEGER)) AS BIGINT)
+        |    AS wval,
+        |  CAST(COUNT(*) AS BIGINT) AS bits_in_word
+        |FROM rb GROUP BY bit // 32 ORDER BY word""".stripMargin,
+
+    // the bloom is a pruning device, not a semantics change: the oracle
+    // is the plain anti-join
+    "j11_bloom_anti" ->
+      """SELECT p_partkey, p_name FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_partkey = p.p_partkey
+        |    AND l.l_discount > 0.09 AND l.l_quantity >= 48)
+        |ORDER BY p_partkey""".stripMargin,
+
+    // bloom membership replayed per probe key: a key is a candidate iff
+    // all three of its bits are set in the build-side bitset
+    "j11_bloom_stats" ->
+      """WITH r AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+        |  WHERE l_discount > 0.09 AND l_quantity >= 48),
+        |rb AS (SELECT DISTINCT
+        |  ('0x' || substr(md5('bloom' || g.i || ':' || CAST(k AS VARCHAR)),
+        |    1, 8))::BIGINT % 2048 AS bit
+        |  FROM r CROSS JOIN generate_series(0, 2) AS g(i)),
+        |lp AS (SELECT p_partkey AS k,
+        |  ('0x' || substr(md5('bloom' || g.i || ':' ||
+        |    CAST(p_partkey AS VARCHAR)), 1, 8))::BIGINT % 2048 AS bit
+        |  FROM part CROSS JOIN generate_series(0, 2) AS g(i)),
+        |cand AS (SELECT lp.k, bool_and(rb.bit IS NOT NULL) AS cand
+        |  FROM lp LEFT JOIN rb ON lp.bit = rb.bit GROUP BY lp.k),
+        |flags AS (SELECT c.k, c.cand, r.k IS NOT NULL AS mem
+        |  FROM cand c LEFT JOIN r ON c.k = r.k)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_left,
+        |  CAST(COUNT(*) FILTER (WHERE cand) AS BIGINT) AS n_candidates,
+        |  CAST(COUNT(*) FILTER (WHERE mem) AS BIGINT) AS n_members,
+        |  CAST(COUNT(*) FILTER (WHERE cand AND NOT mem) AS BIGINT)
+        |    AS n_false_pos,
+        |  CAST(COUNT(*) FILTER (WHERE NOT cand) AS BIGINT) AS n_pruned
+        |FROM flags""".stripMargin
   )
 }

@@ -1398,4 +1398,48 @@ class OperatorInvariantsSpec extends SparkSpec {
     // … and every threshold lands in the hash-draw domain [0, 2^32]
     assert(want.forall(w => w._2 >= 0 && w._2 <= 4294967296L))
   }
+
+  test("bloom: no false negatives, packed words equal the driver bitset, " +
+    "and partial filters merge by bitwise OR") {
+    import operators.Bloom
+    val keys = Tables.documents(spark, sfTiny)
+      .select(col("doc_id").cast("string").as("k"))
+    val words = Bloom.collectWords(keys)
+    // Bloom's contract: a member NEVER probes false
+    assert(keys.filter(!Bloom.mightContain(col("k"), words)).count() == 0)
+    // the persisted (word, wval) rows reconstruct the probe-side bitset
+    val rows = Bloom.bloomWords(keys).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(rows.getOrElse(i, 0L) == w, s"word $i") }
+    // mergeable-summaries: filter(A ∪ B) = filter(A) OR filter(B)
+    val a = keys.filter(pmod(xxhash64(col("k")), lit(2)) === 0)
+    val b = keys.filter(pmod(xxhash64(col("k")), lit(2)) === 1)
+    assert(a.count() > 0 && b.count() > 0) // both halves non-vacuous
+    val merged = Bloom.collectWords(a).zip(Bloom.collectWords(b))
+      .map { case (x, y) => x | y }
+    assert(merged.sameElements(words))
+  }
+
+  test("bloomAntiJoin equals the plain anti-join under a saturating " +
+    "false-positive load (m=64)") {
+    import operators.Bloom
+    val left = Tables.part(spark, sfTiny)
+    val right = Tables.lineitem(spark, sfTiny)
+      .filter(col("l_discount") > 0.09 && col("l_quantity") >= 40)
+    val rk = right.select(col("l_partkey").as("k")).distinct()
+    // tiny m ⇒ the false-positive band is large; the exact recheck must
+    // absorb every one of them
+    val w64 = Bloom.collectWords(rk, m = 64, k = 2)
+    val fp = left.select(col("p_partkey").as("k"))
+      .join(rk, Seq("k"), "left_anti")
+      .filter(Bloom.mightContain(col("k"), w64, m = 64, k = 2)).count()
+    assert(fp > 0, "fixture produced no false positives — test is vacuous")
+    val got = Bloom.bloomAntiJoin(left, col("p_partkey"), right,
+        col("l_partkey"), m = 64, k = 2).select("p_partkey")
+    val plain = left.join(right, col("p_partkey") === col("l_partkey"),
+        "left_anti").select("p_partkey")
+    assert(got.count() == plain.count() &&
+      got.except(plain).isEmpty && plain.except(got).isEmpty)
+  }
 }

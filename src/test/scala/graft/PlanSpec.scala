@@ -420,4 +420,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Generate"),
       s"pipe_quality_gate: expected the token explode in:\n$plan")
   }
+
+  test("bloom probe is row-local: the pruned branch scans with no " +
+    "exchange, inside whole-stage codegen") {
+    import graft.operators.Bloom
+    import org.apache.spark.sql.functions.col
+    val right = Tables.lineitem(spark, sfTiny)
+      .filter(col("l_discount") > 0.09 && col("l_quantity") >= 48)
+    val words = Bloom.collectWords(right.select(col("l_partkey").as("k")))
+    val pruned = Tables.part(spark, sfTiny)
+      .filter(!Bloom.mightContain(col("p_partkey"), words))
+    val plan = planText(pruned).split("== Initial Plan ==").head
+    // the membership test is a literal-array expression — the bulk of a
+    // 100 TB probe side must pass through without any shuffle
+    assert(!plan.contains("Exchange"),
+      s"bloom probe branch shuffled:\n$plan")
+    // executedPlan.toString marks whole-stage-codegen'd operators "*(n)"
+    assert(plan.contains("*(1) Filter"),
+      s"bloom probe fell out of codegen:\n$plan")
+  }
 }
