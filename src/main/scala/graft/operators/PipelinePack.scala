@@ -130,6 +130,56 @@ object PipelinePack {
         s"(CAST(n AS DECIMAL(38,0)) * $MixDen)").as("thresh"))
   }
 
+  /** Draw domain of the temperature sampler: 24-bit (6 md5 hex chars).
+    * Narrower than [[MixScale]] ON PURPOSE — the threshold is an integer
+    * square root, and with a 24-bit domain every x = n_min·2^48 div n_l
+    * stays ≤ 2^48 < 2^53: CAST(x AS DOUBLE) is exact, IEEE sqrt of an
+    * exact input is correctly rounded identically on both engines, and
+    * floor cannot mis-floor because the gap between √(k²−1) and k
+    * (≈ 2^-49 relative at k = 2^24) exceeds double ulp (2^-52). A wider
+    * domain would push x past 2^53 where floor(sqrt(double)) silently
+    * forks from integer sqrt. 24-bit probability granularity (6e-8) is
+    * far below a mixture sampler's binomial noise. */
+  private[graft] val TempScale = 16777216L
+  private[graft] val TempScaleSq: Long = TempScale * TempScale // 2^48
+
+  /** Temperature-flattened mixture thresholds over a (lang, n) counts
+    * frame — the (n_l/N)^α resampling of multilingual pretraining
+    * corpora (Devlin et al. 2019 §mBERT data; Conneau et al. 2020 §3.1
+    * use α ∈ [0.3, 0.7]) at α = 1/2: each language keeps
+    * r_l = √(n_min/n_l) of its documents, flattening achieved counts
+    * from n_l to √(n_min·n_l). The scarcest language keeps everything;
+    * dominant ones are √-downsampled. Unlike [[domainMix]], which hits a
+    * FIXED target mixture, the temperature mixture derives from the
+    * corpus itself — the two are the complementary halves of production
+    * mixture control. Same scale shape as the mix: thresholds are a
+    * per-corpus-version constant (a |langs|-row broadcast), membership a
+    * per-row hash compare — no rank window, no corpus shuffle.
+    *
+    * thresh_l = floor(√(n_min·2^48 div n_l)) — the product in
+    * DECIMAL(38,0) (HUGEINT in the oracle; BIGINT would wrap at
+    * n_min ≈ 2^15), the quotient ≤ 2^48 back in BIGINT, the sqrt
+    * bit-identical across engines (see [[TempScale]]). */
+  private[graft] def tempThresholdsFromCounts(counts: DataFrame): DataFrame = {
+    val nmin = counts.agg(min(col("n")).as("n_min"))
+    counts.crossJoin(nmin).select(col("lang"), col("n"),
+      expr(s"CAST(floor(sqrt(CAST((CAST(n_min AS DECIMAL(38,0)) * " +
+        s"${TempScaleSq}L) div n AS DOUBLE))) AS BIGINT)").as("thresh"))
+  }
+
+  /** The corpus-derived (lang, n, thresh) frame + per-doc draw for the
+    * temperature sampler's gate rows. All languages participate — the
+    * temperature mixture needs no weight list. */
+  private def tempSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val u = conv(substring(
+      md5(concat(lit("tsamp:"), col("doc_id").cast("string"))), 1, 6),
+      16, 10).cast("long")
+    docs.join(broadcast(tempThresholdsFromCounts(counts)), "lang")
+      .withColumn("u", u)
+  }
+
   /** Membership half of the mix: tag each doc with its hash draw `u` and
     * its language's threshold — a pure per-row filter against a 5-row
     * broadcast, shared by the batch resample and the streaming gate. */
@@ -220,6 +270,20 @@ object PipelinePack {
         .select(col("doc_id"), col("i"), col("neg_id"))
         .orderBy("doc_id", "i")
     }),
+
+    // ---- temperature-flattened resample (α = 1/2): kept rows ------------
+    "pipe_temp_sample" -> ((s, d) =>
+      tempSample(s, d).filter(col("u") < col("thresh"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // ---- temperature accounting: totals, kept counts, thresholds --------
+    "pipe_temp_sample_stats" -> ((s, d) =>
+      tempSample(s, d)
+        .groupBy(col("lang"), col("n"), col("thresh"))
+        .agg(count(when(col("u") < col("thresh"), 1)).as("n_kept"))
+        .select(col("lang"), col("n"), col("n_kept"), col("thresh"))
+        .orderBy("lang")),
 
     // ---- domain-mix resample: kept rows (the corpus a training run reads) -
     "pipe_domain_mix" -> ((s, d) =>
@@ -484,6 +548,19 @@ object PipelinePack {
        |  FROM documents d JOIN th USING (lang))""".stripMargin
   }
 
+  private def tempCtes: String =
+    s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY lang),
+       |nm AS (SELECT MIN(n) AS n_min FROM c),
+       |th AS (SELECT lang, n,
+       |  CAST(floor(sqrt(CAST(CAST(n_min AS HUGEINT) * $TempScaleSq // n
+       |    AS DOUBLE))) AS BIGINT) AS thresh
+       |  FROM c, nm),
+       |tu AS (SELECT d.doc_id, d.lang, th.n, th.thresh,
+       |  ('0x' || substr(md5('tsamp:' || CAST(d.doc_id AS VARCHAR)), 1, 6))
+       |    ::BIGINT AS u
+       |  FROM documents d JOIN th USING (lang))""".stripMargin
+
   /** Shared CTE chain for the two quality-gate oracles — mirrors
     * [[qualityGate]] stage for stage (same tokenizer, same all-BIGINT
     * threshold comparisons), ending in `gated(doc_id, n_tokens, reason,
@@ -590,6 +667,21 @@ object PipelinePack {
          |FROM cand c JOIN reps r USING (bkt)
          |WHERE r.neg_id <> c.doc_id AND r.neg_source <> c.source
          |ORDER BY doc_id, i""".stripMargin,
+
+    // the temperature thresholds replayed: same HUGEINT product, same
+    // integer quotient, same exact-input IEEE sqrt+floor, same 24-bit
+    // md5 draw — membership matches row-for-row
+    "pipe_temp_sample" ->
+      s"""$tempCtes
+         |SELECT doc_id, lang FROM tu WHERE u < thresh
+         |ORDER BY doc_id""".stripMargin,
+
+    "pipe_temp_sample_stats" ->
+      s"""$tempCtes
+         |SELECT lang, n, CAST(COUNT(*) FILTER (WHERE u < thresh) AS BIGINT)
+         |    AS n_kept,
+         |  thresh
+         |FROM tu GROUP BY lang, n, thresh ORDER BY lang""".stripMargin,
 
     "pipe_domain_mix" ->
       s"""$mixCtes

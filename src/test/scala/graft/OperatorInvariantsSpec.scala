@@ -1399,6 +1399,52 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(want.forall(w => w._2 >= 0 && w._2 <= 4294967296L))
   }
 
+  test("temperature thresholds equal the BigInt integer-sqrt reference, " +
+    "including near-perfect-square quotients and deployment-scale counts") {
+    import operators.PipelinePack
+    import spark.implicits._
+    val sq = PipelinePack.TempScaleSq // 2^48
+    // n_min is the first entry (1L): quotients sweep perfect squares,
+    // squares ± 1 (the floor(sqrt(double)) hazard cases), primes, and
+    // counts far past the BIGINT-product wrap point (n_min · 2^48
+    // overflows Long for n_min ≥ 32768 — the decimal path must not)
+    val cases: Seq[(String, Long)] =
+      Seq("a" -> 1L, "b" -> 4L, "c" -> 3L, "d" -> 16L, "e" -> 17L,
+        "f" -> 15L, "g" -> 7L, "h" -> 1048576L, "i" -> 1048577L,
+        "j" -> 999983L, "k" -> 281474976710656L) ++
+      (1 to 40).map(i => s"r$i" -> ((1L << (i % 40)) + i * 31L))
+    val counts = cases.toDF("lang", "n")
+    val got = PipelinePack.tempThresholdsFromCounts(counts)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    val nmin = BigInt(cases.map(_._2).min)
+    def isqrt(x: BigInt): BigInt = {
+      var r = BigInt(math.sqrt(x.toDouble).toLong + 2)
+      while (r * r > x) r -= 1
+      r
+    }
+    cases.foreach { case (l, n) =>
+      val want = isqrt(nmin * sq / n).toLong
+      assert(got(l) == want, s"lang $l n $n: got ${got(l)} want $want")
+    }
+    // the deployment-scale wrap guard is non-vacuous
+    assert(BigInt(cases.map(_._2).max) * sq > BigInt(Long.MaxValue))
+  }
+
+  test("temperature sample keeps ALL of the scarcest language and " +
+    "sqrt-flattens the dominant one") {
+    import operators.PipelinePack
+    val stats = run("pipe_temp_sample_stats").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val scarce = stats.minBy(_._2)
+    assert(scarce._3 == scarce._2, s"scarcest lang dropped docs: $scarce")
+    assert(scarce._4 == PipelinePack.TempScale) // thresh = full domain
+    val dom = stats.maxBy(_._2)
+    // achieved count concentrates around sqrt(n_min · n_dom)
+    val expect = math.sqrt(scarce._2.toDouble * dom._2.toDouble)
+    assert(dom._3 < dom._2 && math.abs(dom._3 - expect) < 6 * math.sqrt(expect),
+      s"dominant lang not flattened toward $expect: $dom")
+  }
+
   test("bloom: no false negatives, packed words equal the driver bitset, " +
     "and partial filters merge by bitwise OR") {
     import operators.Bloom
