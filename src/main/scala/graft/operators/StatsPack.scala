@@ -338,6 +338,29 @@ object StatsPack {
         .limit(10)
     }),
 
+    // ---- SCD type-2 history build (Kimball slowly-changing dimension):
+    //      the change log's versioned-interval form — the warehouse twin
+    //      of D5's MERGE. Consecutive same-status rows collapse (a
+    //      version exists only where the attribute CHANGED), intervals
+    //      close with lead(), the open interval is the current row.
+    //      Scale: every step windows on the same (user_id | ts, event_id)
+    //      spec — filter preserves hash distribution and in-partition
+    //      sort, so the collapse + versioning + interval chain runs on
+    //      ONE exchange+sort of the log (plan-pinned). ------------------
+    "d6_scd2_history" -> ((s, d) =>
+      scd2History(s, d).orderBy("user_id", "version")),
+
+    // ---- the SCD2 read path: point-in-time reconstruction — each
+    //      user's status as of the cut, straight off the intervals ------
+    "d6_scd2_asof" -> ((s, d) => {
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      scd2History(s, d)
+        .filter(col("valid_from") <= cut &&
+          (col("valid_to").isNull || col("valid_to") > cut))
+        .select(col("user_id"), col("status"), col("valid_from"))
+        .orderBy("user_id")
+    }),
+
     // ---- Bloom filter: the sixth mergeable summary (see [[Bloom]]).
     //      The fixture's build side is the J4 "processed ledger" shape —
     //      distinct part keys of a rare lineitem predicate (~190 keys at
@@ -384,6 +407,23 @@ object StatsPack {
         sum(when(!col("cand"), 1L).otherwise(0L)).as("n_pruned"))
     })
   )
+
+  /** The versioned SCD2 intervals over the events change log: entity =
+    * user, tracked attribute = event_type. Shared by the history dump
+    * and the as-of read. */
+  private def scd2History(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_status", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_status").isNull ||
+        col("prev_status") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast(LongType))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("status"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
 
   /** The bloom fixture's build side: distinct "already processed" part
     * keys (a rare lineitem predicate), shared by all three gate rows. */
@@ -671,6 +711,41 @@ object StatsPack {
         |  FROM events) t
         |WHERE rn = 1 AND event_type = 'error'
         |ORDER BY ts, event_id LIMIT 10""".stripMargin,
+
+    "d6_scd2_history" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_status
+        |  FROM events),
+        |changes AS (SELECT user_id, event_id, ts, event_type FROM ordered
+        |  WHERE prev_status IS NULL OR prev_status <> event_type)
+        |SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS BIGINT) AS version,
+        |  event_type AS status, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL AS is_current
+        |FROM changes ORDER BY user_id, version""".stripMargin,
+
+    "d6_scd2_asof" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_status
+        |  FROM events),
+        |changes AS (SELECT user_id, event_id, ts, event_type FROM ordered
+        |  WHERE prev_status IS NULL OR prev_status <> event_type),
+        |hist AS (SELECT user_id, event_type AS status, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to
+        |  FROM changes)
+        |SELECT user_id, status, valid_from FROM hist
+        |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+        |ORDER BY user_id""".stripMargin,
 
     // the bloom layout replayed: same md5 draw, same mod-2048 positions,
     // same Σ 2^(bit mod 32) packing — the sketch words match bit-for-bit

@@ -1399,6 +1399,34 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(want.forall(w => w._2 >= 0 && w._2 <= 4294967296L))
   }
 
+  test("scd2 intervals tile each user's timeline: dense versions, abutting " +
+    "intervals, exactly one open interval, no same-status adjacency") {
+    import org.apache.spark.sql.expressions.Window
+    val h = run("d6_scd2_history")
+    val users = h.select("user_id").distinct().count()
+    assert(users > 0)
+    // exactly one current (open) interval per user
+    val cur = h.filter(col("is_current")).groupBy("user_id").count()
+    assert(cur.count() == users && cur.filter(col("count") =!= 1).count() == 0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    val x = h
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .withColumn("prev_status", lag(col("status"), 1).over(w))
+    // closed intervals abut the successor exactly (no gap, no overlap) …
+    assert(x.filter(col("valid_to").isNotNull &&
+      col("valid_to") =!= col("next_from")).count() == 0)
+    // … and only the last interval is open
+    assert(x.filter(col("valid_to").isNull &&
+      col("next_from").isNotNull).count() == 0)
+    // versions are dense from 1, and a version exists only on change
+    val v = h.groupBy("user_id").agg(min("version").as("mn"),
+      max("version").as("mx"), count(lit(1)).as("n"),
+      countDistinct(col("version")).as("u"))
+    assert(v.filter(col("mn") =!= 1 || col("mx") =!= col("n") ||
+      col("u") =!= col("n")).count() == 0)
+    assert(x.filter(col("prev_status") === col("status")).count() == 0)
+  }
+
   test("temperature thresholds equal the BigInt integer-sqrt reference, " +
     "including near-perfect-square quotients and deployment-scale counts") {
     import operators.PipelinePack

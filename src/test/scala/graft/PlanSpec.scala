@@ -421,6 +421,15 @@ class PlanSpec extends SparkSpec {
       s"pipe_quality_gate: expected the token explode in:\n$plan")
   }
 
+  test("scd2 history: collapse + versioning + interval chain reuse one " +
+    "window sort — a single hash exchange beyond the presentation sort") {
+    val plan = planText(run("d6_scd2_history"))
+      .split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"expected exactly one window exchange, got $hashEx in:\n$plan")
+  }
+
   test("bloom probe is row-local: the pruned branch scans with no " +
     "exchange, inside whole-stage codegen") {
     import graft.operators.Bloom
