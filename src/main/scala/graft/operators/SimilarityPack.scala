@@ -738,10 +738,12 @@ object SimilarityPack {
     * `vec_dot` is the hot path and needs no cross-engine bit-parity. */
   private def gridDot(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0).cast(DecimalType(38, 0)),
-      (acc, x) => (acc + x.cast(DecimalType(38, 0))).cast(DecimalType(38, 0)))
-      .cast(DoubleType)
+    // the native [[graft.plans.GridDot]] kernel: the same exact integer
+    // sum and the same BigDecimal→double rounding as the decimal HOF
+    // fold it replaced (spec-pinned bit-identical, incl. long-overflow
+    // inputs), minus the per-element Decimal allocations that dominated
+    // the Lloyd-iteration profile
+    call_function("grid_dot", a, b)
 
   /** The corpus as (vec_id, iv, nrm): grid vectors + their exact norms —
     * the shared input of every exact-grid ANN path. */

@@ -68,5 +68,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"vec_dot expects 2 arguments, got ${children.length}")
         VecDot(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("grid_dot"),
+      new ExpressionInfo(classOf[GridDot].getName, "grid_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"grid_dot expects 2 arguments, got ${children.length}")
+        GridDot(children.head, children(1))
+      }))
   }
 }

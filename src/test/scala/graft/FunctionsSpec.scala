@@ -113,6 +113,41 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 32.0 && r.getDouble(1) == 32.0)
   }
 
+  test("native grid_dot is bit-identical to the DECIMAL(38,0) fold, " +
+    "including long-overflow accumulations") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val g = 600000000L // the 1e-9 grid bound (|val| < 0.6)
+    val rnd = new scala.util.Random(17)
+    def vec(n: Int) = Seq.fill(n)(rnd.nextLong() % g)
+    val cases: Seq[(Seq[Long], Seq[Long])] = Seq(
+      (vec(64), vec(64)),
+      (vec(5), vec(5)),
+      // all max-magnitude same sign: 64·(6e8)² ≈ 2.3e19 > Long.MaxValue —
+      // forces the BigInteger promotion branch
+      (Seq.fill(64)(g), Seq.fill(64)(g)),
+      (Seq.fill(64)(-g), Seq.fill(64)(g)),
+      // sign-alternating around the overflow boundary
+      (Seq.tabulate(64)(i => if (i % 2 == 0) g else -g), Seq.fill(64)(g)),
+      (Seq.empty[Long], Seq.empty[Long]))
+    // (mismatched lengths are excluded: zip_with null-pads them into a
+    // null fold while grid_dot takes the shorter prefix — grid vectors
+    // are equal-length by construction, where the two agree)
+    val df = cases.toDF("a", "b")
+    val fold = aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0).cast(DecimalType(38, 0)),
+      (acc, x) => (acc + x.cast(DecimalType(38, 0))).cast(DecimalType(38, 0)))
+      .cast(DoubleType)
+    val rows = df.select(call_function("grid_dot", $"a", $"b"), fold).collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"grid_dot forked from the decimal fold on $c: " +
+          s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+    // the overflow case is non-vacuous: the exact sum exceeds Long range
+    assert(BigInt(g) * g * 64 > BigInt(Long.MaxValue))
+  }
+
   test("WAV/BMP codecs round-trip header fields through real bytes") {
     val docs = Tables.documents(spark, sfTiny).limit(20)
     val wav = BinaryColumns.decodeWav(spark,
