@@ -156,6 +156,71 @@ object Skew {
           .as("est_distinct"))
   }
 
+  /** KMV set algebra: pairwise union / intersection / Jaccard estimates
+    * for every group pair, FROM THE SKETCHES ALONE (Beyer et al., SIGMOD
+    * 2007 §5): the k-min sketch of A ∪ B is the k smallest of
+    * S_A ∪ S_B (min-union merge — the mergeable-summaries property this
+    * operator exists to demonstrate), ρ = |union-k ∩ S_A ∩ S_B| / k
+    * estimates the Jaccard similarity, and |A∩B| ≈ ρ · est(|A∪B|). Every
+    * output is integer arithmetic on the engine's md5-prefix draws
+    * (ρ as `rho_num`/k, Jaccard in permille, the intersection estimate
+    * via integer div), so the estimates are oracle-checkable
+    * bit-for-bit, like the underlying [[kmvDistinctSketch]].
+    *
+    * Scale shape: after the per-group sketch pass (O(groups·k) rows — the
+    * only stage that touches data), the pair algebra runs on sketch rows
+    * only: groups² · 2k tiny rows, never the corpus. This is the shape of
+    * "overlap matrix across N corpus shards / crawl snapshots" at 100 TB:
+    * sketch once per shard, estimate all O(N²) overlaps for free.
+    * A pair with fewer than k union draws is EXACT (its union sketch is
+    * the whole hashed union — the denominator `least(k, n_union)` makes
+    * the estimator collapse to the true hashed-set Jaccard). */
+  def kmvOverlap(df: DataFrame, group: String, value: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val nn = df.filter(value.isNotNull)
+    val u = conv(
+      substring(md5(concat(lit("kmv:"), value.cast(StringType))), 1, 8),
+      16, 10).cast(LongType)
+    val draws = nn.select(col(group).as("g"), u.as("u")).distinct()
+    val wg = Window.partitionBy(col("g")).orderBy(col("u"))
+    val sk = draws.withColumn("rn", row_number().over(wg))
+      .filter(col("rn") <= k).select(col("g"), col("u"))
+    val pairs = sk.select(col("g").as("src_a")).distinct()
+      .crossJoin(sk.select(col("g").as("src_b")).distinct())
+      .filter(col("src_a") < col("src_b"))
+    val ua = pairs.join(sk.withColumnRenamed("g", "src_a"), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("u"),
+        lit(1L).as("ia"), lit(0L).as("ib"))
+    val ub = pairs.join(sk.withColumnRenamed("g", "src_b"), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("u"),
+        lit(0L).as("ia"), lit(1L).as("ib"))
+    // the min-union merge: distinct union draws with membership flags
+    val uni = ua.unionByName(ub)
+      .groupBy(col("src_a"), col("src_b"), col("u"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    val wp = Window.partitionBy(col("src_a"), col("src_b"))
+      .orderBy(col("u"))
+    val ranked = uni.withColumn("rn", row_number().over(wp))
+    ranked.groupBy(col("src_a"), col("src_b"))
+      .agg(
+        count(lit(1)).as("n_union_draws"),
+        max(when(col("rn") === k, col("u"))).as("kth_u"),
+        sum(when(col("rn") <= k, col("ia") * col("ib"))
+          .otherwise(lit(0L))).as("rho_num"))
+      .select(col("src_a"), col("src_b"),
+        when(col("kth_u").isNull, col("n_union_draws"))
+          .otherwise(expr(
+            s"CAST(${k - 1} AS BIGINT) * 4294967296L div greatest(kth_u, 1L)"))
+          .as("est_union"),
+        col("rho_num"),
+        least(lit(k.toLong), col("n_union_draws")).as("m"))
+      .withColumn("est_intersect", expr("rho_num * est_union div m"))
+      .withColumn("jaccard_permille", expr("rho_num * 1000L div m"))
+      .drop("m")
+  }
+
   /** HyperLogLog register count (m = 2^9) and the estimator's frozen
     * bias constant α_m = 0.7213/(1 + 1.079/m), fixed in parts-per-million
     * so both engines run the SAME integer numerator — the ppm constant is

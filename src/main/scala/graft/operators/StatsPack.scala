@@ -361,6 +361,30 @@ object StatsPack {
         .orderBy("user_id")
     }),
 
+    // ---- KMV set algebra: pairwise source overlap FROM THE SKETCHES
+    //      (Beyer et al. 2007 §5 — union via min-union merge, Jaccard as
+    //      ρ over the union-k, intersection as ρ·est_union). The shape of
+    //      "overlap matrix across crawl snapshots" at 100 TB: one sketch
+    //      pass over data, then O(groups²·k) sketch-row algebra. The
+    //      exact pairwise intersection rides along as the gate-scale
+    //      calibration monitor (it pays the self-join the sketch path
+    //      exists to avoid). ----------------------------------------------
+    "sk_kmv_overlap" -> ((s, d) => {
+      import graft.functions.HashFunctions.wordShingles
+      val sh = Tables.documents(s, d)
+        .select(col("source"), explode(wordShingles(col("text"), 3)).as("w"))
+      val est = Skew.kmvOverlap(sh, "source", col("w"), k = 64)
+      val toks = sh.distinct()
+      val ex = toks.select(col("source").as("src_a"), col("w"))
+        .join(toks.select(col("source").as("src_b"), col("w")), Seq("w"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_exact_int"))
+      est.join(ex, Seq("src_a", "src_b"), "left")
+        .withColumn("n_exact_int", coalesce(col("n_exact_int"), lit(0L)))
+        .orderBy("src_a", "src_b")
+    }),
+
     // ---- Bloom filter: the sixth mergeable summary (see [[Bloom]]).
     //      The fixture's build side is the J4 "processed ledger" shape —
     //      distinct part keys of a rare lineitem predicate (~190 keys at
@@ -746,6 +770,58 @@ object StatsPack {
         |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
         |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
         |ORDER BY user_id""".stripMargin,
+
+    // the overlap estimator replayed sketch-row for sketch-row: same
+    // draws, same k-min sketches, same min-union merge, same integer
+    // ρ/union/intersection arithmetic — estimates match bit-for-bit
+    "sk_kmv_overlap" ->
+      s"""WITH tt AS (SELECT source, text,
+         |  regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
+         |shl AS (SELECT source,
+         |  CASE WHEN len(t) >= 3 THEN
+         |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |  ELSE [text] END AS sh
+         |  FROM tt),
+         |tok AS (SELECT DISTINCT source, unnest(sh) AS w FROM shl),
+         |draws AS (SELECT DISTINCT source AS g,
+         |  ('0x' || substr(md5('kmv:' || w), 1, 8))::BIGINT AS u FROM tok),
+         |sk AS (SELECT g, u FROM (SELECT g, u,
+         |    row_number() OVER (PARTITION BY g ORDER BY u) AS rn FROM draws)
+         |  WHERE rn <= 64),
+         |gs AS (SELECT DISTINCT g FROM sk),
+         |pairs AS (SELECT a.g AS src_a, b.g AS src_b
+         |  FROM gs a JOIN gs b ON a.g < b.g),
+         |ua AS (SELECT p.src_a, p.src_b, s.u, 1 AS ia, 0 AS ib
+         |  FROM pairs p JOIN sk s ON s.g = p.src_a),
+         |ub AS (SELECT p.src_a, p.src_b, s.u, 0 AS ia, 1 AS ib
+         |  FROM pairs p JOIN sk s ON s.g = p.src_b),
+         |uni AS (SELECT src_a, src_b, u, MAX(ia) AS ia, MAX(ib) AS ib
+         |  FROM (SELECT * FROM ua UNION ALL SELECT * FROM ub)
+         |  GROUP BY src_a, src_b, u),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+         |    ORDER BY u) AS rn FROM uni),
+         |st AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_union,
+         |  MAX(CASE WHEN rn = 64 THEN u END) AS kth_u,
+         |  CAST(SUM(CASE WHEN rn <= 64 THEN ia * ib ELSE 0 END) AS BIGINT)
+         |    AS rho_num
+         |  FROM ranked GROUP BY src_a, src_b),
+         |est AS (SELECT src_a, src_b,
+         |  CAST(CASE WHEN kth_u IS NULL THEN n_union
+         |    ELSE 63 * 4294967296 // greatest(kth_u, 1) END AS BIGINT)
+         |    AS est_union,
+         |  rho_num, least(64, n_union) AS m FROM st),
+         |ex AS (SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_exact_int
+         |  FROM tok a JOIN tok b ON a.w = b.w AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT e.src_a, e.src_b, e.est_union, e.rho_num,
+         |  CAST(e.rho_num * e.est_union // e.m AS BIGINT) AS est_intersect,
+         |  CAST(e.rho_num * 1000 // e.m AS BIGINT) AS jaccard_permille,
+         |  COALESCE(ex.n_exact_int, CAST(0 AS BIGINT)) AS n_exact_int
+         |FROM est e LEFT JOIN ex
+         |  ON e.src_a = ex.src_a AND e.src_b = ex.src_b
+         |ORDER BY e.src_a, e.src_b""".stripMargin,
 
     // the bloom layout replayed: same md5 draw, same mod-2048 positions,
     // same Σ 2^(bit mod 32) packing — the sketch words match bit-for-bit

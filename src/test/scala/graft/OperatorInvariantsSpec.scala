@@ -1399,6 +1399,39 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(want.forall(w => w._2 >= 0 && w._2 <= 4294967296L))
   }
 
+  test("kmvOverlap: identical sets → Jaccard 1000 and intersect = union; " +
+    "disjoint sets → zero; pair union estimate = sketch of merged group") {
+    import operators.Skew
+    import spark.implicits._
+    // a: ids 0-999; b: identical to a; c: disjoint 5000-5999;
+    // d: half-overlapping 500-1499
+    val rows =
+      (0 until 1000).map(i => ("a", i.toLong)) ++
+      (0 until 1000).map(i => ("b", i.toLong)) ++
+      (0 until 1000).map(i => ("c", 5000L + i)) ++
+      (0 until 1000).map(i => ("d", 500L + i))
+    val df = rows.toDF("g", "v")
+    val ov = Skew.kmvOverlap(df, "g", col("v"), k = 64).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val ab = ov(("a", "b")) // identical sets
+    assert(ab._2 == 64 && ab._4 == 1000 && ab._3 == ab._1,
+      s"identical-set overlap broken: $ab")
+    val ac = ov(("a", "c")) // disjoint sets
+    assert(ac._2 == 0 && ac._3 == 0 && ac._4 == 0,
+      s"disjoint-set overlap broken: $ac")
+    val ad = ov(("a", "d")) // true Jaccard 500/1500 = 333‰
+    assert(ad._4 > 150 && ad._4 < 550, s"half-overlap way off: $ad")
+    // the min-union merge IS the sketch of the concatenation: the pair
+    // (a, c) union estimate must equal kmvDistinctSketch on a ∪ c
+    val merged = df.filter(col("g").isin("a", "c"))
+      .withColumn("g", lit("ac"))
+    val est = Skew.kmvDistinctSketch(merged, "g", col("v"), k = 64)
+      .collect()(0).getLong(1)
+    assert(ac._1 == est,
+      s"pair union estimate ${ac._1} != merged-group sketch $est")
+  }
+
   test("scd2 intervals tile each user's timeline: dense versions, abutting " +
     "intervals, exactly one open interval, no same-status adjacency") {
     import org.apache.spark.sql.expressions.Window
