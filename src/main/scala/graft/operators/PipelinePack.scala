@@ -167,18 +167,32 @@ object PipelinePack {
         s"${TempScaleSq}L) div n AS DOUBLE))) AS BIGINT)").as("thresh"))
   }
 
-  /** The corpus-derived (lang, n, thresh) frame + per-doc draw for the
-    * temperature sampler's gate rows. All languages participate — the
-    * temperature mixture needs no weight list. */
-  private def tempSample(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+  /** The corpus-derived temperature thresholds for `dir` — like
+    * [[mixThresholds]], a per-corpus-VERSION constant (thresholds are a
+    * property of the corpus the mixture was sized against, not of a
+    * batch being filtered), which is what lets the streaming gate apply
+    * them per micro-batch without rescanning the corpus. */
+  private[graft] def tempThresholds(s: SparkSession, d: String): DataFrame =
+    tempThresholdsFromCounts(
+      Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n")))
+
+  /** Membership half of the temperature sampler: tag each doc with its
+    * 24-bit draw and its language's threshold — a per-row filter against
+    * a |langs|-row broadcast, shared by the batch resample and the
+    * streaming gate. */
+  private[graft] def tempApply(docs: DataFrame,
+      thresholds: DataFrame): DataFrame = {
     val u = conv(substring(
       md5(concat(lit("tsamp:"), col("doc_id").cast("string"))), 1, 6),
       16, 10).cast("long")
-    docs.join(broadcast(tempThresholdsFromCounts(counts)), "lang")
-      .withColumn("u", u)
+    docs.join(broadcast(thresholds), "lang").withColumn("u", u)
   }
+
+  /** The corpus-derived (lang, n, thresh) frame + per-doc draw for the
+    * temperature sampler's gate rows. All languages participate — the
+    * temperature mixture needs no weight list. */
+  private def tempSample(s: SparkSession, d: String): DataFrame =
+    tempApply(Tables.documents(s, d), tempThresholds(s, d))
 
   /** Membership half of the mix: tag each doc with its hash draw `u` and
     * its language's threshold — a pure per-row filter against a 5-row

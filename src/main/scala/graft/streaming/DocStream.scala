@@ -272,6 +272,19 @@ object DocStream {
       .filter(col("u") < col("thresh"))
       .select(col("doc_id"), col("lang"))
 
+  /** Temperature-mixture gate at ingest — the α = 1/2 twin of [[mixGate]]
+    * with the SAME frozen-thresholds contract: the (lang, n, thresh)
+    * frame ([[graft.operators.PipelinePack.tempThresholds]]) is computed
+    * once per corpus version, each micro-batch pays one per-row 24-bit
+    * md5-threshold compare against the |langs|-row broadcast. Runs the
+    * batch membership code verbatim
+    * ([[graft.operators.PipelinePack.tempApply]]), so gating the corpus
+    * stream reproduces `pipe_temp_sample` exactly (StreamingSpec). */
+  def tempGate(thresholds: DataFrame)(batch: DataFrame): DataFrame =
+    graft.operators.PipelinePack.tempApply(batch, thresholds)
+      .filter(col("u") < col("thresh"))
+      .select(col("doc_id"), col("lang"))
+
   /** Trained-tokenizer accounting gate at ingest: real BPE token counts
     * per arriving document, served from the PERSISTED merge artifact
     * ([[graft.operators.TextPack.ensureBpeIndex]]) — the token-budget

@@ -310,6 +310,29 @@ class StreamingSpec extends SparkSpec {
     th.unpersist()
   }
 
+  test("foreachBatch temperature gate with frozen thresholds equals the " +
+    "batch resample") {
+    import graft.streaming.DocStream
+    import graft.operators.PipelinePack
+    val th = PipelinePack.tempThresholds(spark, sfTiny).cache()
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = DocStream.source(spark, sfTiny)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= DocStream.tempGate(th)(batch)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val want = SparkEntry.queries("pipe_temp_sample")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(want.nonEmpty && got.toSet == want.toSet,
+      s"stream kept ${got.size} docs, batch ${want.length}")
+    th.unpersist()
+  }
+
   test("foreachBatch bigram-LM gate equals the smoothed batch twin and " +
     "scores an all-unseen batch instead of dropping it") {
     import graft.streaming.DocStream
