@@ -70,10 +70,14 @@ object Bloom {
 
   /** Distinct set-bit positions of a one-column `k` key frame — the
     * unpacked filter. At most `m` rows regardless of input size; the
-    * distinct is a partial-aggregated shuffle of ≤ k·|keys| bit rows. */
+    * distinct is a partial-aggregated shuffle of ≤ k·|keys| bit rows.
+    * NULL keys contribute no bits (they can never equi-join, so an
+    * anti-join build side loses nothing by dropping them — the same
+    * null-skip the KMV sketches define). */
   def bloomBitSet(keys: DataFrame, m: Int = BloomBits,
       k: Int = BloomHashes): DataFrame =
-    keys.select(explode(bloomCells(col("k"), m, k)).as("bit")).distinct()
+    keys.filter(col("k").isNotNull)
+      .select(explode(bloomCells(col("k"), m, k)).as("bit")).distinct()
 
   /** The packed `(word, wval, bits_in_word)` form — the sketch rows that
     * persist / merge (OR) / ship. `wval` = Σ 2^(bit mod 32) over the
@@ -103,19 +107,25 @@ object Bloom {
   }
 
   /** Row-local membership probe against a collected filter: true iff all
-    * k of the key's bits are set. No shuffle, no join — and the k tests
-    * are unrolled as a plain conjunction of literal-array lookups rather
-    * than a higher-order `forall`, so the probe is ordinary codegen'd
-    * expression work inside the scan's WholeStageCodegen span. */
+    * k of the key's bits are set (NULL key → NULL, like any equality
+    * probe — callers that must route null-key rows pick a branch with
+    * coalesce, as [[bloomAntiJoin]] does). No shuffle, no join — and the
+    * k tests are unrolled as a plain conjunction of literal-array
+    * lookups rather than a higher-order `forall`, so the probe is
+    * ordinary codegen'd expression work inside the scan's
+    * WholeStageCodegen span. The probe expands the packed words into an
+    * m-entry boolean literal so each conjunct references its md5 cell
+    * ONCE — FilterExec codegen does not CSE within a predicate tree, and
+    * the word-index + mask formulation paid 2k md5 evaluations per row
+    * where this pays k (md5 is the probe's hot operation). The packed
+    * (word, wval) rows remain the persistence/merge format. */
   def mightContain(key: Column, words: Array[Long], m: Int = BloomBits,
       k: Int = BloomHashes): Column = {
-    val wcol = typedLit(words)
-    val pw = typedLit(Pow2)
+    val bits: Array[Boolean] = Array.tabulate(m)(b =>
+      (words(b / 32) & Pow2(b % 32)) != 0L)
+    val bcol = typedLit(bits)
     (0 until k).map { i =>
-      val p = bloomCell(i, key, m)
-      element_at(wcol, floor(p / 32).cast(IntegerType) + 1)
-        .bitwiseAND(element_at(pw, pmod(p, lit(32L)).cast(IntegerType) + 1))
-        .>(lit(0L))
+      element_at(bcol, bloomCell(i, key, m).cast(IntegerType) + 1)
     }.reduce(_ && _)
   }
 
@@ -129,7 +139,10 @@ object Bloom {
       : DataFrame = {
     val rk = right.select(rightKey.as("k"))
     val words = collectWords(rk, m, k)
-    val cand = mightContain(leftKey, words, m, k)
+    // NULL-key left rows never equi-match, so the plain anti-join KEEPS
+    // them — route the probe's NULL through the shuffle-free branch
+    // (coalesce false), not into neither branch
+    val cand = coalesce(mightContain(leftKey, words, m, k), lit(false))
     val definiteOut = left.filter(!cand)
     val recheck = left.filter(cand)
       .join(rk.distinct().withColumnRenamed("k", "_bloom_bk"),

@@ -179,13 +179,25 @@ object PipelinePack {
   /** Membership half of the temperature sampler: tag each doc with its
     * 24-bit draw and its language's threshold — a per-row filter against
     * a |langs|-row broadcast, shared by the batch resample and the
-    * streaming gate. */
+    * streaming gate. Unlike [[mixApply]] (whose explicit weight list
+    * DEFINES the admitted languages, so unlisted ones drop), the
+    * temperature mixture has no list — every language participates and
+    * the scarcest keeps everything. A language absent from the frozen
+    * frame (a NEW language arriving at a streaming gate between corpus
+    * versions) is therefore the scarcest case by definition: LEFT join +
+    * full-domain default keeps it entirely instead of silently
+    * discarding it (spec-pinned; `n` defaults to 0 = "not in the sized
+    * corpus"). The batch path derives thresholds from the same corpus it
+    * filters, so every lang matches and the default is inert there. */
   private[graft] def tempApply(docs: DataFrame,
       thresholds: DataFrame): DataFrame = {
     val u = conv(substring(
       md5(concat(lit("tsamp:"), col("doc_id").cast("string"))), 1, 6),
       16, 10).cast("long")
-    docs.join(broadcast(thresholds), "lang").withColumn("u", u)
+    docs.join(broadcast(thresholds), Seq("lang"), "left")
+      .withColumn("thresh", coalesce(col("thresh"), lit(TempScale)))
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("u", u)
   }
 
   /** The corpus-derived (lang, n, thresh) frame + per-doc draw for the

@@ -129,20 +129,31 @@ object Skew {
     * (partial TOP-k per partition via the distinct + window formulation,
     * merged by min-union). Same estimator, bit-identical `est_distinct`
     * to the calibrated monitor. */
+  /** The engine's per-group distinct KMV draws — ONE definition of the
+    * null-skip, the `kmv:` md5-prefix draw and the distinct, shared by
+    * the cardinality sketch and the overlap algebra (the cross-operator
+    * invariant "pair union estimate = sketch of the merged group" is
+    * only sound while both consume the same draws).
+    *
+    * NULL values are excluded from the universe up front (defined
+    * semantics, matching COUNT(DISTINCT)'s null-skip): a NULL draw
+    * would sort FIRST in Spark's window but LAST in DuckDB's, silently
+    * diverging the kth pick — and a group with only NULLs would divide
+    * by its zero exact count. Such a group simply has no row. */
+  private def kmvDraws(df: DataFrame, group: String,
+      value: Column): DataFrame = {
+    val u = conv(
+      substring(md5(concat(lit("kmv:"), value.cast(StringType))), 1, 8),
+      16, 10).cast(LongType)
+    df.filter(value.isNotNull)
+      .select(col(group).as("g"), u.as("u")).distinct()
+  }
+
   def kmvDistinctSketch(df: DataFrame, group: String, value: Column,
       k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     import org.apache.spark.sql.expressions.Window
-    // NULL values are excluded from the universe up front (defined
-    // semantics, matching COUNT(DISTINCT)'s null-skip): a NULL draw
-    // would sort FIRST in Spark's window but LAST in DuckDB's, silently
-    // diverging the kth pick — and a group with only NULLs would divide
-    // by its zero exact count. Such a group simply has no row.
-    val nn = df.filter(value.isNotNull)
-    val u = conv(
-      substring(md5(concat(lit("kmv:"), value.cast(StringType))), 1, 8),
-      16, 10).cast(LongType)
-    val draws = nn.select(col(group), u.as("u")).distinct()
+    val draws = kmvDraws(df, group, value).withColumnRenamed("g", group)
     val w = Window.partitionBy(col(group)).orderBy(col("u"))
     val kth = draws.withColumn("rn", row_number().over(w))
       .filter(col("rn") === k)
@@ -179,11 +190,7 @@ object Skew {
       k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     import org.apache.spark.sql.expressions.Window
-    val nn = df.filter(value.isNotNull)
-    val u = conv(
-      substring(md5(concat(lit("kmv:"), value.cast(StringType))), 1, 8),
-      16, 10).cast(LongType)
-    val draws = nn.select(col(group).as("g"), u.as("u")).distinct()
+    val draws = kmvDraws(df, group, value)
     val wg = Window.partitionBy(col("g")).orderBy(col("u"))
     val sk = draws.withColumn("rn", row_number().over(wg))
       .filter(col("rn") <= k).select(col("g"), col("u"))

@@ -402,14 +402,13 @@ object StatsPack {
     //      bloom-positive candidates pay the exact left_anti recheck.
     //      The oracle is the PLAIN anti-join — the bloom must be
     //      semantically invisible. ----------------------------------------
-    "j11_bloom_anti" -> ((s, d) => {
-      val right = Tables.lineitem(s, d)
-        .filter(col("l_discount") > 0.09 && col("l_quantity") >= 48)
+    "j11_bloom_anti" -> ((s, d) =>
+      // the same bloomLedger the sketch and stats rows use — ONE
+      // Spark-side predicate, so the monitor always describes THIS join
       Bloom.bloomAntiJoin(Tables.part(s, d), col("p_partkey"),
-          right, col("l_partkey"))
+          bloomLedger(s, d), col("k"))
         .select("p_partkey", "p_name")
-        .orderBy("p_partkey")
-    }),
+        .orderBy("p_partkey")),
 
     // ---- the pruning monitor: how much of the probe side the bitset
     //      removed before the shuffle, and the false-positive band the

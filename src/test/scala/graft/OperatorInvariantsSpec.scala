@@ -1549,4 +1549,20 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.count() == plain.count() &&
       got.except(plain).isEmpty && plain.except(got).isEmpty)
   }
+
+  test("bloomAntiJoin keeps NULL-key probe rows and a NULL build key " +
+    "neither throws nor poisons the filter — matching the plain anti-join") {
+    import operators.Bloom
+    import spark.implicits._
+    val left = Seq(Some(1L), Some(2L), None, Some(99L)).toDF("id")
+    val right = Seq(Some(1L), None).toDF("rid") // null build key: no bits
+    val got = Bloom.bloomAntiJoin(left, col("id"), right, col("rid"),
+        m = 64, k = 2)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted
+    val plain = left.join(right, col("id") === col("rid"), "left_anti")
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted
+    // the NULL probe row never equi-matches, so BOTH keep it (-1 marker)
+    assert(got.sameElements(plain) && got.contains(-1L),
+      s"got ${got.toSeq} want ${plain.toSeq}")
+  }
 }

@@ -330,6 +330,14 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(want.nonEmpty && got.toSet == want.toSet,
       s"stream kept ${got.size} docs, batch ${want.length}")
+    // a language ABSENT from the frozen frame (arrived between corpus
+    // versions) is the scarcest case by definition: the gate keeps ALL
+    // of it (left join + full-domain default), never silently drops it
+    import spark.implicits._
+    val novel = Seq((900001L, "tlh"), (900002L, "tlh"))
+      .toDF("doc_id", "lang")
+    val kept = DocStream.tempGate(th)(novel).collect()
+    assert(kept.length == 2, s"unseen-lang docs dropped: ${kept.toSeq}")
     th.unpersist()
   }
 
