@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, LongType}
+import org.apache.spark.sql.types.{DateType, LongType, TimestampType}
 
 /** Event-time operators beyond the reference's daily rollups
   * (db/submission_stats.py) — the two shapes every large-scale event
@@ -28,6 +28,32 @@ object EventsPack {
     * interval math). */
   val SessionGapUs: Long = 30L * 60 * 1000 * 1000
 
+  /** Incident half-window (±5 min) and the range-join cell width. The cell
+    * is exactly the FULL window span, so every interval covers at most two
+    * cells — the blocking factor is a hard constant, not data-dependent. */
+  val HalfWinUs: Long = 5L * 60 * 1000 * 1000
+  val CellUs: Long = 2 * HalfWinUs
+
+  /** The gap-session core shared by `ev_sessionize` and the sweep-line
+    * concurrency rollup: lag → boundary flag → running sum = session index,
+    * then the per-session interval. One shuffle on `user_id`; the groupBy
+    * rides the window's HashPartitioning. */
+  private[graft] def sessionIntervals(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess")).over(runW))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- gap-based sessionization --------------------------------------
     // lag → boundary flag → running sum = session index; then per-session
@@ -35,20 +61,7 @@ object EventsPack {
     // HashPartitioning(user_id) already satisfies the aggregation's
     // distribution — one shuffle total.
     "ev_sessionize" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
-        .withColumn("new_sess",
-          when(col("prev_us").isNull ||
-            unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1L)
-            .otherwise(0L))
-        .withColumn("session_idx", sum(col("new_sess")).over(runW))
-        .groupBy(col("user_id"), col("session_idx"))
-        .agg(count(lit(1)).as("n_events"),
-          min(col("ts")).as("start_ts"),
-          max(col("ts")).as("end_ts"))
+      sessionIntervals(Tables.events(s, d))
         .withColumn("duration_us",
           unix_micros(col("end_ts")) - unix_micros(col("start_ts")))
         .orderBy("user_id", "session_idx")
@@ -110,8 +123,186 @@ object EventsPack {
           col("cohort_n"),
           expr("(n_active * 1000L) div cohort_n").as("retention_permille"))
         .orderBy("cohort_day", "day_offset")
+    }),
+
+    // ---- ordered conversion funnel: signup → click → purchase ----------
+    // Per-user firsts under ORDER constraints (the click must be at or
+    // after the first signup, the purchase at or after that click) via
+    // three stacked unbounded windows over the SAME user_id partitioning —
+    // one exchange total, no self-joins. Each window min is a constant per
+    // user, so the later steps read the earlier ones as plain columns.
+    // ">= " ties count (an event at exactly the prior step's instant
+    // converts), pinned in OperatorInvariantsSpec. The DuckDB oracle takes
+    // the join road (filter + re-aggregate per step) so the two
+    // formulations check each other.
+    "ev_funnel" -> ((s, d) => funnelSummary(Tables.events(s, d))),
+
+    // ---- sweep-line peak concurrency per day ---------------------------
+    // Max concurrent sessions (any users) per calendar day: each session
+    // interval is clipped into per-day segments (explode over the days it
+    // spans — bounded by session length, not data size), every segment
+    // emits a +1 at its start and a −1 just past its inclusive end, and a
+    // running sum ordered by (time, delta) inside each day partition gives
+    // the concurrency profile; the day's MAX is order-invariant under ties
+    // (−1 before +1 means touching intervals count as concurrent —
+    // inclusive ends, spec-pinned). Scale shape: the day is the partition
+    // key, so every day sweeps independently — no global ordering, no
+    // single-partition bottleneck; a midnight-crossing session contributes
+    // a self-contained segment to each day it touches (its −1 boundary
+    // may lie past midnight but stays IN the day's partition, so the
+    // per-day running sum is closed).
+    "ev_concurrency" -> ((s, d) =>
+      dailyPeakConcurrency(Tables.events(s, d))),
+
+    // ---- no-equi-key interval join, cell-blocked -----------------------
+    // Purchases falling inside platform-wide incident windows (±5 min
+    // around each error event): there is NO join key, only the range
+    // predicate — Spark executes `p.ts BETWEEN w.lo AND w.hi` as a
+    // broadcast-nested-loop, quadratic and a non-starter once both sides
+    // are large. The scale formulation quantizes time into cells exactly
+    // one window-span wide: each window covers ≤ 2 cells (a hard constant
+    // — explode is bounded), each probe maps to exactly 1 cell, and the
+    // pair search becomes a shuffled EQUI join on the cell id (plan-pinned
+    // in PlanSpec: no nested-loop, no cartesian) followed by the exact
+    // range filter. A probe's single cell means a (window, probe) pair can
+    // match at most once — no dedup pass. The DuckDB oracle takes the
+    // naive BETWEEN join on purpose, so the blocking must be semantically
+    // invisible.
+    "j12_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val wins = incidentWindows(ev)
+      val matched = cellCandidates(wins, purchaseProbes(ev))
+        .filter(col("p_us") >= col("lo_us") && col("p_us") <= col("hi_us"))
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_purchases"))
+      wins.join(matched, Seq("win_id"), "left")
+        .select(col("win_id"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy("win_id")
+    }),
+
+    // ---- the blocking monitor: candidate volume vs true matches --------
+    // How many (window, probe) pairs the cell join surfaced, how many
+    // survived the exact range filter, and the false-candidate rate — the
+    // number that says whether the cell width is tuned. Every count is
+    // integer and the oracle replays the cell assignment itself, so the
+    // BLOCKING layer (not just the final join) is oracle-gated.
+    "j12_range_stats" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val wins = incidentWindows(ev)
+      val purch = purchaseProbes(ev)
+      val cand = cellCandidates(wins, purch)
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("p_us") >= col("lo_us") &&
+            col("p_us") <= col("hi_us"), 1L).otherwise(0L))
+            .as("n_matched"))
+      cand.crossJoin(broadcast(
+          wins.agg(count(lit(1)).as("n_windows"))))
+        .crossJoin(broadcast(
+          purch.agg(count(lit(1)).as("n_probes"))))
+        .select(col("n_windows"), col("n_probes"), col("n_candidates"),
+          col("n_matched"),
+          when(col("n_candidates") > 0,
+            expr("(n_candidates - n_matched) * 1000L div n_candidates"))
+            .otherwise(0L).as("cand_fp_permille"))
     })
   )
+
+  /** The funnel core: per-user ordered firsts via three stacked unbounded
+    * windows over one `user_id` partitioning (each window min is constant
+    * per user, so later steps read earlier ones as plain columns), then
+    * the three-row step summary. */
+  private[graft] def funnelSummary(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val perUser = ev
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("s_ts",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click" &&
+          col("ts") >= col("s_ts"), col("ts"))).over(w))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("c_ts"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("s_ts")).as("s_ts"), min(col("c_ts")).as("c_ts"),
+        min(col("p_ts")).as("p_ts"))
+    perUser.agg(count(lit(1)).as("n_users"),
+        count(col("s_ts")).as("n_signup"),
+        count(col("c_ts")).as("n_click"),
+        count(col("p_ts")).as("n_purchase"))
+      .select(explode(array(
+        struct(lit(1L).as("step"), lit("signup").as("stage"),
+          col("n_users").as("n_entered"),
+          col("n_signup").as("n_converted")),
+        struct(lit(2L).as("step"), lit("click").as("stage"),
+          col("n_signup").as("n_entered"),
+          col("n_click").as("n_converted")),
+        struct(lit(3L).as("step"), lit("purchase").as("stage"),
+          col("n_click").as("n_entered"),
+          col("n_purchase").as("n_converted")))).as("r"))
+      .select(col("r.step").as("step"), col("r.stage").as("stage"),
+        col("r.n_entered").as("n_entered"),
+        col("r.n_converted").as("n_converted"))
+      .withColumn("conv_permille",
+        when(col("n_entered") > 0,
+          expr("n_converted * 1000L div n_entered")).otherwise(0L))
+      .orderBy("step")
+  }
+
+  /** The sweep-line core: sessions clipped to per-day segments, ±1
+    * boundary rows, running sum inside each day partition, day MAX. */
+  private[graft] def dailyPeakConcurrency(ev: DataFrame): DataFrame = {
+    val seg = sessionIntervals(ev)
+      .select(unix_micros(col("start_ts")).as("lo_us"),
+        unix_micros(col("end_ts")).as("hi_us"),
+        to_date(col("start_ts")).as("start_day"),
+        to_date(col("end_ts")).as("end_day"))
+      .select(explode(sequence(col("start_day"), col("end_day")))
+        .as("day"), col("lo_us"), col("hi_us"))
+      .withColumn("day_lo", unix_micros(col("day").cast(TimestampType)))
+      .select(col("day"),
+        greatest(col("lo_us"), col("day_lo")).as("seg_lo"),
+        least(col("hi_us"), col("day_lo") + lit(86399999999L))
+          .as("seg_hi"))
+    val bounds = seg
+      .select(col("day"), col("seg_lo").as("t_us"), lit(1L).as("delta"))
+      .unionByName(seg.select(col("day"),
+        (col("seg_hi") + lit(1L)).as("t_us"), lit(-1L).as("delta")))
+    val sweep = Window.partitionBy(col("day"))
+      .orderBy(col("t_us"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.withColumn("running", sum(col("delta")).over(sweep))
+      .groupBy(col("day"))
+      .agg(max(col("running")).as("peak_concurrent"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L))
+          .as("n_sessions"))
+      .orderBy("day")
+  }
+
+  /** ±5-min incident windows around error events: `(win_id, lo_us, hi_us)`,
+    * bounds inclusive. */
+  private[graft] def incidentWindows(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"),
+        (unix_micros(col("ts")) - lit(HalfWinUs)).as("lo_us"),
+        (unix_micros(col("ts")) + lit(HalfWinUs)).as("hi_us"))
+
+  /** Purchase probes with their single cell assignment. */
+  private[graft] def purchaseProbes(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .select(unix_micros(col("ts")).as("p_us"))
+      .withColumn("cell", expr(s"p_us div ${CellUs}L"))
+
+  /** The blocking layer shared by the join and its monitor: windows
+    * exploded to their ≤ 2 covered cells, equi-joined to the probes on the
+    * cell id — candidate (window, probe) pairs BEFORE the exact range
+    * filter. A probe has exactly one cell, so no pair repeats. */
+  private[graft] def cellCandidates(wins: DataFrame,
+      probes: DataFrame): DataFrame =
+    wins.withColumn("cell", explode(sequence(
+        expr(s"lo_us div ${CellUs}L"), expr(s"hi_us div ${CellUs}L"))))
+      .join(probes, "cell")
 
   val oracles: Map[String, String] = Map(
     "ev_retention" ->
@@ -176,6 +367,122 @@ object EventsPack {
         |FROM c LEFT JOIN (SELECT click_id, view_id, view_ts FROM cand
         |                  WHERE rn = 1) m
         |  ON m.click_id = c.event_id
-        |ORDER BY click_id""".stripMargin
+        |ORDER BY click_id""".stripMargin,
+
+    // the oracle builds each step by join + re-aggregate (filter against
+    // the previous step's min, then MIN again) — independent of the
+    // engine's stacked-window formulation
+    "ev_funnel" ->
+      """WITH s AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+        |      FROM events e JOIN s USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts >= s.s_ts
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        |      GROUP BY e.user_id),
+        |agg AS (SELECT
+        |  (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+        |  (SELECT COUNT(*) FROM s) AS n_signup,
+        |  (SELECT COUNT(*) FROM c) AS n_click,
+        |  (SELECT COUNT(*) FROM p) AS n_purchase),
+        |rows_ AS (
+        |  SELECT 1 AS step, 'signup' AS stage,
+        |    n_users AS n_entered, n_signup AS n_converted FROM agg
+        |  UNION ALL SELECT 2, 'click', n_signup, n_click FROM agg
+        |  UNION ALL SELECT 3, 'purchase', n_click, n_purchase FROM agg)
+        |SELECT CAST(step AS BIGINT) AS step, stage,
+        |  CAST(n_entered AS BIGINT) AS n_entered,
+        |  CAST(n_converted AS BIGINT) AS n_converted,
+        |  CAST(CASE WHEN n_entered > 0
+        |       THEN n_converted * 1000 // n_entered ELSE 0 END AS BIGINT)
+        |    AS conv_permille
+        |FROM rows_ ORDER BY step""".stripMargin,
+
+    "ev_concurrency" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS prev_ts
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN prev_ts IS NULL
+         |           OR epoch_us(ts) - epoch_us(prev_ts) > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM g),
+         |x AS (
+         |  SELECT user_id, ts,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM m),
+         |s0 AS (SELECT user_id, session_idx,
+         |    MIN(ts) AS start_ts, MAX(ts) AS end_ts
+         |  FROM x GROUP BY user_id, session_idx),
+         |seg AS (
+         |  SELECT CAST(u.d AS DATE) AS day,
+         |    epoch_us(start_ts) AS lo_us, epoch_us(end_ts) AS hi_us
+         |  FROM s0, UNNEST(generate_series(
+         |    CAST(date_trunc('day', start_ts) AS TIMESTAMP),
+         |    CAST(date_trunc('day', end_ts) AS TIMESTAMP),
+         |    INTERVAL 1 DAY)) AS u(d)),
+         |seg2 AS (SELECT day,
+         |    GREATEST(lo_us, epoch_us(CAST(day AS TIMESTAMP))) AS seg_lo,
+         |    LEAST(hi_us, epoch_us(CAST(day AS TIMESTAMP)) + 86399999999)
+         |      AS seg_hi
+         |  FROM seg),
+         |b AS (SELECT day, seg_lo AS t_us, 1 AS delta FROM seg2
+         |  UNION ALL SELECT day, seg_hi + 1, -1 FROM seg2),
+         |r AS (SELECT day, delta,
+         |    SUM(delta) OVER (PARTITION BY day ORDER BY t_us, delta
+         |      ROWS UNBOUNDED PRECEDING) AS running
+         |  FROM b)
+         |SELECT day, CAST(MAX(running) AS BIGINT) AS peak_concurrent,
+         |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sessions
+         |FROM r GROUP BY day ORDER BY day""".stripMargin,
+
+    // the oracle takes the naive BETWEEN join — the cell blocking must be
+    // semantically invisible
+    "j12_range_join" ->
+      s"""WITH w AS (SELECT event_id AS win_id,
+         |    epoch_us(ts) - $HalfWinUs AS lo_us,
+         |    epoch_us(ts) + $HalfWinUs AS hi_us
+         |  FROM events WHERE event_type = 'error'),
+         |p AS (SELECT epoch_us(ts) AS p_us FROM events
+         |      WHERE event_type = 'purchase'),
+         |m AS (SELECT w.win_id, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM w JOIN p ON p.p_us BETWEEN w.lo_us AND w.hi_us
+         |  GROUP BY w.win_id)
+         |SELECT w.win_id, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_purchases
+         |FROM w LEFT JOIN m USING (win_id)
+         |ORDER BY win_id""".stripMargin,
+
+    // this one DOES replay the cell assignment — the blocking layer
+    // itself is oracle-gated, not just the joined result
+    "j12_range_stats" ->
+      s"""WITH w AS (SELECT event_id AS win_id,
+         |    epoch_us(ts) - $HalfWinUs AS lo_us,
+         |    epoch_us(ts) + $HalfWinUs AS hi_us
+         |  FROM events WHERE event_type = 'error'),
+         |p AS (SELECT epoch_us(ts) AS p_us FROM events
+         |      WHERE event_type = 'purchase'),
+         |wc AS (SELECT win_id, lo_us, hi_us, u.cell
+         |  FROM w, UNNEST(generate_series(lo_us // $CellUs,
+         |    hi_us // $CellUs)) AS u(cell)),
+         |pc AS (SELECT p_us, p_us // $CellUs AS cell FROM p),
+         |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |    CAST(SUM(CASE WHEN p_us BETWEEN lo_us AND hi_us
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+         |  FROM wc JOIN pc USING (cell))
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_windows,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_probes,
+         |  n_candidates, n_matched,
+         |  CAST(CASE WHEN n_candidates > 0
+         |    THEN (n_candidates - n_matched) * 1000 // n_candidates
+         |    ELSE 0 END AS BIGINT) AS cand_fp_permille
+         |FROM c""".stripMargin
   )
 }

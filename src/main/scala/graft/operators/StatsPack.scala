@@ -179,6 +179,48 @@ object StatsPack {
           col("value"), col("event_id"), buckets = 8)
         .orderBy("key")),
 
+    // ---- ROLLUP hierarchy: detail + subtotal + grand total in one pass --
+    // The OLAP dashboard's drill-down table. Spark expands the grouping
+    // sets inside a single hash aggregate (one Expand + one exchange — a
+    // row fans out once per grouping set map-side, partials combine as
+    // usual), so the hierarchy costs one shuffle, not one job per level.
+    // grouping_id() disambiguates a NULL subtotal key from a real NULL
+    // key; sums go through the exact-decimal policy so every level is
+    // bit-identical to DuckDB's ROLLUP. ----------------------------------
+    "a12_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dRevenue(col("l_extendedprice"), col("l_discount"))
+            .as("revenue"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("gid").cast(LongType).as("gid"), col("n"), col("sum_qty"),
+          col("revenue"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // ---- pivot: per-day event counts, one column per type --------------
+    // The wide-format rollup every dashboard export wants. The value list
+    // is EXPLICIT — pivot without one runs a distinct-collect job over
+    // the pivot column before planning, a hidden driver round-trip at
+    // 100 TB; with it, the plan is a single hash aggregate over
+    // conditional counts (no extra scan, no shuffle beyond the groupBy).
+    // Absent combinations zero-fill to match the oracle's FILTER counts. -
+    "a13_pivot" -> ((s, d) => {
+      val piv = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+      piv.select(col("day") +:
+          Seq("click", "error", "purchase", "signup", "view").map(t =>
+            coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy("day")
+    }),
+
     // ---- KMV distinct-count sketch per source (vocabulary monitor) -------
     // Per-source distinct word-3-gram-shingle cardinality via the
     // k-minimum-values sketch (Skew.kmvDistinct, k = 64): the
@@ -704,6 +746,38 @@ object StatsPack {
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
         | CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // GROUPING() bit order matches Spark's grouping_id() (first listed
+    // column = most significant bit); the decimal→double goes through the
+    // VARCHAR hop like every revenue mirror (DuckDB rounds the direct
+    // decimal cast differently)
+    "a12_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)
+        |   AS revenue
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin,
+
+    // the long-format conditional-count mirror of the engine's pivot
+    "a13_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+        |   AS n_click,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+        |   AS n_error,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+        |   AS n_purchase,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+        |   AS n_signup,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+        |   AS n_view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
 
     "d5_upsert" ->
       """WITH latest_e AS (

@@ -1565,4 +1565,138 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.sameElements(plain) && got.contains(-1L),
       s"got ${got.toSeq} want ${plain.toSeq}")
   }
+
+  test("ev_funnel ordering semantics: a click BEFORE the first signup " +
+    "does not convert; an event AT the prior step's instant does") {
+    import operators.EventsPack
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: clean ordered conversion
+      (1L, 1L, "signup", "2024-03-01 10:00:00"),
+      (2L, 1L, "click", "2024-03-01 10:05:00"),
+      (3L, 1L, "purchase", "2024-03-01 10:10:00"),
+      // user 2: the click PRECEDES the signup — must not count, and the
+      // later purchase has no qualifying click to follow
+      (4L, 2L, "click", "2024-03-01 09:00:00"),
+      (5L, 2L, "signup", "2024-03-01 10:00:00"),
+      (6L, 2L, "purchase", "2024-03-01 10:30:00"),
+      // user 3: every step at the SAME instant — >= ties convert
+      (7L, 3L, "signup", "2024-03-01 10:00:00"),
+      (8L, 3L, "click", "2024-03-01 10:00:00"),
+      (9L, 3L, "purchase", "2024-03-01 10:00:00"),
+      // user 4: never signed up
+      (10L, 4L, "purchase", "2024-03-01 09:00:00"))
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = EventsPack.funnelSummary(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 4L, 3L, 750L), (2L, 3L, 2L, 666L),
+      (3L, 2L, 2L, 1000L)), s"got ${got.toSeq}")
+  }
+
+  test("ev_concurrency sweep: inclusive ends (touching sessions are " +
+    "concurrent) and a midnight-crossing session counts on both days") {
+    import operators.EventsPack
+    import spark.implicits._
+    def ev(rows: Seq[(Long, Long, String)]) =
+      rows.map { case (id, u, t) => (id, u, "view", t) }
+        .toDF("event_id", "user_id", "event_type", "ts_s")
+        .withColumn("ts", col("ts_s").cast("timestamp"))
+    // day 1: u1 [10:00,10:10], u2 [10:05,10:05], u5 [10:04,10:06] → peak 3
+    // at 10:05; u3 [10:10,10:10] touches u1's END exactly; u4 spans
+    // midnight (23:50 → 00:05, 15-min gap = one session)
+    val df = ev(Seq(
+      (1L, 1L, "2024-03-01 10:00:00"), (2L, 1L, "2024-03-01 10:10:00"),
+      (3L, 2L, "2024-03-01 10:05:00"),
+      (4L, 5L, "2024-03-01 10:04:00"), (5L, 5L, "2024-03-01 10:06:00"),
+      (6L, 3L, "2024-03-01 10:10:00"),
+      (7L, 4L, "2024-03-01 23:50:00"), (8L, 4L, "2024-03-02 00:05:00")))
+    val got = EventsPack.dailyPeakConcurrency(df).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("2024-03-01", 3L, 5L), ("2024-03-02", 1L, 1L)),
+      s"got ${got.toSeq}")
+    // the touching pair in isolation: u1 ends at the exact instant u3's
+    // session starts — inclusive ends make that instant concurrent
+    val touch = ev(Seq(
+      (1L, 1L, "2024-03-01 10:00:00"), (2L, 1L, "2024-03-01 10:10:00"),
+      (3L, 3L, "2024-03-01 10:10:00"), (4L, 3L, "2024-03-01 10:15:00")))
+    val t = EventsPack.dailyPeakConcurrency(touch).collect()
+    assert(t.length == 1 && t.head.getLong(1) == 2L,
+      s"touching sessions not concurrent: ${t.toSeq}")
+  }
+
+  test("j12 range join: window bounds are inclusive to the microsecond, " +
+    "and the cell-blocked join equals the naive BETWEEN join") {
+    import operators.EventsPack
+    import spark.implicits._
+    // boundary pins: window around 12:00 is [11:55:00.000000,
+    // 12:05:00.000000]; probes a microsecond outside must not match
+    val b = Seq(
+      (1L, "error", "2024-03-01 12:00:00"),
+      (2L, "purchase", "2024-03-01 11:54:59.999999"),
+      (3L, "purchase", "2024-03-01 11:55:00"),
+      (4L, "purchase", "2024-03-01 12:05:00"),
+      (5L, "purchase", "2024-03-01 12:05:00.000001"))
+      .toDF("event_id", "event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val winsB = EventsPack.incidentWindows(b)
+    val matchedB = EventsPack.cellCandidates(winsB,
+        EventsPack.purchaseProbes(b))
+      .filter(col("p_us") >= col("lo_us") && col("p_us") <= col("hi_us"))
+    assert(matchedB.count() == 2L,
+      s"inclusive-bound match count: ${matchedB.count()}")
+    // equivalence on a deterministic pseudo-random layout (at test scale
+    // the naive cross join is affordable; at data scale it is not — that
+    // asymmetry is the operator's whole point)
+    val big = (0 until 300).map { i =>
+      val t = (i * 7919L) % 86400
+      val typ = if (i < 30) "error" else "purchase"
+      (i.toLong, typ,
+        f"2024-03-01 ${t / 3600}%02d:${t % 3600 / 60}%02d:${t % 60}%02d")
+    }.toDF("event_id", "event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val wins = EventsPack.incidentWindows(big)
+    val probes = EventsPack.purchaseProbes(big)
+    val blocked = EventsPack.cellCandidates(wins, probes)
+      .filter(col("p_us") >= col("lo_us") && col("p_us") <= col("hi_us"))
+      .groupBy("win_id").count()
+    val naive = wins.crossJoin(probes.select(col("p_us")))
+      .filter(col("p_us") >= col("lo_us") && col("p_us") <= col("hi_us"))
+      .groupBy("win_id").count()
+    assert(blocked.except(naive).isEmpty && naive.except(blocked).isEmpty,
+      "cell blocking changed the join result")
+  }
+
+  test("a12_rollup hierarchy is self-consistent: subtotals and the grand " +
+    "total aggregate their detail rows") {
+    val rows = run("a12_rollup").collect().map(r =>
+      (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val detail = rows.filter(_._3 == 0L)
+    val subs = rows.filter(_._3 == 1L)
+    val grand = rows.filter(_._3 == 3L)
+    assert(grand.length == 1 &&
+      grand.head._4 == detail.map(_._4).sum, "grand-total count")
+    for ((flag, _, _, n, qty) <- subs) {
+      val d = detail.filter(_._1 == flag)
+      assert(n == d.map(_._4).sum, s"subtotal count for $flag")
+      assert(math.abs(qty - d.map(_._5).sum) < 1e-6 * math.abs(qty),
+        s"subtotal qty for $flag")
+    }
+    // subtotal rows carry NULL in the aggregated position, gid says why
+    assert(subs.forall(_._2.isEmpty) && grand.head._1.isEmpty)
+  }
+
+  test("a13_pivot row sums equal the per-day event totals (zero-fill, " +
+    "no drops)") {
+    val piv = run("a13_pivot").collect()
+      .map(r => (r.getDate(0).toString,
+        r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) +
+          r.getLong(5)))
+    val tot = Tables.events(spark, sfTiny)
+      .groupBy(to_date(col("ts")).as("day")).count().collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(piv.nonEmpty && piv.forall { case (d, s) => tot(d) == s },
+      "pivot row sums diverge from daily totals")
+  }
 }

@@ -448,4 +448,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1) Filter"),
       s"bloom probe fell out of codegen:\n$plan")
   }
+
+  test("j12_range_join: the interval predicate runs as a cell EQUI join — " +
+    "no nested-loop, no cartesian, anywhere in the plan") {
+    // a naive `p.ts BETWEEN w.lo AND w.hi` with no equi key can only run
+    // as BroadcastNestedLoopJoin (quadratic once both sides are large);
+    // the cell quantization must turn EVERY join in the plan into a hash
+    // or sort-merge equi join. (The _stats twin is exempt from the strict
+    // form: its final assembly crossJoins two broadcast ONE-ROW count
+    // frames — the established monitor pattern — which plan as nested
+    // loops over single rows; its data-sized candidate join is the same
+    // shared cell join pinned here.)
+    val plan = planText(run("j12_range_join"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"j12_range_join: non-equi join shape survived:\n$plan")
+  }
 }
