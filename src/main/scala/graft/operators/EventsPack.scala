@@ -141,11 +141,14 @@ object EventsPack {
     // Max concurrent sessions (any users) per calendar day: each session
     // interval is clipped into per-day segments (explode over the days it
     // spans — bounded by session length, not data size), every segment
-    // emits a +1 at its start and a −1 just past its inclusive end, and a
-    // running sum ordered by (time, delta) inside each day partition gives
-    // the concurrency profile; the day's MAX is order-invariant under ties
-    // (−1 before +1 means touching intervals count as concurrent —
-    // inclusive ends, spec-pinned). Scale shape: the day is the partition
+    // emits a +1 at its start and a −1 just past its inclusive end (the
+    // `seg_hi + 1` encoding IS what makes touching intervals concurrent:
+    // a session ending at t still holds its slot when another starts at t,
+    // spec-pinned), and a running sum ordered by (time, delta) inside each
+    // day partition gives the concurrency profile. The (t, delta) tie
+    // order sorts −1 before +1, which correctly keeps a segment ending at
+    // t−1 apart from one starting at t — and makes the day's MAX
+    // order-invariant under ties. Scale shape: the day is the partition
     // key, so every day sweeps independently — no global ordering, no
     // single-partition bottleneck; a midnight-crossing session contributes
     // a self-contained segment to each day it touches (its −1 boundary
@@ -265,10 +268,16 @@ object EventsPack {
         greatest(col("lo_us"), col("day_lo")).as("seg_lo"),
         least(col("hi_us"), col("day_lo") + lit(86399999999L))
           .as("seg_hi"))
-    val bounds = seg
-      .select(col("day"), col("seg_lo").as("t_us"), lit(1L).as("delta"))
-      .unionByName(seg.select(col("day"),
-        (col("seg_hi") + lit(1L)).as("t_us"), lit(-1L).as("delta")))
+    // both boundary rows explode out of ONE pass over the segments — a
+    // union of two selects would re-run the whole sessionize-and-clip
+    // chain (lag window, running sum, groupBy, day explode) per branch;
+    // exchange reuse only dedups the shuffle below it
+    val bounds = seg.select(col("day"), explode(array(
+        struct(col("seg_lo").as("t_us"), lit(1L).as("delta")),
+        struct((col("seg_hi") + lit(1L)).as("t_us"),
+          lit(-1L).as("delta")))).as("b"))
+      .select(col("day"), col("b.t_us").as("t_us"),
+        col("b.delta").as("delta"))
     val sweep = Window.partitionBy(col("day"))
       .orderBy(col("t_us"), col("delta"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

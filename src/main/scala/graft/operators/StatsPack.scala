@@ -20,6 +20,13 @@ import org.apache.spark.sql.types._
   */
 object StatsPack {
 
+  /** The event-type vocabulary — ONE definition for every wide-format
+    * rollup (`t2_stats_series` per-type counts, `a13_pivot`'s explicit
+    * value list and zero-fill): adding a type is a one-site edit, and the
+    * pivot's value list can never diverge from its own column selection. */
+  private[graft] val EventTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+
   /** Count-Min grid shape for `sk_cms_freq`: 4 independent md5-derived
     * rows × 4096 buckets — 16k longs of state (always broadcastable),
     * ε = e/4096 ≈ 0.066% of the stream length per estimate at δ = e⁻⁴:
@@ -83,7 +90,7 @@ object StatsPack {
 
     // ---- per-day series for charting: epoch ms + per-type counts (T2) ----
     "t2_stats_series" -> ((s, d) => {
-      val types = Seq("click", "error", "purchase", "signup", "view")
+      val types = EventTypes
       val perType = types.map(t =>
         count(when(col("event_type") === t, 1)).as(s"n_$t"))
       Tables.events(s, d)
@@ -212,12 +219,10 @@ object StatsPack {
       val piv = Tables.events(s, d)
         .select(to_date(col("ts")).as("day"), col("event_type"))
         .groupBy(col("day"))
-        .pivot("event_type",
-          Seq("click", "error", "purchase", "signup", "view"))
+        .pivot("event_type", EventTypes)
         .agg(count(lit(1)))
-      piv.select(col("day") +:
-          Seq("click", "error", "purchase", "signup", "view").map(t =>
-            coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      piv.select(col("day") +: EventTypes.map(t =>
+          coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
         .orderBy("day")
     }),
 
