@@ -19,7 +19,8 @@ object SparkEntry {
     (operators.EventsPack.queries, operators.EventsPack.oracles),
     (operators.MLPack.queries, operators.MLPack.oracles),
     (operators.MultimodalPack.queries, operators.MultimodalPack.oracles),
-    (operators.PipelinePack.queries, operators.PipelinePack.oracles)
+    (operators.PipelinePack.queries, operators.PipelinePack.oracles),
+    (operators.LayoutPack.queries, operators.LayoutPack.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

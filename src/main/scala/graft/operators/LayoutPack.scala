@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Data-LAYOUT operators: multi-dimensional clustering of a table's file
+  * layout and the pruning monitor that justifies it.
+  *
+  * At 100 TB the scan is won or lost before the first task runs: parquet
+  * footers carry per-file min/max ranges, and the planner skips files whose
+  * range misses the predicate. A single-column sort prunes that column
+  * only — a file layout sorted by `l_partkey` is useless to a
+  * `l_suppkey`-only predicate (every file spans the whole suppkey domain).
+  * Z-ORDER interleaves the bits of BOTH keys into one Morton code, so
+  * sorting by it keeps files tight in every interleaved dimension at once:
+  * a d-dim box predicate touches O(N^(1−1/d)) of the files instead of all
+  * of them (Morton 1966; the Delta Lake / Iceberg `Z-ORDER BY` layout).
+  *
+  * The Morton code is pure integer bit arithmetic — engine-replayable
+  * bit-for-bit, so the LAYOUT (file boundaries and each file's min/max
+  * zone map, not just some downstream query) is oracle-gated. The gate
+  * assigns files with `ntile` over one global z sort — a deliberate
+  * verification shape (DuckDB replays it literally); a production rewrite
+  * is `repartitionByRange(F, z) + sortWithinPartitions(z)`, the same
+  * layout up to sampled boundary placement, with no single-partition
+  * window. The spec pins the property BOTH assignments share — every
+  * file owns a contiguous, non-overlapping z range — and that the
+  * production path preserves row totals.
+  */
+object LayoutPack {
+
+  /** Bits per dimension of the interleave; the code spans 42 bits —
+    * Long-safe with headroom. Each key is range-NORMALIZED to this budget
+    * before interleaving (`key · 2^21 div (max+1)`): raw interleaving
+    * hands all significance to the wider column's high bits (lineitem's
+    * partkey domain is 20× the suppkey domain, so the top sort levels
+    * would all be partkey bits and the suppkey zone maps stay loose —
+    * measured 53/64 files touched by the sk-only probe raw vs 17/64
+    * normalized at sf0.01, with the pk-box probe improving 9 → 6).
+    * Range scaling is the same move production Z-ORDER implementations
+    * make before interleaving. */
+  private[graft] val ZBits = 21
+
+  /** Target file count of the layout rewrite. */
+  private[graft] val ZFiles = 64
+
+  /** Morton interleave of two non-negative keys (x even bits, y odd):
+    * an unrolled 2·[[ZBits]]-term sum of shift/mask/scale terms — plain
+    * codegen'd integer expression work, no UDF, no loop at runtime. */
+  private[graft] def zvalue(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftright(x.cast(LongType), i).bitwiseAND(lit(1L)) *
+        lit(1L << (2 * i)) +
+        shiftright(y.cast(LongType), i).bitwiseAND(lit(1L)) *
+          lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** The same interleave as DuckDB SQL, unrolled identically. */
+  private[graft] def zvalueSql(x: String, y: String): String =
+    (0 until ZBits).map { i =>
+      s"((CAST($x AS BIGINT) >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"((CAST($y AS BIGINT) >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** Per-file zone maps under an `ntile(F)`-over-total-order layout:
+    * `(file_id, n_rows, min/max of both keys)`. Ties in `order` are rows
+    * with identical keys (the Morton code is a bijection of the pair), so
+    * zone maps and file sizes are deterministic even though tile
+    * membership of tied rows is not. */
+  private def zoneMaps(rows: DataFrame, order: Column): DataFrame =
+    rows.withColumn("file_id",
+        ntile(ZFiles).over(Window.orderBy(order)).cast(LongType))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
+        min(col("sk")).as("min_sk"), max(col("sk")).as("max_sk"))
+
+  private def keyed(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+
+  /** Keys range-normalized to the [[ZBits]] budget: `zpk`/`zsk` in
+    * [0, 2^21), integer-exact (`k · 2^21 div (max+1)` — the product stays
+    * under 2^63 for any key below 2^42). The max join is a broadcast
+    * 1-row frame; the oracle replays the same normalization. */
+  private[graft] def normalizedKeys(rows: DataFrame): DataFrame =
+    rows.crossJoin(broadcast(
+        rows.agg(max(col("pk")).as("pmax"), max(col("sk")).as("smax"))))
+      .withColumn("zpk", expr(s"pk * ${1L << ZBits}L div (pmax + 1L)"))
+      .withColumn("zsk", expr(s"sk * ${1L << ZBits}L div (smax + 1L)"))
+
+  /** Count of files whose zone map intersects `[plo,phi] × [slo,shi]`
+    * (NULL bound = unbounded side); evaluated against the current frame's
+    * `min_pk`/`max_pk`/`min_sk`/`max_sk` columns. */
+  private def touched(plo: Column, phi: Column,
+      slo: Column, shi: Column): Column =
+    sum(when(
+      (plo.isNull || col("max_pk") >= plo) &&
+        (phi.isNull || col("min_pk") <= phi) &&
+        (slo.isNull || col("max_sk") >= slo) &&
+        (shi.isNull || col("min_sk") <= shi), 1L).otherwise(0L))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- the z-ordered layout's zone maps -------------------------------
+    // 64 files over lineitem clustered by interleave(l_partkey,
+    // l_suppkey). The OUTPUT is the zone map a planner prunes with — the
+    // layout itself is what's oracle-checked.
+    "io_zorder_layout" -> ((s, d) =>
+      zoneMaps(normalizedKeys(keyed(s, d)),
+          zvalue(col("zpk"), col("zsk")))
+        .orderBy("file_id")),
+
+    // ---- the pruning monitor: z-order vs single-column sort -------------
+    // Two layouts × two predicate shapes, counted against the same zone
+    // maps a real planner would consult:
+    //   pk_box  — a centered ~10% × ~10% box on (partkey, suppkey)
+    //   sk_only — a ~10% suppkey range with partkey UNBOUNDED (the query
+    //             a partkey-sorted layout cannot prune at all)
+    // Bounds derive from the data's own max keys (scale-invariant integer
+    // per-mille arithmetic, replayed by the oracle). The monitor is the
+    // justification artifact: linear wins nothing on sk_only (64/64
+    // touched), z-order prunes BOTH shapes.
+    "io_zorder_prune" -> ((s, d) => {
+      val rows = keyed(s, d)
+      val zMaps = zoneMaps(normalizedKeys(rows),
+        zvalue(col("zpk"), col("zsk")))
+      val linMaps = zoneMaps(rows, struct(col("pk"), col("sk")))
+      val b = broadcast(rows.agg(max(col("pk")).as("pmax"),
+        max(col("sk")).as("smax")))
+      def bounds(m: DataFrame) = m.crossJoin(b)
+        .withColumn("plo", expr("pmax * 450L div 1000"))
+        .withColumn("phi", expr("pmax * 550L div 1000"))
+        .withColumn("slo", expr("smax * 450L div 1000"))
+        .withColumn("shi", expr("smax * 550L div 1000"))
+      val z = bounds(zMaps).agg(
+        count(lit(1)).as("n_files"),
+        touched(col("plo"), col("phi"), col("slo"), col("shi"))
+          .as("z_pk_box"),
+        touched(lit(null), lit(null), col("slo"), col("shi"))
+          .as("z_sk_only"))
+      val lin = bounds(linMaps).agg(
+        touched(col("plo"), col("phi"), col("slo"), col("shi"))
+          .as("lin_pk_box"),
+        touched(lit(null), lit(null), col("slo"), col("shi"))
+          .as("lin_sk_only"))
+      z.crossJoin(broadcast(lin))
+        .select(col("n_files"), col("z_pk_box"), col("z_sk_only"),
+          col("lin_pk_box"), col("lin_sk_only"))
+    })
+  )
+
+  private val zSql = zvalueSql("zpk", "zsk")
+
+  /** The keyed + normalized CTE pair shared by both oracles. */
+  private val normSql =
+    s"""keyed AS (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+       |norm AS (SELECT pk, sk,
+       |    pk * ${1L << ZBits} // ((SELECT MAX(pk) FROM keyed) + 1)
+       |      AS zpk,
+       |    sk * ${1L << ZBits} // ((SELECT MAX(sk) FROM keyed) + 1)
+       |      AS zsk
+       |  FROM keyed)""".stripMargin
+
+  private val layoutSql =
+    s"""WITH $normSql,
+       |tiled AS (SELECT pk, sk,
+       |    ntile($ZFiles) OVER (ORDER BY $zSql) AS file_id
+       |  FROM norm)
+       |SELECT CAST(file_id AS BIGINT) AS file_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+       |  MIN(sk) AS min_sk, MAX(sk) AS max_sk
+       |FROM tiled GROUP BY file_id ORDER BY file_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "io_zorder_layout" -> layoutSql,
+
+    "io_zorder_prune" ->
+      s"""WITH $normSql,
+         |bounds AS (SELECT MAX(pk) * 450 // 1000 AS plo,
+         |    MAX(pk) * 550 // 1000 AS phi,
+         |    MAX(sk) * 450 // 1000 AS slo,
+         |    MAX(sk) * 550 // 1000 AS shi
+         |  FROM keyed),
+         |zt AS (SELECT pk, sk,
+         |    ntile($ZFiles) OVER (ORDER BY $zSql) AS file_id FROM norm),
+         |zm AS (SELECT file_id, MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+         |    MIN(sk) AS min_sk, MAX(sk) AS max_sk
+         |  FROM zt GROUP BY file_id),
+         |lt AS (SELECT pk, sk,
+         |    ntile($ZFiles) OVER (ORDER BY pk, sk) AS file_id FROM keyed),
+         |lm AS (SELECT file_id, MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+         |    MIN(sk) AS min_sk, MAX(sk) AS max_sk
+         |  FROM lt GROUP BY file_id)
+         |SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zm) AS n_files,
+         |  (SELECT CAST(SUM(CASE WHEN max_pk >= plo AND min_pk <= phi
+         |     AND max_sk >= slo AND min_sk <= shi THEN 1 ELSE 0 END)
+         |     AS BIGINT) FROM zm, bounds) AS z_pk_box,
+         |  (SELECT CAST(SUM(CASE WHEN max_sk >= slo AND min_sk <= shi
+         |     THEN 1 ELSE 0 END) AS BIGINT) FROM zm, bounds) AS z_sk_only,
+         |  (SELECT CAST(SUM(CASE WHEN max_pk >= plo AND min_pk <= phi
+         |     AND max_sk >= slo AND min_sk <= shi THEN 1 ELSE 0 END)
+         |     AS BIGINT) FROM lm, bounds) AS lin_pk_box,
+         |  (SELECT CAST(SUM(CASE WHEN max_sk >= slo AND min_sk <= shi
+         |     THEN 1 ELSE 0 END) AS BIGINT) FROM lm, bounds)
+         |    AS lin_sk_only""".stripMargin
+  )
+}

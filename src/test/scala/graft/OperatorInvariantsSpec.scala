@@ -1687,6 +1687,51 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(subs.forall(_._2.isEmpty) && grand.head._1.isEmpty)
   }
 
+  test("z-order layout: files own contiguous non-overlapping z ranges " +
+    "under BOTH the gate's ntile assignment and the production " +
+    "repartitionByRange path, which also preserves row totals") {
+    import operators.LayoutPack
+    import org.apache.spark.sql.expressions.Window
+    val rows = LayoutPack.normalizedKeys(
+      Tables.lineitem(spark, sfTiny)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")))
+      .withColumn("z", LayoutPack.zvalue(col("zpk"), col("zsk")))
+    def assertContiguous(maps: Array[(Long, Long, Long)], label: String)
+        : Unit = {
+      val sorted = maps.sortBy(_._1)
+      for (Array((_, _, hi), (_, lo, _)) <- sorted.sliding(2)
+          .map(_.toArray))
+        assert(hi <= lo, s"$label: overlapping file z ranges")
+    }
+    // gate shape: ntile over the total z order
+    val ntiled = rows.withColumn("f",
+        ntile(64).over(Window.orderBy(col("z"))).cast("long"))
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ntiled.length == 64)
+    assertContiguous(ntiled, "ntile")
+    // production shape: range partition + local sort, no global window
+    val parted = rows.repartitionByRange(64, col("z"))
+      .sortWithinPartitions(col("z"))
+      .withColumn("f", spark_partition_id().cast("long"))
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+    assertContiguous(parted.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))), "repartitionByRange")
+    assert(parted.map(_.getLong(3)).sum == rows.count(),
+      "production layout dropped rows")
+    // and the monitor's headline: the partkey-sorted layout cannot prune
+    // the suppkey-only probe at all; z-order prunes both shapes
+    val p = run("io_zorder_prune").collect().head
+    val (nf, zbox, zsk, lbox, lsk) =
+      (p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3), p.getLong(4))
+    assert(lsk == nf, "linear layout unexpectedly pruned the sk-only probe")
+    assert(zsk < nf / 2, s"z-order sk-only pruning too weak: $zsk/$nf")
+    assert(zbox < nf / 4 && lbox < nf / 4,
+      s"pk-box pruning broken: z=$zbox lin=$lbox")
+  }
+
   test("a13_pivot row sums equal the per-day event totals (zero-fill, " +
     "no drops)") {
     val piv = run("a13_pivot").collect()
