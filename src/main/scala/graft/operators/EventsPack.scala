@@ -137,6 +137,28 @@ object EventsPack {
     // formulations check each other.
     "ev_funnel" -> ((s, d) => funnelSummary(Tables.events(s, d))),
 
+    // ---- event-type transition matrix -----------------------------------
+    // First-order behavioural model: counts of (previous type → type)
+    // steps per user timeline, with a START pseudo-state for each user's
+    // first event, and each cell's row-normalized per-mille. One shuffle
+    // on user_id for the lag; the matrix itself is |types+1|² rows, and
+    // the row normalizer is a window over that tiny frame — at any scale
+    // the heavy part is exactly the one partition-and-sort the lag needs.
+    "ev_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cells = Tables.events(s, d)
+        .withColumn("prev_type",
+          coalesce(lag(col("event_type"), 1).over(w), lit("START")))
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val rowW = Window.partitionBy(col("prev_type"))
+      cells.withColumn("row_n", sum(col("n")).over(rowW))
+        .select(col("prev_type"), col("event_type"), col("n"),
+          expr("n * 1000L div row_n").as("permille"))
+        .orderBy("prev_type", "event_type")
+    }),
+
     // ---- sweep-line peak concurrency per day ---------------------------
     // Max concurrent sessions (any users) per calendar day: each session
     // interval is clipped into per-day segments (explode over the days it
@@ -377,6 +399,20 @@ object EventsPack {
         |                  WHERE rn = 1) m
         |  ON m.click_id = c.event_id
         |ORDER BY click_id""".stripMargin,
+
+    "ev_transitions" ->
+      """WITH t AS (SELECT user_id,
+        |    COALESCE(lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id), 'START') AS prev_type,
+        |    event_type
+        |  FROM events),
+        |cells AS (SELECT prev_type, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t GROUP BY prev_type, event_type)
+        |SELECT prev_type, event_type, n,
+        |  CAST(n * 1000 // SUM(n) OVER (PARTITION BY prev_type)
+        |    AS BIGINT) AS permille
+        |FROM cells ORDER BY prev_type, event_type""".stripMargin,
 
     // the oracle builds each step by join + re-aggregate (filter against
     // the previous step's min, then MIN again) — independent of the

@@ -186,6 +186,30 @@ object StatsPack {
           col("value"), col("event_id"), buckets = 8)
         .orderBy("key")),
 
+    // ---- fixed-width histogram over the value column --------------------
+    // 20 equal-width bins between the data's own min and max. The one
+    // float step is floor(value·1000) — IEEE-exact and identical in both
+    // engines — after which everything is integer: width = span div 20
+    // + 1 (so the max lands in bin 19, never 20), bin = (v − lo) div
+    // width. Plain double division into bins would be bit-identical too,
+    // but a boundary value's bin would hinge on the last ulp of a
+    // quotient — the integer domain makes the edges part of the SPEC.
+    // Scale shape: one broadcast 1-row min/max pass, then a map-side
+    // groupBy on (type, bin) — a ≤ 20·|types|-row result, no sort until
+    // presentation. -------------------------------------------------------
+    "a14_histogram" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 1000).cast(LongType).as("v"))
+      ev.crossJoin(broadcast(
+          ev.agg(min(col("v")).as("vlo"), max(col("v")).as("vhi"))))
+        .withColumn("width", expr("(vhi - vlo) div 20 + 1L"))
+        .withColumn("bin", expr("(v - vlo) div width"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")
+    }),
+
     // ---- ROLLUP hierarchy: detail + subtotal + grand total in one pass --
     // The OLAP dashboard's drill-down table. Spark expands the grouping
     // sets inside a single hash aggregate (one Expand + one exchange — a
@@ -751,6 +775,16 @@ object StatsPack {
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
         | CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a14_histogram" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v FROM events),
+        |b AS (SELECT MIN(v) AS vlo,
+        |    (MAX(v) - MIN(v)) // 20 + 1 AS width FROM v)
+        |SELECT event_type, (v - vlo) // width AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM v, b GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
 
     // GROUPING() bit order matches Spark's grouping_id() (first listed
     // column = most significant bit); the decimal→double goes through the

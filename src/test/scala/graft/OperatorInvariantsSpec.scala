@@ -1732,6 +1732,29 @@ class OperatorInvariantsSpec extends SparkSpec {
       s"pk-box pruning broken: z=$zbox lin=$lbox")
   }
 
+  test("a14_histogram: bins stay inside [0,20), masses add to the row " +
+    "count, and ev_transitions rows conserve events and normalize") {
+    val h = run("a14_histogram").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val total = Tables.events(spark, sfTiny).count()
+    assert(h.forall { case (b, _) => b >= 0 && b < 20 })
+    assert(h.map(_._2).sum == total, "histogram dropped rows")
+    val t = run("ev_transitions").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(t.map(_._2).sum == total, "transition cells dropped events")
+    // floor-division per-milles: each row's cells sum to ≤ 1000 and
+    // within |types| of it (one floor loss per cell)
+    for ((prev, g) <- t.groupBy(_._1)) {
+      val pm = g.map(_._3).sum
+      assert(pm <= 1000 && pm > 1000 - g.length,
+        s"row $prev permille sum $pm")
+    }
+    // every user's first event feeds START exactly once
+    val users = Tables.events(spark, sfTiny)
+      .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(t.filter(_._1 == "START").map(_._2).sum == users)
+  }
+
   test("a13_pivot row sums equal the per-day event totals (zero-fill, " +
     "no drops)") {
     val piv = run("a13_pivot").collect()
