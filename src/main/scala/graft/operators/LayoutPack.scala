@@ -66,13 +66,17 @@ object LayoutPack {
     }.mkString(" + ")
 
   /** Per-file zone maps under an `ntile(F)`-over-total-order layout:
-    * `(file_id, n_rows, min/max of both keys)`. Ties in `order` are rows
-    * with identical keys (the Morton code is a bijection of the pair), so
-    * zone maps and file sizes are deterministic even though tile
-    * membership of tied rows is not. */
-  private def zoneMaps(rows: DataFrame, order: Column): DataFrame =
+    * `(file_id, n_rows, min/max of both keys)`. Callers append the RAW
+    * key pair to the sort after the clustering key: normalization is
+    * non-injective once a key domain exceeds 2^[[ZBits]] (partkey does
+    * at sf ≳ 11), so z ties can then span rows with DIFFERENT raw keys —
+    * tile membership of such ties would be engine-dependent and the
+    * min/max zone maps would flap. The explicit (…, pk, sk) tiebreak
+    * makes the total order — and therefore every file's zone map —
+    * deterministic at any scale. */
+  private def zoneMaps(rows: DataFrame, order: Column*): DataFrame =
     rows.withColumn("file_id",
-        ntile(ZFiles).over(Window.orderBy(order)).cast(LongType))
+        ntile(ZFiles).over(Window.orderBy(order: _*)).cast(LongType))
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
@@ -82,15 +86,25 @@ object LayoutPack {
     Tables.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
 
+  /** The broadcast 1-row max frame both the normalization and the prune
+    * monitor's probe bounds derive from — built ONCE per query so
+    * Spark's exchange reuse collapses the two consumers onto a single
+    * aggregate execution. */
+  private def keyMaxes(rows: DataFrame): DataFrame =
+    broadcast(rows.agg(max(col("pk")).as("pmax"), max(col("sk")).as("smax")))
+
   /** Keys range-normalized to the [[ZBits]] budget: `zpk`/`zsk` in
     * [0, 2^21), integer-exact (`k · 2^21 div (max+1)` — the product stays
-    * under 2^63 for any key below 2^42). The max join is a broadcast
-    * 1-row frame; the oracle replays the same normalization. */
-  private[graft] def normalizedKeys(rows: DataFrame): DataFrame =
-    rows.crossJoin(broadcast(
-        rows.agg(max(col("pk")).as("pmax"), max(col("sk")).as("smax"))))
+    * under 2^63 for any key below 2^42). The oracle replays the same
+    * normalization. */
+  private[graft] def normalizedKeys(rows: DataFrame,
+      maxes: DataFrame): DataFrame =
+    rows.crossJoin(maxes)
       .withColumn("zpk", expr(s"pk * ${1L << ZBits}L div (pmax + 1L)"))
       .withColumn("zsk", expr(s"sk * ${1L << ZBits}L div (smax + 1L)"))
+
+  private[graft] def normalizedKeys(rows: DataFrame): DataFrame =
+    normalizedKeys(rows, keyMaxes(rows))
 
   /** Count of files whose zone map intersects `[plo,phi] × [slo,shi]`
     * (NULL bound = unbounded side); evaluated against the current frame's
@@ -110,7 +124,7 @@ object LayoutPack {
     // layout itself is what's oracle-checked.
     "io_zorder_layout" -> ((s, d) =>
       zoneMaps(normalizedKeys(keyed(s, d)),
-          zvalue(col("zpk"), col("zsk")))
+          zvalue(col("zpk"), col("zsk")), col("pk"), col("sk"))
         .orderBy("file_id")),
 
     // ---- the pruning monitor: z-order vs single-column sort -------------
@@ -125,11 +139,12 @@ object LayoutPack {
     // touched), z-order prunes BOTH shapes.
     "io_zorder_prune" -> ((s, d) => {
       val rows = keyed(s, d)
-      val zMaps = zoneMaps(normalizedKeys(rows),
-        zvalue(col("zpk"), col("zsk")))
-      val linMaps = zoneMaps(rows, struct(col("pk"), col("sk")))
-      val b = broadcast(rows.agg(max(col("pk")).as("pmax"),
-        max(col("sk")).as("smax")))
+      // ONE max frame: normalization and the probe bounds share its
+      // broadcast, so exchange reuse runs the aggregate once
+      val b = keyMaxes(rows)
+      val zMaps = zoneMaps(normalizedKeys(rows, b),
+        zvalue(col("zpk"), col("zsk")), col("pk"), col("sk"))
+      val linMaps = zoneMaps(rows, col("pk"), col("sk"))
       def bounds(m: DataFrame) = m.crossJoin(b)
         .withColumn("plo", expr("pmax * 450L div 1000"))
         .withColumn("phi", expr("pmax * 550L div 1000"))
@@ -167,7 +182,7 @@ object LayoutPack {
   private val layoutSql =
     s"""WITH $normSql,
        |tiled AS (SELECT pk, sk,
-       |    ntile($ZFiles) OVER (ORDER BY $zSql) AS file_id
+       |    ntile($ZFiles) OVER (ORDER BY $zSql, pk, sk) AS file_id
        |  FROM norm)
        |SELECT CAST(file_id AS BIGINT) AS file_id,
        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -186,7 +201,8 @@ object LayoutPack {
          |    MAX(sk) * 550 // 1000 AS shi
          |  FROM keyed),
          |zt AS (SELECT pk, sk,
-         |    ntile($ZFiles) OVER (ORDER BY $zSql) AS file_id FROM norm),
+         |    ntile($ZFiles) OVER (ORDER BY $zSql, pk, sk) AS file_id
+         |  FROM norm),
          |zm AS (SELECT file_id, MIN(pk) AS min_pk, MAX(pk) AS max_pk,
          |    MIN(sk) AS min_sk, MAX(sk) AS max_sk
          |  FROM zt GROUP BY file_id),

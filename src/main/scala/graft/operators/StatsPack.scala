@@ -27,6 +27,13 @@ object StatsPack {
   private[graft] val EventTypes =
     Seq("click", "error", "purchase", "signup", "view")
 
+  /** The oracle-side image of [[EventTypes]]: one `COUNT(*) FILTER` column
+    * per type, named `n_<type>` like the Spark side. */
+  private def typeFilterCols(): String =
+    EventTypes.map(t =>
+      s" CAST(COUNT(*) FILTER (WHERE event_type = '$t') AS BIGINT)" +
+        s" AS n_$t").mkString(",\n")
+
   /** Count-Min grid shape for `sk_cms_freq`: 4 independent md5-derived
     * rows × 4096 buckets — 16k longs of state (always broadcastable),
     * ε = e/4096 ≈ 0.066% of the stream length per estimate at δ = e⁻⁴:
@@ -540,15 +547,14 @@ object StatsPack {
         |    AND CURRENT ROW) AS BIGINT) AS cum_n
         |FROM daily ORDER BY day""".stripMargin,
 
+    // the per-type FILTER columns interpolate [[EventTypes]] — the Spark
+    // side and the oracle can only ever disagree on the vocabulary if the
+    // shared constant itself changes
     "t2_stats_series" ->
-      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-        | epoch_ms(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS epoch_ms,
-        | CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
-        | CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
-        | CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
-        | CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
-        | CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
-        |FROM events GROUP BY date_trunc('day', ts) ORDER BY day""".stripMargin,
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         | epoch_ms(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS epoch_ms,
+         |${typeFilterCols()}
+         |FROM events GROUP BY date_trunc('day', ts) ORDER BY day""".stripMargin,
 
     "s2_ingest_pipeline" ->
       """WITH hashed AS (
@@ -803,20 +809,12 @@ object StatsPack {
         |ORDER BY gid, l_returnflag NULLS FIRST,
         |  l_linestatus NULLS FIRST""".stripMargin,
 
-    // the long-format conditional-count mirror of the engine's pivot
+    // the long-format conditional-count mirror of the engine's pivot,
+    // over the same interpolated [[EventTypes]]
     "a13_pivot" ->
-      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-        | CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
-        |   AS n_click,
-        | CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
-        |   AS n_error,
-        | CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
-        |   AS n_purchase,
-        | CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
-        |   AS n_signup,
-        | CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
-        |   AS n_view
-        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |${typeFilterCols()}
+         |FROM events GROUP BY day ORDER BY day""".stripMargin,
 
     "d5_upsert" ->
       """WITH latest_e AS (
