@@ -206,6 +206,17 @@ object EventsPack {
         .orderBy("win_id")
     }),
 
+    // ---- the probe-side view: per-purchase incident coverage -----------
+    // The same cell-blocked join read from the other side — each purchase
+    // tagged with the number of windows covering it, zeros kept. This is
+    // the serving shape (and the streaming incidentGate's batch twin):
+    // label arriving rows against a frozen window set.
+    "j12_purchase_tags" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      purchaseIncidentTags(incidentWindows(ev), purchaseProbes(ev))
+        .orderBy("p_id")
+    }),
+
     // ---- the blocking monitor: candidate volume vs true matches --------
     // How many (window, probe) pairs the cell join surfaced, how many
     // survived the exact range filter, and the false-candidate rate — the
@@ -322,8 +333,24 @@ object EventsPack {
   /** Purchase probes with their single cell assignment. */
   private[graft] def purchaseProbes(ev: DataFrame): DataFrame =
     ev.filter(col("event_type") === "purchase")
-      .select(unix_micros(col("ts")).as("p_us"))
+      .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
       .withColumn("cell", expr(s"p_us div ${CellUs}L"))
+
+  /** The probe-side view of the range join — each purchase tagged with
+    * how many incident windows cover it (0 kept) — shared verbatim by the
+    * batch entry `j12_purchase_tags` and the streaming
+    * [[graft.streaming.EventStream.incidentGate]]: the window set is the
+    * frozen per-corpus-version artifact, a micro-batch pays one cell
+    * equi-join of ITS OWN rows against it. */
+  private[graft] def purchaseIncidentTags(wins: DataFrame,
+      probes: DataFrame): DataFrame = {
+    val m = cellCandidates(wins, probes)
+      .filter(col("p_us") >= col("lo_us") && col("p_us") <= col("hi_us"))
+      .groupBy(col("p_id")).agg(count(lit(1)).as("n_windows"))
+    probes.join(m, Seq("p_id"), "left")
+      .select(col("p_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"))
+  }
 
   /** The blocking layer shared by the join and its monitor: windows
     * exploded to their ≤ 2 covered cells, equi-joined to the probes on the
@@ -504,6 +531,20 @@ object EventsPack {
          |SELECT w.win_id, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_purchases
          |FROM w LEFT JOIN m USING (win_id)
          |ORDER BY win_id""".stripMargin,
+
+    // naive BETWEEN LEFT join from the probe side
+    "j12_purchase_tags" ->
+      s"""WITH w AS (SELECT epoch_us(ts) - $HalfWinUs AS lo_us,
+         |    epoch_us(ts) + $HalfWinUs AS hi_us
+         |  FROM events WHERE event_type = 'error'),
+         |p AS (SELECT event_id AS p_id, epoch_us(ts) AS p_us FROM events
+         |      WHERE event_type = 'purchase'),
+         |m AS (SELECT p.p_id, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p JOIN w ON p.p_us BETWEEN w.lo_us AND w.hi_us
+         |  GROUP BY p.p_id)
+         |SELECT p.p_id, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_windows
+         |FROM p LEFT JOIN m USING (p_id)
+         |ORDER BY p_id""".stripMargin,
 
     // this one DOES replay the cell assignment — the blocking layer
     // itself is oracle-gated, not just the joined result

@@ -203,4 +203,19 @@ object EventStream {
         })
       .toDF("user_id", "n_events", "start_us", "end_us", "duration_us")
   }
+
+  /** Incident-coverage gate at ingest: each arriving micro-batch's
+    * purchases are tagged with the number of frozen incident windows
+    * covering them — the streaming read side of the cell-blocked range
+    * join (`j12_purchase_tags` is the batch twin, row-for-row;
+    * StreamingSpec pins it). Deployment shape mirrors [[graft.streaming
+    * .DocStream.tempGate]]: the window frame is resolved ONCE per corpus
+    * version and hoisted (`val gate = incidentGate(wins)`), then every
+    * batch pays one bounded cell equi-join of its own rows against it —
+    * no per-batch rebuild of the window set, no range scan. */
+  def incidentGate(windows: org.apache.spark.sql.DataFrame)(
+      batch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.EventsPack.purchaseIncidentTags(windows,
+      graft.operators.EventsPack.purchaseProbes(batch))
 }

@@ -853,4 +853,40 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty && got.toSet == want.toSet,
       s"stream flagged ${got.size} rows, batch ${want.size}")
   }
+
+  test("foreachBatch incident gate with a frozen window set equals the " +
+    "batch purchase tags across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, sfTiny)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    // the window set is the frozen per-corpus-version artifact — resolved
+    // ONCE, outside the per-batch closure
+    val gate = EventStream.incidentGate(
+      operators.EventsPack.incidentWindows(Tables.events(spark, sfTiny))) _
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val ms = MemoryStream[(Long, String, Long)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = ms.toDF().toDF("event_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= gate(b).collect().map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }
+      .start()
+    ms.addData(first.toIndexedSeq); q.processAllAvailable()
+    ms.addData(second.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val want = SparkEntry.queries("j12_purchase_tags")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(want.nonEmpty && got.toSet == want.toSet,
+      s"stream tagged ${got.size} purchases, batch ${want.length}")
+    // non-vacuous: some purchase inside a window, some outside
+    assert(got.exists(_._2 > 0) && got.exists(_._2 == 0))
+  }
 }
