@@ -20,7 +20,8 @@ object SparkEntry {
     (operators.MLPack.queries, operators.MLPack.oracles),
     (operators.MultimodalPack.queries, operators.MultimodalPack.oracles),
     (operators.PipelinePack.queries, operators.PipelinePack.oracles),
-    (operators.LayoutPack.queries, operators.LayoutPack.oracles)
+    (operators.LayoutPack.queries, operators.LayoutPack.oracles),
+    (operators.GraphPack.queries, operators.GraphPack.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1755,6 +1755,23 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(t.filter(_._1 == "START").map(_._2).sum == users)
   }
 
+  test("g1_pagerank structure: full page of descending ranks above the " +
+    "damping floor, and the high-degree side of the bipartite graph " +
+    "surfaces as the hubs") {
+    val rows = run("g1_pagerank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 100)
+    // ORDER BY rank DESC with a total tiebreak
+    assert(rows.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    // every node keeps at least the damping mass
+    assert(rows.forall(_._3 >= 150000000L))
+    // suppliers are ~20× rarer than parts with ~20× the degree — the
+    // random walk concentrates on them; the whole top-10 must be
+    // suppliers at every fixture scale
+    assert(rows.take(10).forall(_._1 == "supplier"),
+      s"top-10 not all suppliers: ${rows.take(10).toSeq}")
+  }
+
   test("a13_pivot row sums equal the per-day event totals (zero-fill, " +
     "no drops)") {
     val piv = run("a13_pivot").collect()

@@ -464,4 +464,13 @@ class PlanSpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       s"j12_range_join: non-equi join shape survived:\n$plan")
   }
+
+  test("g1_pagerank rounds broadcast the node-sized rank frame onto the " +
+    "edges — the edge list never sort-merges") {
+    val plan = planText(run("g1_pagerank"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"g1_pagerank: rank frame not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"g1_pagerank: edge-side sort-merge join:\n$plan")
+  }
 }
