@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * bit-for-bit (float PageRank can never share a DuckDB oracle — the
   * per-partition add order alone diverges it): ranks live at a 10⁹ scale,
   * every edge carries `R_src div deg_src` (floored once, identically, per
-  * edge), and the damping step is `150000000 + (Σ contrib · 85) div 100`
-  * — the (0.15, 0.85) mix in exact integer form. The per-round floor loss
+  * edge), and the damping step is `[[PrBase]] + (Σ contrib · [[PrDampPct]])
+  * div 100` — the (0.15, 0.85) mix in exact integer form. The per-round
+  * floor loss
   * is the documented semantic (≤ 1 unit per edge + 1 per node at the 1e9
   * scale); both engines replay it exactly.
   *
@@ -32,6 +33,12 @@ object GraphPack {
 
   private[graft] val PrIters = 4
   private[graft] val PrScale = 1000000000L // rank unit: 1e-9 of a node
+  /** Damping in integer percent and the derived restart mass — ONE
+    * definition interpolated into the Spark expression, the oracle's
+    * round CTE, and the invariant spec's floor: the engines (and the
+    * spec's bound) can only disagree if the shared constant changes. */
+  private[graft] val PrDampPct = 85L
+  private[graft] val PrBase = PrScale * (100 - PrDampPct) / 100
 
   /** Undirected bipartite edges, both directions, in one integer node-id
     * space: part p → node 2p, supplier s → node 2s+1. */
@@ -62,7 +69,8 @@ object GraphPack {
           .select(col("node").as("src"), expr("r div deg").as("contrib"))
         ranks = e.join(broadcast(rd), "src")
           .groupBy(col("dst").as("node"))
-          .agg(expr("150000000L + (sum(contrib) * 85L) div 100").as("r"))
+          .agg(expr(s"${PrBase}L + (sum(contrib) * ${PrDampPct}L) div 100")
+            .as("r"))
       }
       ranks
         .select(
@@ -78,7 +86,7 @@ object GraphPack {
   private def roundSql(prev: String, cur: String): String =
     s"""$cur AS (
        |  SELECT e.dst AS node,
-       |    150000000 + SUM(p.r // d.deg) * 85 // 100 AS r
+       |    $PrBase + SUM(p.r // d.deg) * $PrDampPct // 100 AS r
        |  FROM edges e
        |  JOIN $prev p ON p.node = e.src
        |  JOIN deg d ON d.node = e.src

@@ -208,14 +208,17 @@ object EventStream {
     * purchases are tagged with the number of frozen incident windows
     * covering them — the streaming read side of the cell-blocked range
     * join (`j12_purchase_tags` is the batch twin, row-for-row;
-    * StreamingSpec pins it). Deployment shape mirrors [[graft.streaming
-    * .DocStream.tempGate]]: the window frame is resolved ONCE per corpus
-    * version and hoisted (`val gate = incidentGate(wins)`), then every
-    * batch pays one bounded cell equi-join of its own rows against it —
-    * no per-batch rebuild of the window set, no range scan. */
-  def incidentGate(windows: org.apache.spark.sql.DataFrame)(
-      batch: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    graft.operators.EventsPack.purchaseIncidentTags(windows,
-      graft.operators.EventsPack.purchaseProbes(batch))
+    * StreamingSpec pins it). Deployment shape: the window frame is
+    * resolved ONCE per corpus version and MATERIALIZED here
+    * (localCheckpoint — a lazy frame would re-run the full window
+    * derivation on every micro-batch action, the exact per-batch corpus
+    * scan this gate exists to avoid); each batch then pays one bounded
+    * cell equi-join of its own rows against the frozen set. */
+  def incidentGate(windows: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+    val frozen = windows.localCheckpoint()
+    batch =>
+      graft.operators.EventsPack.purchaseIncidentTags(frozen,
+        graft.operators.EventsPack.purchaseProbes(batch))
+  }
 }

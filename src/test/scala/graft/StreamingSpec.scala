@@ -867,7 +867,7 @@ class StreamingSpec extends SparkSpec {
     // the window set is the frozen per-corpus-version artifact — resolved
     // ONCE, outside the per-batch closure
     val gate = EventStream.incidentGate(
-      operators.EventsPack.incidentWindows(Tables.events(spark, sfTiny))) _
+      operators.EventsPack.incidentWindows(Tables.events(spark, sfTiny)))
     val (first, second) = ev.splitAt(ev.length / 2)
     val ms = MemoryStream[(Long, String, Long)]
     val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
