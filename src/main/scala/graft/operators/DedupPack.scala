@@ -111,6 +111,45 @@ object DedupPack {
     "dd_jaccard_pairs" -> ((s, d) =>
       jaccardPairs(shingled(s, d)).orderBy("doc_a", "doc_b")),
 
+    // ---- prefix-filtered exact Jaccard join (PPJoin-style) ---------------
+    // The LOSSLESS scale lever for exact threshold-Jaccard, complementing
+    // dd_jaccard_pairs' df cap (which drops hot shingles from the
+    // universe, changing the measured Jaccard): order every document's
+    // shingles by ascending global frequency and index only the first
+    // |d| − ⌈t·|d|⌉ + 1 of them — two sets with J ≥ t MUST share a
+    // prefix token (J ≥ t ⟹ overlap ≥ t·|d| on each side; if all common
+    // tokens sat past both prefixes the overlap couldn't fit — Chaudhuri
+    // 2006 / Xiao PPJoin 2008), so candidate generation explodes ~1/5th
+    // of the postings AND the hot boilerplate shingles sort LAST — out of
+    // nearly every prefix — without being dropped from the verify
+    // universe. Candidates then pay one exact full-set intersect; the
+    // output is the TRUE capless threshold join (spec pins ≡ naive
+    // all-pairs at fixture scale; the oracle replays the prefix algebra
+    // value-for-value, both engines ordering by (df, shingle) — binary
+    // string order in both). ----------------------------------------------
+    "dd_jaccard_prefix" -> ((s, d) =>
+      prefixJaccardPairs(shingled(s, d)).orderBy("doc_a", "doc_b")),
+
+    // ---- its pruning monitor: prefix postings vs the capless index -------
+    "dd_jaccard_prefix_stats" -> ((s, d) => {
+      val sh = shingled(s, d)
+      val tok = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val dfk = tok.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val full = dfk.agg(
+        sum(expr("df * (df - 1L) div 2")).as("full_pairs"))
+      val cand = prefixCandidates(sh)
+      val c = cand.agg(count(lit(1)).as("n_candidates"))
+      val m = prefixJaccardPairs(sh).agg(count(lit(1)).as("n_matched"))
+      val nd = sh.agg(count(lit(1)).as("n_docs"))
+      nd.crossJoin(broadcast(full)).crossJoin(broadcast(c))
+        .crossJoin(broadcast(m))
+        .select(col("n_docs"), col("full_pairs"), col("n_candidates"),
+          col("n_matched"),
+          when(col("full_pairs") > 0,
+            expr("(full_pairs - n_candidates) * 1000L div full_pairs"))
+            .otherwise(0L).as("pruned_permille"))
+    }),
+
     // ---- MinHash + LSH banding candidate pairs ---------------------------
     "dd_minhash_lsh" -> ((s, d) =>
       minhashPairs(Tables.documents(s, d))
@@ -582,6 +621,52 @@ object DedupPack {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** Prefix candidate pairs: each document indexes only its
+    * `|d| − ⌈t·|d|⌉ + 1` globally-rarest shingles (ties broken by the
+    * shingle itself — binary string order, identical in DuckDB), pairs
+    * form inside those PREFIX postings only. Lossless for J ≥
+    * [[JaccardThreshold]] by the prefix-filter guarantee; the hot
+    * boilerplate shingles sort last and fall out of nearly every prefix,
+    * so no df cap is needed. t = 4/5 exactly: ⌈4n/5⌉ = (4n+4) div 5. */
+  private[graft] def prefixCandidates(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val dfk = tok.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pos = tok.join(dfk, "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+    val pref = pos.join(sizes, "doc_id")
+      .filter(col("rn") <= expr("n - (4L * n + 4L) div 5 + 1L"))
+      .select(col("doc_id"), col("g"))
+    pref.groupBy(col("g"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+  }
+
+  /** Prefix-filtered exact threshold-Jaccard join: candidates from
+    * [[prefixCandidates]], then ONE exact full-set intersect per
+    * candidate — the TRUE capless J ≥ t pair set, same output columns as
+    * [[jaccardPairs]]. */
+  private[graft] def prefixJaccardPairs(sh: DataFrame): DataFrame = {
+    val sets = sh.select(col("doc_id"), array_sort(col("sh")).as("arr"),
+      size(col("sh")).cast(LongType).as("n"))
+    prefixCandidates(sh)
+      .join(sets.select(col("doc_id").as("doc_a"), col("arr").as("sa"),
+        col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("arr").as("sb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("shared",
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+      .withColumn("jaccard", col("shared").cast(DoubleType) /
+        (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+  }
+
   /** Connected components over an undirected edge list `(doc_a, doc_b)` →
     * `(doc_id, rep)` where `rep` is the component's minimum id — one row per
     * node that appears in any edge. Deterministic regardless of
@@ -894,6 +979,78 @@ object DedupPack {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // replays the prefix algebra value-for-value: df, the (df, g) order
+    // (binary string comparison in both engines), the ⌈4n/5⌉ integer
+    // prefix length, candidate pairing, and the capless exact verify
+    "dd_jaccard_prefix" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |dfk AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |          FROM ex GROUP BY doc_id),
+         |pos AS (SELECT doc_id, ex.g,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY df, ex.g)
+         |      AS rn
+         |  FROM ex JOIN dfk USING (g)),
+         |pref AS (SELECT doc_id, g FROM pos JOIN sizes USING (doc_id)
+         |         WHERE rn <= n - (4 * n + 4) // 5 + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pref a JOIN pref b
+         |    ON a.g = b.g AND a.doc_id < b.doc_id),
+         |shr AS (SELECT c.doc_a, c.doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS shared
+         |  FROM cand c
+         |  JOIN ex a ON a.doc_id = c.doc_a
+         |  JOIN ex b ON b.doc_id = c.doc_b AND b.g = a.g
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT doc_a, doc_b, shared,
+         |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+         |FROM shr
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)
+         |  >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd_jaccard_prefix_stats" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |dfk AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |          FROM ex GROUP BY doc_id),
+         |pos AS (SELECT doc_id, ex.g,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY df, ex.g)
+         |      AS rn
+         |  FROM ex JOIN dfk USING (g)),
+         |pref AS (SELECT doc_id, g FROM pos JOIN sizes USING (doc_id)
+         |         WHERE rn <= n - (4 * n + 4) // 5 + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pref a JOIN pref b
+         |    ON a.g = b.g AND a.doc_id < b.doc_id),
+         |shr AS (SELECT c.doc_a, c.doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS shared
+         |  FROM cand c
+         |  JOIN ex a ON a.doc_id = c.doc_a
+         |  JOIN ex b ON b.doc_id = c.doc_b AND b.g = a.g
+         |  GROUP BY c.doc_a, c.doc_b),
+         |mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_matched FROM shr
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)
+         |    >= $JaccardThreshold)
+         |SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sh) AS n_docs,
+         |  (SELECT CAST(SUM(df * (df - 1) // 2) AS BIGINT) FROM dfk)
+         |    AS full_pairs,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+         |  mt.n_matched,
+         |  (SELECT CAST(CASE WHEN SUM(df * (df - 1) // 2) > 0
+         |    THEN (SUM(df * (df - 1) // 2)
+         |      - (SELECT COUNT(*) FROM cand)) * 1000
+         |      // SUM(df * (df - 1) // 2)
+         |    ELSE 0 END AS BIGINT) FROM dfk) AS pruned_permille
+         |FROM mt""".stripMargin,
 
     "dd_minhash_lsh" ->
       s"""WITH ${minhashPairCtes("documents")}

@@ -1755,6 +1755,43 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(t.filter(_._1 == "START").map(_._2).sum == users)
   }
 
+  test("dd_jaccard_prefix is LOSSLESS: identical pair set, shares and " +
+    "jaccards to the naive capless all-pairs threshold join") {
+    import operators.DedupPack
+    import graft.functions.HashFunctions.wordShingles
+    val sh = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"),
+        wordShingles(col("text"), DedupPack.ShingleN).as("sh"))
+    val got = DedupPack.prefixJaccardPairs(sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9)))
+    // the naive road: EVERY posting pairs up, no prefix, no cap.
+    // (Columns renamed BEFORE the self-join — `tok.as("a")`-style alias
+    // resolution on a self-join can silently cross the two sides.)
+    val tok = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ta = tok.select(col("doc_id").as("doc_a"), col("g"))
+    val tb = tok.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+    val naive = ta
+      .join(tb, col("g") === col("gb") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        "doc_b")
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= DedupPack.JaccardThreshold)
+      // USING-joins hoist their key to column 0 — pin the order
+      .select("doc_a", "doc_b", "shared", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9)))
+    assert(naive.nonEmpty && got.toSet == naive.toSet,
+      s"prefix join lost/invented pairs: got ${got.length}, " +
+        s"naive ${naive.length}")
+  }
+
   test("g1_pagerank structure: full page of descending ranks above the " +
     "damping floor, and the high-degree side of the bipartite graph " +
     "surfaces as the hubs") {
