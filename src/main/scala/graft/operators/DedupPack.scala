@@ -130,23 +130,38 @@ object DedupPack {
     "dd_jaccard_prefix" -> ((s, d) =>
       prefixJaccardPairs(shingled(s, d)).orderBy("doc_a", "doc_b")),
 
-    // ---- its pruning monitor: prefix postings vs the capless index -------
+    // ---- its pruning monitor: pair EVENTS, like for like -----------------
+    // full_pairs = Σ C(df,2) (what the capless inverted index would
+    // shuffle) vs prefix_pairs = Σ C(df_pref,2) (what the prefix postings
+    // shuffle) — multiplicity-counted on BOTH sides, so pruned_permille
+    // measures the shuffle-event reduction honestly; n_candidates is the
+    // separate post-distinct verify-cost meter. Cross-products run in
+    // DECIMAL(38,0)/HUGEINT (the drift rows' overflow discipline — an
+    // all-BIGINT Σ df² wraps silently with ANSI off at a scale the gate
+    // never tests). The prefix layer is built ONCE and the candidate set
+    // localCheckpointed — its two consumers (count + verify) read the
+    // materialized rows instead of re-running the window chain.
     "dd_jaccard_prefix_stats" -> ((s, d) => {
       val sh = shingled(s, d)
-      val tok = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      val dfk = tok.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val (dfk, pref) = prefixTokens(sh)
+      val cand = prefixCandidates(pref).localCheckpoint()
+      val dfp = pref.groupBy(col("g")).agg(count(lit(1)).as("dfp"))
       val full = dfk.agg(
-        sum(expr("df * (df - 1L) div 2")).as("full_pairs"))
-      val cand = prefixCandidates(sh)
+        expr("sum(CAST(df AS DECIMAL(38,0)) * (df - 1))").as("full2"))
+      val pp = dfp.agg(
+        expr("sum(CAST(dfp AS DECIMAL(38,0)) * (dfp - 1))").as("pref2"))
       val c = cand.agg(count(lit(1)).as("n_candidates"))
-      val m = prefixJaccardPairs(sh).agg(count(lit(1)).as("n_matched"))
-      val nd = sh.agg(count(lit(1)).as("n_docs"))
-      nd.crossJoin(broadcast(full)).crossJoin(broadcast(c))
-        .crossJoin(broadcast(m))
-        .select(col("n_docs"), col("full_pairs"), col("n_candidates"),
-          col("n_matched"),
-          when(col("full_pairs") > 0,
-            expr("(full_pairs - n_candidates) * 1000L div full_pairs"))
+      val m = verifyPrefixPairs(sh, cand)
+        .agg(count(lit(1)).as("n_matched"))
+      sh.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(full)).crossJoin(broadcast(pp))
+        .crossJoin(broadcast(c)).crossJoin(broadcast(m))
+        .select(col("n_docs"),
+          expr("full2 div 2").as("full_pairs"),
+          expr("pref2 div 2").as("prefix_pairs"),
+          col("n_candidates"), col("n_matched"),
+          when(col("full2") > 0,
+            expr("((full2 - pref2) * 1000) div full2"))
             .otherwise(0L).as("pruned_permille"))
     }),
 
@@ -621,43 +636,52 @@ object DedupPack {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
-  /** Prefix candidate pairs: each document indexes only its
-    * `|d| − ⌈t·|d|⌉ + 1` globally-rarest shingles (ties broken by the
-    * shingle itself — binary string order, identical in DuckDB), pairs
-    * form inside those PREFIX postings only. Lossless for J ≥
-    * [[JaccardThreshold]] by the prefix-filter guarantee; the hot
-    * boilerplate shingles sort last and fall out of nearly every prefix,
-    * so no df cap is needed. t = 4/5 exactly: ⌈4n/5⌉ = (4n+4) div 5. */
-  private[graft] def prefixCandidates(sh: DataFrame): DataFrame = {
+  /** The prefix layer shared by the join and its monitor: `(dfk, pref)` —
+    * global shingle frequencies, and each document's prefix tokens (its
+    * `|d| − ⌈t·|d|⌉ + 1` globally-rarest shingles; ties broken by the
+    * shingle itself — binary string order, identical in DuckDB). The hot
+    * boilerplate shingles sort LAST and fall out of nearly every prefix,
+    * so no df cap is needed — and none is applied: the filter is
+    * lossless for J ≥ [[JaccardThreshold]]. t = 4/5 exactly:
+    * ⌈4n/5⌉ = (4n+4) div 5. */
+  private[graft] def prefixTokens(sh: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val tok = sh.select(col("doc_id"), explode(col("sh")).as("g"))
     val dfk = tok.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pos = tok.join(dfk, "g")
+    val pref = tok.join(dfk, "g")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-    val pref = pos.join(sizes, "doc_id")
+      .join(sizes, "doc_id")
       .filter(col("rn") <= expr("n - (4L * n + 4L) div 5 + 1L"))
       .select(col("doc_id"), col("g"))
-    pref.groupBy(col("g"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(pairCombos(col("ids"))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
+    (dfk, pref)
   }
 
-  /** Prefix-filtered exact threshold-Jaccard join: candidates from
-    * [[prefixCandidates]], then ONE exact full-set intersect per
-    * candidate — the TRUE capless J ≥ t pair set, same output columns as
-    * [[jaccardPairs]]. */
-  private[graft] def prefixJaccardPairs(sh: DataFrame): DataFrame = {
-    val sets = sh.select(col("doc_id"), array_sort(col("sh")).as("arr"),
+  /** Candidate pairs from the prefix postings, as a STREAMED self-join on
+    * the token (renamed frames — alias-based self-joins can silently
+    * cross sides): pairs flow out of the join, so a pathological prefix
+    * posting never buffers C(k,2) structs inside one aggregation row the
+    * way a collect_list + pairCombos shape would (the OOM pattern the df
+    * caps elsewhere in this file exist to prevent — here the lossless
+    * contract forbids a cap, so the SHAPE has to be the guard). */
+  private[graft] def prefixCandidates(pref: DataFrame): DataFrame = {
+    val a = pref.select(col("doc_id").as("doc_a"), col("g"))
+    val b = pref.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+    a.join(b, col("g") === col("gb") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** The exact verify half: one full-set intersect per candidate pair,
+    * threshold filter — same output columns as [[jaccardPairs]]. */
+  private[graft] def verifyPrefixPairs(sh: DataFrame,
+      cand: DataFrame): DataFrame = {
+    val sets = sh.select(col("doc_id"), col("sh"),
       size(col("sh")).cast(LongType).as("n"))
-    prefixCandidates(sh)
-      .join(sets.select(col("doc_id").as("doc_a"), col("arr").as("sa"),
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa"),
         col("n").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("arr").as("sb"),
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb"),
         col("n").as("nb")), "doc_b")
       .withColumn("shared",
         size(array_intersect(col("sa"), col("sb"))).cast(LongType))
@@ -665,6 +689,13 @@ object DedupPack {
         (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+  }
+
+  /** Prefix-filtered exact threshold-Jaccard join — the TRUE capless
+    * J ≥ t pair set (spec-pinned ≡ the naive all-pairs road). */
+  private[graft] def prefixJaccardPairs(sh: DataFrame): DataFrame = {
+    val (_, pref) = prefixTokens(sh)
+    verifyPrefixPairs(sh, prefixCandidates(pref))
   }
 
   /** Connected components over an undirected edge list `(doc_a, doc_b)` →
@@ -888,6 +919,35 @@ object DedupPack {
 
   private val shingleCte = shingleCteFrom("documents")
 
+  /** DuckDB CTE chain mirroring [[prefixTokens]] + [[prefixCandidates]]:
+    * ends in `cand(doc_a, doc_b)` with `ex`/`dfk`/`sizes`/`pref` in
+    * scope — ONE definition shared by the join oracle and its stats
+    * oracle, so the prefix-length formula can never de-synchronize the
+    * join from its own monitor. */
+  private val prefixCtes =
+    s"""$shingleCte,
+       |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+       |dfk AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+       |          FROM ex GROUP BY doc_id),
+       |pos AS (SELECT doc_id, ex.g,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY df, ex.g)
+       |      AS rn
+       |  FROM ex JOIN dfk USING (g)),
+       |pref AS (SELECT doc_id, g FROM pos JOIN sizes USING (doc_id)
+       |         WHERE rn <= n - (4 * n + 4) // 5 + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pref a JOIN pref b
+       |    ON a.g = b.g AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** The exact-verify shared-count body over `cand` (one per oracle). */
+  private val prefixShrSql =
+    """SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+      |  FROM cand c
+      |  JOIN ex a ON a.doc_id = c.doc_a
+      |  JOIN ex b ON b.doc_id = c.doc_b AND b.g = a.g
+      |  GROUP BY c.doc_a, c.doc_b""".stripMargin
+
   /** DuckDB CTE chain mirroring [[bandedKeys]] over relation `src`, ending
     * in `banded(doc_id, band, key)` (key may be NULL — consumers filter). */
   private[operators] def bandedCtes(src: String): String = {
@@ -982,28 +1042,12 @@ object DedupPack {
 
     // replays the prefix algebra value-for-value: df, the (df, g) order
     // (binary string comparison in both engines), the ⌈4n/5⌉ integer
-    // prefix length, candidate pairing, and the capless exact verify
+    // prefix length, candidate pairing, and the capless exact verify —
+    // the CTE chain is ONE definition (prefixCtes) shared with the stats
+    // oracle, like the Spark side's shared prefixTokens
     "dd_jaccard_prefix" ->
-      s"""WITH $shingleCte,
-         |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-         |dfk AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
-         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-         |          FROM ex GROUP BY doc_id),
-         |pos AS (SELECT doc_id, ex.g,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY df, ex.g)
-         |      AS rn
-         |  FROM ex JOIN dfk USING (g)),
-         |pref AS (SELECT doc_id, g FROM pos JOIN sizes USING (doc_id)
-         |         WHERE rn <= n - (4 * n + 4) // 5 + 1),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM pref a JOIN pref b
-         |    ON a.g = b.g AND a.doc_id < b.doc_id),
-         |shr AS (SELECT c.doc_a, c.doc_b,
-         |    CAST(COUNT(*) AS BIGINT) AS shared
-         |  FROM cand c
-         |  JOIN ex a ON a.doc_id = c.doc_a
-         |  JOIN ex b ON b.doc_id = c.doc_b AND b.g = a.g
-         |  GROUP BY c.doc_a, c.doc_b)
+      s"""WITH $prefixCtes,
+         |shr AS ($prefixShrSql)
          |SELECT doc_a, doc_b, shared,
          |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
          |FROM shr
@@ -1013,44 +1057,30 @@ object DedupPack {
          |  >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // HUGEINT cross-products mirroring the engine's DECIMAL(38,0)
     "dd_jaccard_prefix_stats" ->
-      s"""WITH $shingleCte,
-         |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-         |dfk AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
-         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-         |          FROM ex GROUP BY doc_id),
-         |pos AS (SELECT doc_id, ex.g,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY df, ex.g)
-         |      AS rn
-         |  FROM ex JOIN dfk USING (g)),
-         |pref AS (SELECT doc_id, g FROM pos JOIN sizes USING (doc_id)
-         |         WHERE rn <= n - (4 * n + 4) // 5 + 1),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM pref a JOIN pref b
-         |    ON a.g = b.g AND a.doc_id < b.doc_id),
-         |shr AS (SELECT c.doc_a, c.doc_b,
-         |    CAST(COUNT(*) AS BIGINT) AS shared
-         |  FROM cand c
-         |  JOIN ex a ON a.doc_id = c.doc_a
-         |  JOIN ex b ON b.doc_id = c.doc_b AND b.g = a.g
-         |  GROUP BY c.doc_a, c.doc_b),
+      s"""WITH $prefixCtes,
+         |shr AS ($prefixShrSql),
          |mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_matched FROM shr
          |  JOIN sizes sa ON doc_a = sa.doc_id
          |  JOIN sizes sb ON doc_b = sb.doc_id
          |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)
-         |    >= $JaccardThreshold)
+         |    >= $JaccardThreshold),
+         |dfp AS (SELECT g, COUNT(*) AS dfp FROM pref GROUP BY g),
+         |f2 AS (SELECT SUM(CAST(df AS HUGEINT) * (df - 1)) AS full2
+         |       FROM dfk),
+         |p2 AS (SELECT SUM(CAST(dfp AS HUGEINT) * (dfp - 1)) AS pref2
+         |       FROM dfp)
          |SELECT
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sh) AS n_docs,
-         |  (SELECT CAST(SUM(df * (df - 1) // 2) AS BIGINT) FROM dfk)
-         |    AS full_pairs,
+         |  CAST(full2 // 2 AS BIGINT) AS full_pairs,
+         |  CAST(pref2 // 2 AS BIGINT) AS prefix_pairs,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
          |  mt.n_matched,
-         |  (SELECT CAST(CASE WHEN SUM(df * (df - 1) // 2) > 0
-         |    THEN (SUM(df * (df - 1) // 2)
-         |      - (SELECT COUNT(*) FROM cand)) * 1000
-         |      // SUM(df * (df - 1) // 2)
-         |    ELSE 0 END AS BIGINT) FROM dfk) AS pruned_permille
-         |FROM mt""".stripMargin,
+         |  CAST(CASE WHEN full2 > 0
+         |    THEN (full2 - pref2) * 1000 // full2 ELSE 0 END AS BIGINT)
+         |    AS pruned_permille
+         |FROM mt, f2, p2""".stripMargin,
 
     "dd_minhash_lsh" ->
       s"""WITH ${minhashPairCtes("documents")}
