@@ -138,13 +138,18 @@ object DedupPack {
     // separate post-distinct verify-cost meter. Cross-products run in
     // DECIMAL(38,0)/HUGEINT (the drift rows' overflow discipline — an
     // all-BIGINT Σ df² wraps silently with ANSI off at a scale the gate
-    // never tests). The prefix layer is built ONCE and the candidate set
-    // localCheckpointed — its two consumers (count + verify) read the
-    // materialized rows instead of re-running the window chain.
+    // never tests). The PREFIX FRAME is eagerly materialized so its
+    // three consumers (dfp, the candidate self-join, and — through cand —
+    // the verify) read checkpointed rows instead of each re-running the
+    // window chain; the 1-row result materializes eagerly and the
+    // intermediates unpersist before returning (the components pattern —
+    // repeated inline calls in a long-lived driver must not accumulate
+    // pinned checkpoint blocks; resid_rdds is the canary).
     "dd_jaccard_prefix_stats" -> ((s, d) => {
       val sh = shingled(s, d)
-      val (dfk, pref) = prefixTokens(sh)
-      val cand = prefixCandidates(pref).localCheckpoint()
+      val (dfk, pref0) = prefixTokens(sh)
+      val pref = pref0.localCheckpoint(true)
+      val cand = prefixCandidates(pref).localCheckpoint(true)
       val dfp = pref.groupBy(col("g")).agg(count(lit(1)).as("dfp"))
       val full = dfk.agg(
         expr("sum(CAST(df AS DECIMAL(38,0)) * (df - 1))").as("full2"))
@@ -153,7 +158,7 @@ object DedupPack {
       val c = cand.agg(count(lit(1)).as("n_candidates"))
       val m = verifyPrefixPairs(sh, cand)
         .agg(count(lit(1)).as("n_matched"))
-      sh.agg(count(lit(1)).as("n_docs"))
+      val result = sh.agg(count(lit(1)).as("n_docs"))
         .crossJoin(broadcast(full)).crossJoin(broadcast(pp))
         .crossJoin(broadcast(c)).crossJoin(broadcast(m))
         .select(col("n_docs"),
@@ -163,6 +168,9 @@ object DedupPack {
           when(col("full2") > 0,
             expr("((full2 - pref2) * 1000) div full2"))
             .otherwise(0L).as("pruned_permille"))
+        .localCheckpoint(true)
+      pref.unpersist(); cand.unpersist()
+      result
     }),
 
     // ---- MinHash + LSH banding candidate pairs ---------------------------
