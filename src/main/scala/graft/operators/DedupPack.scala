@@ -138,17 +138,19 @@ object DedupPack {
     // separate post-distinct verify-cost meter. Cross-products run in
     // DECIMAL(38,0)/HUGEINT (the drift rows' overflow discipline — an
     // all-BIGINT Σ df² wraps silently with ANSI off at a scale the gate
-    // never tests). The PREFIX FRAME is eagerly materialized so its
-    // three consumers (dfp, the candidate self-join, and — through cand —
-    // the verify) read checkpointed rows instead of each re-running the
-    // window chain; the 1-row result materializes eagerly and the
-    // intermediates unpersist before returning (the components pattern —
-    // repeated inline calls in a long-lived driver must not accumulate
-    // pinned checkpoint blocks; resid_rdds is the canary).
+    // never tests). Only the CANDIDATE frame (small, consumed twice —
+    // count + verify) is checkpointed: materializing the token-scale
+    // prefix frame too was MEASURED SLOWER (4.1 s vs 1.7 s at sf0.1) —
+    // the checkpoint write/read of ~10⁵ token rows costs more than the
+    // one extra window-chain pass it saves, at gate scale and a fortiori
+    // at 100 TB where token rows dwarf candidates. The 1-row result
+    // materializes eagerly and cand unpersists before returning (the
+    // components pattern — repeated inline calls in a long-lived driver
+    // must not accumulate pinned checkpoint blocks; resid_rdds is the
+    // canary).
     "dd_jaccard_prefix_stats" -> ((s, d) => {
       val sh = shingled(s, d)
-      val (dfk, pref0) = prefixTokens(sh)
-      val pref = pref0.localCheckpoint(true)
+      val (dfk, pref) = prefixTokens(sh)
       val cand = prefixCandidates(pref).localCheckpoint(true)
       val dfp = pref.groupBy(col("g")).agg(count(lit(1)).as("dfp"))
       val full = dfk.agg(
@@ -169,7 +171,7 @@ object DedupPack {
             expr("((full2 - pref2) * 1000) div full2"))
             .otherwise(0L).as("pruned_permille"))
         .localCheckpoint(true)
-      pref.unpersist(); cand.unpersist()
+      cand.unpersist()
       result
     }),
 
