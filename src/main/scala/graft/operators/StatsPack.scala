@@ -109,6 +109,38 @@ object StatsPack {
         .orderBy("day")
     }),
 
+    // ---- gap-filled hourly series + forward fill (T4) --------------------
+    // The charting/monitoring twin of T2 at hour grain: every hour between
+    // each type's own first and last active hour gets a row — missing hours
+    // carry n=0 and the last observed hourly value (LOCF). Scale shape: the
+    // ONE real shuffle is the events→hourly rollup (map-side combinable);
+    // everything after runs on calendar-cardinality frames (≤ types ×
+    // span-hours rows, bounded by wall-clock time, not data volume — the
+    // same post-rollup-window argument as t1's cumulative sum). The
+    // calendar comes from a per-type sequence() explode, so no driver-side
+    // date loop and no generate_series temp table.
+    "t4_gap_fill" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("hour_value"))
+      val cal = hourly.groupBy(col("event_type"))
+        .agg(min(col("hour_ts")).as("lo"), max(col("hour_ts")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+            .as("hour_ts"))
+      // lo is each type's first ACTIVE hour, so row 1 of every partition
+      // has data and value_locf is never NULL
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(hourly, Seq("event_type", "hour_ts"), "left")
+        .withColumn("filled", when(col("n").isNull, 1L).otherwise(0L))
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("value_locf",
+          last(col("hour_value"), ignoreNulls = true).over(w))
+        .select("event_type", "hour_ts", "n", "filled", "value_locf")
+        .orderBy("event_type", "hour_ts")
+    }),
+
     // ---- composite ingest: content-hash dedup → per-key offset → cap
     //      (reference §3.2 / D1+W6+D2: db/data.py:211-270) -----------------
     "s2_ingest_pipeline" -> ((s, d) => {
@@ -555,6 +587,31 @@ object StatsPack {
          | epoch_ms(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS epoch_ms,
          |${typeFilterCols()}
          |FROM events GROUP BY date_trunc('day', ts) ORDER BY day""".stripMargin,
+
+    "t4_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS hour_value
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT event_type, min(hour_ts) AS lo, max(hour_ts) AS hi
+        |  FROM hourly GROUP BY 1),
+        |cal AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+        |  FROM spans),
+        |joined AS (
+        |  SELECT c.event_type, c.hour_ts,
+        |    CAST(COALESCE(h.n, 0) AS BIGINT) AS n,
+        |    CAST(CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled,
+        |    h.hour_value
+        |  FROM cal c LEFT JOIN hourly h USING (event_type, hour_ts))
+        |SELECT event_type, hour_ts, n, filled,
+        |  last_value(hour_value IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY hour_ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+        |FROM joined ORDER BY event_type, hour_ts""".stripMargin,
 
     "s2_ingest_pipeline" ->
       """WITH hashed AS (

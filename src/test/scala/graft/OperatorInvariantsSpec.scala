@@ -1822,4 +1822,34 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(piv.nonEmpty && piv.forall { case (d, s) => tot(d) == s },
       "pivot row sums diverge from daily totals")
   }
+
+  test("t4_gap_fill: per-type hour grid is dense, filled rows are exactly " +
+    "the n=0 rows, LOCF carries the latest observed value, mass conserved") {
+    val rows = run("t4_gap_fill").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getLong(3), if (r.isNullAt(4)) None
+        else Some(r.getDouble(4))))
+    assert(rows.nonEmpty)
+    // filled ⇔ no events that hour (a real hourly rollup row always has n>0)
+    assert(rows.forall { case (_, _, n, f, _) => (f == 1L) == (n == 0L) })
+    // sfTiny genuinely exercises the fill path (~75% hour coverage)
+    assert(rows.count(_._4 == 1L) > 0, "no gap rows at sfTiny — fill untested")
+    rows.groupBy(_._1).foreach { case (t, trs) =>
+      val sorted = trs.sortBy(_._2)
+      // dense: consecutive grid hours are exactly one hour apart
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => b._2 - a._2 == 3600000L
+        case _           => true
+      }, s"$t grid has holes")
+      // LOCF: replay the carry driver-side; first row is an active hour
+      var carry: Option[Double] = None
+      sorted.foreach { case (_, _, n, _, locf) =>
+        if (n > 0L) carry = locf // active hour: locf IS that hour's value
+        else assert(locf == carry, s"$t LOCF diverges from replay")
+      }
+      assert(sorted.head._3 > 0L, s"$t grid starts on a filled row")
+    }
+    val total = rows.map(_._3).sum
+    assert(total == Tables.events(spark, sfTiny).count(), "event mass lost")
+  }
 }
