@@ -702,6 +702,14 @@ object TextPack {
   /** Chunk stride (ChunkLen − stride = 16 tokens of overlap). */
   private[graft] val ChunkStride = 48
 
+  /** PMI collocations: minimum bigram count — PMI is dominated by hapax
+    * noise without a support floor (a pair seen once between two rare
+    * tokens maxes the score); 5 is the classic Church & Hanks cutoff. */
+  private[graft] val PmiMinPair = 5L
+
+  /** PMI collocations: result size. */
+  private[graft] val PmiTopK = 30
+
   /** Arithmetic core of `tx_source_drift` over a pre-aggregated
     * (source, tk, cs) token-count frame: per-source L1 distance to the
     * corpus mixture, Σ_t |c_s(t)·N − c(t)·N_s| over the common denominator
@@ -861,6 +869,50 @@ object TextPack {
             .otherwise(array().cast(ArrayType(StringType))))).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("bigram")).limit(20)
+    }),
+
+    // ---- PMI collocations — the word2vec-era association score
+    //      (Church & Hanks 1990), ranked WITHOUT a float log: exp(PMI) is
+    //      monotone in PMI, so ranking by the exact-integer lift
+    //      c_xy·N_uni² / (N_bg·c_x·c_y) in parts-per-million (DECIMAL(38,0)
+    //      products, integer div — HUGEINT mirror in the oracle) gives the
+    //      PMI order bit-reproducibly on both engines. Scale shape: the two
+    //      corpus passes (unigram + bigram rollups, both map-side
+    //      combinable) do the heavy lifting; the support floor prunes the
+    //      bigram frame BEFORE its two vocab-keyed joins (at 100 TB the
+    //      vocabulary is not broadcastable — these are shuffle joins on the
+    //      token, and the floor keeps the left side collocation-sized); the
+    //      totals ride in as broadcast 1-row frames and the final top-K is
+    //      a TakeOrderedAndProject, never a global sort. N_bg sums over ALL
+    //      bigrams (pre-floor) — the floor prunes candidates, it must not
+    //      reweight the distribution. ------------------------------------
+    "tx_pmi_pairs" -> ((s, d) => {
+      import graft.functions.HashFunctions.bindArray
+      val docs = Tables.documents(s, d)
+      val uni = docs.select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val bgAll = docs
+        .select(explode(bindArray(tokens(col("text")), t =>
+          when(size(t) >= 2,
+            transform(sequence(lit(1), size(t) - 1),
+              i => concat(element_at(t, i), lit(" "),
+                element_at(t, i + 1))))
+            .otherwise(array().cast(ArrayType(StringType))))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      val nUni = uni.agg(sum(col("c")).as("n_uni"))
+      val nBg = bgAll.agg(sum(col("c_xy")).as("n_bg"))
+      // tokens are whitespace-split, so the single-space join in the bigram
+      // key is unambiguous — splitting it back is lossless
+      val bg = bgAll.filter(col("c_xy") >= PmiMinPair)
+        .withColumn("x", element_at(split(col("bigram"), " "), 1))
+        .withColumn("y", element_at(split(col("bigram"), " "), 2))
+      bg.join(uni.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
+        .join(uni.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBg))
+        .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+          expr("(CAST(c_xy AS DECIMAL(38,0)) * n_uni * n_uni * 1000000L)" +
+            " div (CAST(n_bg AS DECIMAL(38,0)) * c_x * c_y)").as("lift_ppm"))
+        .orderBy(desc("lift_ppm"), asc("x"), asc("y")).limit(PmiTopK)
     }),
 
     // ---- context-window chunking — split each document into overlapping
@@ -1192,6 +1244,26 @@ object TextPack {
          |       FROM toks WHERE len(t) >= 2)
          |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg
          |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+
+    "tx_pmi_pairs" ->
+      s"""WITH toks AS (SELECT $toksSql AS t FROM documents),
+         |uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+         |bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1])) AS bigram
+         |    FROM toks WHERE len(t) >= 2) GROUP BY bigram),
+         |tot AS (SELECT (SELECT SUM(c) FROM uc) AS n_uni,
+         |               (SELECT SUM(c_xy) FROM bc) AS n_bg)
+         |SELECT split_part(bigram, ' ', 1) AS x,
+         |  split_part(bigram, ' ', 2) AS y, c_xy, ux.c AS c_x, uy.c AS c_y,
+         |  CAST((CAST(c_xy AS HUGEINT) * n_uni * n_uni * 1000000)
+         |    // (CAST(n_bg AS HUGEINT) * ux.c * uy.c) AS BIGINT) AS lift_ppm
+         |FROM bc CROSS JOIN tot
+         |JOIN uc ux ON ux.tok = split_part(bigram, ' ', 1)
+         |JOIN uc uy ON uy.tok = split_part(bigram, ' ', 2)
+         |WHERE c_xy >= $PmiMinPair
+         |ORDER BY lift_ppm DESC, x, y LIMIT $PmiTopK""".stripMargin,
 
     "tx_chunk_windows" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),

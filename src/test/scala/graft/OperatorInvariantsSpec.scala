@@ -1823,6 +1823,34 @@ class OperatorInvariantsSpec extends SparkSpec {
       "pivot row sums diverge from daily totals")
   }
 
+  test("tx_pmi_pairs: integer lift ranks identically to float PMI, floor " +
+    "holds, ordering is total") {
+    val rows = SparkEntry.queries("tx_pmi_pairs")(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 >= graft.operators.TextPack.PmiMinPair))
+    // presentation order: lift desc, then (x, y) asc — total, no dup pairs
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._6 > b._6 ||
+        (a._6 == b._6 && (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)))
+      case _           => true
+    })
+    // the integer lift is a monotone image of PMI: within the page, the
+    // float PMI recomputed from the carried counts never ranks two pairs
+    // the OTHER way (equal-lift ties aside — the div floors to ppm)
+    val n = Tables.documents(spark, sfTiny)
+      .select(graft.functions.TextFunctions.tokenCount(col("text")).as("k"))
+      .agg(sum(col("k")).as("nu"), sum(greatest(col("k") - 1, lit(0L))).as("nb"))
+      .collect()(0)
+    val (nUni, nBg) = (n.getLong(0).toDouble, n.getLong(1).toDouble)
+    val pmi = rows.map { case (_, _, cxy, cx, cy, lift) =>
+      (math.log(cxy / nBg) - math.log(cx / nUni) - math.log(cy / nUni), lift)
+    }
+    for (Array((pa, la), (pb, lb)) <- pmi.sliding(2))
+      if (la != lb) assert(pa > pb, "integer lift inverted a float-PMI rank")
+  }
+
   test("t4_gap_fill: per-type hour grid is dense, filled rows are exactly " +
     "the n=0 rows, LOCF carries the latest observed value, mass conserved") {
     val rows = run("t4_gap_fill").collect()
