@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics beyond connected components: PageRank
@@ -79,8 +79,113 @@ object GraphPack {
           expr("node div 2").as("key"), col("r").as("rank"))
         .orderBy(col("rank").desc, col("node_type"), col("key"))
         .limit(100)
-    })
+    }),
+
+    "g2_triangles" -> ((s, d) => trianglesQuery(s, d)),
+    "g3_neighbor_jaccard" -> ((s, d) => neighborJaccardQuery(s, d))
   )
+
+  // ---- g2: degree-oriented triangle counting --------------------------
+  // Co-purchase graph: parts are adjacent when some order contains both.
+  // Triangles (how clustered is the co-purchase neighbourhood) drive the
+  // same downstream decisions as in any dedup/citation graph: community
+  // seeds, transitivity-based blocking, anomaly flags. Enumeration uses
+  // the DEGREE-ORIENTED wedge join (Cohen 2009; Suri & Vassilvitskii,
+  // WWW'11): orient every edge from the (degree, id)-smaller endpoint to
+  // the larger, generate wedges only from a node's OUT-neighbours, and
+  // probe the oriented edge set. Out-degree is bounded by O(√m) on any
+  // graph, so the wedge fan-out — the term that explodes for hub nodes in
+  // the naive a<b<c join — stays polynomial at 100 TB. The triangle SET
+  // is orientation-invariant, so the DuckDB oracle replays the naive
+  // ordered join and must land on identical per-node counts.
+
+  /** Bulk-line floor for the co-purchase graph: the UNthresholded graph is
+    * wedge-dense without being hub-skewed (flat degree ≈ 120, max 222 at
+    * sf0.1 → 41M wedges that no orientation can cut), so the operator is
+    * scoped to bulk lines — the analytics question stays the same and the
+    * wedge volume tracks the filtered edge count quadratically. */
+  private[graft] val TriQtyMin = 25
+
+  /** Canonical (a < b) bulk co-order part edges, derived once per call. */
+  private def coOrderEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= TriQtyMin)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.select(col("ok"), col("pk").as("a"))
+      .join(li.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Total degree order as one comparable key: deg in the high 32 bits,
+    * node id as the tiebreak in the low 32. Unique because node is. */
+  private def ordKey(deg: Column, node: Column): Column =
+    shiftleft(deg, 32) + node
+
+  private def trianglesQuery(s: SparkSession, d: String): DataFrame = {
+    val e = coOrderEdges(s, d).localCheckpoint()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // deg is node-sized (≪ edges) — broadcast it onto both endpoints
+    val da = deg.select(col("node").as("a"), ordKey(col("deg"), col("node")).as("orda"))
+    val db = deg.select(col("node").as("b"), ordKey(col("deg"), col("node")).as("ordb"))
+    val oriented = e.join(broadcast(da), "a").join(broadcast(db), "b")
+      .select(
+        when(col("orda") < col("ordb"), col("a")).otherwise(col("b")).as("u"),
+        when(col("orda") < col("ordb"), col("b")).otherwise(col("a")).as("v"),
+        when(col("orda") < col("ordb"), col("ordb")).otherwise(col("orda"))
+          .as("vo"))
+      .localCheckpoint()
+    // wedges from a shared out-endpoint u; (x, y) ordered by the SAME
+    // degree order, so a closing edge can only be oriented x→y
+    val o1 = oriented.select(col("u"), col("v").as("x"), col("vo").as("xo"))
+    val o2 = oriented.select(col("u"), col("v").as("y"), col("vo").as("yo"))
+    val tri = o1.join(o2, "u").filter(col("xo") < col("yo"))
+      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    tri.select(col("u").as("node"))
+      .unionAll(tri.select(col("x").as("node")))
+      .unionAll(tri.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+      .select(col("node").as("part_key"), col("tri_cnt"))
+      .orderBy(col("tri_cnt").desc, col("part_key"))
+      .limit(100)
+  }
+
+  // ---- g3: neighbour-set Jaccard (supplier co-supply similarity) ------
+  // Node similarity by one-hop neighbourhood overlap — the blocking-free
+  // record-linkage primitive ("two suppliers are interchangeable when
+  // they stock the same parts"). Candidate pairs come from a self-join on
+  // the shared neighbour (only pairs with ≥1 common part materialize —
+  // the inverted-index trick every set-similarity join builds on), so the
+  // all-pairs quadratic never appears. Jaccard is served in exact parts
+  // per million: |A∩B| · 10⁶ div |A∪B| — integer arithmetic both engines
+  // replay bit-for-bit (a double ratio would be partition-order safe here
+  // but the div keeps the suite's one arithmetic policy).
+  private[graft] val JacPpmScale = 1000000L
+
+  private def neighborJaccardQuery(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+      .localCheckpoint()
+    val deg = ps.groupBy("sk").agg(count(lit(1)).as("deg"))
+    val inter = ps.select(col("pk"), col("sk").as("s1"))
+      .join(ps.select(col("pk"), col("sk").as("s2")), "pk")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("shared_parts"))
+    inter
+      .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), "s1")
+      .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), "s2")
+      .select(col("s1").as("supplier_a"), col("s2").as("supplier_b"),
+        col("shared_parts"),
+        (col("d1") + col("d2") - col("shared_parts")).as("union_parts"),
+        expr(s"shared_parts * ${JacPpmScale}L div (d1 + d2 - shared_parts)")
+          .as("jac_ppm"))
+      .orderBy(col("jac_ppm").desc, col("supplier_a"), col("supplier_b"))
+      .limit(100)
+  }
 
   /** One damped round as a CTE body: ranks `$prev` → `$cur`. */
   private def roundSql(prev: String, cur: String): String =
@@ -110,6 +215,43 @@ object GraphPack {
          |  node // 2 AS key, CAST(r AS BIGINT) AS rank
          |FROM r$PrIters
          |ORDER BY rank DESC, node_type, key LIMIT 100""".stripMargin
-    }
+    },
+
+    // naive ordered a<b<c enumeration — a different (hub-quadratic) plan
+    // than the engine's degree-oriented wedge join, but the triangle SET
+    // is orientation-invariant, so the per-node counts must agree exactly
+    "g2_triangles" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem WHERE l_quantity >= $TriQtyMin),
+        |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |tri AS (SELECT e1.a AS u, e1.b AS x, e2.b AS y
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (SELECT u AS node FROM tri
+        |  UNION ALL SELECT x FROM tri
+        |  UNION ALL SELECT y FROM tri)
+        |SELECT node AS part_key, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+        |FROM nodes GROUP BY node
+        |ORDER BY tri_cnt DESC, part_key LIMIT 100""".stripMargin,
+
+    "g3_neighbor_jaccard" ->
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+         |    FROM lineitem),
+         |deg AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM ps GROUP BY sk),
+         |inter AS (SELECT x.sk AS s1, y.sk AS s2,
+         |    CAST(COUNT(*) AS BIGINT) AS shared_parts
+         |  FROM ps x JOIN ps y ON x.pk = y.pk AND x.sk < y.sk
+         |  GROUP BY x.sk, y.sk)
+         |SELECT i.s1 AS supplier_a, i.s2 AS supplier_b, i.shared_parts,
+         |  d1.deg + d2.deg - i.shared_parts AS union_parts,
+         |  i.shared_parts * $JacPpmScale //
+         |    (d1.deg + d2.deg - i.shared_parts) AS jac_ppm
+         |FROM inter i
+         |JOIN deg d1 ON d1.sk = i.s1
+         |JOIN deg d2 ON d2.sk = i.s2
+         |ORDER BY jac_ppm DESC, supplier_a, supplier_b LIMIT 100""".stripMargin
   )
 }

@@ -1810,6 +1810,55 @@ class OperatorInvariantsSpec extends SparkSpec {
       s"top-10 not all suppliers: ${rows.take(10).toSeq}")
   }
 
+  test("g2_triangles: degree-oriented wedge enumeration equals the naive " +
+    "in-memory triangle count per node (orientation invariance)") {
+    // naive replay on the sfTiny graph: build the bulk co-order edge set
+    // in memory and count triangles per node by closed-wedge scan
+    val li = Tables.lineitem(spark, sfTiny)
+      .filter(col("l_quantity") >= operators.GraphPack.TriQtyMin)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { lines =>
+      val pks = lines.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- (i + 1) until pks.length)
+        yield (pks(i), pks(j))
+    }.toSet
+    val adj = (edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).map { case (n, ps) => n -> ps.map(_._2).toSet }
+    val naive = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(a) if c > b && adj(b).contains(c)) {
+      naive(a) += 1; naive(b) += 1; naive(c) += 1
+    }
+    val expect = naive.toSeq.sortBy { case (n, c) => (-c, n) }.take(100)
+    val got = run("g2_triangles").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(expect.nonEmpty && got == expect,
+      s"oriented vs naive triangle counts diverge: got ${got.take(5)}… " +
+        s"expect ${expect.take(5)}…")
+  }
+
+  test("g3_neighbor_jaccard: inverted-index join equals the naive " +
+    "all-pairs Jaccard over supplier part-sets") {
+    val ps = Tables.lineitem(spark, sfTiny)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sets = ps.groupBy(_._2).map { case (s, xs) => s -> xs.map(_._1).toSet }
+    val sup = sets.keys.toSeq.sorted
+    val expect = (for {
+      i <- sup.indices; j <- (i + 1) until sup.length
+      inter = (sets(sup(i)) & sets(sup(j))).size.toLong if inter > 0
+      uni = (sets(sup(i)) | sets(sup(j))).size.toLong
+    } yield (sup(i), sup(j), inter, uni,
+      inter * operators.GraphPack.JacPpmScale / uni))
+      .sortBy { case (a, b, _, _, jac) => (-jac, a, b) }.take(100)
+    val got = run("g3_neighbor_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(expect.nonEmpty && got == expect,
+      s"jaccard join diverges from naive: got ${got.take(3)}… " +
+        s"expect ${expect.take(3)}…")
+  }
+
   test("a13_pivot row sums equal the per-day event totals (zero-fill, " +
     "no drops)") {
     val piv = run("a13_pivot").collect()

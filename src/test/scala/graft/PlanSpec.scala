@@ -473,4 +473,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"g1_pagerank: edge-side sort-merge join:\n$plan")
   }
+
+  test("g2_triangles: degree frame broadcasts onto the edges, top-100 " +
+    "plans as a partial top-K, and no join degenerates to nested loops") {
+    val plan = planText(run("g2_triangles"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"g2_triangles: degree frame not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"g2_triangles: global sort instead of partial top-K:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"g2_triangles: non-equi join shape:\n$plan")
+  }
+
+  test("g3_neighbor_jaccard: inverted-index pair generation joins on the " +
+    "shared neighbour (hash join), degrees broadcast, partial top-K") {
+    val plan = planText(run("g3_neighbor_jaccard"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"g3_neighbor_jaccard: no broadcast join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"g3_neighbor_jaccard: global sort instead of partial top-K:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"g3_neighbor_jaccard: all-pairs shape leaked in:\n$plan")
+  }
 }
