@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, LongType, TimestampType}
@@ -33,6 +33,10 @@ object EventsPack {
     * cells — the blocking factor is a hard constant, not data-dependent. */
   val HalfWinUs: Long = 5L * 60 * 1000 * 1000
   val CellUs: Long = 2 * HalfWinUs
+
+  /** Attribution lookback horizon (7 days) — ONE definition interpolated
+    * into the engine's window filter and the oracle's join predicate. */
+  private[graft] val AttribHorizonUs: Long = 7L * 24 * 3600 * 1000000
 
   /** The gap-session core shared by `ev_sessionize` and the sweep-line
     * concurrency rollup: lag → boundary flag → running sum = session index,
@@ -94,6 +98,45 @@ object EventsPack {
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"), col("view_id"), col("view_ts"))
         .orderBy("click_id")
+    }),
+
+    // ---- last-touch attribution with a lookback horizon ------------------
+    // Every purchase attributed to the user's most recent preceding
+    // marketing touch (click OR view) within [[AttribHorizonUs]] — the
+    // as-of join generalized to a multi-type touch stream plus a horizon,
+    // the canonical revenue-attribution shape. Same linear formulation as
+    // ev_asof_join (tagged union, one user_id window, last(ignoreNulls));
+    // the horizon applies AFTER the carry-forward — sound because touches
+    // only get older further back: if the newest touch is outside the
+    // horizon, every touch is. A touch at exactly the purchase instant
+    // counts (side 0 sorts first). The oracle takes the inequality-join
+    // road so the two formulations check each other.
+    "ev_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), lit(0).as("side"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), lit(1).as("side"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def lastTouch(c: Column): Column =
+        last(when(col("side") === 0, c), ignoreNulls = true).over(w)
+      touches.unionByName(purchases)
+        .withColumn("t_id", lastTouch(col("event_id")))
+        .withColumn("t_type", lastTouch(col("event_type")))
+        .withColumn("t_ts", lastTouch(col("ts")))
+        .filter(col("side") === 1)
+        .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("t_ts")))
+        .withColumn("in_horizon", col("gap_us") <= AttribHorizonUs)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"),
+          when(col("in_horizon"), col("t_id")).as("touch_id"),
+          when(col("in_horizon"), col("t_type")).as("touch_type"),
+          when(col("in_horizon"), col("gap_us")).as("gap_us"))
+        .orderBy("purchase_id")
     }),
 
     // ---- cohort retention triangle ---------------------------------------
@@ -426,6 +469,28 @@ object EventsPack {
         |                  WHERE rn = 1) m
         |  ON m.click_id = c.event_id
         |ORDER BY click_id""".stripMargin,
+
+    // inequality-join road (horizon inside the candidate join — equivalent
+    // to the engine's carry-then-filter because touches only age backwards)
+    "ev_attribution" ->
+      s"""WITH p AS (SELECT event_id, user_id, ts FROM events
+         |           WHERE event_type = 'purchase'),
+         |t AS (SELECT event_id, user_id, ts, event_type FROM events
+         |      WHERE event_type IN ('click', 'view')),
+         |cand AS (
+         |  SELECT p.event_id AS pid, t.event_id AS tid,
+         |    t.event_type AS ttype, t.ts AS tts,
+         |    row_number() OVER (PARTITION BY p.event_id
+         |      ORDER BY t.ts DESC, t.event_id DESC) AS rn
+         |  FROM p JOIN t ON t.user_id = p.user_id AND t.ts <= p.ts
+         |    AND epoch_us(p.ts) - epoch_us(t.ts) <= $AttribHorizonUs)
+         |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+         |  m.tid AS touch_id, m.ttype AS touch_type,
+         |  CAST(epoch_us(p.ts) - epoch_us(m.tts) AS BIGINT) AS gap_us
+         |FROM p LEFT JOIN (SELECT pid, tid, ttype, tts FROM cand
+         |                  WHERE rn = 1) m
+         |  ON m.pid = p.event_id
+         |ORDER BY purchase_id""".stripMargin,
 
     "ev_transitions" ->
       """WITH t AS (SELECT user_id,

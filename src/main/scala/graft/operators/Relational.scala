@@ -324,6 +324,35 @@ object Relational {
         .orderBy("rn")
     }),
 
+    // ---- ranking-function family: rank / dense_rank / percent_rank /
+    //      cume_dist / ntile in one window pass ---------------------------
+    // Customers ranked by balance within their market segment — the
+    // leaderboard/quantile-bucket shape every curriculum or quality-tier
+    // assignment reuses. ONE exchange (all five functions share the
+    // segment partitioning); the value-tied functions (rank, dense_rank,
+    // percent_rank, cume_dist) order by balance alone — ties get equal
+    // values, so the result is deterministic without a tiebreak — while
+    // ntile DEPENDS on intra-tie positions, so its window adds the key.
+    // Balance enters as exact cents (both engines floor the same IEEE
+    // product); percent_rank/cume_dist are single IEEE divisions of small
+    // exact integers — bit-equal across engines.
+    "w9_window_ranks" -> ((s, d) => {
+      val byBal = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("bal_cents").desc)
+      val total = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("bal_cents").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") * 100).cast(LongType).as("bal_cents"))
+        .withColumn("rnk", asLong(rank().over(byBal)))
+        .withColumn("drnk", asLong(dense_rank().over(byBal)))
+        .withColumn("pct_rank", percent_rank().over(byBal))
+        .withColumn("cume", cume_dist().over(byBal))
+        .withColumn("quartile", asLong(ntile(4).over(total)))
+        .orderBy(col("c_mktsegment"), col("bal_cents").desc,
+          col("c_custkey"))
+    }),
+
     // ---- duplicate cap per key (reference D2: db/data.py:260-262,
     //      max 10 submissions per mbid) -----------------------------------
     "d2_duplicate_cap" -> ((s, d) => {
@@ -733,6 +762,21 @@ object Relational {
         |  FROM customer)
         |SELECT rn, c_custkey, c_name FROM ranked
         |WHERE rn > 20 AND rn <= 40 ORDER BY rn""".stripMargin,
+
+    "w9_window_ranks" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer)
+        |SELECT c_custkey, c_mktsegment, bal_cents,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY bal_cents DESC, c_custkey) AS BIGINT) AS quartile
+        |FROM c
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_cents DESC)
+        |ORDER BY c_mktsegment, bal_cents DESC, c_custkey""".stripMargin,
 
     "d2_duplicate_cap" ->
       """WITH ranked AS (

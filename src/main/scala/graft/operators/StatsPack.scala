@@ -271,6 +271,25 @@ object StatsPack {
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // ---- CUBE: every status × priority margin in one pass --------------
+    // The full-lattice sibling of a12's ROLLUP: detail, BOTH one-dimension
+    // margins, and the grand total from a single Expand + one exchange (a
+    // row fans out once per grouping set map-side; four jobs' worth of
+    // margins for one shuffle). Same bit-exactness machinery as a12:
+    // grouping_id() disambiguates subtotal NULLs, sums ride the exact-
+    // decimal policy, and the decimal→double goes through the oracle's
+    // VARCHAR hop. ---------------------------------------------------------
+    "a15_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("gid").cast(LongType).as("gid"), col("n"), col("sum_price"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     // ---- pivot: per-day event counts, one column per type --------------
     // The wide-format rollup every dashboard export wants. The value list
     // is EXPLICIT — pivot without one runs a distinct-collect job over
@@ -865,6 +884,18 @@ object StatsPack {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST,
         |  l_linestatus NULLS FIRST""".stripMargin,
+
+    // same GROUPING() bit-order and VARCHAR-hop notes as a12_rollup
+    "a15_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR)
+        |   AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
 
     // the long-format conditional-count mirror of the engine's pivot,
     // over the same interpolated [[EventTypes]]
