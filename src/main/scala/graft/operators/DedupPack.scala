@@ -98,7 +98,43 @@ object DedupPack {
     Tables.documents(s, d)
       .select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sh"))
 
+  /** Edit-distance threshold for the blocked fuzzy-match join. */
+  private[graft] val EditMax = 2
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- blocked edit-distance fuzzy match (entity resolution) ---------
+    // Near-duplicate part names within a brand at Levenshtein ≤ [[EditMax]]
+    // — the record-linkage primitive (typo'd titles, OCR'd labels). Two
+    // LOSSLESS pruning layers before any distance is computed: the brand
+    // blocking key (an equi-join — cross-brand pairs never materialize),
+    // and the length filter |len(a) − len(b)| ≤ t (an edit can change
+    // length by at most 1; Gravano et al., VLDB'01) expressed as an
+    // EQUI-join too: the probe side explodes each name to its 2t+1
+    // admissible partner lengths, so out-of-band pairs are never formed
+    // rather than formed-and-filtered. Only the surviving candidates pay
+    // the O(len²) distance; each unordered pair forms exactly once (the
+    // probe row with key_a < key_b). The oracle is the PLAIN within-brand
+    // quadratic with the same threshold — both pruning layers must be
+    // semantically invisible.
+    "dd_edit_blocked" -> ((s, d) => {
+      val pr = Tables.part(s, d)
+        .select(col("p_partkey").as("k"), col("p_brand").as("brand"),
+          col("p_name").as("name"), length(col("p_name")).as("len"))
+      val probe = pr.select(col("k").as("key_a"), col("brand"),
+        col("name").as("name_a"),
+        explode(sequence(col("len") - EditMax, col("len") + EditMax))
+          .as("lb"))
+      val build = pr.select(col("k").as("key_b"), col("brand"),
+        col("name").as("name_b"), col("len").as("lb"))
+      probe.join(build, Seq("brand", "lb"))
+        .filter(col("key_a") < col("key_b"))
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b")).cast(LongType))
+        .filter(col("dist") <= EditMax)
+        .select("brand", "key_a", "key_b", "name_a", "name_b", "dist")
+        .orderBy("brand", "key_a", "key_b")
+    }),
+
     // ---- exact dedup by content hash (reference D1) ----------------------
     "dd_exact_hash" -> ((s, d) => {
       Tables.documents(s, d)
@@ -1023,6 +1059,18 @@ object DedupPack {
     // "reads the artifact" half is PlanSpec's)
     "dd_incremental_indexed" ->
       "SELECT * FROM '__GRAFT_OUT__/dd_incremental_lsh/*.parquet'",
+
+    // plain within-brand quadratic — blocking and the length filter must
+    // be invisible
+    "dd_edit_blocked" ->
+      s"""WITH pr AS (SELECT p_partkey AS k, p_brand AS brand,
+         |    p_name AS name FROM part)
+         |SELECT x.brand, x.k AS key_a, y.k AS key_b,
+         |  x.name AS name_a, y.name AS name_b,
+         |  CAST(levenshtein(x.name, y.name) AS BIGINT) AS dist
+         |FROM pr x JOIN pr y ON x.brand = y.brand AND x.k < y.k
+         |WHERE levenshtein(x.name, y.name) <= $EditMax
+         |ORDER BY x.brand, key_a, key_b""".stripMargin,
 
     "dd_exact_hash" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

@@ -27,6 +27,11 @@ object StatsPack {
   private[graft] val EventTypes =
     Seq("click", "error", "purchase", "signup", "view")
 
+  /** Priority-sampling constants: sample size and the 30-bit draw domain
+    * (u = h/2^30, h ∈ [1, 2^30] — q = w·2^30 div h stays in BIGINT). */
+  private[graft] val PrioSampleK = 100
+  private[graft] val PrioDrawMod = 1073741824L
+
   /** The oracle-side image of [[EventTypes]]: one `COUNT(*) FILTER` column
     * per type, named `n_<type>` like the Spark side. */
   private def typeFilterCols(): String =
@@ -208,6 +213,46 @@ object StatsPack {
           percentile(col("value"), lit(0.95)).as("p95"))
         .join(samp, Seq("event_type"), "left")
         .orderBy("event_type")
+    }),
+
+    // ---- priority sampling: weighted top-K summary --------------------
+    // Duffield, Lund & Thorup (JACM 2007): item i draws u_i ~ U(0,1],
+    // priority q_i = w_i / u_i, keep the top K priorities; τ = the
+    // (K+1)-th priority, and ŵ_i = max(w_i, τ) is the unbiased
+    // per-item weight estimate — Σŵ tracks the population total from K
+    // rows. The weighted sample every mixture/curriculum builder wants
+    // when "sample proportional to quality×size" meets "one pass, no
+    // global shuffle": the top-K is a TakeOrdered partial, never a sort.
+    // Engine-defined integer draw: u = h/2^30 with h a 30-bit md5 slice
+    // (+1 — never zero), so q = w_cents · 2^30 div h stays under 2^56
+    // (w_cents < 2^26) in exact BIGINT arithmetic both engines replay.
+    // τ comes from the (K+1)-row frame itself (the one-row agg crossJoins
+    // back — the suite's monitor pattern); n ≤ K degrades to τ = 0
+    // (everything sampled exactly, ŵ = w). ------------------------------
+    "sk_priority_sample" -> ((s, d) => {
+      val scored = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast(LongType).as("w_cents"))
+        .withColumn("h",
+          pmod(conv(substring(md5(concat(lit("psamp:"),
+            col("o_orderkey").cast(StringType))), 1, 8), 16, 10)
+            .cast(LongType), lit(PrioDrawMod)) + 1)
+        .withColumn("q", expr(s"w_cents * ${PrioDrawMod}L div h"))
+      val top = scored
+        .orderBy(col("q").desc, col("o_orderkey"))
+        .limit(PrioSampleK + 1)
+        .localCheckpoint()
+      val tau = top.agg(min(col("q")).as("tau_min"),
+        count(lit(1)).as("n_top"))
+      val w = Window.orderBy(col("q").desc, col("o_orderkey"))
+      top.withColumn("rn", asLong(row_number().over(w)))
+        .filter(col("rn") <= PrioSampleK)
+        .crossJoin(broadcast(tau))
+        .select(col("rn"), col("o_orderkey"), col("w_cents"), col("q"),
+          greatest(col("w_cents"),
+            when(col("n_top") === PrioSampleK + 1, col("tau_min"))
+              .otherwise(lit(0L))).as("est_cents"))
+        .orderBy("rn")
     }),
 
     // ---- salted two-phase aggregation (hot-key skew guard) --------------
@@ -884,6 +929,23 @@ object StatsPack {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST,
         |  l_linestatus NULLS FIRST""".stripMargin,
+
+    "sk_priority_sample" ->
+      s"""WITH scored AS (SELECT o_orderkey,
+         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS w_cents,
+         |    (('0x' || substr(md5('psamp:' || CAST(o_orderkey AS VARCHAR)),
+         |      1, 8))::BIGINT % $PrioDrawMod) + 1 AS h
+         |  FROM orders),
+         |q AS (SELECT o_orderkey, w_cents,
+         |    w_cents * $PrioDrawMod // h AS q FROM scored),
+         |top AS (SELECT o_orderkey, w_cents, q,
+         |    row_number() OVER (ORDER BY q DESC, o_orderkey) AS rn
+         |  FROM q ORDER BY q DESC, o_orderkey LIMIT ${PrioSampleK + 1}),
+         |t AS (SELECT MIN(q) AS tau_min, COUNT(*) AS n_top FROM top)
+         |SELECT CAST(rn AS BIGINT) AS rn, o_orderkey, w_cents, q,
+         |  greatest(w_cents, CASE WHEN t.n_top = ${PrioSampleK + 1}
+         |    THEN t.tau_min ELSE 0 END) AS est_cents
+         |FROM top, t WHERE rn <= $PrioSampleK ORDER BY rn""".stripMargin,
 
     // same GROUPING() bit-order and VARCHAR-hop notes as a12_rollup
     "a15_cube" ->

@@ -1810,6 +1810,74 @@ class OperatorInvariantsSpec extends SparkSpec {
       s"top-10 not all suppliers: ${rows.take(10).toSeq}")
   }
 
+  test("sk_priority_sample equals the in-memory Duffield-Lund-Thorup " +
+    "replay and its estimator tracks the population total") {
+    import operators.StatsPack.{PrioDrawMod, PrioSampleK}
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val orders = Tables.orders(spark, sfTiny)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val scored = orders.map { case (k, price) =>
+      val w = math.floor(price * 100).toLong
+      val h = java.lang.Long.parseLong(
+        md5hex(s"psamp:$k").substring(0, 8), 16) % PrioDrawMod + 1
+      (k, w, w * PrioDrawMod / h)
+    }
+    val top = scored.sortBy { case (k, _, q) => (-q, k) }
+      .take(PrioSampleK + 1)
+    val tau = if (top.length == PrioSampleK + 1) top.last._3 else 0L
+    val expect = top.take(PrioSampleK).zipWithIndex.map {
+      case ((k, w, q), i) => (i + 1L, k, w, q, math.max(w, tau))
+    }.toSeq
+    val got = run("sk_priority_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"priority sample diverges from replay: " +
+      s"got ${got.take(3)} expect ${expect.take(3)}")
+    // unbiased-estimator sanity on the fixed fixture draw: the K-row
+    // summary's Σŵ lands near the full population total
+    val total = scored.map(_._2).sum.toDouble
+    val est = got.map(_._5).sum.toDouble
+    assert(est > 0.5 * total && est < 2.0 * total,
+      s"estimator off: est=$est total=$total")
+  }
+
+  test("dd_edit_blocked equals the naive within-brand quadratic (length " +
+    "filter lossless, each pair once, threshold inclusive)") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val parts = Tables.part(spark, sfTiny)
+      .select("p_partkey", "p_brand", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expect = (for {
+      (brand, ps) <- parts.groupBy(_._2).toSeq
+      sorted = ps.sortBy(_._1)
+      i <- sorted.indices; j <- (i + 1) until sorted.length
+      d = lev(sorted(i)._3, sorted(j)._3)
+      if d <= operators.DedupPack.EditMax
+    } yield (brand, sorted(i)._1, sorted(j)._1, d.toLong))
+      .sortBy { case (b, a, c, _) => (b, a, c) }
+    val got = run("dd_edit_blocked").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+      .toSeq
+    assert(expect.nonEmpty && got == expect,
+      s"blocked join diverges from naive: got ${got.length} pairs, " +
+        s"expect ${expect.length}")
+  }
+
   test("a15_cube lattice is self-consistent: every margin aggregates its " +
     "detail rows and the grand total closes the cube") {
     val rows = run("a15_cube").collect()

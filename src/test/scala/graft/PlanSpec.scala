@@ -474,6 +474,23 @@ class PlanSpec extends SparkSpec {
       s"g1_pagerank: edge-side sort-merge join:\n$plan")
   }
 
+  test("sk_priority_sample: the top-K is a distributed partial top-K " +
+    "(TakeOrdered), never a global sort of the weighted table") {
+    val plan = planText(run("sk_priority_sample"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sk_priority_sample: no partial top-K:\n$plan")
+  }
+
+  test("dd_edit_blocked: both pruning layers are equi-joins — no " +
+    "nested-loop or cartesian shape anywhere in the plan") {
+    val plan = planText(run("dd_edit_blocked"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"dd_edit_blocked: quadratic join shape leaked in:\n$plan")
+    assert(plan.contains("Generate"), // the length-band explode
+      s"dd_edit_blocked: length-filter explode missing:\n$plan")
+  }
+
   test("g2_triangles: degree frame broadcasts onto the edges, top-100 " +
     "plans as a partial top-K, and no join degenerates to nested loops") {
     val plan = planText(run("g2_triangles"))
