@@ -139,6 +139,30 @@ object EventsPack {
         .orderBy("purchase_id")
     }),
 
+    // ---- rolling 7-day distinct actives (WAU per day) -------------------
+    // Sliding-window COUNT DISTINCT — the one rolling metric a window
+    // function cannot give (distinct doesn't decompose over frames) and a
+    // per-day self-join of the raw stream would pay 7× quadratically. The
+    // scalable reformulation: dedupe to user-days FIRST (the distinct that
+    // matters — raw event volume never multiplies), then each user-day
+    // contributes itself to the ≤ 7 window-end days it belongs to via a
+    // BOUNDED explode, and one (day, user) distinct-count closes it.
+    // Shuffle volume is 7 × |user-days|, independent of event count.
+    "ev_rolling_wau" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast(DateType).as("day"))
+        .distinct()
+      val bounds = ud.agg(max(col("day")).as("mx"))
+      ud.withColumn("off", explode(sequence(lit(0), lit(6))))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("day_t"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("day_t") <= col("mx"))
+        .groupBy(col("day_t").as("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy("day")
+    }),
+
     // ---- cohort retention triangle ---------------------------------------
     // The standard product-analytics rollup (and, for a training-data
     // platform, the contributor-activity view): users cohorted by their
@@ -469,6 +493,19 @@ object EventsPack {
         |                  WHERE rn = 1) m
         |  ON m.click_id = c.event_id
         |ORDER BY click_id""".stripMargin,
+
+    // the naive road: one row per (window-end day, active user) via a
+    // range join on the day distance — the explode must be invisible
+    "ev_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |b AS (SELECT MAX(day) AS mx FROM ud),
+        |t AS (SELECT DISTINCT d.day + CAST(g.i AS INTEGER) AS day
+        |  FROM (SELECT DISTINCT day FROM ud) d, generate_series(0, 6) g(i), b
+        |  WHERE d.day + CAST(g.i AS INTEGER) <= b.mx)
+        |SELECT t.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+        |FROM t JOIN ud u ON u.day BETWEEN t.day - 6 AND t.day
+        |GROUP BY t.day ORDER BY t.day""".stripMargin,
 
     // inequality-join road (horizon inside the candidate join — equivalent
     // to the engine's carry-then-filter because touches only age backwards)

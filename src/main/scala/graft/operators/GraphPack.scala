@@ -82,7 +82,8 @@ object GraphPack {
     }),
 
     "g2_triangles" -> ((s, d) => trianglesQuery(s, d)),
-    "g3_neighbor_jaccard" -> ((s, d) => neighborJaccardQuery(s, d))
+    "g3_neighbor_jaccard" -> ((s, d) => neighborJaccardQuery(s, d)),
+    "g4_kcore_profile" -> ((s, d) => kcoreProfileQuery(s, d))
   )
 
   // ---- g2: degree-oriented triangle counting --------------------------
@@ -152,6 +153,59 @@ object GraphPack {
       .orderBy(col("tri_cnt").desc, col("part_key"))
       .limit(100)
   }
+
+  // ---- g4: k-core peeling profile --------------------------------------
+  // Core decomposition — the density skeleton community detection and
+  // seed selection read before anything else. Each round drops every node
+  // of degree < [[KCoreK]] and the edges touching it; the PROFILE (how
+  // many nodes/edges survive each round) is the output, because on this
+  // fixture the end state is itself the finding: the bulk co-purchase
+  // graph is degree-uniform (~30), so at K at the mean it collapses to
+  // EMPTY within three rounds — no 30-core exists — and the profile
+  // captures the collapse trajectory at every scale. Round count is FIXED
+  // ([[KCoreRounds]], the PageRank/Lloyd-unroll discipline) so the DuckDB
+  // oracle chains the rounds as CTEs; a production run iterates to
+  // fixpoint with the same per-round plan. Per round: one map-side-
+  // combinable degree groupBy, then the node-sized survivor set broadcasts
+  // back onto the edges (the keep-join is semi, never a shuffle of edges
+  // by node).
+  private[graft] val KCoreK = 30L
+  private[graft] val KCoreRounds = 3
+
+  private def kcoreProfileQuery(s: SparkSession, d: String): DataFrame = {
+    var cur = coOrderEdges(s, d).localCheckpoint()
+    var rows: DataFrame = null
+    for (r <- 1 to KCoreRounds) {
+      val deg = cur.select(col("a").as("node"))
+        .unionAll(cur.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= KCoreK).select("node")
+        .localCheckpoint()
+      cur = cur
+        .join(broadcast(keep.withColumnRenamed("node", "a")), Seq("a"),
+          "left_semi")
+        .join(broadcast(keep.withColumnRenamed("node", "b")), Seq("b"),
+          "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      val row = keep.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(cur.agg(count(lit(1)).as("n_edges")))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+      rows = if (rows == null) row else rows.unionAll(row)
+    }
+    rows.orderBy("round")
+  }
+
+  /** One peel round as CTE bodies: graph `$prev` → survivors `k$r` and
+    * the induced edge set `e$r`. */
+  private def peelSql(prev: String, r: Int): String =
+    s"""d$r AS (SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+       |  GROUP BY node),
+       |k$r AS (SELECT node FROM d$r WHERE deg >= $KCoreK),
+       |e$r AS (SELECT a, b FROM $prev
+       |  WHERE a IN (SELECT node FROM k$r)
+       |    AND b IN (SELECT node FROM k$r))""".stripMargin
 
   // ---- g3: neighbour-set Jaccard (supplier co-supply similarity) ------
   // Node similarity by one-hop neighbourhood overlap — the blocking-free
@@ -235,6 +289,24 @@ object GraphPack {
         |SELECT node AS part_key, CAST(COUNT(*) AS BIGINT) AS tri_cnt
         |FROM nodes GROUP BY node
         |ORDER BY tri_cnt DESC, part_key LIMIT 100""".stripMargin,
+
+    "g4_kcore_profile" -> {
+      val rounds = (1 to KCoreRounds)
+        .map(r => peelSql(if (r == 1) "e0" else s"e${r - 1}", r))
+        .mkString(",\n")
+      val rows = (1 to KCoreRounds).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |  (SELECT COUNT(*) FROM k$r) AS n_nodes,
+           |  (SELECT COUNT(*) FROM e$r) AS n_edges""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |    FROM lineitem WHERE l_quantity >= $TriQtyMin),
+         |e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         |$rounds
+         |$rows
+         |ORDER BY round""".stripMargin
+    },
 
     "g3_neighbor_jaccard" ->
       s"""WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk

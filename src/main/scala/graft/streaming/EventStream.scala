@@ -221,4 +221,43 @@ object EventStream {
       graft.operators.EventsPack.purchaseIncidentTags(frozen,
         graft.operators.EventsPack.purchaseProbes(batch))
   }
+
+  /** TRUE stream-stream interval join: error incidents × purchases with
+    * BOTH sides unbounded (incidentGate's window set is a frozen
+    * artifact; here new incidents keep arriving with the purchases). The
+    * j12 cell quantization carries over verbatim — windows explode to
+    * their ≤ 2 covering cells, probes to exactly 1, so the streaming
+    * join has an EQUI component (cell) for partitioned state lookup, and
+    * the ± [[graft.operators.EventsPack.HalfWinUs]] range rides as a
+    * time-range condition BETWEEN THE TWO EVENT-TIME COLUMNS — the form
+    * Structured Streaming's state-cleanup analysis recognizes, so each
+    * side's buffered rows are evicted once the other side's watermark
+    * passes them + the range. State is bounded by (watermark + 10 min)
+    * of events per side, independent of stream age. A pair emits exactly
+    * once (the probe's single cell), in the micro-batch where the later
+    * event arrives; inner-join matches emit immediately (watermarks gate
+    * eviction, not emission). */
+  def incidentPairs(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.operators.EventsPack.{CellUs, HalfWinUs}
+    // the BETWEEN below is written in interval literals for the cleanup
+    // analyzer; keep it equal to the batch core's integer bound
+    require(HalfWinUs == 5L * 60 * 1000 * 1000,
+      "incidentPairs interval literal out of sync with HalfWinUs")
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", "10 minutes")
+      .withColumn("w_cell", explode(sequence(
+        expr(s"(unix_micros(err_ts) - ${HalfWinUs}L) div ${CellUs}L"),
+        expr(s"(unix_micros(err_ts) + ${HalfWinUs}L) div ${CellUs}L"))))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+      .withColumn("p_cell", expr(s"unix_micros(p_ts) div ${CellUs}L"))
+    errs.join(purch,
+      col("w_cell") === col("p_cell") &&
+        expr("p_ts BETWEEN err_ts - INTERVAL 5 MINUTES " +
+          "AND err_ts + INTERVAL 5 MINUTES"))
+      .select(col("win_id"), col("p_id"))
+  }
 }

@@ -2005,6 +2005,59 @@ class OperatorInvariantsSpec extends SparkSpec {
         s"expect ${expect.take(3)}…")
   }
 
+  test("g4_kcore_profile equals the in-memory peel replay and shrinks " +
+    "monotonically") {
+    import operators.GraphPack.{KCoreK, KCoreRounds, TriQtyMin}
+    val li = Tables.lineitem(spark, sfTiny)
+      .filter(col("l_quantity") >= TriQtyMin)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var cur: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { ls =>
+      val pks = ls.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- (i + 1) until pks.length)
+        yield (pks(i), pks(j))
+    }.toSet
+    val expect = (1 to KCoreRounds).map { r =>
+      val deg = cur.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (n, xs) => n -> xs.length }
+      val keep = deg.collect { case (n, c) if c >= KCoreK => n }.toSet
+      cur = cur.filter { case (a, b) => keep(a) && keep(b) }
+      (r.toLong, keep.size.toLong, cur.size.toLong)
+    }
+    val got = run("g4_kcore_profile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"peel profile diverges: got $got expect $expect")
+    assert(got.head._2 > 0, "round 1 peels everything — fixture vacuous")
+    assert(got.map(_._2).sliding(2).forall(p => p.head >= p.last) &&
+      got.map(_._3).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("ev_rolling_wau equals the in-memory 7-day sliding distinct and " +
+    "dominates the daily actives") {
+    val ud = Tables.events(spark, sfTiny)
+      .select(col("user_id"), date_trunc("day", col("ts"))
+        .cast(org.apache.spark.sql.types.DateType).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val mx = ud.map(_._2).max(Ordering.by[java.time.LocalDate, Long](
+      _.toEpochDay))
+    val targets = ud.map(_._2).distinct
+      .flatMap(d => (0 to 6).map(i => d.plusDays(i)))
+      .distinct.filter(!_.isAfter(mx)).sortBy(_.toEpochDay)
+    val expect = targets.map { t =>
+      (t, ud.filter { case (_, d) =>
+        !d.isAfter(t) && !d.isBefore(t.minusDays(6))
+      }.map(_._1).distinct.length.toLong)
+    }.toSeq
+    val got = run("ev_rolling_wau").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toSeq
+    assert(expect.nonEmpty && got == expect,
+      s"rolling WAU diverges: got ${got.take(3)} expect ${expect.take(3)}")
+    val dau = ud.groupBy(_._2).map { case (d, xs) =>
+      d -> xs.map(_._1).distinct.length.toLong }
+    assert(got.forall { case (d, wau) => wau >= dau.getOrElse(d, 0L) })
+  }
+
   test("a13_pivot row sums equal the per-day event totals (zero-fill, " +
     "no drops)") {
     val piv = run("a13_pivot").collect()

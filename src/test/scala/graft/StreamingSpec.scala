@@ -889,4 +889,50 @@ class StreamingSpec extends SparkSpec {
     // non-vacuous: some purchase inside a window, some outside
     assert(got.exists(_._2 > 0) && got.exists(_._2 == 0))
   }
+
+  test("stream-stream interval join (both sides unbounded) equals the " +
+    "batch cell-blocked pairs, including one straddling the batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batchEv = Tables.events(spark, sfTiny)
+    val want = operators.EventsPack.cellCandidates(
+        operators.EventsPack.incidentWindows(batchEv),
+        operators.EventsPack.purchaseProbes(batchEv))
+      .filter(col("p_us") >= col("lo_us") && col("p_us") <= col("hi_us"))
+      .select("win_id", "p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    val ev = batchEv
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(e => (e._3, e._1))
+    // split the time-ordered stream BETWEEN the two events of a real
+    // matched pair, so the join must hold one side in state across
+    // micro-batches to emit it
+    val byId = ev.map(e => e._1 -> e._3).toMap
+    val straddle = want.maxBy { case (w, p) => math.min(byId(w), byId(p)) }
+    val laterUs = math.max(byId(straddle._1), byId(straddle._2))
+    val (first, second) = ev.partition(e => e._3 < laterUs)
+    assert(first.exists(e => e._1 == straddle._1 || e._1 == straddle._2) &&
+      second.exists(e => e._1 == straddle._1 || e._1 == straddle._2))
+    val ms = MemoryStream[(Long, String, Long)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = EventStream.incidentPairs(
+        ms.toDF().toDF("event_id", "event_type", "us")
+          .withColumn("ts", timestamp_micros(col("us"))))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.collect().map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }
+      .start()
+    ms.addData(first.toIndexedSeq); q.processAllAvailable()
+    ms.addData(second.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == want,
+      s"stream-stream join: got ${got.size} pairs, want ${want.size}")
+    assert(got.contains(straddle), "the cross-batch pair was not emitted")
+  }
 }
