@@ -149,11 +149,16 @@ object EventsPack {
     // BOUNDED explode, and one (day, user) distinct-count closes it.
     // Shuffle volume is 7 × |user-days|, independent of event count.
     "ev_rolling_wau" -> ((s, d) => {
-      val ud = Tables.events(s, d)
+      val ev = Tables.events(s, d)
+      val ud = ev
         .select(col("user_id"),
           date_trunc("day", col("ts")).cast(DateType).as("day"))
         .distinct()
-      val bounds = ud.agg(max(col("day")).as("mx"))
+      // max day straight off the raw stream — same value as max over the
+      // deduped frame, without re-running the dominant user-day distinct
+      // for a 1-row bound
+      val bounds = ev.agg(
+        max(date_trunc("day", col("ts")).cast(DateType)).as("mx"))
       ud.withColumn("off", explode(sequence(lit(0), lit(6))))
         .select(col("user_id"), date_add(col("day"), col("off")).as("day_t"))
         .crossJoin(broadcast(bounds))

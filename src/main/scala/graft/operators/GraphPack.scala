@@ -119,39 +119,58 @@ object GraphPack {
       .select("a", "b").distinct()
   }
 
-  /** Total degree order as one comparable key: deg in the high 32 bits,
-    * node id as the tiebreak in the low 32. Unique because node is. */
+  /** Total degree order as a lexicographically-compared (deg, node)
+    * struct — a TOTAL order at ANY id scale (a packed deg·2³²+node long
+    * would alias once part keys pass 2³², i.e. precisely the 100 TB
+    * regime; struct comparison never does). Unique because node is. */
   private def ordKey(deg: Column, node: Column): Column =
-    shiftleft(deg, 32) + node
+    struct(deg.as("d"), node.as("n"))
 
-  private def trianglesQuery(s: SparkSession, d: String): DataFrame = {
-    val e = coOrderEdges(s, d).localCheckpoint()
+  private def trianglesQuery(s: SparkSession, d: String): DataFrame =
+    trianglesFrame(s, d, materialize = true)
+
+  /** `materialize = true` (the served entry) checkpoints the reused
+    * frames and frees them once the 100-row page is materialized — the
+    * components pattern: repeated inline calls in a long-lived driver
+    * must not accumulate pinned blocks (resid_rdds is the canary).
+    * `materialize = false` leaves the WHOLE chain in one lazy plan so
+    * PlanSpec can assert the real join shapes (a checkpoint boundary
+    * would hide everything behind it as a Scan ExistingRDD). */
+  private[graft] def trianglesFrame(s: SparkSession, d: String,
+      materialize: Boolean): DataFrame = {
+    def ck(df: DataFrame) = if (materialize) df.localCheckpoint(true) else df
+    val e = ck(coOrderEdges(s, d))
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // deg is node-sized (≪ edges) — broadcast it onto both endpoints
     val da = deg.select(col("node").as("a"), ordKey(col("deg"), col("node")).as("orda"))
     val db = deg.select(col("node").as("b"), ordKey(col("deg"), col("node")).as("ordb"))
-    val oriented = e.join(broadcast(da), "a").join(broadcast(db), "b")
+    val oriented = ck(e.join(broadcast(da), "a").join(broadcast(db), "b")
       .select(
         when(col("orda") < col("ordb"), col("a")).otherwise(col("b")).as("u"),
         when(col("orda") < col("ordb"), col("b")).otherwise(col("a")).as("v"),
         when(col("orda") < col("ordb"), col("ordb")).otherwise(col("orda"))
-          .as("vo"))
-      .localCheckpoint()
+          .as("vo")))
     // wedges from a shared out-endpoint u; (x, y) ordered by the SAME
     // degree order, so a closing edge can only be oriented x→y
     val o1 = oriented.select(col("u"), col("v").as("x"), col("vo").as("xo"))
     val o2 = oriented.select(col("u"), col("v").as("y"), col("vo").as("yo"))
     val tri = o1.join(o2, "u").filter(col("xo") < col("yo"))
       .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
-    tri.select(col("u").as("node"))
+    val page = tri.select(col("u").as("node"))
       .unionAll(tri.select(col("x").as("node")))
       .unionAll(tri.select(col("y").as("node")))
       .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
       .select(col("node").as("part_key"), col("tri_cnt"))
       .orderBy(col("tri_cnt").desc, col("part_key"))
       .limit(100)
+    if (!materialize) page
+    else {
+      val result = page.localCheckpoint(true)
+      e.unpersist(); oriented.unpersist()
+      result
+    }
   }
 
   // ---- g4: k-core peeling profile --------------------------------------
@@ -173,27 +192,33 @@ object GraphPack {
   private[graft] val KCoreRounds = 3
 
   private def kcoreProfileQuery(s: SparkSession, d: String): DataFrame = {
-    var cur = coOrderEdges(s, d).localCheckpoint()
+    val pinned = collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ck(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true); pinned += c; c
+    }
+    var cur = ck(coOrderEdges(s, d))
     var rows: DataFrame = null
     for (r <- 1 to KCoreRounds) {
       val deg = cur.select(col("a").as("node"))
         .unionAll(cur.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= KCoreK).select("node")
-        .localCheckpoint()
-      cur = cur
+      val keep = ck(deg.filter(col("deg") >= KCoreK).select("node"))
+      cur = ck(cur
         .join(broadcast(keep.withColumnRenamed("node", "a")), Seq("a"),
           "left_semi")
         .join(broadcast(keep.withColumnRenamed("node", "b")), Seq("b"),
           "left_semi")
-        .select("a", "b")
-        .localCheckpoint()
+        .select("a", "b"))
       val row = keep.agg(count(lit(1)).as("n_nodes"))
         .crossJoin(cur.agg(count(lit(1)).as("n_edges")))
         .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
       rows = if (rows == null) row else rows.unionAll(row)
     }
-    rows.orderBy("round")
+    // materialize the 3-row profile, then free every intermediate block
+    // (components pattern — resid_rdds is the canary)
+    val result = rows.orderBy("round").localCheckpoint(true)
+    pinned.foreach(_.unpersist())
+    result
   }
 
   /** One peel round as CTE bodies: graph `$prev` → survivors `k$r` and
@@ -219,17 +244,22 @@ object GraphPack {
   // but the div keeps the suite's one arithmetic policy).
   private[graft] val JacPpmScale = 1000000L
 
-  private def neighborJaccardQuery(s: SparkSession, d: String): DataFrame = {
-    val ps = Tables.lineitem(s, d)
+  private def neighborJaccardQuery(s: SparkSession, d: String): DataFrame =
+    neighborJaccardFrame(s, d, materialize = true)
+
+  /** Same materialize/plan-visibility split as [[trianglesFrame]]. */
+  private[graft] def neighborJaccardFrame(s: SparkSession, d: String,
+      materialize: Boolean): DataFrame = {
+    val ps0 = Tables.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
       .distinct()
-      .localCheckpoint()
+    val ps = if (materialize) ps0.localCheckpoint(true) else ps0
     val deg = ps.groupBy("sk").agg(count(lit(1)).as("deg"))
     val inter = ps.select(col("pk"), col("sk").as("s1"))
       .join(ps.select(col("pk"), col("sk").as("s2")), "pk")
       .filter(col("s1") < col("s2"))
       .groupBy("s1", "s2").agg(count(lit(1)).as("shared_parts"))
-    inter
+    val page = inter
       .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), "s1")
       .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), "s2")
       .select(col("s1").as("supplier_a"), col("s2").as("supplier_b"),
@@ -239,6 +269,12 @@ object GraphPack {
           .as("jac_ppm"))
       .orderBy(col("jac_ppm").desc, col("supplier_a"), col("supplier_b"))
       .limit(100)
+    if (!materialize) page
+    else {
+      val result = page.localCheckpoint(true)
+      ps.unpersist()
+      result
+    }
   }
 
   /** One damped round as a CTE body: ranks `$prev` → `$cur`. */

@@ -32,6 +32,22 @@ object StatsPack {
   private[graft] val PrioSampleK = 100
   private[graft] val PrioDrawMod = 1073741824L
 
+  /** The weighted-table top-(K+1) of the priority sample, as ONE lazy
+    * plan: exposed so PlanSpec can assert the real TakeOrdered shape over
+    * the weighted scan (the served entry checkpoints this frame, which
+    * would hide the scan behind an ExistingRDD in the asserted plan). */
+  private[graft] def prioTop(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast(LongType).as("w_cents"))
+      .withColumn("h",
+        pmod(conv(substring(md5(concat(lit("psamp:"),
+          col("o_orderkey").cast(StringType))), 1, 8), 16, 10)
+          .cast(LongType), lit(PrioDrawMod)) + 1)
+      .withColumn("q", expr(s"w_cents * ${PrioDrawMod}L div h"))
+      .orderBy(col("q").desc, col("o_orderkey"))
+      .limit(PrioSampleK + 1)
+
   /** The oracle-side image of [[EventTypes]]: one `COUNT(*) FILTER` column
     * per type, named `n_<type>` like the Spark side. */
   private def typeFilterCols(): String =
@@ -230,22 +246,11 @@ object StatsPack {
     // back — the suite's monitor pattern); n ≤ K degrades to τ = 0
     // (everything sampled exactly, ŵ = w). ------------------------------
     "sk_priority_sample" -> ((s, d) => {
-      val scored = Tables.orders(s, d)
-        .select(col("o_orderkey"),
-          floor(col("o_totalprice") * 100).cast(LongType).as("w_cents"))
-        .withColumn("h",
-          pmod(conv(substring(md5(concat(lit("psamp:"),
-            col("o_orderkey").cast(StringType))), 1, 8), 16, 10)
-            .cast(LongType), lit(PrioDrawMod)) + 1)
-        .withColumn("q", expr(s"w_cents * ${PrioDrawMod}L div h"))
-      val top = scored
-        .orderBy(col("q").desc, col("o_orderkey"))
-        .limit(PrioSampleK + 1)
-        .localCheckpoint()
+      val top = prioTop(s, d).localCheckpoint(true)
       val tau = top.agg(min(col("q")).as("tau_min"),
         count(lit(1)).as("n_top"))
       val w = Window.orderBy(col("q").desc, col("o_orderkey"))
-      top.withColumn("rn", asLong(row_number().over(w)))
+      val result = top.withColumn("rn", asLong(row_number().over(w)))
         .filter(col("rn") <= PrioSampleK)
         .crossJoin(broadcast(tau))
         .select(col("rn"), col("o_orderkey"), col("w_cents"), col("q"),
@@ -253,6 +258,9 @@ object StatsPack {
             when(col("n_top") === PrioSampleK + 1, col("tau_min"))
               .otherwise(lit(0L))).as("est_cents"))
         .orderBy("rn")
+        .localCheckpoint(true)
+      top.unpersist() // components pattern — no pinned blocks after return
+      result
     }),
 
     // ---- salted two-phase aggregation (hot-key skew guard) --------------

@@ -476,9 +476,14 @@ class PlanSpec extends SparkSpec {
 
   test("sk_priority_sample: the top-K is a distributed partial top-K " +
     "(TakeOrdered), never a global sort of the weighted table") {
-    val plan = planText(run("sk_priority_sample"))
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"sk_priority_sample: no partial top-K:\n$plan")
+    // assert on the UNcheckpointed top-(K+1) frame — the served entry's
+    // checkpoint would hide the weighted scan behind an ExistingRDD and
+    // the test would match an unrelated window-limit rewrite instead
+    val plan = planText(operators.StatsPack.prioTop(spark, sfTiny))
+    assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Sort "),
+      s"sk_priority_sample: no partial top-K over the weighted scan:\n$plan")
+    assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
+      s"sk_priority_sample: weighted-table scan missing from plan:\n$plan")
   }
 
   test("dd_edit_blocked: both pruning layers are equi-joins — no " +
@@ -493,7 +498,10 @@ class PlanSpec extends SparkSpec {
 
   test("g2_triangles: degree frame broadcasts onto the edges, top-100 " +
     "plans as a partial top-K, and no join degenerates to nested loops") {
-    val plan = planText(run("g2_triangles"))
+    // the UNmaterialized frame: the served entry's checkpoints would hide
+    // every join upstream of them behind Scan ExistingRDD leaves
+    val plan = planText(
+      operators.GraphPack.trianglesFrame(spark, sfTiny, materialize = false))
     assert(plan.contains("BroadcastHashJoin"),
       s"g2_triangles: degree frame not broadcast:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
@@ -505,7 +513,8 @@ class PlanSpec extends SparkSpec {
 
   test("g3_neighbor_jaccard: inverted-index pair generation joins on the " +
     "shared neighbour (hash join), degrees broadcast, partial top-K") {
-    val plan = planText(run("g3_neighbor_jaccard"))
+    val plan = planText(operators.GraphPack
+      .neighborJaccardFrame(spark, sfTiny, materialize = false))
     assert(plan.contains("BroadcastHashJoin"),
       s"g3_neighbor_jaccard: no broadcast join:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),

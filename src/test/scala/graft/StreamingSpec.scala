@@ -912,7 +912,13 @@ class StreamingSpec extends SparkSpec {
     // matched pair, so the join must hold one side in state across
     // micro-batches to emit it
     val byId = ev.map(e => e._1 -> e._3).toMap
-    val straddle = want.maxBy { case (w, p) => math.min(byId(w), byId(p)) }
+    // equal-ts pairs can't be split (partition on < puts both events in
+    // the second batch) — pick the latest-starting pair whose events
+    // differ in time
+    val splittable = want.filter { case (w, p) => byId(w) != byId(p) }
+    assert(splittable.nonEmpty, "no time-separated matched pair to split on")
+    val straddle = splittable.maxBy { case (w, p) =>
+      math.min(byId(w), byId(p)) }
     val laterUs = math.max(byId(straddle._1), byId(straddle._2))
     val (first, second) = ev.partition(e => e._3 < laterUs)
     assert(first.exists(e => e._1 == straddle._1 || e._1 == straddle._2) &&
