@@ -139,6 +139,32 @@ object EventsPack {
         .orderBy("purchase_id")
     }),
 
+    // ---- top 3-step behavioural paths (sequence mining) -----------------
+    // ev_transitions' first-order model extended one step: the most
+    // frequent (step1 → step2 → step3) windows over each user timeline —
+    // funnel DISCOVERY (which paths exist) where ev_funnel measures a
+    // path fixed in advance. Two stacked lags over ONE user_id window
+    // (no self-joins); only complete triples count, each with its exact
+    // per-mille share of all triples. The result frame is ≤ |types|³
+    // rows; top-25 with a total tiebreak.
+    "ev_paths3" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val t = Tables.events(s, d)
+        .withColumn("p1", lag(col("event_type"), 1).over(w))
+        .withColumn("p2", lag(col("event_type"), 2).over(w))
+        .filter(col("p2").isNotNull)
+      val tot = t.agg(count(lit(1)).as("n_total"))
+      t.groupBy(col("p2").as("step1"), col("p1").as("step2"),
+          col("event_type").as("step3"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("step1"), col("step2"), col("step3"), col("n"),
+          expr("n * 1000L div n_total").as("permille"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+        .limit(25)
+    }),
+
     // ---- rolling 7-day distinct actives (WAU per day) -------------------
     // Sliding-window COUNT DISTINCT — the one rolling metric a window
     // function cannot give (distinct doesn't decompose over frames) and a
@@ -501,6 +527,21 @@ object EventsPack {
 
     // the naive road: one row per (window-end day, active user) via a
     // range join on the day distance — the explode must be invisible
+    "ev_paths3" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER w AS p1,
+        |    lag(event_type, 2) OVER w AS p2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t WHERE p2 IS NOT NULL GROUP BY p2, p1, event_type),
+        |tot AS (SELECT SUM(n) AS n_total FROM c)
+        |SELECT step1, step2, step3, n,
+        |  CAST(n * 1000 // t.n_total AS BIGINT) AS permille
+        |FROM c, tot t
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 25""".stripMargin,
+
     "ev_rolling_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

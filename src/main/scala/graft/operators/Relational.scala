@@ -353,6 +353,36 @@ object Relational {
           col("c_custkey"))
     }),
 
+    // ---- Pareto frontier (2-D skyline) ---------------------------------
+    // Non-dominated orders under (maximize price, maximize recency) — the
+    // skyline operator of multi-objective selection (pick training shards
+    // by quality AND freshness with no weighting). The naive definition
+    // is an O(n²) NOT EXISTS; the engine reduces it to a staircase scan:
+    // frontier membership only depends on each price level's LATEST day
+    // (same-price earlier rows are dominated by the price-level max), so
+    // one groupBy collapses n orders to the distinct-price frame, and a
+    // level survives iff its dmax strictly beats the running max over
+    // strictly-higher prices (prices are distinct post-rollup, so the
+    // row frame IS the strict-dominance set; ties on dmax are dominated —
+    // strict >). The global window runs POST-ROLLUP on the price-level
+    // frame (the suite's accepted shape; a 100 TB deployment bands the
+    // price domain and merges per-band staircases). Equal (price, day)
+    // duplicates are mutually non-dominating — the join back emits all.
+    "w10_pareto_frontier" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast(LongType).as("price_cents"),
+        col("o_orderdate").cast(DateType).as("day"))
+      val lvl = o.groupBy("price_cents").agg(max(col("day")).as("dmax"))
+      val w = Window.orderBy(col("price_cents").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val front = lvl.withColumn("better_day", max(col("dmax")).over(w))
+        .filter(col("better_day").isNull || col("better_day") < col("dmax"))
+      o.join(broadcast(front), Seq("price_cents"))
+        .filter(col("day") === col("dmax"))
+        .select(col("o_orderkey"), col("price_cents"), col("day"))
+        .orderBy(col("price_cents").desc, col("o_orderkey"))
+    }),
+
     // ---- duplicate cap per key (reference D2: db/data.py:260-262,
     //      max 10 submissions per mbid) -----------------------------------
     "d2_duplicate_cap" -> ((s, d) => {
@@ -777,6 +807,24 @@ object Relational {
         |FROM c
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_cents DESC)
         |ORDER BY c_mktsegment, bal_cents DESC, c_custkey""".stripMargin,
+
+    // replays the staircase algebra (the spec holds the naive O(n²)
+    // dominance replay — DuckDB's NOT EXISTS would be quadratic at sf0.1)
+    "w10_pareto_frontier" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    CAST(o_orderdate AS DATE) AS day FROM orders),
+        |lvl AS (SELECT price_cents, MAX(day) AS dmax FROM o
+        |  GROUP BY price_cents),
+        |f AS (SELECT price_cents, dmax,
+        |    MAX(dmax) OVER (ORDER BY price_cents DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS better_day
+        |  FROM lvl)
+        |SELECT o.o_orderkey, o.price_cents, o.day
+        |FROM o JOIN f ON f.price_cents = o.price_cents AND o.day = f.dmax
+        |WHERE f.better_day IS NULL OR f.better_day < f.dmax
+        |ORDER BY o.price_cents DESC, o.o_orderkey""".stripMargin,
 
     "d2_duplicate_cap" ->
       """WITH ranked AS (

@@ -2007,6 +2007,45 @@ class OperatorInvariantsSpec extends SparkSpec {
         s"expect ${expect.take(3)}…")
   }
 
+  test("w10_pareto_frontier equals the naive O(n²) dominance replay") {
+    val o = Tables.orders(spark, sfTiny)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast(org.apache.spark.sql.types.DateType)
+          .as("day"))
+      .collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100).toLong,
+        r.getDate(2).toLocalDate.toEpochDay))
+    val expect = o.filter { case (_, p, d) =>
+      !o.exists { case (_, p2, d2) =>
+        p2 >= p && d2 >= d && (p2 > p || d2 > d) }
+    }.sortBy { case (k, p, _) => (-p, k) }
+      .map { case (k, p, _) => (k, p) }.toSeq
+    val got = run("w10_pareto_frontier").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(expect.nonEmpty && got == expect,
+      s"frontier diverges from naive dominance: got $got expect $expect")
+  }
+
+  test("ev_paths3 equals the in-memory sliding-triple count") {
+    val ev = Tables.events(spark, sfTiny)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val triples = ev.groupBy(_._1).values.toSeq.flatMap { xs =>
+      xs.sortBy(e => (e._3, e._4)).map(_._2).sliding(3).filter(_.length == 3)
+    }.map(t => (t(0), t(1), t(2)))
+    val total = triples.length.toLong
+    val expect = triples.groupBy(identity)
+      .map { case (t, xs) => (t._1, t._2, t._3, xs.length.toLong,
+        xs.length * 1000L / total) }.toSeq
+      .sortBy { case (a, b, c, n, _) => (-n, a, b, c) }.take(25)
+    val got = run("ev_paths3").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(expect.nonEmpty && got == expect,
+      s"paths diverge: got ${got.take(3)} expect ${expect.take(3)}")
+  }
+
   test("g4_kcore_profile equals the in-memory peel replay and shrinks " +
     "monotonically") {
     import operators.GraphPack.{KCoreK, KCoreRounds, TriQtyMin}
