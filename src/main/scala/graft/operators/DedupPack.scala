@@ -46,6 +46,9 @@ object DedupPack {
     * are excluded from the Jaccard universe (and from per-doc sizes). */
   val MaxShingleDf = 1000
 
+  /** Containment threshold (0.9) in exact parts per million. */
+  private[graft] val ContainmentPpm = 900000L
+
   /** LSH buckets larger than this are skipped (hot-bucket guard). */
   val MaxLshBucket = 1000
 
@@ -146,6 +149,10 @@ object DedupPack {
     // ---- exact n-gram Jaccard near-dup pairs (inverted shingle index) ----
     "dd_jaccard_pairs" -> ((s, d) =>
       jaccardPairs(shingled(s, d)).orderBy("doc_a", "doc_b")),
+
+    // ---- asymmetric containment pairs (sub-document detection) ----------
+    "dd_containment" -> ((s, d) =>
+      containmentPairs(shingled(s, d)).orderBy("doc_a", "doc_b")),
 
     // ---- prefix-filtered exact Jaccard join (PPJoin-style) ---------------
     // The LOSSLESS scale lever for exact threshold-Jaccard, complementing
@@ -656,7 +663,11 @@ object DedupPack {
     * `(a << 32) | b` long, which capped ids at 2³¹ behind a raise_error
     * guard; the two-column key measures within noise of the packed one and
     * removes the cap — pinned by the >2³² property test in PropertySpec.) */
-  private[graft] def jaccardPairs(sh: DataFrame): DataFrame = {
+  /** The capped inverted-index pair core shared by the Jaccard and
+    * containment joins: `(shared, sizes)` over the df-capped shingle
+    * universe (sizes measured in the SAME universe the pairs come from,
+    * so the ratios are internally consistent). */
+  private def cappedPairCore(sh: DataFrame): (DataFrame, DataFrame) = {
     val postings = sh
       .select(col("doc_id"),
         explode(transform(col("sh"), g => xxhash64(g))).as("g"))
@@ -673,6 +684,11 @@ object DedupPack {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
+    (shared, sizes)
+  }
+
+  private[graft] def jaccardPairs(sh: DataFrame): DataFrame = {
+    val (shared, sizes) = cappedPairCore(sh)
     shared
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -680,6 +696,26 @@ object DedupPack {
         (col("shared").cast(DoubleType) /
           (col("sa.n") + col("sb.n") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** Asymmetric near-duplication: C(A→B) = |A∩B| / |A| — "A is (mostly)
+    * inside B", the sub-document/quotation relation Jaccard misses when
+    * the sizes are lopsided (a paragraph quoted inside a long page has
+    * tiny J but containment ≈ 1 on the paragraph side). Exact ppm integer
+    * ratios; a pair qualifies when EITHER direction clears
+    * [[ContainmentPpm]]. Same capped inverted-index core as the Jaccard
+    * join. */
+  private[graft] def containmentPairs(sh: DataFrame): DataFrame = {
+    val (shared, sizes) = cappedPairCore(sh)
+    shared
+      .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("ca.n").as("n_a"), col("cb.n").as("n_b"),
+        expr(s"shared * 1000000L div ca.n").as("cont_a_ppm"),
+        expr(s"shared * 1000000L div cb.n").as("cont_b_ppm"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm"))
+        >= ContainmentPpm)
   }
 
   /** The prefix layer shared by the join and its monitor: `(dfk, pref)` —
@@ -1076,6 +1112,30 @@ object DedupPack {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY min(doc_id)""".stripMargin,
+
+    // same capped universe as dd_jaccard_pairs, ppm integer ratios
+    "dd_containment" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |dfk AS (SELECT g, COUNT(*) AS c FROM ex GROUP BY g),
+         |keep AS (SELECT doc_id, ex.g FROM ex JOIN dfk USING (g)
+         |         WHERE c <= $MaxShingleDf),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |          FROM keep GROUP BY doc_id),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS shared
+         |  FROM keep a JOIN keep b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b,
+         |  shared * 1000000 // sa.n AS cont_a_ppm,
+         |  shared * 1000000 // sb.n AS cont_b_ppm
+         |FROM shared
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE greatest(shared * 1000000 // sa.n,
+         |  shared * 1000000 // sb.n) >= $ContainmentPpm
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd_jaccard_pairs" ->
       s"""WITH $shingleCte,

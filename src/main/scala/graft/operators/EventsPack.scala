@@ -139,6 +139,35 @@ object EventsPack {
         .orderBy("purchase_id")
     }),
 
+    // ---- robust daily-volume anomalies (median/MAD) ---------------------
+    // Days whose event volume deviates from the per-type median by more
+    // than 3× the median absolute deviation — the robust z-score every
+    // ingest monitor runs (means/stddevs are themselves dragged by the
+    // outliers they're meant to flag; the median/MAD pair is not). Two
+    // exact-percentile passes over the DAY-cardinality rollup (the raw
+    // stream is touched once, by the daily groupBy; medians buffer only
+    // |days| values per type) with the tiny per-type frames broadcast
+    // back. Numeric parity: medians of integers are exact halves, the
+    // deviation algebra stays in that exact-double class in both engines
+    // (Spark `percentile` ≡ DuckDB `quantile_cont`, the a10 pairing).
+    "ev_anomaly_mad" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast(DateType).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val med = daily.groupBy("event_type")
+        .agg(percentile(col("n"), lit(0.5)).as("med"))
+      val dev = daily.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("n") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("adev") > lit(3.0) * col("mad"))
+        .select(col("event_type"), col("day"), col("n"), col("med"),
+          col("mad"))
+        .orderBy("event_type", "day")
+    }),
+
     // ---- top 3-step behavioural paths (sequence mining) -----------------
     // ev_transitions' first-order model extended one step: the most
     // frequent (step1 → step2 → step3) windows over each user timeline —
@@ -527,6 +556,23 @@ object EventsPack {
 
     // the naive road: one row per (window-end day, active user) via a
     // range join on the day distance — the explode must be invisible
+    "ev_anomaly_mad" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type, day),
+        |med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+        |  FROM daily GROUP BY event_type),
+        |dev AS (SELECT d.event_type, d.day, d.n, m.med,
+        |    abs(d.n - m.med) AS adev
+        |  FROM daily d JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT dev.event_type, dev.day, dev.n, dev.med, mad.mad
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE dev.adev > 3 * mad.mad
+        |ORDER BY dev.event_type, dev.day""".stripMargin,
+
     "ev_paths3" ->
       """WITH t AS (SELECT user_id, event_type,
         |    lag(event_type, 1) OVER w AS p1,

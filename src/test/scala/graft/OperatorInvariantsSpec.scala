@@ -2007,6 +2007,61 @@ class OperatorInvariantsSpec extends SparkSpec {
         s"expect ${expect.take(3)}…")
   }
 
+  test("dd_containment is consistent with dd_jaccard_pairs on the shared " +
+    "capped universe and catches asymmetric pairs Jaccard misses") {
+    val cont = run("dd_containment").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(cont.nonEmpty)
+    // threshold honesty: every row clears 0.9 ppm in SOME direction
+    assert(cont.values.forall { case (_, _, _, ca, cb) =>
+      math.max(ca, cb) >= operators.DedupPack.ContainmentPpm })
+    // the same (shared, sizes) core must reproduce the Jaccard entry's
+    // ratio exactly for pairs both joins emit
+    val jac = run("dd_jaccard_pairs").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2),
+        r.getDouble(3)))).toMap
+    val both = cont.keySet intersect jac.keySet
+    assert(both.nonEmpty, "no overlap pair to cross-check the cores")
+    for (k <- both) {
+      val (sh, na, nb, _, _) = cont(k)
+      assert(jac(k)._1 == sh &&
+        jac(k)._2 == sh.toDouble / (na + nb - sh),
+        s"cores diverge on $k")
+    }
+    // directional asymmetry is real on the fixture (sizes differ, so the
+    // two containments differ — the quantity Jaccard collapses into one)
+    assert(cont.values.exists { case (_, _, _, ca, cb) => ca != cb },
+      "fixture has no size-asymmetric pair — directionality untested")
+  }
+
+  test("ev_anomaly_mad equals the in-memory median/MAD replay and flags " +
+    "a strict subset of type-days") {
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val daily = Tables.events(spark, sfTiny)
+      .select(col("event_type"), date_trunc("day", col("ts"))
+        .cast(org.apache.spark.sql.types.DateType).as("day"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(identity).map { case ((t, d), xs) => (t, d, xs.length.toLong) }
+      .toSeq
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val med = median(rows.map(_._3.toDouble))
+      val mad = median(rows.map(r => math.abs(r._3 - med)))
+      rows.filter(r => math.abs(r._3 - med) > 3 * mad)
+        .map(r => (t, r._2, r._3, med, mad))
+    }.sortBy { case (t, d, _, _, _) => (t, d.toEpochDay) }
+    val got = run("ev_anomaly_mad").collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(expect.nonEmpty && got == expect,
+      s"MAD anomalies diverge: got $got expect $expect")
+    assert(got.length < daily.length, "detector flags everything")
+  }
+
   test("w10_pareto_frontier equals the naive O(n²) dominance replay") {
     val o = Tables.orders(spark, sfTiny)
       .select(col("o_orderkey"), col("o_totalprice"),
