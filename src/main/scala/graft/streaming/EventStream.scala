@@ -238,7 +238,24 @@ object EventStream {
     * event arrives; inner-join matches emit immediately (watermarks gate
     * eviction, not emission). */
   def incidentPairs(ev: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    incidentJoin(ev, "inner").select(col("win_id"), col("p_id"))
+
+  /** LEFT-outer twin read from the purchase side: every purchase emits —
+    * matched rows immediately, UNCOVERED purchases with a NULL win_id
+    * only once BOTH watermarks pass the purchase's join window (the
+    * engine can't rule out a future matching incident before that) —
+    * the delayed-emission half of the stream-stream join surface, on top
+    * of the inner form's immediate-emission half. A row that arrives
+    * after the close of the stream therefore never emits its null form;
+    * deployments flush with a heartbeat event, and the spec does the
+    * same. */
+  def incidentPairsOuter(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    incidentJoin(ev, "right_outer").select(col("p_id"), col("win_id"))
+
+  private def incidentJoin(ev: org.apache.spark.sql.DataFrame,
+      joinType: String): org.apache.spark.sql.DataFrame = {
     import graft.operators.EventsPack.{CellUs, HalfWinUs}
     // the BETWEEN below is written in interval literals for the cleanup
     // analyzer; keep it equal to the batch core's integer bound
@@ -257,7 +274,6 @@ object EventStream {
     errs.join(purch,
       col("w_cell") === col("p_cell") &&
         expr("p_ts BETWEEN err_ts - INTERVAL 5 MINUTES " +
-          "AND err_ts + INTERVAL 5 MINUTES"))
-      .select(col("win_id"), col("p_id"))
+          "AND err_ts + INTERVAL 5 MINUTES"), joinType)
   }
 }

@@ -941,4 +941,63 @@ class StreamingSpec extends SparkSpec {
       s"stream-stream join: got ${got.size} pairs, want ${want.size}")
     assert(got.contains(straddle), "the cross-batch pair was not emitted")
   }
+
+  test("left-outer stream-stream join emits uncovered purchases with a " +
+    "NULL window once both watermarks pass their join horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batchEv = Tables.events(spark, sfTiny)
+    val matched = operators.EventsPack.cellCandidates(
+        operators.EventsPack.incidentWindows(batchEv),
+        operators.EventsPack.purchaseProbes(batchEv))
+      .filter(col("p_us") >= col("lo_us") && col("p_us") <= col("hi_us"))
+      .select("p_id", "win_id").collect()
+      .map(r => (r.getLong(0), Some(r.getLong(1)): Option[Long])).toSet
+    val allP = operators.EventsPack.purchaseProbes(batchEv)
+      .select("p_id").collect().map(_.getLong(0)).toSet
+    val want = matched ++
+      (allP -- matched.map(_._1)).map(p => p -> (None: Option[Long]))
+    val ev = batchEv
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(e => (e._3, e._1))
+    val mxUs = ev.map(_._3).max
+    // heartbeat rows: advance BOTH event-time watermarks past every real
+    // purchase's horizon; they sit hours apart so they never join, and
+    // the heartbeat purchase itself (no later flush) must never emit
+    def flush(round: Long) = Seq(
+      (900000L + round, "error", mxUs + round * 7200000000L),
+      (900100L + round, "purchase", mxUs + round * 7200000000L + 3600000000L))
+    val ms = MemoryStream[(Long, String, Long)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Option[Long])]()
+    val q = EventStream.incidentPairsOuter(
+        ms.toDF().toDF("event_id", "event_type", "us")
+          .withColumn("ts", timestamp_micros(col("us"))))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        ()
+      }
+      .start()
+    val (first, second) = ev.splitAt(ev.length / 2)
+    ms.addData(first.toIndexedSeq); q.processAllAvailable()
+    ms.addData(second.toIndexedSeq); q.processAllAvailable()
+    ms.addData(flush(1).toIndexedSeq); q.processAllAvailable()
+    ms.addData(flush(2).toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val real = got.filter(_._1 < 900000L).toSet
+    assert(real == want,
+      s"outer join: got ${real.size} rows, want ${want.size} " +
+        s"(missing ${(want -- real).take(3)}, extra ${(real -- want).take(3)})")
+    assert(real.exists(_._2.isEmpty) && real.exists(_._2.nonEmpty),
+      "fixture exercises only one side of the outer join")
+    // the FINAL heartbeat purchase has no later watermark advance, so its
+    // null form must still be held back (the first heartbeat's purchase
+    // correctly emits once the second advances the watermark past it)
+    assert(!got.exists(g => g._1 == 900102L),
+      "the last heartbeat purchase emitted before its horizon closed")
+  }
 }
