@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.Exprs.asLong
 import graft.functions.HashFunctions._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -654,11 +654,12 @@ object DedupPack {
     }
   }
 
-  /** Exact n-gram Jaccard near-dup pairs over a (doc_id, sh) shingled frame
-    * — the inverted-shingle-index plan: shuffle once on shingle, generate
-    * pairs inside each df-capped posting list, then aggregate shared-counts
-    * — no self-join. Per-doc sizes are derived from the SAME df-filtered
-    * posting lists (one exchange, reused by both branches), so Jaccard is
+  /** The capped inverted-index pair core shared by the Jaccard and
+    * containment joins over a (doc_id, sh) shingled frame: `(shared,
+    * sizes)` — shuffle once on shingle, generate pairs inside each
+    * df-capped posting list, aggregate shared-counts — no self-join.
+    * Per-doc sizes derive from the SAME df-filtered posting lists (one
+    * exchange, reused by both branches), so every ratio downstream is
     * computed consistently over the capped shingle universe. The shuffle
     * key is xxhash64(shingle), not the shingle string: 8-byte fixed keys
     * cut shuffle width ~3× (measured ~20% on the whole query); results
@@ -672,10 +673,6 @@ object DedupPack {
     * `(a << 32) | b` long, which capped ids at 2³¹ behind a raise_error
     * guard; the two-column key measures within noise of the packed one and
     * removes the cap — pinned by the >2³² property test in PropertySpec.) */
-  /** The capped inverted-index pair core shared by the Jaccard and
-    * containment joins: `(shared, sizes)` over the df-capped shingle
-    * universe (sizes measured in the SAME universe the pairs come from,
-    * so the ratios are internally consistent). */
   private def cappedPairCore(sh: DataFrame): (DataFrame, DataFrame) = {
     val postings = sh
       .select(col("doc_id"),
@@ -696,6 +693,8 @@ object DedupPack {
     (shared, sizes)
   }
 
+  /** Exact n-gram Jaccard near-dup pairs at J ≥ [[JaccardThreshold]] over
+    * the [[cappedPairCore]] universe. */
   private[graft] def jaccardPairs(sh: DataFrame): DataFrame = {
     val (shared, sizes) = cappedPairCore(sh)
     shared

@@ -179,15 +179,16 @@ object EventsPack {
     "ev_paths3" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      val t = Tables.events(s, d)
+      val c = Tables.events(s, d)
         .withColumn("p1", lag(col("event_type"), 1).over(w))
         .withColumn("p2", lag(col("event_type"), 2).over(w))
         .filter(col("p2").isNotNull)
-      val tot = t.agg(count(lit(1)).as("n_total"))
-      t.groupBy(col("p2").as("step1"), col("p1").as("step2"),
+        .groupBy(col("p2").as("step1"), col("p1").as("step2"),
           col("event_type").as("step3"))
         .agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(tot))
+      // total from the <= |types|^3 grouped frame — never a second pass
+      // over the event stream (the grouped exchange is reused)
+      c.crossJoin(broadcast(c.agg(sum(col("n")).as("n_total"))))
         .select(col("step1"), col("step2"), col("step3"), col("n"),
           expr("n * 1000L div n_total").as("permille"))
         .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
@@ -554,8 +555,6 @@ object EventsPack {
         |  ON m.click_id = c.event_id
         |ORDER BY click_id""".stripMargin,
 
-    // the naive road: one row per (window-end day, active user) via a
-    // range join on the day distance — the explode must be invisible
     "ev_anomaly_mad" ->
       """WITH daily AS (SELECT event_type,
         |    CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -588,6 +587,8 @@ object EventsPack {
         |FROM c, tot t
         |ORDER BY n DESC, step1, step2, step3 LIMIT 25""".stripMargin,
 
+    // the naive road: one row per (window-end day, active user) via a
+    // range join on the day distance — the explode must be invisible
     "ev_rolling_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
