@@ -83,8 +83,75 @@ object GraphPack {
 
     "g2_triangles" -> ((s, d) => trianglesQuery(s, d)),
     "g3_neighbor_jaccard" -> ((s, d) => neighborJaccardQuery(s, d)),
-    "g4_kcore_profile" -> ((s, d) => kcoreProfileQuery(s, d))
+    "g4_kcore_profile" -> ((s, d) => kcoreProfileQuery(s, d)),
+    "g5_bfs_layers" -> ((s, d) => bfsLayersQuery(s, d))
   )
+
+  // ---- g5: multi-source BFS layer profile -------------------------------
+  // Frontier expansion from a seed set — the reachability primitive under
+  // every "expand from the flagged cluster" impact-radius analysis, and
+  // the one iteration class (growing frontier gated by a visited set)
+  // that PageRank (fixed node set), k-core (shrinking set) and connected
+  // components (label exchange) do not exercise. Seeds are the suppliers
+  // in the lowest percent of the key domain (floored at one key, so the
+  // set is non-empty and scale-invariant at every sf); [[BfsRounds]]
+  // FIXED rounds with the CTE-unrolled oracle (the PageRank/Lloyd
+  // discipline). Per round both the frontier and the visited set are
+  // node-sized: the frontier BROADCASTS onto the localCheckpointed edge
+  // list, the new layer is one map-side-combinable distinct, and the
+  // visited gate is a broadcast anti-join — the edge list is never
+  // shuffled. The OUTPUT is the layer profile (dist, node_type, n_nodes):
+  // on the dense bipartite fixture BFS saturates within [[BfsRounds]]
+  // hops, and the saturation trajectory is itself the finding (the spec
+  // pins the strict part/supplier layer alternation that bipartiteness
+  // forces on it).
+  private[graft] val BfsRounds = 3
+
+  private def bfsLayersQuery(s: SparkSession, d: String): DataFrame = {
+    val pinned = collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ck(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true); pinned += c; c
+    }
+    val e = edges(s, d); pinned += e
+    // seed bound from the graph's own supplier-key domain
+    val bound = broadcast(e.filter(col("src") % 2 === 1)
+      .agg(greatest(expr("max(src div 2) div 100"), lit(1L)).as("kmax")))
+    var frontier = ck(e.select(col("src").as("node")).distinct()
+      .crossJoin(bound)
+      .filter(expr("node % 2 = 1 AND node div 2 <= kmax"))
+      .select("node"))
+    var visited = frontier
+    def layerRow(dist: Int, f: DataFrame): DataFrame =
+      f.select(when(col("node") % 2 === 0, lit("part"))
+          .otherwise(lit("supplier")).as("node_type"))
+        .groupBy("node_type").agg(count(lit(1)).as("n_nodes"))
+        .select(lit(dist.toLong).as("dist"), col("node_type"),
+          col("n_nodes"))
+    var rows = layerRow(0, frontier)
+    for (r <- 1 to BfsRounds) {
+      val nxt = ck(e
+        .join(broadcast(frontier.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(broadcast(visited), Seq("node"), "left_anti"))
+      visited = ck(visited.unionAll(nxt))
+      frontier = nxt
+      rows = rows.unionAll(layerRow(r, frontier))
+    }
+    // materialize the ≤ 2·(rounds+1)-row profile, then free every
+    // intermediate block (components pattern — resid_rdds is the canary)
+    val result = rows.orderBy("dist", "node_type").localCheckpoint(true)
+    pinned.foreach(_.unpersist())
+    result
+  }
+
+  /** One BFS round as CTE bodies: frontier `f${r-1}`/visited `v${r-1}` →
+    * `f$r`/`v$r`. */
+  private def bfsRoundSql(r: Int): String =
+    s"""f$r AS (SELECT DISTINCT e.dst AS node FROM edges e
+       |  JOIN f${r - 1} ON f${r - 1}.node = e.src
+       |  WHERE e.dst NOT IN (SELECT node FROM v${r - 1})),
+       |v$r AS (SELECT node FROM v${r - 1}
+       |  UNION ALL SELECT node FROM f$r)""".stripMargin
 
   // ---- g2: degree-oriented triangle counting --------------------------
   // Co-purchase graph: parts are adjacent when some order contains both.
@@ -342,6 +409,29 @@ object GraphPack {
          |$rounds
          |$rows
          |ORDER BY round""".stripMargin
+    },
+
+    "g5_bfs_layers" -> {
+      val rounds = (1 to BfsRounds).map(bfsRoundSql).mkString(",\n")
+      val layers = (0 to BfsRounds).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS dist,
+           |  CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
+           |    AS node_type,
+           |  CAST(COUNT(*) AS BIGINT) AS n_nodes
+           |FROM f$r GROUP BY 2""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+         |    l_suppkey * 2 + 1 AS q FROM lineitem),
+         |edges AS (SELECT p AS src, q AS dst FROM pairs
+         |  UNION ALL SELECT q, p FROM pairs),
+         |bound AS (SELECT greatest(MAX(src // 2) // 100, 1) AS kmax
+         |  FROM edges WHERE src % 2 = 1),
+         |f0 AS (SELECT DISTINCT src AS node FROM edges
+         |  WHERE src % 2 = 1 AND src // 2 <= (SELECT kmax FROM bound)),
+         |v0 AS (SELECT node FROM f0),
+         |$rounds
+         |SELECT dist, node_type, n_nodes FROM ($layers)
+         |ORDER BY dist, node_type""".stripMargin
     },
 
     "g3_neighbor_jaccard" ->

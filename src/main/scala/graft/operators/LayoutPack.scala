@@ -117,7 +117,65 @@ object LayoutPack {
         (slo.isNull || col("max_sk") >= slo) &&
         (shi.isNull || col("min_sk") <= shi), 1L).otherwise(0L))
 
+  /** Column spec of the `io_profile_stats` profiler over `orders`: for
+    * each column, the canonical BIGINT encoding as (Spark SQL, DuckDB SQL)
+    * expression strings — `None` marks a string column (profiled as raw
+    * VARCHAR; binary min/max in both engines). ONE list generates BOTH the
+    * Spark unpivot and the oracle's UNION ALL, so the two sides cannot
+    * drift column-by-column. Encodings are integer-exact: ids as-is,
+    * money as floored cents (the a16 discipline), timestamps as epoch
+    * micros — a string rendering of doubles/timestamps would hinge on
+    * each engine's formatter. */
+  private[graft] val ProfileCols: Seq[(String, Option[(String, String)])] =
+    Seq(
+      ("o_custkey", Some(("CAST(o_custkey AS BIGINT)",
+        "CAST(o_custkey AS BIGINT)"))),
+      // the source column is TIMESTAMP_NTZ; the session zone is pinned
+      // UTC (Engine), so the TIMESTAMP hop reinterprets losslessly and
+      // the micros equal DuckDB's naive epoch_us over the same file
+      ("o_orderdate", Some(("unix_micros(CAST(o_orderdate AS TIMESTAMP))",
+        "epoch_us(o_orderdate)"))),
+      ("o_orderkey", Some(("CAST(o_orderkey AS BIGINT)",
+        "CAST(o_orderkey AS BIGINT)"))),
+      ("o_orderpriority", None),
+      ("o_orderstatus", None),
+      ("o_totalprice", Some(("CAST(floor(o_totalprice * 100) AS BIGINT)",
+        "CAST(floor(o_totalprice * 100) AS BIGINT)")))
+    )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- ANALYZE-style column profile ------------------------------------
+    // Per-column null count, exact distinct count and canonical min/max —
+    // the statistics a cost-based planner (and every data-quality monitor)
+    // collects before anything else. ONE pass: each row unpivots to
+    // |cols| (col_name, is_null, v_num, v_str) tuples via a codegen'd
+    // inline(array(struct…)) — the same ×k row expansion Spark itself
+    // plans for multi-column DISTINCT aggregates (Expand), so the shape is
+    // the native one, and the distinct partials dedupe map-side before the
+    // |cols|-row result. At 100 TB the swap for the exact n_distinct is
+    // the HLL register sketch (sk_hll_distinct) per column — same unpivot,
+    // bounded state; exact distinct is the gate shape.
+    "io_profile_stats" -> ((s, d) => {
+      val rows = ProfileCols.map { case (name, enc) =>
+        struct(lit(name).as("col_name"),
+          when(col(name).isNull, 1L).otherwise(0L).as("is_null"),
+          enc.map(e => expr(e._1)).getOrElse(lit(null).cast(LongType))
+            .as("v_num"),
+          (if (enc.isEmpty) col(name) else lit(null).cast("string"))
+            .as("v_str"))
+      }
+      Tables.orders(s, d)
+        .select(inline(array(rows: _*)))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("is_null")).as("n_null"),
+          count_distinct(coalesce(col("v_str"),
+            col("v_num").cast("string"))).as("n_distinct"),
+          min(col("v_num")).as("min_num"), max(col("v_num")).as("max_num"),
+          min(col("v_str")).as("min_str"), max(col("v_str")).as("max_str"))
+        .orderBy("col_name")
+    }),
+
     // ---- the z-ordered layout's zone maps -------------------------------
     // 64 files over lineitem clustered by interleave(l_partkey,
     // l_suppkey). The OUTPUT is the zone map a planner prunes with — the
@@ -191,6 +249,26 @@ object LayoutPack {
        |FROM tiled GROUP BY file_id ORDER BY file_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the UNION ALL branches interpolate [[ProfileCols]] — the unpivot and
+    // the oracle share one column list by construction
+    "io_profile_stats" -> {
+      val branches = ProfileCols.map { case (name, enc) =>
+        val vNum = enc.map(_._2).getOrElse("CAST(NULL AS BIGINT)")
+        val vStr = if (enc.isEmpty) name else "CAST(NULL AS VARCHAR)"
+        s"""SELECT '$name' AS col_name,
+           |  CASE WHEN $name IS NULL THEN 1 ELSE 0 END AS is_null,
+           |  $vNum AS v_num, $vStr AS v_str FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH u AS ($branches)
+         |SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(is_null) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT COALESCE(v_str, CAST(v_num AS VARCHAR)))
+         |    AS BIGINT) AS n_distinct,
+         |  MIN(v_num) AS min_num, MAX(v_num) AS max_num,
+         |  MIN(v_str) AS min_str, MAX(v_str) AS max_str
+         |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin
+    },
+
     "io_zorder_layout" -> layoutSql,
 
     "io_zorder_prune" ->

@@ -274,6 +274,47 @@ object StatsPack {
         .orderBy("l_returnflag")
     }),
 
+    // ---- exact weighted median / p90 (cumulative-weight crossing) -------
+    // The weighted percentile of price under quantity weights per return
+    // flag — the mixture/curriculum question ("the price level below
+    // which half the shipped QUANTITY sits") that a10's unweighted
+    // percentiles cannot answer. Engine-defined LOWER weighted
+    // percentile: the smallest value v whose cumulative weight reaches
+    // the quantile of the total — pure integer comparisons (cw·2 ≥ W ⇔
+    // cw ≥ ⌈W/2⌉), so both engines replay it bit-for-bit where an
+    // interpolated float definition would diverge on the weights. Shape:
+    // collapse to (flag, value) levels FIRST (ties merge, so the running
+    // sum is over a deterministic set and the window input shrinks to
+    // the distinct-value frame — the w10 POST-ROLLUP discipline), one
+    // running sum per flag over the collapsed levels, then the crossing
+    // values via conditional MIN. At 100 TB band the value domain first
+    // (the a14 move) or swap in the sampled-quantile sketch — the same
+    // wall a10 documents.
+    "a17_weighted_median" -> ((s, d) => {
+      val lvl = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast(LongType).as("v"),
+          floor(col("l_quantity") * 100).cast(LongType).as("w"))
+        .groupBy(col("l_returnflag"), col("v"))
+        .agg(sum(col("w")).as("wv"))
+      val cum = lvl.withColumn("cw",
+        sum(col("wv")).over(Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = lvl.groupBy(col("l_returnflag"))
+        .agg(sum(col("wv")).as("w_total"), count(lit(1)).as("n_levels"))
+      cum.join(broadcast(tot), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("w_total"), col("n_levels"))
+        .agg(
+          min(when(col("cw") * 2 >= col("w_total"), col("v")))
+            .as("wmed_cents"),
+          min(when(col("cw") * 10 >= col("w_total") * 9, col("v")))
+            .as("wp90_cents"))
+        .select(col("l_returnflag"), col("w_total"), col("n_levels"),
+          col("wmed_cents"), col("wp90_cents"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- priority sampling: weighted top-K summary --------------------
     // Duffield, Lund & Thorup (JACM 2007): item i draws u_i ~ U(0,1],
     // priority q_i = w_i / u_i, keep the top K priorities; τ = the
@@ -1007,6 +1048,30 @@ object StatsPack {
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n, corr, slope,
         |  (sy - slope * sx) / n / 100.0 AS intercept
         |FROM t ORDER BY l_returnflag""".stripMargin,
+
+    // same level-rollup-first shape as the engine: the running sum is
+    // over collapsed (flag, value) levels, so ROWS ≡ RANGE framing
+    "a17_weighted_median" ->
+      """WITH lvl AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |      AS wv
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT l_returnflag, v, wv,
+        |    CAST(SUM(wv) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cw
+        |  FROM lvl),
+        |tot AS (SELECT l_returnflag, CAST(SUM(wv) AS BIGINT) AS w_total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_levels
+        |  FROM lvl GROUP BY 1)
+        |SELECT t.l_returnflag, t.w_total, t.n_levels,
+        |  MIN(CASE WHEN c.cw * 2 >= t.w_total THEN c.v END) AS wmed_cents,
+        |  MIN(CASE WHEN c.cw * 10 >= t.w_total * 9 THEN c.v END)
+        |    AS wp90_cents
+        |FROM cum c JOIN tot t ON t.l_returnflag = c.l_returnflag
+        |GROUP BY t.l_returnflag, t.w_total, t.n_levels
+        |ORDER BY t.l_returnflag""".stripMargin,
 
     "sk_priority_sample" ->
       s"""WITH scored AS (SELECT o_orderkey,

@@ -691,6 +691,61 @@ object TextPack {
   /** Keywords kept per document by the BM25-idf extractor. */
   private[graft] val Bm25TopK = 3L
 
+  /** Shared BM25-idf ranking core over a prebuilt (doc_id, tk, tf) frame
+    * and (tk, df) / one-row (nd) statistics — the inline entry derives
+    * df/nd from the corpus, the `_indexed` twin reads them from the
+    * artifact; sharing the arithmetic (idf formula, 1e-6 rounding, the
+    * string tiebreak) is what makes the twins row-identical by
+    * construction. df joins on doc-DISTINCT tokens (vocab-sized frame);
+    * the one window per doc is the only non-combinable step. */
+  private[graft] def bm25RankFromTf(tf: org.apache.spark.sql.DataFrame,
+      df: org.apache.spark.sql.DataFrame,
+      nd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val idf = log(lit(1.0) +
+      (col("nd").cast(DoubleType) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+    val scored = tf.join(df, Seq("tk")).crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("tk").as("token"),
+        round(col("tf").cast(DoubleType) * idf, 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("doc_id"), col("rank"), col("token"), col("score"))
+  }
+
+  /** Build constants of [[ensureBm25Index]]. */
+  private[graft] val Bm25IndexParams =
+    s"tokenizer=ws_v1,topk=$Bm25TopK,members=v1"
+
+  /** Persisted corpus BM25 statistics: the (tk, df) document-frequency
+    * member plus the one-row document count — the LM IndexStore posture
+    * applied to the keyword extractor. */
+  private[graft] def ensureBm25Index(s: SparkSession, d: String): String =
+    graft.sim.IndexStore.ensure(s, d, "bm25_stats",
+      Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id",
+      Bm25IndexParams) { p =>
+      docTf(Tables.documents(s, d))
+        .groupBy(col("tk")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$p/df")
+      Tables.documents(s, d).agg(count(lit(1)).as("nd")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$p/nd")
+    }
+
+  /** Rank an arbitrary (doc_id, text) batch's tokens against the frozen
+    * df/N artifact — exact-match core (a post-freeze token absent from
+    * the frozen df drops from the ranking, the unigram exact core's
+    * semantics; a smoothed treatment would LEFT-join with df coalesced
+    * to 0, where the BM25+ idf stays defined and maximal). */
+  private[graft] def bm25Serve(s: SparkSession, d: String,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = ensureBm25Index(s, d)
+    bm25RankFromTf(docTf(docs), s.read.parquet(s"$p/df"),
+      s.read.parquet(s"$p/nd"))
+  }
+
   /** Boilerplate df floor denominator: a shingle is boilerplate within its
     * source when `BoilerDfDen · df >= n_docs(source)` (≥ 10% of the
     * source's documents carry it). */
@@ -1067,27 +1122,23 @@ object TextPack {
     // tokens, then one per-doc window — df rides a vocab-sized frame. ------
     "tx_bm25_topk" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tf = docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
-        .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+      val tf = docTf(docs)
       val df = tf.groupBy(col("tk"))
         .agg(count(lit(1)).as("df"))
       val nd = docs.agg(count(lit(1)).as("nd"))
-      val idf = log(lit(1.0) +
-        (col("nd").cast(DoubleType) - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5)))
-      val scored = tf.join(df, Seq("tk")).crossJoin(broadcast(nd))
-        .select(col("doc_id"), col("tk").as("token"),
-          round(col("tf").cast(DoubleType) * idf, 6).as("score"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("token"))
-      scored
-        .withColumn("rank", row_number().over(w).cast(LongType))
-        .filter(col("rank") <= Bm25TopK)
-        .select(col("doc_id"), col("rank"), col("token"), col("score"))
-        .orderBy("doc_id", "rank")
+      bm25RankFromTf(tf, df, nd).orderBy("doc_id", "rank")
     }),
+
+    // ---- artifact-served BM25 keyword extraction --------------------------
+    // The build-once/serve-many twin of tx_bm25_topk (the LM `_indexed`
+    // posture): df and N are CORPUS statistics — a serving job should
+    // read them from the persisted artifact, not re-count the corpus per
+    // batch. Shares [[bm25RankFromTf]] with the inline entry, so the rows
+    // are identical by construction (the row-identity oracle checks that;
+    // PlanSpec pins the artifact scan and the strictly-fewer corpus
+    // scans). ---------------------------------------------------------------
+    "tx_bm25_indexed" -> ((s, d) =>
+      bm25Serve(s, d, Tables.documents(s, d)).orderBy("doc_id", "rank")),
 
     // ---- boilerplate detection (C4-style repeated-shingle scrub) ---------
     // Per-SOURCE frequent 3-gram shingles are boilerplate (headers,
@@ -1461,6 +1512,14 @@ object TextPack {
          |  FROM sc)
          |SELECT doc_id, rank, token, score FROM rk
          |WHERE rank <= $Bm25TopK ORDER BY doc_id, rank""".stripMargin,
+
+    // row-identity against the inline entry's already-oracle-checked
+    // verify output (the LM `_indexed` twins' pattern — the artifact
+    // serves IDENTICAL rows by the shared bm25RankFromTf core; the
+    // plan-level "reads the artifact, never re-counts the corpus" half
+    // is PlanSpec's)
+    "tx_bm25_indexed" ->
+      "SELECT * FROM '__GRAFT_OUT__/tx_bm25_topk/*.parquet'",
 
     "tx_boilerplate" ->
       s"""WITH t AS (SELECT doc_id, source,

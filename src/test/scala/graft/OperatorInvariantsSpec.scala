@@ -2253,4 +2253,111 @@ class OperatorInvariantsSpec extends SparkSpec {
     val total = rows.map(_._3).sum
     assert(total == Tables.events(spark, sfTiny).count(), "event mass lost")
   }
+
+  test("a17_weighted_median equals the in-memory cumulative-weight replay") {
+    val rows = Tables.lineitem(spark, sfTiny)
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100).toLong,
+        math.floor(r.getDouble(2) * 100).toLong))
+    val expect = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, xs) =>
+      val lvl = xs.groupBy(_._2).map { case (v, ys) => v -> ys.map(_._3).sum }
+        .toSeq.sortBy(_._1)
+      val w = lvl.map(_._2).sum
+      var cw = 0L
+      val cum = lvl.map { case (v, wv) => cw += wv; (v, cw) }
+      (f, w, lvl.size.toLong,
+        cum.find(_._2 * 2 >= w).get._1,
+        cum.find(_._2 * 10 >= w * 9).get._1)
+    }
+    val got = run("a17_weighted_median").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"weighted median diverges: got $got")
+    // the lower weighted median can never sit above the weighted p90
+    assert(got.forall(t => t._4 <= t._5))
+  }
+
+  test("g5_bfs_layers equals the in-memory BFS replay and alternates " +
+    "sides (bipartiteness)") {
+    val pairs = Tables.lineitem(spark, sfTiny)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val kmax = math.max(pairs.map(_._2 / 2).max / 100, 1L)
+    var frontier = pairs.map(_._2).filter(_ / 2 <= kmax).toSet
+    var visited = frontier
+    val layers = collection.mutable.ArrayBuffer((0L, frontier))
+    for (r <- 1 to operators.GraphPack.BfsRounds) {
+      val nxt = frontier.flatMap(n => adj.getOrElse(n, Set.empty[Long]))
+        .diff(visited)
+      visited ++= nxt; frontier = nxt
+      layers += ((r.toLong, nxt))
+    }
+    val expect = layers.toSeq.flatMap { case (dist, ns) =>
+      ns.groupBy(n => if (n % 2 == 0) "part" else "supplier")
+        .toSeq.sortBy(_._1)
+        .map { case (t, xs) => (dist, t, xs.size.toLong) }
+    }
+    val got = run("g5_bfs_layers").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expect, s"BFS layers diverge: got $got expect $expect")
+    // a bipartite frontier can only alternate: supplier layers on even
+    // distance (seeds are suppliers), part layers on odd
+    assert(got.forall { case (dist, t, _) =>
+      t == (if (dist % 2 == 0) "supplier" else "part") })
+    // non-vacuous: the seed layer actually expanded at least one hop
+    assert(got.map(_._1).distinct.size >= 2, "BFS never expanded")
+  }
+
+  test("io_profile_stats equals the in-memory column-profile replay") {
+    import org.apache.spark.sql.Row
+    val o = Tables.orders(spark, sfTiny).collect()
+    // per column: (is_null, canonical BIGINT encoding, raw string) — the
+    // same trio the unpivot builds, replayed on JVM values
+    val cols: Seq[(String, Row => (Boolean, Option[Long], Option[String]))] =
+      Seq(
+        ("o_custkey", r => { val i = r.fieldIndex("o_custkey")
+          (r.isNullAt(i), if (r.isNullAt(i)) None else Some(r.getLong(i)),
+            None) }),
+        ("o_orderdate", r => { val i = r.fieldIndex("o_orderdate")
+          (r.isNullAt(i), if (r.isNullAt(i)) None else {
+            val t = r.getAs[java.time.LocalDateTime](i)
+            Some(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              t.getNano / 1000L)
+          }, None) }),
+        ("o_orderkey", r => { val i = r.fieldIndex("o_orderkey")
+          (r.isNullAt(i), if (r.isNullAt(i)) None else Some(r.getLong(i)),
+            None) }),
+        ("o_orderpriority", r => { val i = r.fieldIndex("o_orderpriority")
+          (r.isNullAt(i), None,
+            if (r.isNullAt(i)) None else Some(r.getString(i))) }),
+        ("o_orderstatus", r => { val i = r.fieldIndex("o_orderstatus")
+          (r.isNullAt(i), None,
+            if (r.isNullAt(i)) None else Some(r.getString(i))) }),
+        ("o_totalprice", r => { val i = r.fieldIndex("o_totalprice")
+          (r.isNullAt(i), if (r.isNullAt(i)) None
+            else Some(math.floor(r.getDouble(i) * 100).toLong), None) })
+      )
+    val expect = cols.map { case (name, f) =>
+      val vs = o.map(f).toSeq
+      val nums = vs.flatMap(_._2)
+      val strs = vs.flatMap(_._3)
+      val domain = vs.flatMap(v => v._3.orElse(v._2.map(_.toString)))
+      (name, o.length.toLong, vs.count(_._1).toLong,
+        domain.distinct.size.toLong,
+        nums.minOption, nums.maxOption, strs.minOption, strs.maxOption)
+    }
+    val got = run("io_profile_stats").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getString(6)),
+        if (r.isNullAt(7)) None else Some(r.getString(7)))).toSeq
+    assert(got == expect, s"profile diverges: got $got expect $expect")
+    // a profile row answers for its column: distincts bounded by non-null
+    // rows, and exactly one of the num/str min-max pairs populated
+    assert(got.forall(t => t._4 <= t._2 - t._3))
+    assert(got.forall(t => t._5.isDefined != t._7.isDefined))
+  }
 }

@@ -344,6 +344,24 @@ class PlanSpec extends SparkSpec {
       served.nonEmpty)
   }
 
+  test("tx_bm25_indexed serves from the df/N artifact and equals the " +
+    "inline ranking") {
+    val indexed = run("tx_bm25_indexed")
+    val served = indexed.collect()
+    val idxPlan = indexed.queryExecution.executedPlan.toString
+    assert(idxPlan.contains("bm25_stats"),
+      s"tx_bm25_indexed: no BM25 artifact scan in:\n$idxPlan")
+    val inlineDf = run("tx_bm25_topk")
+    val inline = inlineDf.collect()
+    val inPlan = inlineDf.queryExecution.executedPlan.toString
+    def docScans(p: String) = "graft_documents".r.findAllIn(p).size
+    assert(docScans(idxPlan) < docScans(inPlan),
+      s"indexed plan scans documents ${docScans(idxPlan)}x vs inline " +
+        s"${docScans(inPlan)}x:\n$idxPlan")
+    assert(served.map(_.toString).toSeq == inline.map(_.toString).toSeq &&
+      served.nonEmpty)
+  }
+
   test("tx_unigram_ppl_indexed serves from the LM artifact and equals " +
     "the inline scoring") {
     val indexed = run("tx_unigram_ppl_indexed")
