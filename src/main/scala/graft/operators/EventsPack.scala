@@ -38,6 +38,11 @@ object EventsPack {
     * into the engine's window filter and the oracle's join predicate. */
   private[graft] val AttribHorizonUs: Long = 7L * 24 * 3600 * 1000000
 
+  /** Conversion floor of the A/B test: a user converts on any purchase of
+    * value ≥ this. Sits near the purchase-value p80 on the fixture, so
+    * both variants carry non-degenerate proportions at every sf. */
+  private[graft] val AbConvMin = 150L
+
   /** The gap-session core shared by `ev_sessionize` and the sweep-line
     * concurrency rollup: lag → boundary flag → running sum = session index,
     * then the per-session interval. One shuffle on `user_id`; the groupBy
@@ -265,6 +270,51 @@ object EventsPack {
     // formulations check each other.
     "ev_funnel" -> ((s, d) => funnelSummary(Tables.events(s, d))),
 
+    // ---- two-proportion A/B test (experimentation readout) --------------
+    // The experiment summary every product-analytics layer serves: users
+    // deterministically hash-split into two variants (the md5-parity
+    // draw — the same engine-defined coin as the sampling family),
+    // conversion = the user ever made a ≥ [[AbConvMin]]-value purchase
+    // (plain "ever purchased" is vacuous on this fixture — every user
+    // has; pool = 1 degenerates the z denominator to 0/0), then the
+    // two-proportion pooled z-score. Counting is EXACT integers (one
+    // combinable per-user rollup — max(converted) — then one 2-row
+    // aggregate); the rates and z are IEEE divisions/sqrt over those
+    // exact integers in ONE fixed formula, so both engines land on
+    // bit-equal doubles (the a16 sufficient-statistics discipline); a
+    // degenerate pool (all or none converted) yields a NULL z instead of
+    // an ANSI divide-by-zero. Scale: the per-user rollup is the only
+    // event-volume shuffle; everything after is constant-sized.
+    "ev_ab_test" -> ((s, d) => {
+      val dbl = org.apache.spark.sql.types.DoubleType
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") >= AbConvMin, 1L).otherwise(0L))
+          .as("conv"))
+        .withColumn("vb",
+          pmod(conv(substring(md5(concat(lit("ab:"),
+            col("user_id").cast("string"))), 1, 8), 16, 10)
+            .cast(LongType), lit(2L)))
+      users.agg(
+          sum(when(col("vb") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("vb") === 0, col("conv")).otherwise(0L)).as("c_a"),
+          sum(when(col("vb") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("vb") === 1, col("conv")).otherwise(0L)).as("c_b"))
+        .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+          (col("c_a").cast(dbl) / col("n_a").cast(dbl)).as("rate_a"),
+          (col("c_b").cast(dbl) / col("n_b").cast(dbl)).as("rate_b"),
+          ((col("c_a") + col("c_b")).cast(dbl) /
+            (col("n_a") + col("n_b")).cast(dbl)).as("pool"))
+        .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+          col("rate_a"), col("rate_b"),
+          when(col("pool") > 0.0 && col("pool") < 1.0,
+            (col("rate_a") - col("rate_b")) /
+              sqrt(col("pool") * (lit(1.0) - col("pool")) *
+                (lit(1.0) / col("n_a").cast(dbl) +
+                  lit(1.0) / col("n_b").cast(dbl)))).as("z_score"))
+    }),
+
     // ---- event-type transition matrix -----------------------------------
     // First-order behavioural model: counts of (previous type → type)
     // steps per user timeline, with a START pseudo-state for each user's
@@ -491,6 +541,38 @@ object EventsPack {
       .join(probes, "cell")
 
   val oracles: Map[String, String] = Map(
+    // identical op ORDER in the float tail (two rates, pool, the one
+    // z formula) — IEEE ops are correctly rounded, so same inputs + same
+    // sequence = bit-equal doubles (the a16 discipline)
+    "ev_ab_test" ->
+      s"""WITH u AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value >= $AbConvMin
+        |      THEN 1 ELSE 0 END) AS conv,
+        |    ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 2 AS vb
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN vb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN vb = 0 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS c_a,
+        |    CAST(SUM(CASE WHEN vb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN vb = 1 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS c_b
+        |  FROM u),
+        |r AS (SELECT n_a, c_a, n_b, c_b,
+        |    CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |    CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |    CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pool
+        |  FROM c)
+        |SELECT n_a, c_a, n_b, c_b, rate_a, rate_b,
+        |  CASE WHEN pool > 0.0 AND pool < 1.0 THEN
+        |    (rate_a - rate_b) / sqrt(pool * (1.0 - pool) *
+        |      (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |  END AS z_score
+        |FROM r""".stripMargin,
+
     "ev_retention" ->
       """WITH ev AS (SELECT user_id,
         |  CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

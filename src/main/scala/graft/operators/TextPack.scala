@@ -740,11 +740,17 @@ object TextPack {
     * semantics; a smoothed treatment would LEFT-join with df coalesced
     * to 0, where the BM25+ idf stays defined and maximal). */
   private[graft] def bm25Serve(s: SparkSession, d: String,
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val p = ensureBm25Index(s, d)
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bm25ServeAt(s, ensureBm25Index(s, d), docs)
+
+  /** Path-resolved BM25 serving — the streaming gate's per-batch half
+    * (DocStream.bm25Gate): the artifact is already ensured (one corpus
+    * fingerprint at stream start), so a batch pays ONLY its own token
+    * counts plus the vocab-sized df join. */
+  private[graft] def bm25ServeAt(s: SparkSession, p: String,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     bm25RankFromTf(docTf(docs), s.read.parquet(s"$p/df"),
       s.read.parquet(s"$p/nd"))
-  }
 
   /** Boilerplate df floor denominator: a shingle is boilerplate within its
     * source when `BoilerDfDen · df >= n_docs(source)` (≥ 10% of the

@@ -258,6 +258,26 @@ object DocStream {
     batch => graft.operators.TextPack.bigramServeSmoothedAt(spark, p, batch)
   }
 
+  /** Keyword-extraction gate at ingest: rank one arriving micro-batch's
+    * tokens against the FROZEN corpus df/N statistics
+    * ([[graft.operators.TextPack.ensureBm25Index]]) — per-document top-K
+    * BM25-idf keywords in the serving posture (tagging / routing /
+    * search-indexing at ingest). Artifact resolved once at gate
+    * construction; each batch pays its own token counts plus the
+    * vocab-sized df join, the corpus is never re-counted. Serving is the
+    * exact-match core (batch twin `tx_bm25_indexed`; parity by the shared
+    * bm25RankFromTf core, pinned in StreamingSpec — sound per batch
+    * because a document's keywords depend only on its OWN tf plus the
+    * frozen df/N, never on batch co-arrivals): a post-freeze token absent
+    * from the frozen vocabulary drops from the ranking — it has no df
+    * evidence to rank on; a novelty-seeking consumer would instead
+    * LEFT-join with df coalesced to 0, where the BM25+ idf is defined and
+    * maximal. */
+  def bm25Gate(spark: SparkSession, dir: String): DataFrame => DataFrame = {
+    val p = graft.operators.TextPack.ensureBm25Index(spark, dir)
+    batch => graft.operators.TextPack.bm25ServeAt(spark, p, batch)
+  }
+
   /** Domain-mix gate at ingest: apply a FROZEN mixture-threshold frame
     * ([[graft.operators.PipelinePack.mixThresholds]], computed once per
     * corpus version — thresholds are a property of the corpus the mixture

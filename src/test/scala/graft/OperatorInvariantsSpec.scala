@@ -2310,6 +2310,41 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size >= 2, "BFS never expanded")
   }
 
+  test("ev_ab_test equals the in-memory two-proportion replay and " +
+    "carries non-degenerate proportions") {
+    import operators.EventsPack.AbConvMin
+    val ev = Tables.events(spark, sfTiny)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def parity(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val users = ev.groupBy(_._1).toSeq.map { case (u, xs) =>
+      (parity(u),
+        if (xs.exists(x => x._2 == "purchase" && x._3 >= AbConvMin)) 1L
+        else 0L)
+    }
+    val (na, ca) = (users.count(_._1 == 0).toLong,
+      users.filter(_._1 == 0).map(_._2).sum)
+    val (nb, cb) = (users.count(_._1 == 1).toLong,
+      users.filter(_._1 == 1).map(_._2).sum)
+    val (ra, rb) = (ca.toDouble / na, cb.toDouble / nb)
+    val pool = (ca + cb).toDouble / (na + nb)
+    val z = (ra - rb) /
+      math.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    val got = run("ev_ab_test").collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) == ((na, ca, nb, cb)))
+    assert(got.getDouble(4) == ra && got.getDouble(5) == rb &&
+      got.getDouble(6) == z, "z replay diverges")
+    // the fixture must exercise a REAL test: both variants populated,
+    // conversions strictly inside (0, n) — else the z row is vacuous
+    assert(na > 0 && nb > 0 && ca > 0 && ca < na && cb > 0 && cb < nb)
+  }
+
   test("io_profile_stats equals the in-memory column-profile replay") {
     import org.apache.spark.sql.Row
     val o = Tables.orders(spark, sfTiny).collect()

@@ -377,6 +377,37 @@ class StreamingSpec extends SparkSpec {
       !r(0).getDouble(2).isInfinite && !r(0).getDouble(2).isNaN)
   }
 
+  test("foreachBatch BM25 keyword gate equals the artifact-served batch " +
+    "twin across micro-batches") {
+    import graft.streaming.DocStream
+    // per-doc keywords depend only on the doc's own tf plus the frozen
+    // df/N — so the streamed union over micro-batches must equal the
+    // whole-corpus indexed entry row-for-row
+    val want = SparkEntry.queries("tx_bm25_indexed")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val c0 = graft.sim.IndexStore.ensureCalls.get()
+    val gate = DocStream.bm25Gate(spark, sfTiny)
+    val got =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, String, Double)]()
+    val q = DocStream.source(spark, sfTiny)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= gate(batch)
+          .select("doc_id", "rank", "token", "score").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getDouble(3)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(want.nonEmpty && got.toSet == want.toSet,
+      s"stream extracted ${got.size} keyword rows, batch ${want.size}")
+    assert(graft.sim.IndexStore.ensureCalls.get() - c0 == 1L,
+      "streaming BM25 gate re-ensured the artifact per batch")
+  }
+
   test("foreachBatch LM-perplexity gate equals the artifact-served batch " +
     "scoring") {
     import graft.streaming.DocStream
