@@ -47,6 +47,9 @@ object LayoutPack {
   /** Target file count of the layout rewrite. */
   private[graft] val ZFiles = 64
 
+  /** Rewrite groups of the compaction plan (`io_compaction_plan`). */
+  private[graft] val CompactGroups = 8
+
   /** Morton interleave of two non-negative keys (x even bits, y odd):
     * an unrolled 2·[[ZBits]]-term sum of shift/mask/scale terms — plain
     * codegen'd integer expression work, no UDF, no loop at runtime. */
@@ -143,6 +146,23 @@ object LayoutPack {
         "CAST(floor(o_totalprice * 100) AS BIGINT)")))
     )
 
+  /** The profiler's unpivot: each orders row explodes to |[[ProfileCols]]|
+    * (col_name, is_null, v_num, v_str) tuples via a codegen'd
+    * inline(array(struct…)) — shared by the exact and sketched profile
+    * entries so the two can only diverge in the aggregate, never in the
+    * value universe. */
+  private def profileRows(s: SparkSession, d: String): DataFrame = {
+    val rows = ProfileCols.map { case (name, enc) =>
+      struct(lit(name).as("col_name"),
+        when(col(name).isNull, 1L).otherwise(0L).as("is_null"),
+        enc.map(e => expr(e._1)).getOrElse(lit(null).cast(LongType))
+          .as("v_num"),
+        (if (enc.isEmpty) col(name) else lit(null).cast("string"))
+          .as("v_str"))
+    }
+    Tables.orders(s, d).select(inline(array(rows: _*)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- ANALYZE-style column profile ------------------------------------
     // Per-column null count, exact distinct count and canonical min/max —
@@ -155,17 +175,8 @@ object LayoutPack {
     // |cols|-row result. At 100 TB the swap for the exact n_distinct is
     // the HLL register sketch (sk_hll_distinct) per column — same unpivot,
     // bounded state; exact distinct is the gate shape.
-    "io_profile_stats" -> ((s, d) => {
-      val rows = ProfileCols.map { case (name, enc) =>
-        struct(lit(name).as("col_name"),
-          when(col(name).isNull, 1L).otherwise(0L).as("is_null"),
-          enc.map(e => expr(e._1)).getOrElse(lit(null).cast(LongType))
-            .as("v_num"),
-          (if (enc.isEmpty) col(name) else lit(null).cast("string"))
-            .as("v_str"))
-      }
-      Tables.orders(s, d)
-        .select(inline(array(rows: _*)))
+    "io_profile_stats" -> ((s, d) =>
+      profileRows(s, d)
         .groupBy(col("col_name"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("is_null")).as("n_null"),
@@ -173,8 +184,24 @@ object LayoutPack {
             col("v_num").cast("string"))).as("n_distinct"),
           min(col("v_num")).as("min_num"), max(col("v_num")).as("max_num"),
           min(col("v_str")).as("min_str"), max(col("v_str")).as("max_str"))
-        .orderBy("col_name")
-    }),
+        .orderBy("col_name")),
+
+    // ---- sketched column profile (the 100 TB n_distinct) -----------------
+    // The deployment form of io_profile_stats' distinct counts: the SAME
+    // unpivot feeds the HLL register sketch ([[graft.operators.Skew
+    // .hllDistinctSketch]] — engine-defined layout, so the ESTIMATE is
+    // oracle-replayed bit-for-bit) instead of the exact per-column
+    // distinct. State is ≤ 512 registers per column (combinable map-side,
+    // merges across shards by register MAX), where exact COUNT(DISTINCT)
+    // dedups the full value universe — the kmvDistinctSketch /
+    // sk_hll_sketch split applied to the profiler. Exact calibration
+    // lives in io_profile_stats' gate row; this entry ships sketch-only.
+    "io_profile_sketch" -> ((s, d) =>
+      Skew.hllDistinctSketch(
+        profileRows(s, d).select(col("col_name"),
+          coalesce(col("v_str"), col("v_num").cast("string")).as("v")),
+        "col_name", col("v"))
+        .orderBy("col_name")),
 
     // ---- the z-ordered layout's zone maps -------------------------------
     // 64 files over lineitem clustered by interleave(l_partkey,
@@ -184,6 +211,40 @@ object LayoutPack {
       zoneMaps(normalizedKeys(keyed(s, d)),
           zvalue(col("zpk"), col("zsk")), col("pk"), col("sk"))
         .orderBy("file_id")),
+
+    // ---- size-based compaction plan over the z-ordered layout ------------
+    // The OPTIMIZE/maintenance planner: bin the layout's [[ZFiles]] files
+    // into [[CompactGroups]] rewrite groups by consuming files IN LAYOUT
+    // ORDER until each group reaches the row target (cum_before div
+    // target — one pass, no bin-packing search). Order-preserving
+    // consumption is the point: every group covers a CONTIGUOUS z range,
+    // so the clustering (and the zone maps' pruning power) SURVIVES the
+    // rewrite — a size-greedy packer would interleave ranges and destroy
+    // it. The plan runs on the file-STATS frame (manifest metadata, 64
+    // rows here, ~10⁵–10⁶ at 100 TB — never the data), which is exactly
+    // how production OPTIMIZE planners work; the window over it is the
+    // accepted POST-ROLLUP shape. Output: per group, the files consumed,
+    // row mass, and the merged zone map a planner would prune the
+    // compacted files with.
+    "io_compaction_plan" -> ((s, d) => {
+      val zm = zoneMaps(normalizedKeys(keyed(s, d)),
+        zvalue(col("zpk"), col("zsk")), col("pk"), col("sk"))
+      val w = Window.orderBy(col("file_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      zm.crossJoin(broadcast(zm.agg(sum(col("n_rows")).as("total"))))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_rows")).over(w), lit(0L)))
+        .withColumn("grp", expr(
+          s"cum_before div ((total + ${CompactGroups - 1}L) div " +
+            s"${CompactGroups}L)"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+          min(col("file_id")).as("file_lo"),
+          max(col("file_id")).as("file_hi"),
+          min(col("min_pk")).as("min_pk"), max(col("max_pk")).as("max_pk"),
+          min(col("min_sk")).as("min_sk"), max(col("max_sk")).as("max_sk"))
+        .orderBy("grp")
+    }),
 
     // ---- the pruning monitor: z-order vs single-column sort -------------
     // Two layouts × two predicate shapes, counted against the same zone
@@ -248,28 +309,92 @@ object LayoutPack {
        |  MIN(sk) AS min_sk, MAX(sk) AS max_sk
        |FROM tiled GROUP BY file_id ORDER BY file_id""".stripMargin
 
+  /** The oracle-side image of the profiler's unpivot — the UNION ALL
+    * branches interpolate [[ProfileCols]], so the Spark unpivot and both
+    * profile oracles share one column list by construction. */
+  private val profileBranchesSql: String = ProfileCols.map { case (name, enc) =>
+    val vNum = enc.map(_._2).getOrElse("CAST(NULL AS BIGINT)")
+    val vStr = if (enc.isEmpty) name else "CAST(NULL AS VARCHAR)"
+    s"""SELECT '$name' AS col_name,
+       |  CASE WHEN $name IS NULL THEN 1 ELSE 0 END AS is_null,
+       |  $vNum AS v_num, $vStr AS v_str FROM orders""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   val oracles: Map[String, String] = Map(
-    // the UNION ALL branches interpolate [[ProfileCols]] — the unpivot and
-    // the oracle share one column list by construction
-    "io_profile_stats" -> {
-      val branches = ProfileCols.map { case (name, enc) =>
-        val vNum = enc.map(_._2).getOrElse("CAST(NULL AS BIGINT)")
-        val vStr = if (enc.isEmpty) name else "CAST(NULL AS VARCHAR)"
-        s"""SELECT '$name' AS col_name,
-           |  CASE WHEN $name IS NULL THEN 1 ELSE 0 END AS is_null,
-           |  $vNum AS v_num, $vStr AS v_str FROM orders""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH u AS ($branches)
+    "io_profile_stats" ->
+      s"""WITH u AS ($profileBranchesSql)
          |SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
          |  CAST(SUM(is_null) AS BIGINT) AS n_null,
          |  CAST(COUNT(DISTINCT COALESCE(v_str, CAST(v_num AS VARCHAR)))
          |    AS BIGINT) AS n_distinct,
          |  MIN(v_num) AS min_num, MAX(v_num) AS max_num,
          |  MIN(v_str) AS min_str, MAX(v_str) AS max_str
-         |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin
-    },
+         |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    // the sk_hll_sketch register replay over the profiler's unpivot —
+    // the ESTIMATE is engine-defined integer arithmetic, checked
+    // bit-for-bit (one ln in the linear-counting branch, the documented
+    // ulp class)
+    "io_profile_sketch" ->
+      s"""WITH u AS ($profileBranchesSql),
+         |vals AS (SELECT col_name,
+         |  COALESCE(v_str, CAST(v_num AS VARCHAR)) AS v FROM u
+         |  WHERE COALESCE(v_str, CAST(v_num AS VARCHAR)) IS NOT NULL),
+         |h AS (SELECT col_name,
+         |  ('0x' || substr(md5('hll:' || v), 1, 15))::BIGINT AS hv
+         |  FROM vals),
+         |rr AS (SELECT col_name, hv // 2251799813685248 AS reg,
+         |  hv % 2251799813685248 AS rem FROM h),
+         |rho AS (SELECT col_name, reg,
+         |  CASE WHEN rem = 0 THEN 52 ELSE 52 - length(bin(rem)) END AS rho
+         |  FROM rr),
+         |regs AS (SELECT col_name, reg, MAX(rho) AS mj
+         |  FROM rho GROUP BY 1, 2),
+         |agg AS (SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_regs,
+         |  SUM(1::BIGINT << CAST(52 - mj AS INT)) AS sum_present
+         |  FROM regs GROUP BY col_name),
+         |dig AS (SELECT col_name, 512 - n_regs AS v_zero,
+         |  CAST(sum_present + (512 - n_regs) * 4503599627370496 AS BIGINT)
+         |    AS sum_scaled FROM agg),
+         |raw AS (SELECT col_name, v_zero, sum_scaled,
+         |  CAST(('${Skew.HllNumerator}'::HUGEINT // sum_scaled::HUGEINT)
+         |    // 1000000 AS BIGINT) AS est_raw FROM dig)
+         |SELECT col_name, v_zero, sum_scaled,
+         |  CASE WHEN v_zero > 0 AND est_raw <= 1280
+         |    THEN CAST(floor(512 * ln(512.0 / v_zero)) AS BIGINT)
+         |    ELSE est_raw END AS est_distinct
+         |FROM raw ORDER BY col_name""".stripMargin,
 
     "io_zorder_layout" -> layoutSql,
+
+    // the layout chain + the one-pass ordered binning (cum_before div
+    // row-target), replayed value-for-value
+    "io_compaction_plan" ->
+      s"""WITH $normSql,
+         |tiled AS (SELECT pk, sk,
+         |    ntile($ZFiles) OVER (ORDER BY $zSql, pk, sk) AS file_id
+         |  FROM norm),
+         |zm AS (SELECT CAST(file_id AS BIGINT) AS file_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+         |    MIN(sk) AS min_sk, MAX(sk) AS max_sk
+         |  FROM tiled GROUP BY file_id),
+         |c AS (SELECT *,
+         |    COALESCE(SUM(n_rows) OVER (ORDER BY file_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before,
+         |    (SELECT SUM(n_rows) FROM zm) AS total
+         |  FROM zm),
+         |g AS (SELECT *, cum_before //
+         |    ((total + ${CompactGroups - 1}) // $CompactGroups) AS grp
+         |  FROM c)
+         |SELECT CAST(grp AS BIGINT) AS grp,
+         |  CAST(COUNT(*) AS BIGINT) AS n_files,
+         |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+         |  MIN(file_id) AS file_lo, MAX(file_id) AS file_hi,
+         |  MIN(min_pk) AS min_pk, MAX(max_pk) AS max_pk,
+         |  MIN(min_sk) AS min_sk, MAX(max_sk) AS max_sk
+         |FROM g GROUP BY grp ORDER BY grp""".stripMargin,
 
     "io_zorder_prune" ->
       s"""WITH $normSql,

@@ -315,6 +315,39 @@ object StatsPack {
         .orderBy("l_returnflag")
     }),
 
+    // ---- winsorized mean (robust location by percentile clipping) -------
+    // The feature-prep twin of ev_anomaly_mad's detection: clip each
+    // event value into its type's exact [p05, p95] band and report the
+    // clipped mean — the robust location outliers cannot drag, plus the
+    // clip counts (the monitoring signal: a rising n_clip_hi IS the
+    // anomaly). Percentiles ride the proven a10 pairing (Spark
+    // percentile ≡ DuckDB quantile_cont bit-for-bit); the clipped value
+    // is least/greatest over those bit-equal doubles, summed EXACTLY on
+    // the 1e-9 decimal grid (the ppl discipline — order-independent) and
+    // divided once. Scale: two passes over events (exact percentile
+    // buffers per group — the a10 wall; the sampled-quantile sketch is
+    // the at-scale swap), percentile frame broadcasts back, clip pass is
+    // map-side combinable.
+    "a19_winsorized_mean" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val pcts = ev.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.05)).as("p05"),
+          percentile(col("value"), lit(0.95)).as("p95"))
+      ev.join(broadcast(pcts), "event_type")
+        .select(col("event_type"), col("value"), col("p05"), col("p95"),
+          least(greatest(col("value"), col("p05")), col("p95")).as("wv"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("p05"), 1L).otherwise(0L))
+            .as("n_clip_lo"),
+          sum(when(col("value") > col("p95"), 1L).otherwise(0L))
+            .as("n_clip_hi"),
+          min(col("p05")).as("p05"), min(col("p95")).as("p95"),
+          (sum(col("wv").cast(DecimalType(28, 9))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("wins_mean"))
+        .orderBy("event_type")
+    }),
+
     // ---- priority sampling: weighted top-K summary --------------------
     // Duffield, Lund & Thorup (JACM 2007): item i draws u_i ~ U(0,1],
     // priority q_i = w_i / u_i, keep the top K priorities; τ = the
@@ -1048,6 +1081,26 @@ object StatsPack {
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n, corr, slope,
         |  (sy - slope * sx) / n / 100.0 AS intercept
         |FROM t ORDER BY l_returnflag""".stripMargin,
+
+    // percentile ≡ quantile_cont (a10 pairing), decimal-grid sum with the
+    // a16 VARCHAR hop, one division — bit-equal end to end
+    "a19_winsorized_mean" ->
+      """WITH p AS (SELECT event_type,
+        |    quantile_cont(value, 0.05) AS p05,
+        |    quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY event_type),
+        |j AS (SELECT e.event_type, e.value, p.p05, p.p95,
+        |    least(greatest(e.value, p.p05), p.p95) AS wv
+        |  FROM events e JOIN p USING (event_type))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  MIN(p05) AS p05, MIN(p95) AS p95,
+        |  CAST(CAST(SUM(CAST(wv AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS wins_mean
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // same level-rollup-first shape as the engine: the running sum is
     // over collapsed (flag, value) levels, so ROWS ≡ RANGE framing

@@ -2310,6 +2310,69 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size >= 2, "BFS never expanded")
   }
 
+  test("io_compaction_plan equals the in-memory ordered binning, conserves " +
+    "rows and keeps groups contiguous") {
+    import operators.LayoutPack.CompactGroups
+    val files = run("io_zorder_layout").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = files.map(_._2).sum
+    val target = (total + CompactGroups - 1) / CompactGroups
+    var cum = 0L
+    val assign = files.map { case (f, n) =>
+      val g = cum / target; cum += n; (g, f, n)
+    }
+    val expect = assign.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (g, xs) => (g, xs.length.toLong, xs.map(_._3).sum,
+        xs.map(_._2).min, xs.map(_._2).max)
+    }
+    val got = run("io_compaction_plan").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"plan diverges: got $got expect $expect")
+    assert(got.map(_._3).sum == total, "compaction lost rows")
+    assert(got.length <= CompactGroups)
+    // ordered consumption ⇒ contiguous, non-overlapping file ranges —
+    // the property that preserves the z clustering through the rewrite
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(b._4 == a._5 + 1,
+        s"group ${b._1} not contiguous after ${a._1}")
+      case _ =>
+    }
+  }
+
+  test("a19_winsorized_mean: clip fractions bounded by the percentile " +
+    "definition and the mean sits inside the band") {
+    val rows = run("a19_winsorized_mean").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (p05, p95, m) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      // strictly-below-p05 rows cannot exceed the 5% rank position
+      assert(lo <= n / 20 + 1, s"${r.getString(0)}: n_clip_lo $lo of $n")
+      assert(hi <= n / 20 + 1, s"${r.getString(0)}: n_clip_hi $hi of $n")
+      assert(p05 <= m && m <= p95, "winsorized mean escaped the band")
+    }
+    // non-vacuous: the fixture actually clips something somewhere
+    assert(rows.exists(r => r.getLong(2) > 0 && r.getLong(3) > 0))
+  }
+
+  test("io_profile_sketch estimates land inside the HLL envelope of the " +
+    "exact profile's distinct counts") {
+    val exact = run("io_profile_stats").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val est = run("io_profile_sketch").collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    assert(est.length == exact.size, "sketch dropped a column")
+    // m = 512 → σ ≈ 4.6% in the raw regime; the tiny-cardinality columns
+    // ride the (near-exact) linear-counting branch — 3σ + an absolute
+    // floor of 3 covers both
+    est.foreach { case (c, e) =>
+      val x = exact(c)
+      assert(math.abs(e - x) <= math.max(3L, (0.15 * x).toLong),
+        s"$c: sketch $e vs exact $x outside the envelope")
+    }
+  }
+
   test("ev_ab_test equals the in-memory two-proportion replay and " +
     "carries non-degenerate proportions") {
     import operators.EventsPack.AbConvMin
