@@ -43,6 +43,10 @@ object EventsPack {
     * both variants carry non-degenerate proportions at every sf. */
   private[graft] val AbConvMin = 150L
 
+  /** Nearest-touch horizon (±1 h) — ONE definition interpolated into the
+    * engine's selection and the oracle's candidate predicate. */
+  private[graft] val NearHorizonUs: Long = 3600L * 1000000
+
   /** The gap-session core shared by `ev_sessionize` and the sweep-line
     * concurrency rollup: lag → boundary flag → running sum = session index,
     * then the per-session interval. One shuffle on `user_id`; the groupBy
@@ -103,6 +107,69 @@ object EventsPack {
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"), col("view_id"), col("view_ts"))
         .orderBy("click_id")
+    }),
+
+    // ---- bidirectional nearest-event join --------------------------------
+    // Every purchase matched to its NEAREST marketing touch in EITHER
+    // direction within [[NearHorizonUs]] — the merge_asof(direction =
+    // 'nearest') generalization of ev_asof_join's backward-only carry:
+    // the shape sensor/log alignment needs when clocks jitter both ways.
+    // Linear formulation: the tagged union scans TWICE inside one
+    // user_id partitioning — a backward carry in (ts, side, id) order
+    // and a forward carry in the exact reverse — so each purchase reads
+    // both neighbours as plain columns and the selection (smaller gap,
+    // ties backward) is per-row arithmetic; one exchange, two
+    // in-partition sorts, no inequality join anywhere. Tie semantics
+    // fall out of the shared sort key: a same-instant touch sorts
+    // backward (side 0 first — gap 0, max event_id among equals), the
+    // forward carry is strictly-later (min event_id among equals). The
+    // oracle takes the naive candidate-join + rank road with the same
+    // (gap, side, ±id) order, so the formulations check each other.
+    "ev_nearest_touch" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), lit(0).as("side"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), lit(1).as("side"))
+      val wb = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("side").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def touchOnly(c: Column) = when(col("side") === 0, c)
+      val us = unix_micros(col("ts"))
+      val gapB = us - col("b_us")
+      val gapF = col("f_us") - us
+      val bOk = col("b_us").isNotNull && gapB <= NearHorizonUs
+      val fOk = col("f_us").isNotNull && gapF <= NearHorizonUs
+      val useB = bOk && (!fOk || gapB <= gapF)
+      touches.unionByName(purch)
+        .withColumn("b_id",
+          last(touchOnly(col("event_id")), ignoreNulls = true).over(wb))
+        .withColumn("b_us",
+          last(touchOnly(unix_micros(col("ts"))), ignoreNulls = true)
+            .over(wb))
+        .withColumn("b_type",
+          last(touchOnly(col("event_type")), ignoreNulls = true).over(wb))
+        .withColumn("f_id",
+          last(touchOnly(col("event_id")), ignoreNulls = true).over(wf))
+        .withColumn("f_us",
+          last(touchOnly(unix_micros(col("ts"))), ignoreNulls = true)
+            .over(wf))
+        .withColumn("f_type",
+          last(touchOnly(col("event_type")), ignoreNulls = true).over(wf))
+        .filter(col("side") === 1)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"),
+          when(useB, col("b_id")).when(fOk, col("f_id")).as("touch_id"),
+          when(useB, col("b_type")).when(fOk, col("f_type"))
+            .as("touch_type"),
+          when(useB, gapB).when(fOk, gapF).as("gap_us"),
+          when(useB, lit("back")).when(fOk, lit("fwd")).as("direction"))
+        .orderBy("purchase_id")
     }),
 
     // ---- last-touch attribution with a lookback horizon ------------------
@@ -684,6 +751,41 @@ object EventsPack {
 
     // inequality-join road (horizon inside the candidate join — equivalent
     // to the engine's carry-then-filter because touches only age backwards)
+    // naive candidate join + rank with the engine's exact (gap, side,
+    // ±id) tie order: backward prefers the max event_id among equal-gap
+    // touches (the carry keeps the LAST in scan order), forward the min
+    "ev_nearest_touch" ->
+      s"""WITH p AS (SELECT event_id, user_id, ts FROM events
+         |           WHERE event_type = 'purchase'),
+         |t AS (SELECT event_id, user_id, ts, event_type FROM events
+         |      WHERE event_type IN ('click', 'view')),
+         |cand AS (
+         |  SELECT p.event_id AS pid, t.event_id AS tid,
+         |    t.event_type AS ttype,
+         |    CASE WHEN t.ts <= p.ts
+         |      THEN epoch_us(p.ts) - epoch_us(t.ts)
+         |      ELSE epoch_us(t.ts) - epoch_us(p.ts) END AS gap_us,
+         |    CASE WHEN t.ts <= p.ts THEN 0 ELSE 1 END AS side,
+         |    row_number() OVER (PARTITION BY p.event_id ORDER BY
+         |      CASE WHEN t.ts <= p.ts
+         |        THEN epoch_us(p.ts) - epoch_us(t.ts)
+         |        ELSE epoch_us(t.ts) - epoch_us(p.ts) END,
+         |      CASE WHEN t.ts <= p.ts THEN 0 ELSE 1 END,
+         |      CASE WHEN t.ts <= p.ts THEN -t.event_id
+         |        ELSE t.event_id END) AS rn
+         |  FROM p JOIN t ON t.user_id = p.user_id
+         |    AND abs(epoch_us(t.ts) - epoch_us(p.ts)) <= $NearHorizonUs)
+         |SELECT p.event_id AS purchase_id, p.user_id,
+         |  p.ts AS purchase_ts,
+         |  m.tid AS touch_id, m.ttype AS touch_type,
+         |  CAST(m.gap_us AS BIGINT) AS gap_us,
+         |  CASE WHEN m.side = 0 THEN 'back'
+         |    WHEN m.side = 1 THEN 'fwd' END AS direction
+         |FROM p LEFT JOIN (SELECT pid, tid, ttype, gap_us, side FROM cand
+         |                  WHERE rn = 1) m
+         |  ON m.pid = p.event_id
+         |ORDER BY purchase_id""".stripMargin,
+
     "ev_attribution" ->
       s"""WITH p AS (SELECT event_id, user_id, ts FROM events
          |           WHERE event_type = 'purchase'),

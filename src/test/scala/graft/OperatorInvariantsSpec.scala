@@ -2310,6 +2310,45 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size >= 2, "BFS never expanded")
   }
 
+  test("ev_nearest_touch equals the in-memory nearest-selection replay " +
+    "and exercises both directions") {
+    import operators.EventsPack.NearHorizonUs
+    val ev = Tables.events(spark, sfTiny)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val touches = ev.filter(e => e._3 == "click" || e._3 == "view")
+      .groupBy(_._2)
+    val expect = ev.filter(_._3 == "purchase").sortBy(_._1).map {
+      case (pid, u, _, pus) =>
+        val cand = touches.getOrElse(u, Array.empty)
+          .filter(t => math.abs(t._4 - pus) <= NearHorizonUs)
+          .map { t =>
+            val side = if (t._4 <= pus) 0L else 1L
+            (math.abs(t._4 - pus), side,
+              if (side == 0) -t._1 else t._1, t._1, t._3)
+          }
+        if (cand.isEmpty) (pid, None)
+        else {
+          val m = cand.minBy(c => (c._1, c._2, c._3))
+          (pid, Some((m._4, m._5, m._1,
+            if (m._2 == 0) "back" else "fwd")))
+        }
+    }.toSeq
+    val got = run("ev_nearest_touch").collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(3)) None
+        else Some((r.getLong(3), r.getString(4), r.getLong(5),
+          r.getString(6))))
+    }.toSeq
+    assert(got == expect, s"nearest-touch diverges (first 3): " +
+      s"got ${got.take(3)} expect ${expect.take(3)}")
+    // both carry directions and the no-touch horizon miss must all be
+    // live on the fixture, or the selection law is untested
+    val dirs = got.flatMap(_._2).map(_._4).toSet
+    assert(dirs == Set("back", "fwd"), s"directions exercised: $dirs")
+  }
+
   test("io_compaction_plan equals the in-memory ordered binning, conserves " +
     "rows and keeps groups contiguous") {
     import operators.LayoutPack.CompactGroups
