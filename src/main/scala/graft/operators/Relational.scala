@@ -404,6 +404,33 @@ object Relational {
         .orderBy("p_partkey")
     }),
 
+    // ---- bag (multiset) set algebra: INTERSECT ALL / EXCEPT ALL ---------
+    // D4's except is SET semantics; the bag forms — how many order slots
+    // a customer holds in BOTH lifecycles, with multiplicity — are the
+    // ALL-variant SQL set operations, which Spark's DataFrame API spells
+    // as count arithmetic: one combinable (key, count) rollup per side,
+    // a key-sized full-outer merge, then Σ least / Σ max(c₁−c₂, 0).
+    // The ORACLE runs DuckDB's literal INTERSECT ALL / EXCEPT ALL
+    // operators over the raw rows — two genuinely different formulations
+    // (count algebra vs physical multiset ops) that must land on the
+    // same totals. Scale: the rollup is the only order-volume shuffle;
+    // the merge joins two key-sized frames on their shared key.
+    "d7_bag_ops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def bag(st: String) = o.filter(col("o_orderstatus") === st)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("c"))
+      bag("O").withColumnRenamed("c", "ca")
+        .join(bag("F").withColumnRenamed("c", "cb"), Seq("k"), "full_outer")
+        .select(coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(least(col("ca"), col("cb"))).as("intersect_all"),
+          sum(greatest(col("ca") - col("cb"), lit(0L))).as("except_all_ab"),
+          sum(greatest(col("cb") - col("ca"), lit(0L))).as("except_all_ba"),
+          sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L))
+            .as("n_common_keys"))
+    }),
+
     // ---- date round-up + epoch millis (reference F8/F9:
     //      db/submission_stats.py:279-317) --------------------------------
     "f_dates_roundup" -> ((s, d) => {
@@ -840,6 +867,28 @@ object Relational {
         |EXCEPT
         |SELECT l_partkey AS p_partkey FROM lineitem WHERE l_discount > 0.08
         |ORDER BY p_partkey""".stripMargin,
+
+    // DuckDB's PHYSICAL multiset operators vs the engine's count algebra —
+    // the two formulations check each other
+    "d7_bag_ops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT
+        |  (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM
+        |    (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b))
+        |    AS n_keys,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT o_custkey FROM a INTERSECT ALL
+        |     SELECT o_custkey FROM b)) AS intersect_all,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT o_custkey FROM a EXCEPT ALL
+        |     SELECT o_custkey FROM b)) AS except_all_ab,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT o_custkey FROM b EXCEPT ALL
+        |     SELECT o_custkey FROM a)) AS except_all_ba,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT o_custkey FROM a INTERSECT
+        |     SELECT o_custkey FROM b)) AS n_common_keys""".stripMargin,
 
     "f_dates_roundup" ->
       """SELECT event_id, date_trunc('day', ts) AS day_start,

@@ -116,6 +116,32 @@ object StatsPack {
         .orderBy("day")
     }),
 
+    // ---- period-over-period deltas (DoD / WoW growth) --------------------
+    // The reporting layer over T1's rollup: each day's volume against the
+    // previous and the seventh-previous ROLLUP ROW, as signed exact
+    // per-milles — the growth numbers every dashboard leads with. Row
+    // lags equal calendar DoD/WoW only while the daily frame is gap-free
+    // (true of this fixture; compose with t4's gap fill when days can be
+    // missing). Two lags over the day-rollup frame (thousands of rows —
+    // the t1 POST-ROLLUP window discipline); the division is integer `div`,
+    // which truncates toward zero in BOTH engines (DuckDB `//` is
+    // truncating, not flooring — checked, so NEGATIVE deltas agree).
+    // First-day / first-week rows carry NULL deltas by lag semantics.
+    "t5_period_delta" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day"))
+      daily
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("prev7_n", lag(col("n"), 7).over(w))
+        .select(col("day"), col("n"), col("prev_n"),
+          expr("(n - prev_n) * 1000L div prev_n").as("dod_permille"),
+          col("prev7_n"),
+          expr("(n - prev7_n) * 1000L div prev7_n").as("wow_permille"))
+        .orderBy("day")
+    }),
+
     // ---- per-day series for charting: epoch ms + per-type counts (T2) ----
     "t2_stats_series" -> ((s, d) => {
       val types = EventTypes
@@ -1081,6 +1107,22 @@ object StatsPack {
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n, corr, slope,
         |  (sy - slope * sx) / n / 100.0 AS intercept
         |FROM t ORDER BY l_returnflag""".stripMargin,
+
+    // row lags over the same day rollup; `//` truncates toward zero like
+    // Spark's div, so signed deltas agree
+    "t5_period_delta" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT day, n,
+        |    lag(n, 1) OVER (ORDER BY day) AS prev_n,
+        |    lag(n, 7) OVER (ORDER BY day) AS prev7_n
+        |  FROM daily)
+        |SELECT day, n, prev_n,
+        |  (n - prev_n) * 1000 // prev_n AS dod_permille,
+        |  prev7_n,
+        |  (n - prev7_n) * 1000 // prev7_n AS wow_permille
+        |FROM l ORDER BY day""".stripMargin,
 
     // percentile ≡ quantile_cont (a10 pairing), decimal-grid sum with the
     // a16 VARCHAR hop, one division — bit-equal end to end
