@@ -749,8 +749,6 @@ object EventsPack {
         |FROM t JOIN ud u ON u.day BETWEEN t.day - 6 AND t.day
         |GROUP BY t.day ORDER BY t.day""".stripMargin,
 
-    // inequality-join road (horizon inside the candidate join — equivalent
-    // to the engine's carry-then-filter because touches only age backwards)
     // naive candidate join + rank with the engine's exact (gap, side,
     // ±id) tie order: backward prefers the max event_id among equal-gap
     // touches (the carry keeps the LAST in scan order), forward the min
@@ -786,6 +784,8 @@ object EventsPack {
          |  ON m.pid = p.event_id
          |ORDER BY purchase_id""".stripMargin,
 
+    // inequality-join road (horizon inside the candidate join — equivalent
+    // to the engine's carry-then-filter because touches only age backwards)
     "ev_attribution" ->
       s"""WITH p AS (SELECT event_id, user_id, ts FROM events
          |           WHERE event_type = 'purchase'),

@@ -413,16 +413,18 @@ object Relational {
     // The ORACLE runs DuckDB's literal INTERSECT ALL / EXCEPT ALL
     // operators over the raw rows — two genuinely different formulations
     // (count algebra vs physical multiset ops) that must land on the
-    // same totals. Scale: the rollup is the only order-volume shuffle;
-    // the merge joins two key-sized frames on their shared key.
+    // same totals. Scale: ONE scan and ONE combinable shuffle — both
+    // sides' multiplicities come out of a single conditional rollup
+    // (sum(when)), so the per-side rollup + full-outer merge a literal
+    // translation would pay never exists.
     "d7_bag_ops" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-      def bag(st: String) = o.filter(col("o_orderstatus") === st)
-        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("c"))
-      bag("O").withColumnRenamed("c", "ca")
-        .join(bag("F").withColumnRenamed("c", "cb"), Seq("k"), "full_outer")
-        .select(coalesce(col("ca"), lit(0L)).as("ca"),
-          coalesce(col("cb"), lit(0L)).as("cb"))
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus").isin("O", "F"))
+        .groupBy(col("o_custkey").as("k"))
+        .agg(sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+            .as("ca"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("cb"))
         .agg(count(lit(1)).as("n_keys"),
           sum(least(col("ca"), col("cb"))).as("intersect_all"),
           sum(greatest(col("ca") - col("cb"), lit(0L))).as("except_all_ab"),

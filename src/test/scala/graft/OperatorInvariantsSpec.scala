@@ -2390,6 +2390,8 @@ class OperatorInvariantsSpec extends SparkSpec {
     // live on the fixture, or the selection law is untested
     val dirs = got.flatMap(_._2).map(_._4).toSet
     assert(dirs == Set("back", "fwd"), s"directions exercised: $dirs")
+    assert(got.exists(_._2.isEmpty),
+      "no purchase misses the horizon — the NULL branch is untested")
   }
 
   test("io_compaction_plan equals the in-memory ordered binning, conserves " +
