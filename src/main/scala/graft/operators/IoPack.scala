@@ -72,6 +72,35 @@ object IoPack {
     //      date goes through an explicit yyyy-MM-dd string because a raw
     //      timestamp's default CSV rendering is not part of the S5
     //      contract. -------------------------------------------------------
+    // ---- schema-evolution union (ingest across schema versions) ----------
+    // Two snapshot generations of the same feed — the old writer without
+    // `o_orderpriority`, the new one without `o_custkey` — concatenated
+    // with `unionByName(allowMissingColumns = true)`: the real Spark API
+    // for reading across schema versions, where positional unionAll would
+    // mis-bind columns and a strict unionByName refuses. Each side's
+    // missing column surfaces as NULL; the output pins exactly that (per
+    // generation: row count and the null count of each evolved column),
+    // so a silent column drop or mis-fill is a value diff, not a shape
+    // surprise. Pure metadata reconciliation — one scan per side, one
+    // combinable rollup, no shuffle of note at any scale.
+    "s12_schema_union" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val gen1 = o.filter(col("o_orderkey") % 2 === 0)
+        .select(lit("v1").as("gen"), col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"))
+      val gen2 = o.filter(col("o_orderkey") % 2 === 1)
+        .select(lit("v2").as("gen"), col("o_orderkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+      gen1.unionByName(gen2, allowMissingColumns = true)
+        .groupBy(col("gen"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+            .as("null_custkey"),
+          sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+            .as("null_priority"))
+        .orderBy("gen")
+    }),
+
     "s5_tsv_roundtrip" -> ((s, d) => {
       val out = scratch("s5", d)
       val src = Tables.orders(s, d).select(
@@ -160,6 +189,23 @@ object IoPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // explicit NULL-fill mirror of unionByName(allowMissingColumns)
+    "s12_schema_union" ->
+      """WITH u AS (
+        |  SELECT 'v1' AS gen, o_orderkey, o_custkey, o_totalprice,
+        |    CAST(NULL AS VARCHAR) AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'v2', o_orderkey, CAST(NULL AS BIGINT), o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT gen, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS null_custkey,
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS null_priority
+        |FROM u GROUP BY gen ORDER BY gen""".stripMargin,
+
     "s5_tsv_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_day

@@ -2310,6 +2310,45 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size >= 2, "BFS never expanded")
   }
 
+  test("m10_kfold equals the in-memory md5 assignment with every fold " +
+    "populated") {
+    import operators.MLPack.KFolds
+    def fold(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"fold:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.substring(0, 8), 16) % KFolds
+    }
+    val docs = Tables.documents(spark, sfTiny)
+      .select("doc_id", "lang").collect()
+      .map(r => (fold(r.getLong(0)), r.getString(1)))
+    val expect = docs.groupBy(identity).map { case (k, xs) =>
+      (k._1, k._2, xs.length.toLong)
+    }.toSeq.sorted
+    val got = run("m10_kfold").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expect, s"fold matrix diverges: got ${got.take(5)}")
+    assert(got.map(_._1).distinct.size == KFolds,
+      "an empty fold — the draw is not spreading")
+  }
+
+  test("s12_schema_union: each generation's evolved column is NULL-filled " +
+    "exactly, nothing else") {
+    val (even, odd) = {
+      val ks = Tables.orders(spark, sfTiny).select("o_orderkey").collect()
+        .map(_.getLong(0))
+      (ks.count(_ % 2 == 0).toLong, ks.count(_ % 2 == 1).toLong)
+    }
+    val got = run("s12_schema_union").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // v1 carries custkey (0 nulls) and lacks priority (all nulls); v2 the
+    // exact mirror — the union must not leak values across generations
+    assert(got == Seq(("v1", even, 0L, even), ("v2", odd, odd, 0L)),
+      s"schema union diverges: $got")
+    assert(even > 0 && odd > 0)
+  }
+
   test("d7_bag_ops: count algebra satisfies the multiset identities " +
     "against the raw bags") {
     val rows = Tables.orders(spark, sfTiny)
