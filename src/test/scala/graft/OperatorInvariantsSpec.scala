@@ -2330,6 +2330,11 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got == expect, s"fold matrix diverges: got ${got.take(5)}")
     assert(got.map(_._1).distinct.size == KFolds,
       "an empty fold — the draw is not spreading")
+    // near-uniform spread: a degenerate draw (one hot fold) violates this
+    // long before it hurts training; the md5 coin sits at ~1.2x here
+    val sizes = got.groupBy(_._1).map(_._2.map(_._3).sum)
+    assert(sizes.max <= 2 * sizes.min,
+      s"fold sizes too skewed: ${sizes.toSeq.sorted}")
   }
 
   test("s12_schema_union: each generation's evolved column is NULL-filled " +
