@@ -27,6 +27,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  /** The FINAL (post-AQE) plan section only — `executedPlan.toString`
+    * appends the "== Initial Plan ==" section, which would double-count
+    * every node in an exact-count pin. */
+  private def finalPlanText(df: DataFrame): String =
+    planText(df).split("== Initial Plan ==")(0)
+
+  test("io_profile_stats: the unpivot reads orders ONCE (never per column)") {
+    val plan = finalPlanText(run("io_profile_stats"))
+    val scans = "FileScan parquet [^\\s]*graft_orders".r.findAllIn(plan).size
+    assert(scans == 1,
+      s"io_profile_stats: $scans orders scans (per-column profiling " +
+        s"re-reads the table):\n$plan")
+  }
+
+  test("d7_bag_ops: one scan, one conditional rollup, no join") {
+    val plan = finalPlanText(run("d7_bag_ops"))
+    assert("FileScan parquet [^\\s]*graft_orders".r.findAllIn(plan).size == 1,
+      s"d7_bag_ops: per-side scans crept back in:\n$plan")
+    assert(!plan.contains("Join"),
+      s"d7_bag_ops: the full-outer merge shape crept back in:\n$plan")
+  }
+
+  test("ev_nearest_touch: both carries share one user_id exchange, " +
+    "no inequality join") {
+    val plan = finalPlanText(run("ev_nearest_touch"))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"ev_nearest_touch: the naive inequality join appeared:\n$plan")
+    // exchanges: one hash partitioning for the two window passes + the
+    // final presentation sort's range exchange — nothing else
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"ev_nearest_touch: $hashEx hash exchanges (the dual carries must " +
+        s"share one user_id partitioning):\n$plan")
+  }
+
   test("n4_topk_param: request resolution broadcasts, corpus never sort-merges") {
     // the BulkParams-resolved id list is request-sized: both the mbid
     // dimension join and the query-set semi join must broadcast it —
