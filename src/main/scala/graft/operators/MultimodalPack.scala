@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalPack {
 
+  /** Non-overlapping window width of the `mm_audio_rms` energy frames. */
+  private[graft] val AudioFrameBytes = 64
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- binary payload + typed metadata (size, checksum) ----------------
     "mm_binary_meta" -> ((s, d) => {
@@ -59,6 +62,44 @@ object MultimodalPack {
         .orderBy("media_id", "sample_pos")
     }),
 
+    // ---- content-level audio feature extraction: per-frame RMS energy ----
+    // The first FEATURE over media bytes (decode entries read headers;
+    // frame-sample slices): non-overlapping [[AudioFrameBytes]]-byte
+    // windows over the WAV payload's DATA region (header skipped by the
+    // declared 44-byte offset), each scoring Σ(b−128)² — the centered
+    // energy every silence/clipping detector thresholds — plus a
+    // quantized RMS in exact integers: floor(sqrt(energy·10⁶ div n)).
+    // The sqrt is un-mis-floorable (the pipe_temp_sample argument:
+    // energy·10⁶ ≤ 1.05e12 < 2^53 is double-exact, IEEE sqrt is
+    // correctly rounded, and a non-square's root sits ≥ 1/(2k) from any
+    // integer — orders above the ulp), so both engines replay the
+    // feature bit-for-bit. Per-byte work is codegen'd array expressions
+    // (transform materializes the deviations ONCE — the CollapseProject
+    // double-eval trap); frames explode inside the scan's task, state is
+    // bounded by the frame width — embarrassingly parallel at any scale.
+    // Stand-in bytes are ASCII text, so the oracle's character ord()
+    // equals the engine's byte value.
+    "mm_audio_rms" -> ((s, d) => {
+      val media = BinaryColumns
+        .wavPayload(Tables.documents(s, d), "doc_id", "text")
+        .select(col("media_id"),
+          expr("substring(payload, 45, octet_length(payload) - 44)")
+            .as("payload"))
+        .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      BinaryColumns.sampleFrames(media, frameBytes = AudioFrameBytes,
+          everyK = 1)
+        .withColumn("t", col("frame").cast("string"))
+        .select(col("media_id"),
+          col("sample_pos").cast("long").as("frame_pos"),
+          col("frame_bytes").as("n"),
+          expr("aggregate(transform(sequence(1, CAST(length(t) AS INT)), " +
+            "i -> ascii(substring(t, i, 1)) - 128), 0L, " +
+            "(acc, v) -> acc + CAST(v AS BIGINT) * v)").as("energy"))
+        .withColumn("rms_milli",
+          expr("CAST(floor(sqrt((energy * 1000000L) div n)) AS BIGINT)"))
+        .orderBy("media_id", "frame_pos")
+    }),
+
     // ---- decode + feature-extract on real pixels: id-derived raster BMP
     //      (bottom-up rows, 4-byte row stride — the true layout) decoded
     //      and nearest-neighbour downsampled 2× in mapPartitions batches;
@@ -73,6 +114,33 @@ object MultimodalPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // the WAV data region IS the text bytes, so the oracle frames the
+    // text directly (ASCII ⇒ character ord == byte value) and replays
+    // the centered-energy fold and the integer-domain sqrt exactly
+    "mm_audio_rms" ->
+      s"""WITH ks AS (
+         |  SELECT doc_id AS media_id, text,
+         |    unnest(generate_series(1,
+         |      CAST(ceil(length(text) / $AudioFrameBytes.0) AS BIGINT)))
+         |      AS k
+         |  FROM documents WHERE length(text) > 0),
+         |f AS (
+         |  SELECT media_id, CAST(k - 1 AS BIGINT) AS frame_pos,
+         |    substr(text, CAST((k - 1) * $AudioFrameBytes + 1 AS INT),
+         |      $AudioFrameBytes) AS t
+         |  FROM ks),
+         |e AS (
+         |  SELECT media_id, frame_pos, CAST(length(t) AS BIGINT) AS n,
+         |    CAST(list_reduce(list_transform(generate_series(1, length(t)),
+         |      i -> CAST((ord(substr(t, i, 1)) - 128) AS BIGINT) *
+         |        (ord(substr(t, i, 1)) - 128)), (a, b) -> a + b) AS BIGINT)
+         |      AS energy
+         |  FROM f)
+         |SELECT media_id, frame_pos, n, energy,
+         |  CAST(floor(sqrt((energy * 1000000) // n)) AS BIGINT)
+         |    AS rms_milli
+         |FROM e ORDER BY media_id, frame_pos""".stripMargin,
+
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id,
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -2310,6 +2310,32 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size >= 2, "BFS never expanded")
   }
 
+  test("mm_audio_rms equals the in-memory frame-energy replay including " +
+    "the short tail frame") {
+    import operators.MultimodalPack.AudioFrameBytes
+    val docs = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.sortBy(_._1).flatMap { case (id, text) =>
+      text.getBytes("UTF-8").grouped(AudioFrameBytes).zipWithIndex.map {
+        case (bs, i) =>
+          val energy = bs.map(b => { val v = (b & 0xff) - 128L; v * v }).sum
+          (id, i.toLong, bs.length.toLong, energy,
+            math.floor(math.sqrt((energy * 1000000L / bs.length).toDouble))
+              .toLong)
+      }
+    }.toSeq
+    val got = run("mm_audio_rms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"frame energy diverges (first 2): " +
+      s"got ${got.take(2)} expect ${expect.take(2)}")
+    // the tail frame must be short somewhere, or the per-frame n is
+    // untested against the fixed width
+    assert(got.exists(_._3 < AudioFrameBytes), "no short tail frame")
+    assert(got.exists(_._4 > 0))
+  }
+
   test("m10_kfold equals the in-memory md5 assignment with every fold " +
     "populated") {
     import operators.MLPack.KFolds
