@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.multimodal.BinaryColumns
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators over binary payloads. `documents.text`
@@ -20,6 +21,12 @@ object MultimodalPack {
 
   /** Non-overlapping window width of the `mm_audio_rms` energy frames. */
   private[graft] val AudioFrameBytes = 64
+
+  /** Scene-cut detector constants: frame width and the milli-mean jump
+    * (|Δ| of the per-frame length-normalized byte mean, ×1000) that
+    * counts as a cut — 6 byte-units, ≈8% of the fixture's transitions. */
+  private[graft] val SceneFrameBytes = 32
+  private[graft] val CutMilli = 6000L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- binary payload + typed metadata (size, checksum) ----------------
@@ -100,6 +107,40 @@ object MultimodalPack {
         .orderBy("media_id", "frame_pos")
     }),
 
+    // ---- video scene-cut detection over sampled frames --------------------
+    // The shot-boundary primitive of every video curation pipeline: a cut
+    // is a jump in consecutive frames' signatures. Frames are the
+    // [[SceneFrameBytes]]-byte slices of the media payload; the signature
+    // is the LENGTH-NORMALIZED integer milli-mean (sig·1000 div n — the
+    // short tail frame must not false-cut on size alone), and a
+    // transition is a cut when |Δ| ≥ [[CutMilli]]. All integer-exact.
+    // Plan: frames explode inside the scan task, the lag is one window
+    // over a media_id partitioning (frames per media are bounded by
+    // payload size — no skew funnel), cut rows are the output. On real
+    // pixel data the same shape runs on perceptual signatures; the
+    // milli-mean is the stand-in the ASCII fixture can replay exactly.
+    "mm_scene_cuts" -> ((s, d) => {
+      val media = BinaryColumns
+        .withPayload(Tables.documents(s, d), "doc_id", "text")
+        .select(col("media_id"), col("payload"), col("n_bytes"))
+      val sigs = BinaryColumns.sampleFrames(media,
+          frameBytes = SceneFrameBytes, everyK = 1)
+        .withColumn("t", col("frame").cast("string"))
+        .select(col("media_id"),
+          col("sample_pos").cast("long").as("frame_pos"),
+          expr("aggregate(transform(sequence(1, CAST(length(t) AS INT)), " +
+            "i -> ascii(substring(t, i, 1))), 0L, " +
+            "(acc, v) -> acc + v) * 1000L div length(t)").as("mmean"))
+      val w = Window.partitionBy(col("media_id")).orderBy(col("frame_pos"))
+      sigs.withColumn("prev_mmean", lag(col("mmean"), 1).over(w))
+        .filter(col("prev_mmean").isNotNull &&
+          abs(col("mmean") - col("prev_mmean")) >= CutMilli)
+        .select(col("media_id"), col("frame_pos"), col("prev_mmean"),
+          col("mmean"),
+          (col("mmean") - col("prev_mmean")).as("delta_milli"))
+        .orderBy("media_id", "frame_pos")
+    }),
+
     // ---- decode + feature-extract on real pixels: id-derived raster BMP
     //      (bottom-up rows, 4-byte row stride — the true layout) decoded
     //      and nearest-neighbour downsampled 2× in mapPartitions batches;
@@ -140,6 +181,39 @@ object MultimodalPack {
          |  CAST(floor(sqrt((energy * 1000000) // n)) AS BIGINT)
          |    AS rms_milli
          |FROM e ORDER BY media_id, frame_pos""".stripMargin,
+
+    // same text-framed replay; the lag + threshold run in SQL verbatim
+    "mm_scene_cuts" ->
+      s"""WITH ks AS (
+         |  SELECT doc_id AS media_id, text,
+         |    unnest(generate_series(1,
+         |      CAST(ceil(length(text) / $SceneFrameBytes.0) AS BIGINT)))
+         |      AS k
+         |  FROM documents WHERE length(text) > 0),
+         |f AS (
+         |  SELECT media_id, CAST(k - 1 AS BIGINT) AS frame_pos,
+         |    substr(text, CAST((k - 1) * $SceneFrameBytes + 1 AS INT),
+         |      $SceneFrameBytes) AS t
+         |  FROM ks),
+         |s AS (
+         |  SELECT media_id, frame_pos,
+         |    CAST(CAST(list_reduce(list_transform(
+         |        generate_series(1, length(t)),
+         |        i -> CAST(ord(substr(t, i, 1)) AS BIGINT)),
+         |        (a, b) -> a + b) AS BIGINT) * 1000 // length(t) AS BIGINT)
+         |      AS mmean
+         |  FROM f),
+         |d AS (
+         |  SELECT media_id, frame_pos, mmean,
+         |    lag(mmean) OVER (PARTITION BY media_id ORDER BY frame_pos)
+         |      AS prev_mmean
+         |  FROM s)
+         |SELECT media_id, frame_pos, prev_mmean, mmean,
+         |  mmean - prev_mmean AS delta_milli
+         |FROM d
+         |WHERE prev_mmean IS NOT NULL
+         |  AND abs(mmean - prev_mmean) >= $CutMilli
+         |ORDER BY media_id, frame_pos""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id,

@@ -2336,6 +2336,31 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.exists(_._4 > 0))
   }
 
+  test("mm_scene_cuts equals the in-memory milli-mean jump replay and " +
+    "fires in both directions") {
+    import operators.MultimodalPack.{SceneFrameBytes, CutMilli}
+    val docs = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.sortBy(_._1).flatMap { case (id, text) =>
+      val mm = text.getBytes("UTF-8").grouped(SceneFrameBytes).map { bs =>
+        bs.map(b => (b & 0xff).toLong).sum * 1000L / bs.length
+      }.toSeq
+      mm.zipWithIndex.drop(1).collect {
+        case (m, i) if math.abs(m - mm(i - 1)) >= CutMilli =>
+          (id, i.toLong, mm(i - 1), m, m - mm(i - 1))
+      }
+    }.toSeq
+    val got = run("mm_scene_cuts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"cuts diverge (first 2): got ${got.take(2)} " +
+      s"expect ${expect.take(2)}")
+    // non-vacuous and symmetric: the detector must catch jumps UP and
+    // DOWN, or the abs() is untested
+    assert(got.exists(_._5 > 0) && got.exists(_._5 < 0))
+  }
+
   test("m10_kfold equals the in-memory md5 assignment with every fold " +
     "populated") {
     import operators.MLPack.KFolds
