@@ -142,6 +142,28 @@ object StatsPack {
         .orderBy("day")
     }),
 
+    // ---- bounded-frame sliding window: 7-day trailing average -------------
+    // The smoothing every volume dashboard overlays — and the one window
+    // FRAME class the suite's other windows don't exercise (t1 runs the
+    // unbounded cumulative frame, t5 point lags, ev_rolling_wau shows why
+    // DISTINCT can't frame): a plain additive aggregate over ROWS 6
+    // PRECEDING..CURRENT decomposes perfectly, so the frame is the right
+    // tool here. Exact integers end to end (trailing milli-mean =
+    // win_sum·1000 div win_days); the short head frames average over the
+    // rows that exist (win_days < 7), which the output makes explicit.
+    "t6_moving_avg" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("win_sum", sum(col("n")).over(w))
+        .withColumn("win_days", count(lit(1)).over(w))
+        .select(col("day"), col("n"), col("win_sum"), col("win_days"),
+          expr("win_sum * 1000L div win_days").as("avg_milli"))
+        .orderBy("day")
+    }),
+
     // ---- per-day series for charting: epoch ms + per-type counts (T2) ----
     "t2_stats_series" -> ((s, d) => {
       val types = EventTypes
@@ -1107,6 +1129,20 @@ object StatsPack {
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n, corr, slope,
         |  (sy - slope * sx) / n / 100.0 AS intercept
         |FROM t ORDER BY l_returnflag""".stripMargin,
+
+    "t6_moving_avg" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT day, n,
+        |  CAST(SUM(n) OVER w AS BIGINT) AS win_sum,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS win_days,
+        |  CAST(SUM(n) OVER w AS BIGINT) * 1000
+        |    // CAST(COUNT(*) OVER w AS BIGINT) AS avg_milli
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+        |  AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
 
     // row lags over the same day rollup; `//` truncates toward zero like
     // Spark's div, so signed deltas agree

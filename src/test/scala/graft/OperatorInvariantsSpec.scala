@@ -2448,6 +2448,24 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.flatMap(_._4).exists(_ < 0), "no negative DoD delta")
   }
 
+  test("t6_moving_avg equals the in-memory sliding-frame replay with " +
+    "short head frames") {
+    val daily = Tables.events(spark, sfTiny)
+      .groupBy(to_date(col("ts")).as("day")).count().collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).sortBy(_._1)
+    val expect = daily.zipWithIndex.map { case ((d, n), i) =>
+      val win = daily.slice(math.max(0, i - 6), i + 1).map(_._2)
+      (d, n, win.sum, win.length.toLong, win.sum * 1000L / win.length)
+    }.toSeq
+    val got = run("t6_moving_avg").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect, s"moving avg diverges (first 3): ${got.take(3)}")
+    // head rows average over fewer days; steady state is exactly 7
+    assert(got.take(6).zipWithIndex.forall { case (r, i) => r._4 == i + 1 })
+    assert(got.drop(6).forall(_._4 == 7L))
+  }
+
   test("ev_nearest_touch equals the in-memory nearest-selection replay " +
     "and exercises both directions") {
     import operators.EventsPack.NearHorizonUs
