@@ -128,9 +128,12 @@ object MultimodalPack {
         .withColumn("t", col("frame").cast("string"))
         .select(col("media_id"),
           col("sample_pos").cast("long").as("frame_pos"),
+          // normalize by the BYTE count sampleFrames already emits —
+          // length(t) is char-based and would diverge from the byte
+          // slicing if a fixture ever carried multi-byte text
           expr("aggregate(transform(sequence(1, CAST(length(t) AS INT)), " +
             "i -> ascii(substring(t, i, 1))), 0L, " +
-            "(acc, v) -> acc + v) * 1000L div length(t)").as("mmean"))
+            "(acc, v) -> acc + v) * 1000L div frame_bytes").as("mmean"))
       val w = Window.partitionBy(col("media_id")).orderBy(col("frame_pos"))
       sigs.withColumn("prev_mmean", lag(col("mmean"), 1).over(w))
         .filter(col("prev_mmean").isNotNull &&

@@ -27,6 +27,14 @@ object StatsPack {
   private[graft] val EventTypes =
     Seq("click", "error", "purchase", "signup", "view")
 
+  /** The (day, n) volume rollup shared by the t5/t6 reporting windows —
+    * ONE bucketing definition, so a timezone or ts-normalization change
+    * cannot drift between them. */
+  private def dailyCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(count(lit(1)).as("n"))
+
   /** Priority-sampling constants: sample size and the 30-bit draw domain
     * (u = h/2^30, h ∈ [1, 2^30] — q = w·2^30 div h stays in BIGINT). */
   private[graft] val PrioSampleK = 100
@@ -128,11 +136,8 @@ object StatsPack {
     // truncating, not flooring — checked, so NEGATIVE deltas agree).
     // First-day / first-week rows carry NULL deltas by lag semantics.
     "t5_period_delta" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
-        .agg(count(lit(1)).as("n"))
       val w = Window.orderBy(col("day"))
-      daily
+      dailyCounts(s, d)
         .withColumn("prev_n", lag(col("n"), 1).over(w))
         .withColumn("prev7_n", lag(col("n"), 7).over(w))
         .select(col("day"), col("n"), col("prev_n"),
@@ -148,15 +153,15 @@ object StatsPack {
     // unbounded cumulative frame, t5 point lags, ev_rolling_wau shows why
     // DISTINCT can't frame): a plain additive aggregate over ROWS 6
     // PRECEDING..CURRENT decomposes perfectly, so the frame is the right
-    // tool here. Exact integers end to end (trailing milli-mean =
-    // win_sum·1000 div win_days); the short head frames average over the
-    // rows that exist (win_days < 7), which the output makes explicit.
+    // tool here. Like t5, ROW frames equal calendar days only while the
+    // daily frame is gap-free (true of this fixture; compose with t4's
+    // gap fill when days can be missing). Exact integers end to end
+    // (trailing milli-mean = win_sum·1000 div win_days); the short head
+    // frames average over the rows that exist (win_days < 7), which the
+    // output makes explicit.
     "t6_moving_avg" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
-        .agg(count(lit(1)).as("n"))
       val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
-      daily
+      dailyCounts(s, d)
         .withColumn("win_sum", sum(col("n")).over(w))
         .withColumn("win_days", count(lit(1)).over(w))
         .select(col("day"), col("n"), col("win_sum"), col("win_days"),

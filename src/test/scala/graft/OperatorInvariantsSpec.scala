@@ -2461,6 +2461,8 @@ class OperatorInvariantsSpec extends SparkSpec {
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSeq
     assert(got == expect, s"moving avg diverges (first 3): ${got.take(3)}")
+    // non-vacuous: the ramp AND steady-state assertions below need rows
+    assert(got.size >= 7, s"day rollup too small: ${got.size} rows")
     // head rows average over fewer days; steady state is exactly 7
     assert(got.take(6).zipWithIndex.forall { case (r, i) => r._4 == i + 1 })
     assert(got.drop(6).forall(_._4 == 7L))
