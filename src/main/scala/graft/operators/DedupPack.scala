@@ -277,6 +277,27 @@ object DedupPack {
         .orderBy("doc_id")
     }),
 
+    // ---- component-size distribution (dedup-quality monitor) -------------
+    // The first chart a dedup operator reads: how big are the near-dup
+    // clusters (a fat tail means boilerplate families the cap policy is
+    // about to decimate; all-2s means pair noise). Served from the
+    // SAME persisted component labels the policies consume
+    // (ensureComponentsIndex — the production shape: the monitor must
+    // describe the labels that drive decisions, not a recomputation that
+    // could drift), collapsed twice: labels → per-component size →
+    // per-size count. Both rollups are combinable; the second runs on a
+    // component-count-sized frame. Oracle rides the already-verified
+    // dd_components output (the row-identity discipline: the label frame
+    // IS what dd_components emits), re-aggregating it in SQL.
+    "dd_component_sizes" -> ((s, d) => {
+      val p = PipelinePack.ensureComponentsIndex(s, d)
+      s.read.parquet(s"$p/components")
+        .groupBy(col("rep")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("component_size"))
+        .agg(count(lit(1)).as("n_components"))
+        .orderBy("component_size")
+    }),
+
     // ---- benchmark decontamination: n-gram overlap vs an eval set --------
     // The training-corpus stage every LLM pipeline runs before release:
     // flag corpus documents whose shingle set overlaps a benchmark/eval
@@ -1374,6 +1395,16 @@ object DedupPack {
          |  JOIN reach rc ON rc.id = e.dst)
          |SELECT id AS doc_id, MIN(r) AS rep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // re-aggregates the already-verified label frame (OutToken road) —
+    // the artifact the engine serves from must match what dd_components
+    // emits, so a drifted artifact is a value mismatch here
+    "dd_component_sizes" ->
+      """WITH sz AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM '__GRAFT_OUT__/dd_components/*.parquet' GROUP BY rep)
+        |SELECT sz AS component_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_components
+        |FROM sz GROUP BY sz ORDER BY component_size""".stripMargin,
+
     "dd_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,

@@ -23,6 +23,13 @@ object Relational {
     * session's UTC and silently shift every time-range filter.) */
   private def ts(s: String): Column = to_timestamp(lit(s))
 
+  /** Keyset-pagination cursor (`w11_keyset_page`): the last (date, key)
+    * of the "previous page", a fixed mid-corpus literal — ONE definition
+    * interpolated into the engine predicate and the oracle. */
+  private[graft] val KeysetCursorDate = "1995-06-15 00:00:00"
+  private[graft] val KeysetCursorKey = 0L
+  private[graft] val KeysetPage = 20
+
   /** A similar-recordings result-set stand-in for the W7 dedup modes:
     * (mbid, offset, distance) with plenty of same-distance ties
     * (l_discount has 11 distinct values), mirroring the shape the
@@ -322,6 +329,29 @@ object Relational {
         .filter(col("rn") > pageStart && col("rn") <= pageEnd)
         .select("rn", "c_custkey", "c_name")
         .orderBy("rn")
+    }),
+
+    // ---- keyset pagination (the scalable page fetch) ---------------------
+    // w8's offset pagination scans-and-skips every earlier row — page N
+    // costs O(N·page) and deep pages crawl at 100 TB. KEYSET pagination
+    // seeks instead: the client passes the last (date, key) it saw, the
+    // predicate `(d, k) > cursor` prunes everything at or before it, and
+    // the page is a partial top-K over the remainder — cost is O(page)
+    // past whatever the scan prunes, independent of page depth. The date
+    // half of the tuple predicate pushes to the parquet scan as
+    // `o_orderdate >= cursor_date` (row-group pruning); the plan is
+    // TakeOrdered, never sort-all-then-skip (both plan-pinned). Cursor
+    // here is a fixed mid-corpus literal; a serving layer passes the
+    // previous page's last row.
+    "w11_keyset_page" -> ((s, d) => {
+      val cd = lit(KeysetCursorDate).cast("timestamp_ntz")
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") > cd ||
+          (col("o_orderdate") === cd && col("o_orderkey") > KeysetCursorKey))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .limit(KeysetPage)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
     }),
 
     // ---- ranking-function family: rank / dense_rank / percent_rank /
@@ -869,6 +899,13 @@ object Relational {
         |EXCEPT
         |SELECT l_partkey AS p_partkey FROM lineitem WHERE l_discount > 0.08
         |ORDER BY p_partkey""".stripMargin,
+
+    "w11_keyset_page" ->
+      s"""SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+         |WHERE o_orderdate > TIMESTAMP '$KeysetCursorDate'
+         |   OR (o_orderdate = TIMESTAMP '$KeysetCursorDate'
+         |       AND o_orderkey > $KeysetCursorKey)
+         |ORDER BY o_orderdate, o_orderkey LIMIT $KeysetPage""".stripMargin,
 
     // DuckDB's PHYSICAL multiset operators vs the engine's count algebra —
     // the two formulations check each other

@@ -2405,6 +2405,19 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(even > 0 && odd > 0)
   }
 
+  test("dd_component_sizes conserves label mass against dd_components " +
+    "and never reports singletons") {
+    val labels = run("dd_components").collect().length.toLong
+    val got = run("dd_component_sizes").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    // every labeled doc is in exactly one component of its size bucket
+    assert(got.map { case (sz, n) => sz * n }.sum == labels,
+      "size histogram loses or duplicates labeled docs")
+    // labels come from the pair graph — a component has >= 2 members
+    assert(got.forall(_._1 >= 2L), s"singleton component reported: $got")
+  }
+
   test("d7_bag_ops: count algebra satisfies the multiset identities " +
     "against the raw bags") {
     val rows = Tables.orders(spark, sfTiny)

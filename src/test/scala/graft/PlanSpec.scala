@@ -62,6 +62,18 @@ class PlanSpec extends SparkSpec {
         s"share one user_id partitioning):\n$plan")
   }
 
+  test("w11_keyset_page: cursor seek pushes to the scan and the page is " +
+    "a partial top-K, never sort-all-then-skip") {
+    val plan = finalPlanText(run("w11_keyset_page"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"w11_keyset_page: expected a partial top-K in:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"w11_keyset_page: global sort appeared:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r
+      .findFirstIn(plan).isDefined,
+      s"w11_keyset_page: cursor date not pushed to the scan:\n$plan")
+  }
+
   test("n4_topk_param: request resolution broadcasts, corpus never sort-merges") {
     // the BulkParams-resolved id list is request-sized: both the mbid
     // dimension join and the query-set semi join must broadcast it —
