@@ -25,9 +25,14 @@ object Relational {
 
   /** Keyset-pagination cursor (`w11_keyset_page`): the last (date, key)
     * of the "previous page", a fixed mid-corpus literal — ONE definition
-    * interpolated into the engine predicate and the oracle. */
+    * interpolated into the engine predicate and the oracle. The key sits
+    * MID-RANGE among the cursor date's own rows at every sf (10000:
+    * excludes ≥1 same-date row everywhere, includes ≥1 at the gated
+    * sfs), so the key half of the tuple seek — the exclusive-cursor
+    * semantics the operator exists for — is actually exercised by the
+    * oracle, not vacuously true. */
   private[graft] val KeysetCursorDate = "1995-06-15 00:00:00"
-  private[graft] val KeysetCursorKey = 0L
+  private[graft] val KeysetCursorKey = 10000L
   private[graft] val KeysetPage = 20
 
   /** A similar-recordings result-set stand-in for the W7 dedup modes:
@@ -337,12 +342,14 @@ object Relational {
     // seeks instead: the client passes the last (date, key) it saw, the
     // predicate `(d, k) > cursor` prunes everything at or before it, and
     // the page is a partial top-K over the remainder — cost is O(page)
-    // past whatever the scan prunes, independent of page depth. The date
-    // half of the tuple predicate pushes to the parquet scan as
-    // `o_orderdate >= cursor_date` (row-group pruning); the plan is
-    // TakeOrdered, never sort-all-then-skip (both plan-pinned). Cursor
-    // here is a fixed mid-corpus literal; a serving layer passes the
-    // previous page's last row.
+    // past whatever the scan prunes, independent of page depth. The
+    // WHOLE Or(date >, (date =, key >)) disjunction pushes to the
+    // parquet scan (Catalyst translates the Or as-is — there is no
+    // widen-to-`date >= cursor` rewrite; row-group pruning evaluates the
+    // Or against footer stats); the plan is TakeOrdered, never
+    // sort-all-then-skip (both plan-pinned). Cursor here is a fixed
+    // mid-corpus literal; a serving layer passes the previous page's
+    // last row.
     "w11_keyset_page" -> ((s, d) => {
       val cd = lit(KeysetCursorDate).cast("timestamp_ntz")
       Tables.orders(s, d)

@@ -2413,9 +2413,11 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.nonEmpty)
     // every labeled doc is in exactly one component of its size bucket
     assert(got.map { case (sz, n) => sz * n }.sum == labels,
-      "size histogram loses or duplicates labeled docs")
+      s"size histogram loses or duplicates labeled docs: " +
+        s"${got.mkString(", ")} vs $labels labels")
     // labels come from the pair graph — a component has >= 2 members
-    assert(got.forall(_._1 >= 2L), s"singleton component reported: $got")
+    assert(got.forall(_._1 >= 2L),
+      s"singleton component reported: ${got.mkString(", ")}")
   }
 
   test("d7_bag_ops: count algebra satisfies the multiset identities " +

@@ -69,9 +69,11 @@ class PlanSpec extends SparkSpec {
       s"w11_keyset_page: expected a partial top-K in:\n$plan")
     assert(!plan.contains("Exchange rangepartitioning"),
       s"w11_keyset_page: global sort appeared:\n$plan")
-    assert("PushedFilters: \\[[^\\]]*o_orderdate".r
+    // the RANGE filter itself, not just the inferred IsNotNull (which
+    // would keep this green while the scan reads every row group)
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(o_orderdate".r
       .findFirstIn(plan).isDefined,
-      s"w11_keyset_page: cursor date not pushed to the scan:\n$plan")
+      s"w11_keyset_page: cursor range not pushed to the scan:\n$plan")
   }
 
   test("n4_topk_param: request resolution broadcasts, corpus never sort-merges") {
