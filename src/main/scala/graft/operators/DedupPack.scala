@@ -277,6 +277,29 @@ object DedupPack {
         .orderBy("doc_id")
     }),
 
+    // ---- LSH recall monitor (banding-quality gate row) --------------------
+    // The number every LSH deployment watches: what fraction of the TRUE
+    // near-dup pairs (the exact threshold-Jaccard join) the banded
+    // candidate generator actually surfaces — banding trades recall for
+    // never forming the all-pairs quadratic, and this row prices that
+    // trade in values, not in a spec tolerance. The exact side is the
+    // gate-scale calibration (the kmvDistinct split: at 100 TB the exact
+    // join is the cost LSH exists to avoid — run the monitor on a held
+    // sample); the candidate side and the semi-join are production-shaped.
+    // Oracle rides BOTH already-verified outputs (OutToken road), so the
+    // monitor can never desynchronize from the entries it describes.
+    "dd_lsh_recall" -> ((s, d) => {
+      val exact = jaccardPairs(shingled(s, d)).select("doc_a", "doc_b")
+      val cand = minhashPairs(Tables.documents(s, d))
+      val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_recalled")))
+        .select(col("n_exact"), col("n_candidates"), col("n_recalled"),
+          when(col("n_exact") > 0,
+            expr("n_recalled * 1000L div n_exact")).as("recall_permille"))
+    }),
+
     // ---- component-size distribution (dedup-quality monitor) -------------
     // The first chart a dedup operator reads: how big are the near-dup
     // clusters (a fat tail means boilerplate families the cap policy is
@@ -1395,6 +1418,23 @@ object DedupPack {
          |  JOIN reach rc ON rc.id = e.dst)
          |SELECT id AS doc_id, MIN(r) AS rep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // counts over the two verified pair sets and their join — the
+    // recall number can only be right if both entries are
+    "dd_lsh_recall" ->
+      """WITH e AS (SELECT doc_a, doc_b
+        |  FROM '__GRAFT_OUT__/dd_jaccard_pairs/*.parquet'),
+        |c AS (SELECT doc_a, doc_b
+        |  FROM '__GRAFT_OUT__/dd_minhash_lsh/*.parquet'),
+        |n AS (SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_exact,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_candidates,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+        |     JOIN c USING (doc_a, doc_b)) AS n_recalled)
+        |SELECT n_exact, n_candidates, n_recalled,
+        |  CASE WHEN n_exact > 0
+        |    THEN n_recalled * 1000 // n_exact END AS recall_permille
+        |FROM n""".stripMargin,
+
     // re-aggregates the already-verified label frame (OutToken road) —
     // the artifact the engine serves from must match what dd_components
     // emits, so a drifted artifact is a value mismatch here

@@ -2405,6 +2405,18 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(even > 0 && odd > 0)
   }
 
+  test("dd_lsh_recall: counts bounded by both pair sets and consistent " +
+    "with the direct recall comparison") {
+    val r = run("dd_lsh_recall").collect()(0)
+    val (ne, nc, nr) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nr <= math.min(ne, nc), "recalled more pairs than exist")
+    assert(ne > 0 && r.getLong(3) == nr * 1000L / ne)
+    // the monitor must agree with the set comparison it summarizes
+    val exact = run("dd_jaccard_pairs").select("doc_a", "doc_b")
+    val lsh = run("dd_minhash_lsh")
+    assert(nr == exact.intersect(lsh).count())
+  }
+
   test("dd_component_sizes conserves label mass against dd_components " +
     "and never reports singletons") {
     val labels = run("dd_components").collect().length.toLong
