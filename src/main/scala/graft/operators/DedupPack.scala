@@ -279,25 +279,35 @@ object DedupPack {
 
     // ---- LSH recall monitor (banding-quality gate row) --------------------
     // The number every LSH deployment watches: what fraction of the TRUE
-    // near-dup pairs (the exact threshold-Jaccard join) the banded
-    // candidate generator actually surfaces — banding trades recall for
-    // never forming the all-pairs quadratic, and this row prices that
-    // trade in values, not in a spec tolerance. The exact side is the
-    // gate-scale calibration (the kmvDistinct split: at 100 TB the exact
-    // join is the cost LSH exists to avoid — run the monitor on a held
-    // sample); the candidate side and the semi-join are production-shaped.
-    // Oracle rides BOTH already-verified outputs (OutToken road), so the
+    // near-dup pairs the banded candidate generator actually surfaces —
+    // banding trades recall for never forming the all-pairs quadratic,
+    // and this row prices that trade in values, not in a spec tolerance.
+    // The exact side is the LOSSLESS prefix-filtered join
+    // (dd_jaccard_prefix — the capped jaccardPairs would measure recall
+    // against a universe that silently drops hot shingles once the df
+    // cap binds), still the gate-scale calibration (the kmvDistinct
+    // split: at 100 TB the exact join is the cost LSH exists to avoid —
+    // run the monitor on a held sample); the candidate side and the
+    // semi-join are production-shaped. Both pair frames feed two
+    // consumers (count + semi-join), so they materialize once
+    // (localCheckpoint, freed on return — the components pattern; the
+    // un-pinned plan re-ran both pair pipelines per consumer). Oracle
+    // rides BOTH already-verified outputs (OutToken road), so the
     // monitor can never desynchronize from the entries it describes.
     "dd_lsh_recall" -> ((s, d) => {
-      val exact = jaccardPairs(shingled(s, d)).select("doc_a", "doc_b")
-      val cand = minhashPairs(Tables.documents(s, d))
+      val exact = prefixJaccardPairs(shingled(s, d))
+        .select("doc_a", "doc_b").localCheckpoint(true)
+      val cand = minhashPairs(Tables.documents(s, d)).localCheckpoint(true)
       val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-      exact.agg(count(lit(1)).as("n_exact"))
+      val result = exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
         .crossJoin(hit.agg(count(lit(1)).as("n_recalled")))
         .select(col("n_exact"), col("n_candidates"), col("n_recalled"),
           when(col("n_exact") > 0,
             expr("n_recalled * 1000L div n_exact")).as("recall_permille"))
+        .localCheckpoint(true)
+      exact.unpersist(); cand.unpersist()
+      result
     }),
 
     // ---- component-size distribution (dedup-quality monitor) -------------
@@ -1422,7 +1432,7 @@ object DedupPack {
     // recall number can only be right if both entries are
     "dd_lsh_recall" ->
       """WITH e AS (SELECT doc_a, doc_b
-        |  FROM '__GRAFT_OUT__/dd_jaccard_pairs/*.parquet'),
+        |  FROM '__GRAFT_OUT__/dd_jaccard_prefix/*.parquet'),
         |c AS (SELECT doc_a, doc_b
         |  FROM '__GRAFT_OUT__/dd_minhash_lsh/*.parquet'),
         |n AS (SELECT

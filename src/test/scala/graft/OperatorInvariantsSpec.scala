@@ -2411,8 +2411,9 @@ class OperatorInvariantsSpec extends SparkSpec {
     val (ne, nc, nr) = (r.getLong(0), r.getLong(1), r.getLong(2))
     assert(nr <= math.min(ne, nc), "recalled more pairs than exist")
     assert(ne > 0 && r.getLong(3) == nr * 1000L / ne)
-    // the monitor must agree with the set comparison it summarizes
-    val exact = run("dd_jaccard_pairs").select("doc_a", "doc_b")
+    // the monitor must agree with the set comparison it summarizes —
+    // against the LOSSLESS prefix join, the monitor's own exact side
+    val exact = run("dd_jaccard_prefix").select("doc_a", "doc_b")
     val lsh = run("dd_minhash_lsh")
     assert(nr == exact.intersect(lsh).count())
   }
