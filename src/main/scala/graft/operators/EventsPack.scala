@@ -109,6 +109,34 @@ object EventsPack {
         .orderBy("click_id")
     }),
 
+    // ---- volume-concentration deciles (Lorenz curve) ----------------------
+    // How concentrated is event volume across users — the inequality
+    // readout behind every skew decision (a fat top decile IS the salting
+    // / AQE-skew-join trigger; the same curve prices "how much does
+    // deduping the heaviest sources buy"). Users roll up to volumes
+    // (combinable), deciles come from one ntile over the USER-sized
+    // frame (the accepted POST-ROLLUP window — the raw stream is never
+    // globally sorted), and the cumulative share per decile is exact
+    // integer per-mille. Ties on volume break by user_id, so decile
+    // membership is deterministic in both engines.
+    "ev_concentration" -> ((s, d) => {
+      val uv = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val dec = uv
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("n_events"), col("user_id"))).cast(LongType))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("events"))
+      val cum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.crossJoin(broadcast(dec.agg(sum(col("events")).as("total"))))
+        .withColumn("cum_events", sum(col("events")).over(cum))
+        .select(col("decile"), col("n_users"), col("events"),
+          col("cum_events"),
+          expr("cum_events * 1000L div total").as("cum_share_permille"))
+        .orderBy("decile")
+    }),
+
     // ---- bidirectional nearest-event join --------------------------------
     // Every purchase matched to its NEAREST marketing touch in EITHER
     // direction within [[NearHorizonUs]] — the merge_asof(direction =
@@ -748,6 +776,25 @@ object EventsPack {
         |SELECT t.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
         |FROM t JOIN ud u ON u.day BETWEEN t.day - 6 AND t.day
         |GROUP BY t.day ORDER BY t.day""".stripMargin,
+
+    "ev_concentration" ->
+      """WITH uv AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY user_id),
+        |dec AS (SELECT CAST(ntile(10) OVER (ORDER BY n_events, user_id)
+        |      AS BIGINT) AS decile, n_events
+        |  FROM uv),
+        |g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(n_events) AS BIGINT) AS events
+        |  FROM dec GROUP BY decile),
+        |c AS (SELECT decile, n_users, events,
+        |    CAST(SUM(events) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_events,
+        |    (SELECT CAST(SUM(events) AS BIGINT) FROM g) AS total
+        |  FROM g)
+        |SELECT decile, n_users, events, cum_events,
+        |  cum_events * 1000 // total AS cum_share_permille
+        |FROM c ORDER BY decile""".stripMargin,
 
     // naive candidate join + rank with the engine's exact (gap, side,
     // ±id) tie order: backward prefers the max event_id among equal-gap

@@ -2496,6 +2496,24 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.drop(6).forall(_._4 == 7L))
   }
 
+  test("ev_concentration: Lorenz deciles conserve mass, rise " +
+    "monotonically and close at 1000 permille") {
+    val got = run("ev_concentration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.length == 10 && got.map(_._1).toSeq == (1L to 10L))
+    val totalEvents = Tables.events(spark, sfTiny).count()
+    assert(got.map(_._3).sum == totalEvents, "decile mass lost")
+    assert(got.last._4 == totalEvents && got.last._5 == 1000L)
+    // cumulative shares are nondecreasing; per-decile mean volume rises
+    // with the decile (the ascending ntile ordering is what makes the
+    // curve a Lorenz curve — with 15 users the deciles hold 1-2 users
+    // each, so a user-uniform diagonal bound does not apply at sfTiny)
+    assert(got.map(_._5).toSeq == got.map(_._5).toSeq.sorted)
+    val means = got.map(r => r._3.toDouble / r._2)
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b })
+  }
+
   test("ev_nearest_touch equals the in-memory nearest-selection replay " +
     "and exercises both directions") {
     import operators.EventsPack.NearHorizonUs
