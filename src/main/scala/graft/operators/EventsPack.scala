@@ -127,10 +127,18 @@ object EventsPack {
           Window.orderBy(col("n_events"), col("user_id"))).cast(LongType))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("events"))
+      // total as a WHOLE-FRAME window over the 10-row decile frame — an
+      // agg + crossJoin-back would re-run the ntile pipeline (exchange
+      // reuse stops at the SinglePartition shuffle; there is no
+      // post-window exchange to reuse), doubling the query's bottleneck
+      // stage. Both windows share one orderBy(decile) layout.
       val cum = Window.orderBy(col("decile"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      dec.crossJoin(broadcast(dec.agg(sum(col("events")).as("total"))))
+      val tot = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      dec
         .withColumn("cum_events", sum(col("events")).over(cum))
+        .withColumn("total", sum(col("events")).over(tot))
         .select(col("decile"), col("n_users"), col("events"),
           col("cum_events"),
           expr("cum_events * 1000L div total").as("cum_share_permille"))
