@@ -113,32 +113,76 @@ object EventsPack {
     // How concentrated is event volume across users — the inequality
     // readout behind every skew decision (a fat top decile IS the salting
     // / AQE-skew-join trigger; the same curve prices "how much does
-    // deduping the heaviest sources buy"). Users roll up to volumes
-    // (combinable), deciles come from one ntile over the USER-sized
-    // frame (the accepted POST-ROLLUP window — the raw stream is never
-    // globally sorted), and the cumulative share per decile is exact
-    // integer per-mille. Ties on volume break by user_id, so decile
-    // membership is deterministic in both engines.
+    // deduping the heaviest sources buy"). An ntile(10) window over the
+    // per-user rollup would funnel every user through ONE task (Spark
+    // itself warns `WindowExec: No Partition Defined`) — at 100 TB that
+    // is 10⁸–10⁹ rows in a single partition inside the very operator
+    // whose job is diagnosing skew. Instead the decile AGGREGATE is
+    // computed exactly, with no per-user ranking at all: tied users are
+    // interchangeable (identical n_events), so each decile's
+    // (n_users, events) depends only on HOW MANY users of each distinct
+    // volume fall inside its rank interval — pure interval-overlap
+    // arithmetic on the distinct-volume frame. That frame is
+    // value-domain-bounded (≤ max per-user volume, ≪ users), and its
+    // exact prefix sums come from a chunked two-level scheme: a
+    // PARTITIONED within-chunk running sum plus a broadcast triangle
+    // join over the tiny chunk frame — no unpartitioned WindowExec
+    // anywhere in the plan (pinned in PlanSpec). The result is
+    // bit-identical to the oracle's native ntile(10) ORDER BY
+    // (n_events, user_id): rank intervals follow the SQL ntile split
+    // (first N mod 10 buckets get one extra row).
     "ev_concentration" -> ((s, d) => {
-      val uv = Tables.events(s, d)
+      val cnt = Tables.events(s, d)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
-      val dec = uv
-        .withColumn("decile", ntile(10).over(
-          Window.orderBy(col("n_events"), col("user_id"))).cast(LongType))
-        .groupBy(col("decile"))
-        .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("events"))
-      // total as a WHOLE-FRAME window over the 10-row decile frame — an
-      // agg + crossJoin-back would re-run the ntile pipeline (exchange
-      // reuse stops at the SinglePartition shuffle; there is no
-      // post-window exchange to reuse), doubling the query's bottleneck
-      // stage. Both windows share one orderBy(decile) layout.
-      val cum = Window.orderBy(col("decile"))
+        .groupBy(col("n_events")).agg(count(lit(1)).as("c"))
+        .withColumn("chunk", expr("n_events div 1024"))
+      // exact global prefix sums over the volume frame, scale-safe:
+      // within-chunk cumulative (partitioned window) + chunk offsets via
+      // a broadcast triangle over the ~V/1024-row chunk frame. The
+      // expensive pre-shuffle pipeline (events scan + user rollup) is
+      // shared across branches by exchange reuse — verified in PlanSpec.
+      val wIn = Window.partitionBy(col("chunk")).orderBy(col("n_events"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.orderBy(col("decile"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      dec
-        .withColumn("cum_events", sum(col("events")).over(cum))
-        .withColumn("total", sum(col("events")).over(tot))
+      val inChunk = cnt.withColumn("cum_in", sum(col("c")).over(wIn))
+      val chunkSums = cnt.groupBy(col("chunk")).agg(sum(col("c")).as("cc"))
+      val chunkOff = chunkSums.as("a")
+        .join(broadcast(chunkSums.as("b")),
+          col("b.chunk") < col("a.chunk"), "left")
+        .groupBy(col("a.chunk").as("chunk"))
+        .agg(coalesce(sum(col("b.cc")), lit(0L)).as("chunk_off"))
+      val nTotal = chunkSums.agg(sum(col("cc")).as("n_total"))
+      // users of volume v occupy global ranks (off, off + c]; decile k
+      // covers ranks ((k-1)q + min(k-1, r), kq + min(k, r)] for
+      // q = N div 10, r = N mod 10 — the SQL ntile split. Contribution
+      // of v to decile k = interval overlap; events = overlap · v.
+      val dec = inChunk.join(broadcast(chunkOff), "chunk")
+        .withColumn("off", col("chunk_off") + col("cum_in") - col("c"))
+        .crossJoin(broadcast(nTotal))
+        .withColumn("q", expr("n_total div 10"))
+        .withColumn("r", col("n_total") % 10L)
+        .withColumn("decile", explode(sequence(lit(1L), lit(10L))))
+        .withColumn("lo", greatest(
+          (col("decile") - 1L) * col("q")
+            + least(col("decile") - 1L, col("r")) + 1L,
+          col("off") + 1L))
+        .withColumn("hi", least(
+          col("decile") * col("q") + least(col("decile"), col("r")),
+          col("off") + col("c")))
+        .filter(col("hi") >= col("lo"))
+        .withColumn("ov", col("hi") - col("lo") + 1L)
+        .groupBy(col("decile"))
+        .agg(sum(col("ov")).as("n_users"),
+          sum(col("ov") * col("n_events")).as("events"))
+      // cumulative + grand total over the ≤10-row decile frame via one
+      // broadcast self-join with conditional sums — no global window, so
+      // the no-unpartitioned-WindowExec pin holds for the whole plan.
+      dec.as("a").join(broadcast(dec.as("b")), lit(true))
+        .groupBy(col("a.decile").as("decile"),
+          col("a.n_users").as("n_users"), col("a.events").as("events"))
+        .agg(
+          sum(when(col("b.decile") <= col("a.decile"), col("b.events")))
+            .as("cum_events"),
+          sum(col("b.events")).as("total"))
         .select(col("decile"), col("n_users"), col("events"),
           col("cum_events"),
           expr("cum_events * 1000L div total").as("cum_share_permille"))

@@ -589,4 +589,73 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"g3_neighbor_jaccard: all-pairs shape leaked in:\n$plan")
   }
+
+  /** All WindowExec nodes of a physical plan (window partitioning is fixed
+    * at planning time — AQE never changes a partitionSpec, so the
+    * pre-adaptive plan is authoritative and nothing needs to execute).
+    * Main tree only: the suite's plans carry scalars via broadcast
+    * crossJoins, never scalar subqueries, so there is no subquery side
+    * channel for a window to hide in. */
+  private def windowNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+    p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+
+  test("ev_concentration: no unpartitioned WindowExec anywhere — the " +
+    "Lorenz deciles never funnel the user frame through one task") {
+    val df = run("ev_concentration")
+    val unpart = windowNodes(df.queryExecution.sparkPlan)
+      .filter(_.partitionSpec.isEmpty)
+    assert(unpart.isEmpty,
+      s"ev_concentration: ${unpart.size} single-partition window(s):\n" +
+        unpart.mkString("\n"))
+    // the one window it DOES have is the within-chunk prefix sum
+    val part = windowNodes(df.queryExecution.sparkPlan)
+    assert(part.nonEmpty && part.forall(_.partitionSpec.nonEmpty))
+    // and the expensive pre-shuffle pipeline (events scan + user rollup)
+    // is SHARED across the offset/total/decile branches by exchange
+    // reuse — a per-branch re-scan would triple the 100 TB cost
+    val plan = finalPlanText(df)
+    val scans = "FileScan parquet [^\\s]*graft_events".r.findAllIn(plan).size
+    assert(scans == 1,
+      s"ev_concentration: $scans events scans (branches must reuse " +
+        s"the rollup exchange):\n$plan")
+  }
+
+  test("suite sweep: every unpartitioned global window runs on a provably " +
+    "bounded frame — never a data-proportional one") {
+    // A WindowExec with an empty partitionSpec funnels its WHOLE input
+    // through a single task. That is acceptable only when the frame is
+    // bounded by CONSTRUCTION — a value-domain rollup (calendar days,
+    // deciles, distinct price levels, a 64-file manifest) or a K+1-row
+    // top-K carry — and a scale bug when the frame grows with the data
+    // (users, events, documents, pairs). This sweep turns the convention
+    // into a gate: any query whose plan contains an unpartitioned window
+    // must appear here with its boundedness justification, so a new
+    // data-proportional funnel cannot land silently.
+    val bounded: Map[String, String] = Map(
+      "t1_daily_stats" -> "calendar-day rollup frame (date-domain bounded)",
+      "t5_period_delta" -> "calendar-period rollup frame",
+      "t6_moving_avg" -> "7-day moving average over the day rollup frame",
+      "w8_pagination" -> ("window over a .limit(pageEnd) frame (≤40 rows " +
+        "by construction; the scalable form is w11_keyset_page)"),
+      "w10_pareto_frontier" -> "distinct price-level frame (value-domain)",
+      "s3_highlevel_write" -> "distinct (model, data) dimension vocabulary",
+      "io_zorder_layout" -> ("ntile layout gate — documented verification " +
+        "shape (LayoutPack header: production = repartitionByRange + " +
+        "sortWithinPartitions, same contiguous-range property, spec-pinned)"),
+      "io_compaction_plan" -> ("same layout gate + cumulative window over " +
+        "the 64-file manifest frame (metadata-proportional)"),
+      "io_zorder_prune" -> ("same layout gate × two layouts; monitors the " +
+        "64-file manifest frame"))
+    val offenders = (for ((name, fn) <- SparkEntry.queries.toSeq) yield {
+      val unpart = windowNodes(fn(spark, sfTiny).queryExecution.sparkPlan)
+        .filter(_.partitionSpec.isEmpty)
+      (name, unpart.size)
+    }).filter(_._2 > 0).filterNot { case (n, _) => bounded.contains(n) }
+    assert(offenders.isEmpty,
+      "unjustified unpartitioned windows: " + offenders.sortBy(_._1)
+        .map { case (n, k) => s"$n($k)" }.mkString(", "))
+  }
 }
