@@ -342,4 +342,54 @@ object Skew {
       .filter(col("key").isin(candidates: _*))
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n"))
+
+  /** Hot-key differentiated equi join — the JOIN-side companion of
+    * [[saltedSumCount]]. AQE's skew handling splits oversized partitions
+    * at runtime, but only within shuffle-join stages it already planned,
+    * after the skewed map output exists; a PLANNED split avoids ever
+    * materializing the hot keys' shuffle blocks. A shuffle-free
+    * [[frequentKeys]] pass surfaces the ≤ `k` heaviest fact keys; fact
+    * rows on those keys join against a BROADCAST of the dimension's
+    * matching rows — ≤ `k` dim rows for a keyed dimension, always
+    * broadcastable no matter how hot the fact side is, so the hot rows
+    * never shuffle at all — while the cold remainder takes the ordinary
+    * shuffle join. (For a many-rows-per-key right side, broadcast stops
+    * being free and the variant is salt-replication: salt the fact,
+    * replicate the hot dim rows across the salt domain — same split
+    * discipline, different hot-path transport.)
+    *
+    * The split is SEMANTICALLY INVISIBLE: every row meets the same join
+    * partners on either route, so the result equals the plain join no
+    * matter WHICH keys MG happens to surface — the oracle pins exactly
+    * that, the a11 discipline. The MG hot set is partition-order
+    * dependent (lower bounds); by the same invariance that is harmless. */
+  def skewGuardedJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
+      dimKey: Column, k: Int,
+      hotKeys: Option[Seq[String]] = None): DataFrame = {
+    val hot = hotKeys.getOrElse(frequentKeys(fact, factKey, k)
+      .select(col("key")).collect().map(_.getString(0)).toSeq)
+    if (hot.isEmpty) fact.join(dim, factKey === dimKey)
+    else {
+      // hot-key literals retyped to the key column's own type: a
+      // cast-to-string In() would wrap the column and never push to the
+      // parquet scan; the typed In() prunes row groups at the source
+      val typed: Option[Seq[Any]] =
+        fact.select(factKey).schema.head.dataType match {
+          case LongType => Some(hot.map(_.toLong))
+          case IntegerType => Some(hot.map(_.toInt))
+          case ShortType => Some(hot.map(_.toShort))
+          case StringType => Some(hot)
+          case _ => None // exotic key type: compare on the string form
+        }
+      def isHot(c: Column): Column = typed match {
+        case Some(vs) => c.isin(vs: _*)
+        case None => c.cast(StringType).isin(hot: _*)
+      }
+      val hotSlice = fact.filter(isHot(factKey))
+        .join(broadcast(dim.filter(isHot(dimKey))), factKey === dimKey)
+      val coldSlice = fact.filter(!isHot(factKey))
+        .join(dim, factKey === dimKey)
+      hotSlice.unionByName(coldSlice)
+    }
+  }
 }

@@ -448,6 +448,21 @@ object StatsPack {
           col("value"), col("event_id"), buckets = 8)
         .orderBy("key")),
 
+    // ---- hot-key differentiated join (skew-join guard) ------------------
+    //      The join-side twin of a11: the heaviest fact keys (surfaced by
+    //      the shuffle-free MG pass — the same signal ev_concentration's
+    //      Lorenz curve diagnoses) route through a broadcast of the ≤ k
+    //      matching dim rows and never shuffle; everything else takes the
+    //      plain shuffle join. The oracle computes the UNSPLIT join —
+    //      mitigation must be bit-invisible regardless of which keys the
+    //      partition-order-dependent MG pass happens to surface. --------
+    "j13_skew_join" -> ((s, d) =>
+      Skew.skewGuardedJoin(Tables.events(s, d), Tables.customer(s, d),
+          col("user_id"), col("c_custkey"), k = 16)
+        .select(col("event_id"), col("user_id"), col("c_name"),
+          col("event_type"))
+        .orderBy("event_id")),
+
     // ---- fixed-width histogram over the value column --------------------
     // 20 equal-width bins between the data's own min and max. The one
     // float step is floor(value·1000) — IEEE-exact and identical in both
@@ -1080,6 +1095,12 @@ object StatsPack {
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
         | CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the PLAIN join — the hot/cold split must be invisible
+    "j13_skew_join" ->
+      """SELECT e.event_id, e.user_id, c.c_name, e.event_type
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |ORDER BY e.event_id""".stripMargin,
 
     "a14_histogram" ->
       """WITH v AS (SELECT event_type,

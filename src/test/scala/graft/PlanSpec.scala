@@ -590,6 +590,47 @@ class PlanSpec extends SparkSpec {
       s"g3_neighbor_jaccard: all-pairs shape leaked in:\n$plan")
   }
 
+  test("j13_skew_join: hot slice broadcasts (never shuffles), cold slice " +
+    "shuffle-joins, and the split equals the plain join") {
+    import org.apache.spark.sql.functions.col
+    // disable auto-broadcast so the small fixture dim can't hide the
+    // cold slice's shuffle join — at 100 TB neither side auto-broadcasts,
+    // and the ≤ k-row HOT dim slice must be the only broadcast left
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def select(df: DataFrame): DataFrame = df
+        .select(col("event_id"), col("user_id"), col("c_name"),
+          col("event_type"))
+        .orderBy("event_id")
+      // shape pin with a PINNED hot set: the MG pass is data-driven (at
+      // this fixture's scale it may class every key hot, emptying the
+      // cold branch), so the hot/cold split is pinned explicitly here
+      val df = select(operators.Skew.skewGuardedJoin(
+        Tables.events(spark, sfTiny), Tables.customer(spark, sfTiny),
+        col("user_id"), col("c_custkey"), k = 16,
+        hotKeys = Some(Seq("3", "7"))))
+      val got = df.collect()
+      val plan = finalPlanText(df)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"j13: hot slice must broadcast the ≤ k dim rows:\n$plan")
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"j13: cold slice must remain an ordinary shuffle join:\n$plan")
+      // the typed hot-key In() predicate prunes the fact scan itself
+      assert("PushedFilters: \\[[^\\]]*In\\(user_id".r
+        .findFirstIn(plan).isDefined,
+        s"j13: hot-key In filter not pushed to the events scan:\n$plan")
+      // invariance: identical to the unsplit join, row for row — for
+      // the pinned split AND for the shipped MG-driven entry
+      val plain = select(Tables.events(spark, sfTiny)
+        .join(Tables.customer(spark, sfTiny),
+          col("user_id") === col("c_custkey"))).collect()
+      assert(got.nonEmpty && got.sameElements(plain))
+      assert(run("j13_skew_join").collect().sameElements(plain))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   /** All WindowExec nodes of a physical plan (window partitioning is fixed
     * at planning time — AQE never changes a partitionSpec, so the
     * pre-adaptive plan is authoritative and nothing needs to execute).
