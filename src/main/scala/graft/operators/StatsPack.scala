@@ -109,19 +109,72 @@ object StatsPack {
       pmod(conv(substring(md5(concat(lit(s"cms$i:"), key)), 1, 8), 16, 10)
         .cast(LongType), lit(CmsWidth.toLong))): _*)
 
+  /** The T1 per-day rollup — ONE definition shared by the full recompute
+    * and the incremental catch-up, so their day bucketing and aggregate
+    * policies (exact-decimal sums) can never drift. */
+  private def t1Rollup(ev: DataFrame): DataFrame = ev
+    .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+    .agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("user_id")).as("users"),
+      dsum(col("value")).as("total_value"))
+
+  private[graft] val StatsLedgerParams = "members=v1,horizon=7"
+
+  /** The persisted daily-stats LEDGER the incremental catch-up reads —
+    * the reference's `statistics` table (db/submission_stats.py:110-124
+    * `_write_stats`) as a build-once artifact: the T1 series through a
+    * high-watermark of max_day − 7 (a fixed catch-up horizon, so the
+    * fresh branch always has days to compute at any SF). Production
+    * appends to this ledger after every catch-up run; here each ensure
+    * call rebuilds only when the corpus fingerprint moved. */
+  private[graft] def ensureStatsLedger(s: SparkSession, d: String): String =
+    graft.sim.IndexStore.ensure(s, d, "stats_ledger",
+      Tables.events(s, d).select("event_id", "ts", "user_id", "value"),
+      "event_id", StatsLedgerParams) { p =>
+      val ev = Tables.eventsPartitioned(s, d)
+      val wm = ev.agg(date_sub(max(col("event_day")), 7)).head().getDate(0)
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t1Rollup(ev.filter(col("event_day") <= lit(wm)))
+        .withColumn("cum_n", sum(col("n")).over(w))
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/daily")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- daily incremental stats + running cumulative (T1) ---------------
     "t1_daily_stats" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
-        .agg(
-          count(lit(1)).as("n"),
-          countDistinct(col("user_id")).as("users"),
-          dsum(col("value")).as("total_value"))
+      val daily = t1Rollup(Tables.events(s, d))
       val w = Window.orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       daily.withColumn("cum_n", sum(col("n")).over(w))
         .orderBy("day")
+    }),
+
+    // ---- incremental T1 catch-up off the persisted ledger ----------------
+    // The reference's compute_stats daemon loop (db/submission_stats.py:
+    // 80-124): take the most recent stats date, compute ONLY the missing
+    // days, append. Here as one plan: the high-watermark comes from a
+    // tiny read of the ledger artifact, the catch-up rollup scans ONLY
+    // the day partitions past it (directory-level PartitionFilters —
+    // pinned in PlanSpec: history is never rescanned), the cumulative
+    // seeds from the ledger's last cum_n as a broadcast scalar, and the
+    // result is ledger ∪ fresh days. The oracle is the FULL recompute —
+    // incremental-equals-batch is the whole contract. The fresh branch's
+    // cumulative window spans only the catch-up horizon (≤ 7 day rows).
+    "t1_incremental" -> ((s, d) => {
+      val ledger = s.read.parquet(s"${ensureStatsLedger(s, d)}/daily")
+      val wm = ledger.agg(max(col("day"))).head().getDate(0)
+      val seed = broadcast(ledger.agg(max(col("cum_n")).as("seed")))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fresh = t1Rollup(
+          Tables.eventsPartitioned(s, d)
+            .filter(col("event_day") > lit(wm)))
+        .crossJoin(seed)
+        .withColumn("cum_n", col("seed") + sum(col("n")).over(w))
+        .drop("seed")
+      ledger.unionByName(fresh).orderBy("day")
     }),
 
     // ---- period-over-period deltas (DoD / WoW growth) --------------------
@@ -825,6 +878,19 @@ object StatsPack {
 
   val oracles: Map[String, String] = Map(
     "t1_daily_stats" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1)
+        |SELECT day, n, users, total_value,
+        |  CAST(SUM(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS BIGINT) AS cum_n
+        |FROM daily ORDER BY day""".stripMargin,
+
+    // the FULL recompute: incremental-equals-batch is the contract
+    "t1_incremental" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |    CAST(COUNT(*) AS BIGINT) AS n,

@@ -590,6 +590,27 @@ class PlanSpec extends SparkSpec {
       s"g3_neighbor_jaccard: all-pairs shape leaked in:\n$plan")
   }
 
+  test("t1_incremental: history comes from the ledger artifact; the " +
+    "catch-up scan prunes to the days past the watermark") {
+    val df = run("t1_incremental")
+    val plan = finalPlanText(df)
+    // the prior series is an artifact read, never an events rescan
+    assert(plan.contains("stats_ledger"),
+      s"t1_incremental: no ledger artifact scan in:\n$plan")
+    // the ONLY events scan is the catch-up branch, pruned at the
+    // DIRECTORY level to event_day > watermark
+    val evScans = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("graft_events"))
+      .toSeq
+    assert(evScans.size == 1,
+      s"t1_incremental: ${evScans.size} events scans (history rescan?):\n$plan")
+    assert(evScans.head.contains("PartitionFilters") &&
+      "event_day[#0-9L]* >".r.findFirstIn(evScans.head).isDefined,
+      s"t1_incremental: watermark not a partition filter:\n${evScans.head}")
+    // incremental equals batch, in-engine (the oracle pins it cross-engine)
+    assert(df.collect().sameElements(run("t1_daily_stats").collect()))
+  }
+
   test("j13_skew_join: hot slice broadcasts (never shuffles), cold slice " +
     "shuffle-joins, and the split equals the plain join") {
     import org.apache.spark.sql.functions.col
@@ -677,6 +698,7 @@ class PlanSpec extends SparkSpec {
     // data-proportional funnel cannot land silently.
     val bounded: Map[String, String] = Map(
       "t1_daily_stats" -> "calendar-day rollup frame (date-domain bounded)",
+      "t1_incremental" -> "catch-up cumulative over the ≤ 7-day horizon",
       "t5_period_delta" -> "calendar-period rollup frame",
       "t6_moving_avg" -> "7-day moving average over the day rollup frame",
       "w8_pagination" -> ("window over a .limit(pageEnd) frame (≤40 rows " +
