@@ -547,6 +547,64 @@ object Relational {
         .orderBy("brand", "container")
     }),
 
+    // ---- user get-or-create, batched (reference db/user.py:62-70
+    //      get_or_create + :47-59 get_by_mb_id's case-insensitive match;
+    //      the serial-id INSERT..RETURNING becomes a deterministic batch
+    //      allocation past max(id)) ----------------------------------------
+    // Registry = customer (id, username); the incoming request batch is
+    // every third registered name UPPERCASED (exercising the LOWER()
+    // match — those must resolve to their EXISTING rows, registry-cased,
+    // the reference's return-the-stored-row semantics) plus one genuinely
+    // new name per nation. New users get ids max(id) + rank(name) — the
+    // batch analogue of the sequence, deterministic in both engines. The
+    // rank window runs on the request-sized unmatched slice only.
+    "u1_user_get_or_create" -> ((s, d) => {
+      val users = Tables.customer(s, d)
+        .select(col("c_custkey").as("id"), col("c_name").as("username"))
+      val incoming = users.filter(col("id") % 3 === 0)
+        .select(upper(col("username")).as("req_name"))
+        .unionByName(Tables.nation(s, d)
+          .select(concat(lit("new_user_"), lower(col("n_name")))
+            .as("req_name")))
+        .distinct()
+      val matched = incoming.join(users,
+        lower(col("req_name")) === lower(col("username")), "left")
+      val created = matched.filter(col("id").isNull)
+        .select("req_name")
+        .crossJoin(broadcast(users.agg(max(col("id")).as("max_id"))))
+        .withColumn("id",
+          col("max_id") + row_number().over(Window.orderBy(col("req_name"))))
+        .select(col("id"), col("req_name").as("username"),
+          lit(true).as("is_new"))
+      matched.filter(col("id").isNotNull)
+        .select(col("id"), col("username"), lit(false).as("is_new"))
+        .unionByName(created)
+        .orderBy("id")
+    }),
+
+    // ---- API-key resolution (reference db/user.py:31-45 get_by_api_key +
+    //      db/api_key.py:73-93 is_active): resolve a request batch of key
+    //      values to their owning users, dropping revoked keys ------------
+    // The key table derives deterministically from the registry (value =
+    // md5, every fourth key revoked); the request holds every tenth
+    // customer's key — a mix of active and revoked, so the is_active
+    // filter is load-bearing. Request-sized sides broadcast; the engine
+    // never shuffles the registry per lookup batch.
+    "u2_api_key_resolve" -> ((s, d) => {
+      val users = Tables.customer(s, d)
+        .select(col("c_custkey").as("id"), col("c_name").as("username"))
+      val keyOf = md5(concat(lit("key:"), col("id").cast(StringType)))
+      val keys = users.select(keyOf.as("value"), col("id").as("owner"),
+        (col("id") % 4 =!= 0).as("is_active"))
+      val request = users.filter(col("id") % 10 === 0)
+        .select(keyOf.as("value"))
+      keys.join(broadcast(request), Seq("value"))
+        .filter(col("is_active"))
+        .join(users, col("owner") === col("id"))
+        .select(col("value").as("apikey"), col("id"), col("username"))
+        .orderBy("id")
+    }),
+
     // ---- min/max-by-sort as aggregates (reference W2: ORDER BY … LIMIT 1
     //      for earliest/latest submission, db/submission_stats.py:285-305) -
     "w2_minmax_sort" -> ((s, d) => {
@@ -981,6 +1039,40 @@ object Relational {
         |SELECT DISTINCT p_brand AS brand, p_type AS container FROM part
         |WHERE p_partkey <= 500
         |ORDER BY brand, container""".stripMargin,
+
+    "u1_user_get_or_create" ->
+      """WITH users AS (SELECT c_custkey AS id, c_name AS username
+        |  FROM customer),
+        |incoming AS (SELECT DISTINCT req_name FROM (
+        |  SELECT upper(username) AS req_name FROM users WHERE id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'new_user_' || lower(n_name) FROM nation)),
+        |matched AS (SELECT i.req_name, u.id, u.username
+        |  FROM incoming i
+        |  LEFT JOIN users u ON lower(i.req_name) = lower(u.username)),
+        |created AS (SELECT
+        |    (SELECT max(id) FROM users) +
+        |      row_number() OVER (ORDER BY req_name) AS id,
+        |    req_name AS username, TRUE AS is_new
+        |  FROM matched WHERE id IS NULL)
+        |SELECT id, username, is_new FROM (
+        |  SELECT id, username, FALSE AS is_new FROM matched
+        |  WHERE id IS NOT NULL
+        |  UNION ALL SELECT id, username, is_new FROM created)
+        |ORDER BY id""".stripMargin,
+
+    "u2_api_key_resolve" ->
+      """WITH users AS (SELECT c_custkey AS id, c_name AS username
+        |  FROM customer),
+        |keys AS (SELECT md5('key:' || CAST(id AS VARCHAR)) AS value,
+        |    id AS owner, id % 4 <> 0 AS is_active FROM users),
+        |request AS (SELECT md5('key:' || CAST(id AS VARCHAR)) AS value
+        |  FROM users WHERE id % 10 = 0)
+        |SELECT k.value AS apikey, u.id, u.username
+        |FROM keys k JOIN request r ON k.value = r.value
+        |JOIN users u ON k.owner = u.id
+        |WHERE k.is_active
+        |ORDER BY u.id""".stripMargin,
 
     "w2_minmax_sort" ->
       """SELECT min(ts) AS first_ts, max(ts) AS last_ts,

@@ -704,6 +704,8 @@ class PlanSpec extends SparkSpec {
       "w8_pagination" -> ("window over a .limit(pageEnd) frame (≤40 rows " +
         "by construction; the scalable form is w11_keyset_page)"),
       "w10_pareto_frontier" -> "distinct price-level frame (value-domain)",
+      "u1_user_get_or_create" -> ("id allocation over the UNMATCHED slice " +
+        "of the request batch only (request-sized, like BulkParams)"),
       "s3_highlevel_write" -> "distinct (model, data) dimension vocabulary",
       "io_zorder_layout" -> ("ntile layout gate — documented verification " +
         "shape (LayoutPack header: production = repartitionByRange + " +
