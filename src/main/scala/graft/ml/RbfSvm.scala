@@ -183,24 +183,42 @@ object RbfSvm {
     Ovo(classes, pairs.toArray, machines.toArray, gamma)
   }
 
-  /** LIBSVM-style voting: each pairwise machine votes for its winner
-    * (f > 0 → first class of the pair); most votes wins, ties break to
-    * the smallest class label. */
-  def predict(m: Ovo, x: Array[Double]): Int = {
-    val votes = new Array[Int](m.classes.length)
+  /** LIBSVM's OvO vote aggregation, isolated from the decision machinery:
+    * pairwise sign k decides pair (i, j) — true votes i (f > 0 → first
+    * class), false votes j; most votes wins, ties break to the smallest
+    * class INDEX (classes are sorted ascending, so that is the smallest
+    * label). This exact argmax — max votes, tie to smallest — is what the
+    * oracle-gated `m4_ovo_votes` plan replays in SQL, and RbfSvmSpec pins
+    * the two formulations against each other on exhaustive small vote
+    * matrices. */
+  def vote(nClasses: Int, pairs: Array[(Int, Int)],
+      signs: Array[Boolean]): Int = {
+    val votes = new Array[Int](nClasses)
     var k = 0
-    while (k < m.machines.length) {
-      val (i, j) = m.pairs(k)
-      if (decision(m.machines(k), m.gamma, x) > 0) votes(i) += 1 else votes(j) += 1
+    while (k < pairs.length) {
+      val (i, j) = pairs(k)
+      if (signs(k)) votes(i) += 1 else votes(j) += 1
       k += 1
     }
     var best = 0; var b = votes(0)
     var t = 1
-    while (t < m.classes.length) {
+    while (t < nClasses) {
       if (votes(t) > b) { b = votes(t); best = t }
       t += 1
     }
-    m.classes(best)
+    best
+  }
+
+  /** LIBSVM-style prediction: each pairwise machine's decision sign feeds
+    * [[vote]]. */
+  def predict(m: Ovo, x: Array[Double]): Int = {
+    val signs = new Array[Boolean](m.machines.length)
+    var k = 0
+    while (k < m.machines.length) {
+      signs(k) = decision(m.machines(k), m.gamma, x) > 0
+      k += 1
+    }
+    m.classes(vote(m.classes.length, m.pairs, signs))
   }
 
   /** Per-dimension standardization fitted on the training sample — the

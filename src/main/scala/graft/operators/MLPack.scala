@@ -508,7 +508,66 @@ object MLPack {
           when(col("vec_id") % 5 === 0, "test").otherwise("train").as("split"))
         .groupBy("label", "split")
         .agg(count(lit(1)).as("n"))
-        .orderBy("label", "split"))
+        .orderBy("label", "split")),
+
+    // ---- the OvO VOTE AGGREGATION of M4 as an oracle row (reference
+    //      dataset_eval/gaia_wrapper.py:80-119 evaluation; LIBSVM
+    //      §"Multi-class classification" one-against-one voting) — the
+    //      third deterministic half of m4_train_eval, leaving only the
+    //      SMO inner loop outside the oracle gate. The SMO decision
+    //      values are not SQL-replayable, so the pairwise decisions here
+    //      come from a DETERMINISTIC stand-in machine the oracle can
+    //      replay bit-for-bit: integer-grid nearest-centroid —
+    //      f_ij(x) = Σ_pos (X−C_j)² − (X−C_i)² on the 1e-9 value grid
+    //      (dimStats' exact-integer discipline: LongType grid values,
+    //      centroids by truncating integer division, DECIMAL squared-term
+    //      sums — zero floating point anywhere, so the SIGN of every
+    //      decision is exact). Everything DOWNSTREAM of the decision
+    //      signs — f > 0 votes the pair's first class, the
+    //      max-votes-tie-to-smallest argmax, the confusion rollup on the
+    //      test split — is exactly [[graft.ml.RbfSvm.vote]]'s semantics
+    //      (RbfSvmSpec pins the two formulations against each other), and
+    //      is what this row's DuckDB oracle replays.
+    //      Scale shape: centroids are a classes×dims rollup (tiny,
+    //      broadcast); the test side streams through one broadcast join
+    //      keyed on pos (rows × pairs × dims expansion bounded by the
+    //      class-pair count), one (vec, pair) aggregate, one (vec, class)
+    //      vote count, and a struct-max argmax — no window, no shuffle
+    //      beyond the vote rollups. ---------------------------------------
+    "m4_ovo_votes" -> ((s, d) => {
+      val dec19 = DecimalType(19, 0)
+      val ex = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          posexplode(transform(col("embedding"), _.cast(DoubleType)))
+            .as(Seq("pos", "val")))
+        .withColumn("iv", round(col("val") * 1e9, 0).cast(LongType))
+      val cent = ex.filter(col("vec_id") % 5 =!= 0)
+        .groupBy(col("label").as("cl"), col("pos"))
+        .agg(expr("sum(cast(iv as decimal(38,0))) div count(1)").as("c"))
+      val pairs = cent.as("i").join(cent.as("j"),
+          col("i.pos") === col("j.pos") && col("i.cl") < col("j.cl"))
+        .select(col("i.cl").as("ci"), col("j.cl").as("cj"), col("i.pos"),
+          col("i.c").as("cvi"), col("j.c").as("cvj"))
+      val f = ex.filter(col("vec_id") % 5 === 0)
+        .join(broadcast(pairs), Seq("pos"))
+        .withColumn("term",
+          (col("iv") - col("cvj")).cast(dec19) *
+            (col("iv") - col("cvj")).cast(dec19) -
+          (col("iv") - col("cvi")).cast(dec19) *
+            (col("iv") - col("cvi")).cast(dec19))
+        .groupBy(col("vec_id"), col("label"), col("ci"), col("cj"))
+        .agg(sum(col("term")).as("fv"))
+      f.select(col("vec_id"), col("label"),
+          when(col("fv") > 0, col("ci")).otherwise(col("cj")).as("cls"))
+        .groupBy(col("vec_id"), col("label"), col("cls"))
+        .agg(count(lit(1)).as("nv"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(max(struct(col("nv"), (-col("cls")).as("nc"))).as("w"))
+        .select(col("label"), (-col("w.nc")).as("predicted"))
+        .groupBy(col("label"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "predicted")
+    })
   )
 
   private val orderSql = "md5('seed42:' || CAST(doc_id AS VARCHAR))"
@@ -720,9 +779,43 @@ object MLPack {
         |  FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id < b.vec_id
         |  GROUP BY 1, 2)
         |SELECT vec_a, vec_b, round(exp(-0.5 * d2), 8) AS k_rbf
-        |FROM ssd ORDER BY vec_a, vec_b""".stripMargin
+        |FROM ssd ORDER BY vec_a, vec_b""".stripMargin,
     // m4_train_eval: iterative SMO solve — rows-only driver check (the
-    // sole such entry; its deterministic halves are m4_split_sizes and
-    // m4_rbf_kernel above).
+    // sole such entry; its deterministic halves are m4_split_sizes,
+    // m4_rbf_kernel and m4_ovo_votes; the matrix itself is golden-pinned
+    // at gate scale in OperatorInvariantsSpec).
+
+    // integer-grid nearest-centroid decisions + the LIBSVM vote argmax
+    // (max votes, tie to the smallest class) — replays RbfSvm.vote
+    "m4_ovo_votes" ->
+      """WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    unnest(generate_series(1, len(embedding))) AS pos,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE)
+        |      * 1000000000.0) AS BIGINT) AS iv
+        |  FROM embeddings),
+        |cent AS (SELECT label AS cl, pos,
+        |    SUM(CAST(iv AS DECIMAL(38,0))) // COUNT(*) AS c
+        |  FROM ex WHERE vec_id % 5 <> 0 GROUP BY 1, 2),
+        |pairs AS (SELECT i.cl AS ci, j.cl AS cj, i.pos AS pos,
+        |    i.c AS cvi, j.c AS cvj
+        |  FROM cent i JOIN cent j ON i.pos = j.pos AND i.cl < j.cl),
+        |f AS (SELECT t.vec_id, t.label, p.ci, p.cj,
+        |    SUM(CAST(t.iv - p.cvj AS DECIMAL(19,0))
+        |          * CAST(t.iv - p.cvj AS DECIMAL(19,0))
+        |      - CAST(t.iv - p.cvi AS DECIMAL(19,0))
+        |          * CAST(t.iv - p.cvi AS DECIMAL(19,0))) AS fv
+        |  FROM ex t JOIN pairs p ON t.pos = p.pos
+        |  WHERE t.vec_id % 5 = 0 GROUP BY 1, 2, 3, 4),
+        |vc AS (SELECT vec_id, label,
+        |    CASE WHEN fv > 0 THEN ci ELSE cj END AS cls,
+        |    CAST(COUNT(*) AS BIGINT) AS nv
+        |  FROM f GROUP BY 1, 2, 3),
+        |pred AS (SELECT vec_id, label, cls AS predicted,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY nv DESC, cls ASC) AS rn
+        |  FROM vc)
+        |SELECT label, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pred WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin
   )
 }

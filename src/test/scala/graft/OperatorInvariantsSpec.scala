@@ -639,6 +639,31 @@ class OperatorInvariantsSpec extends SparkSpec {
     } finally System.clearProperty("graft.bench.profile")
   }
 
+  test("m4_train_eval GOLDEN: the full-grid run at gate scale is a fixed " +
+    "value — exact confusion matrix, winning (C, gamma, prep), CV accuracy") {
+    // The SMO solver is deterministic by construction (stable vec_id row
+    // order, analytic two-variable steps), so its output on a fixed
+    // corpus is ONE exact answer — pinned here byte-for-byte, which
+    // closes m4's unverified remainder down to the solver internals: the
+    // split is m4_split_sizes' oracle, the kernel m4_rbf_kernel's, the
+    // vote argmax m4_ovo_votes', and the end-to-end matrix THIS pin. A
+    // solver change that alters any prediction flips the md5.
+    val rows = run("m4_train_eval").collect()
+    assert(rows.length == 58)
+    assert(rows.head.getAs[Long]("grid_size") == 360L)
+    assert(rows.head.getAs[Double]("best_c") == 512.0)
+    assert(rows.head.getAs[Double]("best_gamma") == 0.00048828125) // 2^-11
+    assert(rows.head.getAs[String]("best_prep") == "normalized")
+    assert(rows.head.getAs[Double]("cv_accuracy") == 0.115)
+    val body = rows.map(r => s"${r.getAs[Long]("label")}:" +
+      s"${r.getAs[Long]("predicted")}:${r.getAs[Long]("n")}").mkString(";")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(body.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(hex == "880e3b8673ecadbe45cd6492aecddd8c",
+      s"confusion matrix drifted: md5=$hex body=$body")
+  }
+
   test("pipe_quality_gate/funnel: cascade partitions the corpus, every " +
     "rule fires, funnel reconciles with the per-doc gate") {
     val docs = Tables.documents(spark, sfTiny).count()

@@ -130,4 +130,29 @@ class RbfSvmSpec extends AnyFunSuite {
     assert(z(1) == 5.0, "zero-sigma dim passes through unscaled")
     assert(math.abs(z(2) - 1.0) < 1e-12)
   }
+
+  test("vote: exhaustive sign matrices match the declarative argmax " +
+    "(max votes, tie to smallest class) — the m4_ovo_votes semantics") {
+    // the SQL-replayable formulation the m4_ovo_votes oracle runs:
+    // count votes per class, take the max count, break ties downward
+    def declarative(n: Int, pairs: Array[(Int, Int)],
+        signs: Array[Boolean]): Int = {
+      val votes = Array.fill(n)(0)
+      pairs.zip(signs).foreach { case ((i, j), s) =>
+        if (s) votes(i) += 1 else votes(j) += 1
+      }
+      votes.zipWithIndex.maxBy { case (v, idx) => (v, -idx) }._2
+    }
+    for (n <- 2 to 5) {
+      val pairs = (for {
+        i <- 0 until n; j <- 0 until n if i < j
+      } yield (i, j)).toArray
+      // every possible pairwise outcome for up to 10 machines
+      for (mask <- 0 until (1 << pairs.length)) {
+        val signs = Array.tabulate(pairs.length)(k => ((mask >> k) & 1) == 1)
+        assert(RbfSvm.vote(n, pairs, signs) == declarative(n, pairs, signs),
+          s"n=$n mask=$mask")
+      }
+    }
+  }
 }
