@@ -204,12 +204,20 @@ object Bench {
     // `profile` makes the record self-describing: the reduced m4 grid under
     // graft.bench.profile is a methodology choice, and cross-round
     // comparisons must be able to see it in the artifact itself.
+    // Self-labeling: a capture violating either documented clean-capture
+    // gate — loadavg_pre past the 4.5 settle bar (background load
+    // inflates every query) or CPUS ≠ 16 (the convention; BASELINE.md
+    // measures a ~40% bandwidth penalty at 32) — carries the flag IN the
+    // artifact, so a contaminated driver-side run reads as contaminated
+    // without BASELINE.md exegesis.
+    val contaminated = loadPre > 4.5 || cpus != "16"
     val tele = s""""loadavg_pre":${ms(loadPre)},""" +
       s""""loadavg_start":${ms(load0)},"loadavg_end":${ms(load1)},""" +
       s""""gc_ms":$gcMs,"timing":"best_of_2","profile":"bench_reduced_m4",""" +
       s""""prepare_sec":${ms(prepareSec)},"settle_sec":${ms(settleSec)},""" +
       s""""cpu_cal_ms":${ms(cpuCal)},"sched_cal_ms":${ms(schedCal)},""" +
-      s""""resid_rdds":$residRdds"""
+      s""""resid_rdds":$residRdds,"cpus":"$cpus",""" +
+      s""""contaminated":$contaminated"""
     // The driver's artifact keeps only the LAST ~2.2 KB of stdout, so the
     // full named per-query map (~2.9 KB for 100+ queries) can never fit —
     // r7's tail head-truncated the ann_*/dd_* values into unrecoverability.

@@ -28,7 +28,7 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale8"
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
 UNCHANGED = ["region", "nation", "customer", "supplier", "part",
-             "orders", "lineitem", "events"]
+             "orders", "lineitem"]
 
 
 def main():
@@ -55,6 +55,20 @@ COPY (
   FROM '{SF}/embeddings.parquet'
   CROSS JOIN (SELECT unnest(generate_series(0, {N - 1})) AS i) r
 ) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
+""")
+    # events replicate by USER offset: each replica is a fresh user
+    # population with the original per-user volume distribution, so the
+    # user_id-keyed shuffles scale in group COUNT (the realistic axis —
+    # more users, same behavior), event_ids stay unique, timestamps stay
+    # put (the day-partitioned layout keeps the same day count).
+    con.execute(f"""
+COPY (
+  SELECT event_id + r.i * 100000000 AS event_id, ts,
+         user_id + r.i * 10000000 AS user_id,
+         event_type, value, props
+  FROM '{SF}/events.parquet'
+  CROSS JOIN (SELECT unnest(generate_series(0, {N - 1})) AS i) r
+) TO '{OUT}/events.parquet' (FORMAT PARQUET)
 """)
     docs = con.execute(
         f"SELECT COUNT(*) FROM '{OUT}/documents.parquet'").fetchone()[0]
