@@ -636,16 +636,41 @@ object EventsPack {
           lit(-1L).as("delta")))).as("b"))
       .select(col("day"), col("b.t_us").as("t_us"),
         col("b.delta").as("delta"))
-    val sweep = Window.partitionBy(col("day"))
+    // Two-level sweep: a day-partitioned running sum is correct but puts
+    // a whole DAY's boundary stream through one sort task — at 100 TB a
+    // hot day (10⁹ sessions) is a single-task funnel even though the
+    // window has a partition key. Split each day into minute buckets:
+    // the running sum decomposes as (Σ deltas of earlier buckets) +
+    // (within-bucket running sum) — the ev_concentration chunked-prefix
+    // scheme. The within-bucket window partitions on (day, bucket); the
+    // bucket-offset prefix runs per day over the ≤ 1441-row bucket frame
+    // (clock-bounded, not data-bounded); the day peak is the max of
+    // offset + within-bucket max. Ties never split across buckets (equal
+    // t_us ⇒ equal bucket), so the (t_us, delta) tie order is preserved
+    // and the result is identical to the single-pass sweep.
+    val b = bounds.withColumn("bkt", expr(s"t_us div ${SweepBucketUs}L"))
+    val wIn = Window.partitionBy(col("day"), col("bkt"))
       .orderBy(col("t_us"), col("delta"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bounds.withColumn("running", sum(col("delta")).over(sweep))
+    val perBucket = b.withColumn("run_in", sum(col("delta")).over(wIn))
+      .groupBy(col("day"), col("bkt"))
+      .agg(max(col("run_in")).as("peak_in"),
+        sum(col("delta")).as("bsum"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("starts"))
+    val wOff = Window.partitionBy(col("day")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perBucket
+      .withColumn("boff", coalesce(sum(col("bsum")).over(wOff), lit(0L)))
       .groupBy(col("day"))
-      .agg(max(col("running")).as("peak_concurrent"),
-        sum(when(col("delta") === 1L, 1L).otherwise(0L))
-          .as("n_sessions"))
+      .agg(max(col("boff") + col("peak_in")).as("peak_concurrent"),
+        sum(col("starts")).as("n_sessions"))
       .orderBy("day")
   }
+
+  /** Sweep-bucket width of [[dailyPeakConcurrency]]'s two-level running
+    * sum: one minute — ≤ 1441 buckets per day (clock-bounded), each
+    * holding only its own minute's boundary rows. */
+  private[graft] val SweepBucketUs = 60000000L
 
   /** ±5-min incident windows around error events: `(win_id, lo_us, hi_us)`,
     * bounds inclusive. */
