@@ -786,7 +786,10 @@ object MLPack {
     // at gate scale in OperatorInvariantsSpec).
 
     // integer-grid nearest-centroid decisions + the LIBSVM vote argmax
-    // (max votes, tie to the smallest class) — replays RbfSvm.vote
+    // (max votes, tie to the smallest class) — replays RbfSvm.vote.
+    // Centroid division mirrors Spark's truncating `div` with HUGEINT //
+    // (DuckDB's // on DECIMAL is FLOAT division returning DOUBLE — a
+    // latent sign-flip near decision boundaries; review-caught r12)
     "m4_ovo_votes" ->
       """WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |    unnest(generate_series(1, len(embedding))) AS pos,
@@ -794,7 +797,7 @@ object MLPack {
         |      * 1000000000.0) AS BIGINT) AS iv
         |  FROM embeddings),
         |cent AS (SELECT label AS cl, pos,
-        |    SUM(CAST(iv AS DECIMAL(38,0))) // COUNT(*) AS c
+        |    SUM(CAST(iv AS HUGEINT)) // COUNT(*) AS c
         |  FROM ex WHERE vec_id % 5 <> 0 GROUP BY 1, 2),
         |pairs AS (SELECT i.cl AS ci, j.cl AS cj, i.pos AS pos,
         |    i.c AS cvi, j.c AS cvj

@@ -164,16 +164,24 @@ object StatsPack {
     // cumulative window spans only the catch-up horizon (≤ 7 day rows).
     "t1_incremental" -> ((s, d) => {
       val ledger = s.read.parquet(s"${ensureStatsLedger(s, d)}/daily")
-      val wm = ledger.agg(max(col("day"))).head().getDate(0)
-      val seed = broadcast(ledger.agg(max(col("cum_n")).as("seed")))
+      // EMPTY-ledger degenerate (a corpus spanning ≤ the 7-day horizon):
+      // max(day) would be null and `event_day > lit(null)` would drop
+      // every fresh row — the catch-up must instead treat ALL days as
+      // fresh with a zero seed (the reference's own no-stats-yet branch,
+      // db/submission_stats.py:95-100). The fixture never hits this, but
+      // the operator's contract should not depend on that.
+      val head = ledger.agg(max(col("day")).as("wm"),
+        coalesce(max(col("cum_n")), lit(0L)).as("seed")).head()
+      val wmOpt = Option(head.getDate(0))
       val w = Window.orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val fresh = t1Rollup(
-          Tables.eventsPartitioned(s, d)
-            .filter(col("event_day") > lit(wm)))
-        .crossJoin(seed)
-        .withColumn("cum_n", col("seed") + sum(col("n")).over(w))
-        .drop("seed")
+      val freshSrc = wmOpt match {
+        case Some(wm) => Tables.eventsPartitioned(s, d)
+          .filter(col("event_day") > lit(wm))
+        case None => Tables.eventsPartitioned(s, d)
+      }
+      val fresh = t1Rollup(freshSrc)
+        .withColumn("cum_n", lit(head.getLong(1)) + sum(col("n")).over(w))
       ledger.unionByName(fresh).orderBy("day")
     }),
 

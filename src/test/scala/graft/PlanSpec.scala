@@ -696,6 +696,15 @@ class PlanSpec extends SparkSpec {
     // into a gate: any query whose plan contains an unpartitioned window
     // must appear here with its boundedness justification, so a new
     // data-proportional funnel cannot land silently.
+    //
+    // Known blind spot: lineage truncated by localCheckpoint(true) (the
+    // components/candidate materializations in DedupPack/GraphPack)
+    // replaces the upstream plan with a leaf scan, so a window INSIDE a
+    // checkpointed segment is invisible here. Those segments are covered
+    // by their dedicated unmaterialized-frame plan pins (g2/g3 below run
+    // materialize = false for exactly this reason, and now also assert
+    // the window invariant); a new checkpointing builder must bring the
+    // same unmaterialized pin.
     val bounded: Map[String, String] = Map(
       "t1_daily_stats" -> "calendar-day rollup frame (date-domain bounded)",
       "t1_incremental" -> "catch-up cumulative over the ≤ 7-day horizon",
@@ -714,13 +723,26 @@ class PlanSpec extends SparkSpec {
         "the 64-file manifest frame (metadata-proportional)"),
       "io_zorder_prune" -> ("same layout gate × two layouts; monitors the " +
         "64-file manifest frame"))
-    val offenders = (for ((name, fn) <- SparkEntry.queries.toSeq) yield {
-      val unpart = windowNodes(fn(spark, sfTiny).queryExecution.sparkPlan)
-        .filter(_.partitionSpec.isEmpty)
-      (name, unpart.size)
-    }).filter(_._2 > 0).filterNot { case (n, _) => bounded.contains(n) }
+    // bench-profile trims m4's eager 360-combo grid (the builders run
+    // driver-side work at construction; only plan TOPOLOGY is inspected
+    // here and the reduced grid plans identically)
+    System.setProperty("graft.bench.profile", "true")
+    val offenders =
+      try (for ((name, fn) <- SparkEntry.queries.toSeq) yield {
+        val unpart = windowNodes(fn(spark, sfTiny).queryExecution.sparkPlan)
+          .filter(_.partitionSpec.isEmpty)
+        (name, unpart.size)
+      }).filter(_._2 > 0).filterNot { case (n, _) => bounded.contains(n) }
+      finally System.clearProperty("graft.bench.profile")
     assert(offenders.isEmpty,
       "unjustified unpartitioned windows: " + offenders.sortBy(_._1)
         .map { case (n, k) => s"$n($k)" }.mkString(", "))
+    // the checkpoint-hidden segments' own frames (see blind-spot note)
+    for (f <- Seq(
+        operators.GraphPack.trianglesFrame(spark, sfTiny, materialize = false),
+        operators.GraphPack.neighborJaccardFrame(spark, sfTiny,
+          materialize = false)))
+      assert(windowNodes(f.queryExecution.sparkPlan)
+        .forall(_.partitionSpec.nonEmpty))
   }
 }

@@ -61,6 +61,16 @@ COPY (
     # user_id-keyed shuffles scale in group COUNT (the realistic axis —
     # more users, same behavior), event_ids stay unique, timestamps stay
     # put (the day-partitioned layout keeps the same day count).
+    # Offsets only keep replicas disjoint while the SOURCE ids fit under
+    # them — chaining a run on an already-scaled output (or a much
+    # larger SF) would silently merge user populations; fail fast.
+    max_ev, max_user = con.execute(
+        f"SELECT MAX(event_id), MAX(user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()
+    assert max_ev < 100000000 and max_user < 10000000, (
+        f"source ids exceed replication offsets "
+        f"(max event_id={max_ev}, max user_id={max_user}) — "
+        f"replicas would collide; use a raw sf dir as input")
     con.execute(f"""
 COPY (
   SELECT event_id + r.i * 100000000 AS event_id, ts,
