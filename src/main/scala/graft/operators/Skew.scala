@@ -363,6 +363,26 @@ object Skew {
     * matter WHICH keys MG happens to surface — the oracle pins exactly
     * that, the a11 discipline. The MG hot set is partition-order
     * dependent (lower bounds); by the same invariance that is harmless. */
+  /** Typed hot-key membership predicate shared by the differentiated-join
+    * variants: literals retyped to the key column's own type (a
+    * cast-to-string In() would wrap the column and never push to the
+    * parquet scan), string comparison as the exotic-type fallback. */
+  private def hotPredicate(keyed: DataFrame, key: Column,
+      hot: Seq[String]): Column => Column = {
+    val typed: Option[Seq[Any]] =
+      keyed.select(key).schema.head.dataType match {
+        case LongType => Some(hot.map(_.toLong))
+        case IntegerType => Some(hot.map(_.toInt))
+        case ShortType => Some(hot.map(_.toShort))
+        case StringType => Some(hot)
+        case _ => None
+      }
+    typed match {
+      case Some(vs) => c => c.isin(vs: _*)
+      case None => c => c.cast(StringType).isin(hot: _*)
+    }
+  }
+
   def skewGuardedJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
       dimKey: Column, k: Int,
       hotKeys: Option[Seq[String]] = None): DataFrame = {
@@ -370,23 +390,44 @@ object Skew {
       .select(col("key")).collect().map(_.getString(0)).toSeq)
     if (hot.isEmpty) fact.join(dim, factKey === dimKey)
     else {
-      // hot-key literals retyped to the key column's own type: a
-      // cast-to-string In() would wrap the column and never push to the
-      // parquet scan; the typed In() prunes row groups at the source
-      val typed: Option[Seq[Any]] =
-        fact.select(factKey).schema.head.dataType match {
-          case LongType => Some(hot.map(_.toLong))
-          case IntegerType => Some(hot.map(_.toInt))
-          case ShortType => Some(hot.map(_.toShort))
-          case StringType => Some(hot)
-          case _ => None // exotic key type: compare on the string form
-        }
-      def isHot(c: Column): Column = typed match {
-        case Some(vs) => c.isin(vs: _*)
-        case None => c.cast(StringType).isin(hot: _*)
-      }
+      val isHot = hotPredicate(fact, factKey, hot)
       val hotSlice = fact.filter(isHot(factKey))
         .join(broadcast(dim.filter(isHot(dimKey))), factKey === dimKey)
+      val coldSlice = fact.filter(!isHot(factKey))
+        .join(dim, factKey === dimKey)
+      hotSlice.unionByName(coldSlice)
+    }
+  }
+
+  /** The salt-replication variant of [[skewGuardedJoin]] for the case its
+    * scaladoc flags: a MANY-rows-per-key right side, where broadcasting
+    * even the hot slice stops being free. Hot fact rows take a
+    * deterministic salt (hash of the caller's per-row-distinct `rowId`,
+    * the [[saltedSumCount]] convention); the hot DIM rows replicate once
+    * per salt value; the hot join runs on (key, salt), spreading each hot
+    * key over `buckets` reducers with every fact row still meeting every
+    * matching dim row EXACTLY once (one salt per fact row × one replica
+    * per salt). Cold remainder joins plainly. Semantically invisible like
+    * the broadcast variant — the result equals the unsplit join for ANY
+    * salt assignment, which is what the spec pins. */
+  def saltReplicatedJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
+      dimKey: Column, rowId: Column, k: Int, buckets: Int,
+      hotKeys: Option[Seq[String]] = None): DataFrame = {
+    require(buckets >= 1, "buckets >= 1")
+    val hot = hotKeys.getOrElse(frequentKeys(fact, factKey, k)
+      .select(col("key")).collect().map(_.getString(0)).toSeq)
+    if (hot.isEmpty) fact.join(dim, factKey === dimKey)
+    else {
+      val isHot = hotPredicate(fact, factKey, hot)
+      val salted = fact.filter(isHot(factKey))
+        .withColumn("_fsalt", pmod(xxhash64(rowId), lit(buckets.toLong)))
+      val replicated = dim.filter(isHot(dimKey))
+        .withColumn("_dsalt",
+          explode(sequence(lit(0L), lit(buckets - 1L))))
+      val hotSlice = salted
+        .join(replicated,
+          factKey === dimKey && col("_fsalt") === col("_dsalt"))
+        .drop("_fsalt", "_dsalt")
       val coldSlice = fact.filter(!isHot(factKey))
         .join(dim, factKey === dimKey)
       hotSlice.unionByName(coldSlice)

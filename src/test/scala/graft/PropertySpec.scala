@@ -4,6 +4,7 @@ import graft.functions.HashFunctions
 import graft.multimodal.BinaryColumns
 import graft.operators.Skew
 import graft.plans.{HammingDistance, SimHash64Impl}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.Gen
@@ -149,6 +150,37 @@ class PropertySpec extends SparkSpec {
       .agg(Exprs.dsum(col("l_quantity")).as("total"), count(lit(1)).as("n"))
       .orderBy("key").collect().map(_.toString).toSeq
     assert(salted == direct)
+  }
+
+  test("salt-replicated skew join equals the plain join and keys the hot " +
+    "slice on (key, salt) with no broadcast") {
+    // the many-rows-per-key regime j13's broadcast variant can't serve:
+    // auto-broadcast disabled, no explicit broadcast anywhere — the hot
+    // keys spread over salt buckets instead
+    val ev = Tables.events(spark, sfTiny)
+    val cust = Tables.customer(spark, sfTiny)
+    def sel(df: DataFrame) = df
+      .select("event_id", "user_id", "c_name").orderBy("event_id")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plain = sel(ev.join(cust, col("user_id") === col("c_custkey")))
+        .collect()
+      val split = sel(Skew.saltReplicatedJoin(ev, cust, col("user_id"),
+        col("c_custkey"), col("event_id"), k = 16, buckets = 4,
+        hotKeys = Some(Seq("3", "7"))))
+      val got = split.collect()
+      assert(got.nonEmpty && got.sameElements(plain))
+      val plan = split.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"salt variant must not broadcast:\n$plan")
+      assert(plan.contains("_fsalt"),
+        s"hot join not keyed on the salt:\n$plan")
+      // the shipped MG-driven form is equally invisible
+      val mg = sel(Skew.saltReplicatedJoin(ev, cust, col("user_id"),
+        col("c_custkey"), col("event_id"), k = 4, buckets = 4)).collect()
+      assert(mg.sameElements(plain))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("frequentKeys honors the Misra-Gries guarantee on a skewed column") {
