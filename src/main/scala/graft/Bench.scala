@@ -205,12 +205,14 @@ object Bench {
     // graft.bench.profile is a methodology choice, and cross-round
     // comparisons must be able to see it in the artifact itself.
     // Self-labeling: a capture violating either documented clean-capture
-    // gate — loadavg_pre past the 4.5 settle bar (background load
-    // inflates every query) or CPUS ≠ 16 (the convention; BASELINE.md
-    // measures a ~40% bandwidth penalty at 32) — carries the flag IN the
-    // artifact, so a contaminated driver-side run reads as contaminated
-    // without BASELINE.md exegesis.
-    val contaminated = loadPre > 4.5 || cpus != "16"
+    // gate — loadavg past the 4.5 bar AT THE TIMED LOOP'S START
+    // (loadavg_start: sampled after the settle wait, i.e. the state the
+    // measurements actually run in — a pre-load that fully settles is
+    // clean, one the settle loop times out on is not) or CPUS ≠ 16 (the
+    // convention; BASELINE.md measures a ~40% bandwidth penalty at 32) —
+    // carries the flag IN the artifact, so a contaminated driver-side
+    // run reads as contaminated without BASELINE.md exegesis.
+    val contaminated = load0 > 4.5 || cpus != "16"
     val tele = s""""loadavg_pre":${ms(loadPre)},""" +
       s""""loadavg_start":${ms(load0)},"loadavg_end":${ms(load1)},""" +
       s""""gc_ms":$gcMs,"timing":"best_of_2","profile":"bench_reduced_m4",""" +

@@ -343,58 +343,66 @@ object Skew {
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n"))
 
+  /** Typed hot-key membership predicate shared by the differentiated-join
+    * variants: literals retyped to the key column's own type (a
+    * cast-to-string In() would wrap the column and never push to the
+    * parquet scan), string comparison as the exotic-type fallback. A
+    * NULL surfaced by the MG pass (a null-dominated key column) is
+    * dropped — a NULL key can never equi-match, so both the plain join
+    * and every slice discard those rows identically. */
+  private def hotPredicate(keyed: DataFrame, key: Column,
+      hot: Seq[String]): Column => Column = {
+    val nn = hot.filter(_ != null)
+    val typed: Option[Seq[Any]] =
+      keyed.select(key).schema.head.dataType match {
+        case LongType => Some(nn.map(_.toLong))
+        case IntegerType => Some(nn.map(_.toInt))
+        case ShortType => Some(nn.map(_.toShort))
+        case StringType => Some(nn)
+        case _ => None
+      }
+    typed match {
+      case Some(vs) => c => c.isin(vs: _*)
+      case None => c => c.cast(StringType).isin(nn: _*)
+    }
+  }
+
   /** Hot-key differentiated equi join — the JOIN-side companion of
     * [[saltedSumCount]]. AQE's skew handling splits oversized partitions
     * at runtime, but only within shuffle-join stages it already planned,
-    * after the skewed map output exists; a PLANNED split avoids ever
-    * materializing the hot keys' shuffle blocks. A shuffle-free
-    * [[frequentKeys]] pass surfaces the ≤ `k` heaviest fact keys; fact
-    * rows on those keys join against a BROADCAST of the dimension's
-    * matching rows — ≤ `k` dim rows for a keyed dimension, always
-    * broadcastable no matter how hot the fact side is, so the hot rows
-    * never shuffle at all — while the cold remainder takes the ordinary
-    * shuffle join. (For a many-rows-per-key right side, broadcast stops
-    * being free and the variant is salt-replication: salt the fact,
-    * replicate the hot dim rows across the salt domain — same split
-    * discipline, different hot-path transport.)
+    * after the skewed map output exists — and only past its size
+    * threshold (256 MB default), which a measured 90%%-hot corpus never
+    * crossed (BASELINE.md "Skew-join guard, measured"); a PLANNED split
+    * avoids ever materializing the hot keys' shuffle blocks and needs no
+    * tuning. A shuffle-free [[frequentKeys]] pass surfaces the ≤ `k`
+    * heaviest fact keys; fact rows on those keys join against a
+    * BROADCAST of the dimension's matching rows — ≤ `k` dim rows for a
+    * keyed dimension, always broadcastable no matter how hot the fact
+    * side is, so the hot rows never shuffle at all — while the cold
+    * remainder takes the ordinary shuffle join against the hot-filtered
+    * dim (cold fact keys are disjoint from the hot set, so dropping the
+    * hot dim rows from that branch changes nothing but the shuffle).
+    * For a many-rows-per-key right side, broadcast stops being free —
+    * use [[saltReplicatedJoin]].
     *
     * The split is SEMANTICALLY INVISIBLE: every row meets the same join
     * partners on either route, so the result equals the plain join no
     * matter WHICH keys MG happens to surface — the oracle pins exactly
     * that, the a11 discipline. The MG hot set is partition-order
     * dependent (lower bounds); by the same invariance that is harmless. */
-  /** Typed hot-key membership predicate shared by the differentiated-join
-    * variants: literals retyped to the key column's own type (a
-    * cast-to-string In() would wrap the column and never push to the
-    * parquet scan), string comparison as the exotic-type fallback. */
-  private def hotPredicate(keyed: DataFrame, key: Column,
-      hot: Seq[String]): Column => Column = {
-    val typed: Option[Seq[Any]] =
-      keyed.select(key).schema.head.dataType match {
-        case LongType => Some(hot.map(_.toLong))
-        case IntegerType => Some(hot.map(_.toInt))
-        case ShortType => Some(hot.map(_.toShort))
-        case StringType => Some(hot)
-        case _ => None
-      }
-    typed match {
-      case Some(vs) => c => c.isin(vs: _*)
-      case None => c => c.cast(StringType).isin(hot: _*)
-    }
-  }
-
   def skewGuardedJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
       dimKey: Column, k: Int,
       hotKeys: Option[Seq[String]] = None): DataFrame = {
     val hot = hotKeys.getOrElse(frequentKeys(fact, factKey, k)
       .select(col("key")).collect().map(_.getString(0)).toSeq)
+      .filter(_ != null)
     if (hot.isEmpty) fact.join(dim, factKey === dimKey)
     else {
       val isHot = hotPredicate(fact, factKey, hot)
       val hotSlice = fact.filter(isHot(factKey))
         .join(broadcast(dim.filter(isHot(dimKey))), factKey === dimKey)
       val coldSlice = fact.filter(!isHot(factKey))
-        .join(dim, factKey === dimKey)
+        .join(dim.filter(!isHot(dimKey)), factKey === dimKey)
       hotSlice.unionByName(coldSlice)
     }
   }
@@ -407,15 +415,25 @@ object Skew {
     * per salt value; the hot join runs on (key, salt), spreading each hot
     * key over `buckets` reducers with every fact row still meeting every
     * matching dim row EXACTLY once (one salt per fact row × one replica
-    * per salt). Cold remainder joins plainly. Semantically invisible like
-    * the broadcast variant — the result equals the unsplit join for ANY
-    * salt assignment, which is what the spec pins. */
+    * per salt). The cold remainder joins the hot-FILTERED dim — in this
+    * variant's very premise the hot dim rows are the bulk of the table,
+    * and unfiltered they would shuffle a second time into a branch where
+    * no cold fact row can match them. Semantically invisible like the
+    * broadcast variant — the result equals the unsplit join for ANY salt
+    * assignment, which is what the spec pins. */
   def saltReplicatedJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
       dimKey: Column, rowId: Column, k: Int, buckets: Int,
       hotKeys: Option[Seq[String]] = None): DataFrame = {
     require(buckets >= 1, "buckets >= 1")
+    // the working salt columns must not shadow caller columns — a
+    // collision would make the post-join drop() remove caller data and
+    // silently break the equals-the-unsplit-join contract
+    require(!fact.columns.contains("_fsalt") &&
+      !dim.columns.contains("_dsalt"),
+      "fact/_fsalt or dim/_dsalt column collision")
     val hot = hotKeys.getOrElse(frequentKeys(fact, factKey, k)
       .select(col("key")).collect().map(_.getString(0)).toSeq)
+      .filter(_ != null)
     if (hot.isEmpty) fact.join(dim, factKey === dimKey)
     else {
       val isHot = hotPredicate(fact, factKey, hot)
@@ -429,7 +447,7 @@ object Skew {
           factKey === dimKey && col("_fsalt") === col("_dsalt"))
         .drop("_fsalt", "_dsalt")
       val coldSlice = fact.filter(!isHot(factKey))
-        .join(dim, factKey === dimKey)
+        .join(dim.filter(!isHot(dimKey)), factKey === dimKey)
       hotSlice.unionByName(coldSlice)
     }
   }

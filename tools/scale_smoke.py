@@ -27,8 +27,12 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale8"
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
-UNCHANGED = ["region", "nation", "customer", "supplier", "part",
+UNCHANGED = ["region", "nation", "supplier", "part",
              "orders", "lineitem"]
+# customer replicates with the SAME user offset as events (below), so
+# events→customer referential integrity survives replication — without
+# it, 7/8 of replicated fact rows dangle and any events⋈customer smoke
+# (j13) measures a mostly-discarded probe instead of a scaled join.
 
 
 def main():
@@ -79,6 +83,15 @@ COPY (
   FROM '{SF}/events.parquet'
   CROSS JOIN (SELECT unnest(generate_series(0, {N - 1})) AS i) r
 ) TO '{OUT}/events.parquet' (FORMAT PARQUET)
+""")
+    con.execute(f"""
+COPY (
+  SELECT c_custkey + r.i * 10000000 AS c_custkey,
+         c_name || ' rep' || CAST(r.i AS VARCHAR) AS c_name,
+         c_nationkey, c_acctbal, c_mktsegment
+  FROM '{SF}/customer.parquet'
+  CROSS JOIN (SELECT unnest(generate_series(0, {N - 1})) AS i) r
+) TO '{OUT}/customer.parquet' (FORMAT PARQUET)
 """)
     docs = con.execute(
         f"SELECT COUNT(*) FROM '{OUT}/documents.parquet'").fetchone()[0]
