@@ -558,6 +558,12 @@ object Relational {
     // new name per nation. New users get ids max(id) + rank(name) — the
     // batch analogue of the sequence, deterministic in both engines. The
     // rank window runs on the request-sized unmatched slice only.
+    // Scale shape: the REGISTRY never shuffles — a naive left join from
+    // the request would range/hash-exchange the whole user table per
+    // request batch once it outgrows auto-broadcast; instead the match
+    // is an INNER join with the request batch broadcast (the registry
+    // streams map-side), and the unmatched slice is a request-vs-request
+    // anti join (both sides request-sized, broadcast). Plan-pinned.
     "u1_user_get_or_create" -> ((s, d) => {
       val users = Tables.customer(s, d)
         .select(col("c_custkey").as("id"), col("c_name").as("username"))
@@ -567,17 +573,17 @@ object Relational {
           .select(concat(lit("new_user_"), lower(col("n_name")))
             .as("req_name")))
         .distinct()
-      val matched = incoming.join(users,
-        lower(col("req_name")) === lower(col("username")), "left")
-      val created = matched.filter(col("id").isNull)
-        .select("req_name")
+      val matched = users.join(broadcast(incoming),
+        lower(col("req_name")) === lower(col("username")))
+      val created = incoming
+        .join(broadcast(matched.select(col("req_name"))),
+          Seq("req_name"), "left_anti")
         .crossJoin(broadcast(users.agg(max(col("id")).as("max_id"))))
         .withColumn("id",
           col("max_id") + row_number().over(Window.orderBy(col("req_name"))))
         .select(col("id"), col("req_name").as("username"),
           lit(true).as("is_new"))
-      matched.filter(col("id").isNotNull)
-        .select(col("id"), col("username"), lit(false).as("is_new"))
+      matched.select(col("id"), col("username"), lit(false).as("is_new"))
         .unionByName(created)
         .orderBy("id")
     }),

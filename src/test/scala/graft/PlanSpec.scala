@@ -590,6 +590,22 @@ class PlanSpec extends SparkSpec {
       s"g3_neighbor_jaccard: all-pairs shape leaked in:\n$plan")
   }
 
+  test("u1_user_get_or_create: the registry never shuffles — request " +
+    "batch broadcasts into the match, anti join stays request-sized") {
+    // auto-broadcast off: at 100 TB the registry outgrows it, and only
+    // the EXPLICIT request-batch broadcasts may remain
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = finalPlanText(run("u1_user_get_or_create"))
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"),
+        s"u1: registry-wide shuffle join appeared:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"u1: expected the broadcast request-batch match in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("t1_incremental: history comes from the ledger artifact; the " +
     "catch-up scan prunes to the days past the watermark") {
     val df = run("t1_incremental")
