@@ -594,8 +594,10 @@ object Relational {
     // The key table derives deterministically from the registry (value =
     // md5, every fourth key revoked); the request holds every tenth
     // customer's key — a mix of active and revoked, so the is_active
-    // filter is load-bearing. Request-sized sides broadcast; the engine
-    // never shuffles the registry per lookup batch.
+    // filter is load-bearing. Request-sized sides broadcast at BOTH
+    // joins: the key-table probe builds the broadcast request, and the
+    // surviving request-sized slice broadcasts into the user lookup —
+    // the registry streams map-side twice and never shuffles per batch.
     "u2_api_key_resolve" -> ((s, d) => {
       val users = Tables.customer(s, d)
         .select(col("c_custkey").as("id"), col("c_name").as("username"))
@@ -604,9 +606,9 @@ object Relational {
         (col("id") % 4 =!= 0).as("is_active"))
       val request = users.filter(col("id") % 10 === 0)
         .select(keyOf.as("value"))
-      keys.join(broadcast(request), Seq("value"))
+      val resolved = keys.join(broadcast(request), Seq("value"))
         .filter(col("is_active"))
-        .join(users, col("owner") === col("id"))
+      users.join(broadcast(resolved), col("owner") === col("id"))
         .select(col("value").as("apikey"), col("id"), col("username"))
         .orderBy("id")
     }),

@@ -597,12 +597,14 @@ class PlanSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val plan = finalPlanText(run("u1_user_get_or_create"))
-      assert(!plan.contains("SortMergeJoin") &&
-        !plan.contains("ShuffledHashJoin"),
-        s"u1: registry-wide shuffle join appeared:\n$plan")
-      assert(plan.contains("BroadcastHashJoin"),
-        s"u1: expected the broadcast request-batch match in:\n$plan")
+      for (q <- Seq("u1_user_get_or_create", "u2_api_key_resolve")) {
+        val plan = finalPlanText(run(q))
+        assert(!plan.contains("SortMergeJoin") &&
+          !plan.contains("ShuffledHashJoin"),
+          s"$q: registry-wide shuffle join appeared:\n$plan")
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$q: expected the broadcast request-batch match in:\n$plan")
+      }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
