@@ -398,23 +398,41 @@ object Relational {
     // frontier membership only depends on each price level's LATEST day
     // (same-price earlier rows are dominated by the price-level max), so
     // one groupBy collapses n orders to the distinct-price frame, and a
-    // level survives iff its dmax strictly beats the running max over
-    // strictly-higher prices (prices are distinct post-rollup, so the
-    // row frame IS the strict-dominance set; ties on dmax are dominated —
-    // strict >). The global window runs POST-ROLLUP on the price-level
-    // frame (the suite's accepted shape; a 100 TB deployment bands the
-    // price domain and merges per-band staircases). Equal (price, day)
-    // duplicates are mutually non-dominating — the join back emits all.
+    // level survives iff its dmax strictly beats the max over strictly
+    // higher prices (prices are distinct post-rollup, so the row frame
+    // IS the strict-dominance set; ties on dmax are dominated — strict
+    // >). The dominance max runs as the ev_concentration chunked
+    // two-level prefix (round 12): a global price-descending window
+    // would put EVERY distinct price level through one task — value-
+    // domain, but at 100 TB that can be millions of levels; instead the
+    // running max decomposes as max(within-chunk prefix max [PARTITIONED
+    // window], best of all higher chunks [broadcast triangle over the
+    // ~levels/2²⁰ chunk frame]). greatest() skips nulls, so the
+    // no-higher-level edge keeps the original null semantics. Equal
+    // (price, day) duplicates are mutually non-dominating — the join
+    // back emits all.
     "w10_pareto_frontier" -> ((s, d) => {
       val o = Tables.orders(s, d).select(col("o_orderkey"),
         floor(col("o_totalprice") * 100).cast(LongType).as("price_cents"),
         col("o_orderdate").cast(DateType).as("day"))
       val lvl = o.groupBy("price_cents").agg(max(col("day")).as("dmax"))
-      val w = Window.orderBy(col("price_cents").desc)
+        .withColumn("chunk", expr("price_cents div 1048576"))
+      val wIn = Window.partitionBy(col("chunk"))
+        .orderBy(col("price_cents").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      val front = lvl.withColumn("better_day", max(col("dmax")).over(w))
+      val chunkMax = lvl.groupBy(col("chunk")).agg(max(col("dmax")).as("cm"))
+      val hiBest = chunkMax.as("a")
+        .join(broadcast(chunkMax.as("b")),
+          col("b.chunk") > col("a.chunk"), "left")
+        .groupBy(col("a.chunk").as("chunk"))
+        .agg(max(col("b.cm")).as("hi_best"))
+      val front = lvl
+        .withColumn("in_best", max(col("dmax")).over(wIn))
+        .join(broadcast(hiBest), Seq("chunk"))
+        .withColumn("better_day", greatest(col("in_best"), col("hi_best")))
         .filter(col("better_day").isNull || col("better_day") < col("dmax"))
-      o.join(broadcast(front), Seq("price_cents"))
+      o.join(broadcast(front.select("price_cents", "dmax")),
+          Seq("price_cents"))
         .filter(col("day") === col("dmax"))
         .select(col("o_orderkey"), col("price_cents"), col("day"))
         .orderBy(col("price_cents").desc, col("o_orderkey"))

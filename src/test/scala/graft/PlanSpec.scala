@@ -730,7 +730,6 @@ class PlanSpec extends SparkSpec {
       "t6_moving_avg" -> "7-day moving average over the day rollup frame",
       "w8_pagination" -> ("window over a .limit(pageEnd) frame (≤40 rows " +
         "by construction; the scalable form is w11_keyset_page)"),
-      "w10_pareto_frontier" -> "distinct price-level frame (value-domain)",
       "u1_user_get_or_create" -> ("id allocation over the UNMATCHED slice " +
         "of the request batch only (request-sized, like BulkParams)"),
       "s3_highlevel_write" -> "distinct (model, data) dimension vocabulary",
