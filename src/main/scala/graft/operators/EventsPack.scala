@@ -132,24 +132,27 @@ object EventsPack {
     // (n_events, user_id): rank intervals follow the SQL ntile split
     // (first N mod 10 buckets get one extra row).
     "ev_concentration" -> ((s, d) => {
-      val cnt = Tables.events(s, d)
+      val cnt0 = Tables.events(s, d)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
         .groupBy(col("n_events")).agg(count(lit(1)).as("c"))
-        .withColumn("chunk", expr("n_events div 1024"))
       // exact global prefix sums over the volume frame, scale-safe:
       // within-chunk cumulative (partitioned window) + chunk offsets via
-      // a broadcast triangle over the ~V/1024-row chunk frame. The
-      // expensive pre-shuffle pipeline (events scan + user rollup) is
-      // shared across branches by exchange reuse — verified in PlanSpec.
+      // the shared Chunked broadcast triangle. The chunk id is
+      // RANGE-derived (≤ 4096 chunks for ANY volume domain — a fixed
+      // `div 1024` bound only held while volumes were dense near zero;
+      // review-caught). The expensive pre-shuffle pipeline (events scan
+      // + user rollup) is shared across branches by exchange reuse —
+      // verified in PlanSpec.
+      val cnt = cnt0
+        .crossJoin(broadcast(cnt0.agg(min(col("n_events")).as("vlo"),
+          max(col("n_events")).as("vhi"))))
+        .withColumn("chunk", Chunked.chunkId("n_events", "vlo", "vhi"))
       val wIn = Window.partitionBy(col("chunk")).orderBy(col("n_events"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val inChunk = cnt.withColumn("cum_in", sum(col("c")).over(wIn))
       val chunkSums = cnt.groupBy(col("chunk")).agg(sum(col("c")).as("cc"))
-      val chunkOff = chunkSums.as("a")
-        .join(broadcast(chunkSums.as("b")),
-          col("b.chunk") < col("a.chunk"), "left")
-        .groupBy(col("a.chunk").as("chunk"))
-        .agg(coalesce(sum(col("b.cc")), lit(0L)).as("chunk_off"))
+      val chunkOff = Chunked.crossChunk(chunkSums, "chunk", "cc",
+        _ < _, c => coalesce(sum(c), lit(0L)), "chunk_off")
       val nTotal = chunkSums.agg(sum(col("cc")).as("n_total"))
       // users of volume v occupy global ranks (off, off + c]; decile k
       // covers ranks ((k-1)q + min(k-1, r), kq + min(k, r)] for

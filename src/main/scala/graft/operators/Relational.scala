@@ -401,31 +401,33 @@ object Relational {
     // level survives iff its dmax strictly beats the max over strictly
     // higher prices (prices are distinct post-rollup, so the row frame
     // IS the strict-dominance set; ties on dmax are dominated — strict
-    // >). The dominance max runs as the ev_concentration chunked
-    // two-level prefix (round 12): a global price-descending window
-    // would put EVERY distinct price level through one task — value-
-    // domain, but at 100 TB that can be millions of levels; instead the
-    // running max decomposes as max(within-chunk prefix max [PARTITIONED
-    // window], best of all higher chunks [broadcast triangle over the
-    // ~levels/2²⁰ chunk frame]). greatest() skips nulls, so the
-    // no-higher-level edge keeps the original null semantics. Equal
-    // (price, day) duplicates are mutually non-dominating — the join
-    // back emits all.
+    // >). The dominance max runs as the shared [[Chunked]] two-level
+    // prefix (round 12): a global price-descending window would put
+    // EVERY distinct price level through one task — value-domain, but at
+    // 100 TB that can be millions of levels; instead the running max
+    // decomposes as max(within-chunk prefix max [PARTITIONED window],
+    // best of all higher chunks [broadcast triangle]). The chunk id is
+    // RANGE-derived (Chunked.chunkId over the observed min/max), so the
+    // chunk frame is ≤ 4096 rows for any price domain — a fixed-divisor
+    // chunk would let sparse wide-domain prices blow the triangle up
+    // (review-caught). greatest() skips nulls, so the no-higher-level
+    // edge keeps the original null semantics. Equal (price, day)
+    // duplicates are mutually non-dominating — the join back emits all.
     "w10_pareto_frontier" -> ((s, d) => {
       val o = Tables.orders(s, d).select(col("o_orderkey"),
         floor(col("o_totalprice") * 100).cast(LongType).as("price_cents"),
         col("o_orderdate").cast(DateType).as("day"))
-      val lvl = o.groupBy("price_cents").agg(max(col("day")).as("dmax"))
-        .withColumn("chunk", expr("price_cents div 1048576"))
+      val lvl0 = o.groupBy("price_cents").agg(max(col("day")).as("dmax"))
+      val lvl = lvl0
+        .crossJoin(broadcast(lvl0.agg(min(col("price_cents")).as("plo"),
+          max(col("price_cents")).as("phi"))))
+        .withColumn("chunk", Chunked.chunkId("price_cents", "plo", "phi"))
       val wIn = Window.partitionBy(col("chunk"))
         .orderBy(col("price_cents").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      val chunkMax = lvl.groupBy(col("chunk")).agg(max(col("dmax")).as("cm"))
-      val hiBest = chunkMax.as("a")
-        .join(broadcast(chunkMax.as("b")),
-          col("b.chunk") > col("a.chunk"), "left")
-        .groupBy(col("a.chunk").as("chunk"))
-        .agg(max(col("b.cm")).as("hi_best"))
+      val hiBest = Chunked.crossChunk(
+        lvl.groupBy(col("chunk")).agg(max(col("dmax")).as("cm")),
+        "chunk", "cm", _ > _, max, "hi_best")
       val front = lvl
         .withColumn("in_best", max(col("dmax")).over(wIn))
         .join(broadcast(hiBest), Seq("chunk"))
