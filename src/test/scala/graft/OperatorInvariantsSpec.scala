@@ -73,6 +73,34 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(rec.map(_.getAs[Long]("hits_tables")).sum > 0)
   }
 
+  test("clustered corpus: the index prunes 7/8 of the corpus at >=96% recall") {
+    // The VERDICT-12 claim, gated: on data WITH cluster structure the
+    // Gonzalez-seeded IVF probing nprobe/K = 2/16 = 1/8 of its cells
+    // recovers (nearly) the whole exact top-10, and the scanned fraction
+    // is IN the row — the 100 TB value of the index family is a measured
+    // number here, not an argument. (The unclustered ann_recall monitor
+    // needs a 1/2 candidate fraction for 82/100 on the same shapes.)
+    val rows = run("ann_clustered_recall").collect()
+    assert(rows.length == operators.SimilarityPack.ClusSampleN)
+    val hitsIvf = rows.map(_.getAs[Long]("hits_ivf")).sum
+    val hitsLsh = rows.map(_.getAs[Long]("hits_lsh")).sum
+    assert(hitsIvf >= 240, s"IVF recall $hitsIvf/250 at 1/8 scan")
+    assert(hitsLsh >= 180, s"LSH recall $hitsLsh/250")
+    // every query's scanned fraction stays near 1/8 of the corpus
+    // (IVF <= 1/6 allows bounded cell imbalance, never a half-corpus
+    // probe; LSH buckets are random-plane cuts, so individual queries
+    // can union a couple of colliding clusters — bound the MEAN at 1/7
+    // and each query at 1/4)
+    for (r <- rows) {
+      assert(r.getAs[Long]("frac_ivf_ppm") <= 166666,
+        s"query ${r.get(0)} IVF scanned ${r.getAs[Long]("frac_ivf_ppm")} ppm")
+      assert(r.getAs[Long]("frac_lsh_ppm") <= 250000,
+        s"query ${r.get(0)} LSH scanned ${r.getAs[Long]("frac_lsh_ppm")} ppm")
+    }
+    assert(rows.map(_.getAs[Long]("frac_ivf_ppm")).sum / rows.length <= 142857)
+    assert(rows.map(_.getAs[Long]("frac_lsh_ppm")).sum / rows.length <= 142857)
+  }
+
   test("ivf nprobe=2 recall of the exact top-5 dominates nprobe=1 per query") {
     // top-2 cells contain the top-1 cell, so the nprobe=2 candidate set is
     // a superset — the same survival argument as the LSH dominance test
