@@ -59,8 +59,21 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val mainT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpusReq = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // The bench CONVENTION is 16 worker threads (BASELINE.md measures a
+    // ~40% memory-bandwidth penalty at 32, and every clean cross-round
+    // capture is a 16-thread capture) — but the driver's own invocations
+    // set SPARK_GRAFT_CPUS=32 (r11/r12 artifacts), which made the
+    // headline number structurally incomparable. Clamp the session to the
+    // convention and record BOTH values: the artifact self-describes, and
+    // a cpus-contaminated capture becomes impossible rather than merely
+    // labeled (VERDICT r12 item 6 / ADVICE). Requests below 16 are the
+    // builder's own subset iteration and pass through unchanged.
+    val cpus =
+      try { if (cpusReq.trim.toInt > 16) "16" else cpusReq }
+      catch { case _: Throwable => cpusReq }
     // Optional arg: comma-separated query subset — the builder's
     // single-query timing loop. The driver always runs with no args.
     val selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -149,46 +162,91 @@ object Bench {
     // artifact shows whether the bar was reached or the cap hit. Timed
     // results are unaffected (best-of-2 still guards transient noise);
     // this only buys an interpretable loadavg_start.
-    val settleT0 = System.nanoTime()
     val settleBar = 4.5
-    while (loadavg() > settleBar &&
-        (System.nanoTime() - settleT0) / 1e9 < 150.0)
-      Thread.sleep(5000)
-    val settleSec = (System.nanoTime() - settleT0) / 1e9
-    // host yardsticks, sampled on the settled machine right before the
-    // timed loop — the state the per-query numbers are measured in
-    val cpuCal = cpuCalMs()
-    val schedCal = schedCalMs(spark)
-    val load0 = loadavg()
-    val gc0 = gcMillis()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Evaluate through the noop sink, NOT count(): count() lets Catalyst
-      // prune every projected column and eliminate sorts, so map-only
-      // queries would time a near-empty footer scan instead of their
-      // actual expression work. The noop write materializes every output
-      // row without writing bytes.
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      // Best-of-2 within the same JVM: a transient scheduler hiccup or GC
-      // pause during one run cannot inflate the recorded number, so the
-      // artifact resists the capture-time machine-load contamination that
-      // produced r5's phantom 2.2x regression. The floor of two runs is
-      // still an honest execution (full plan, all rows through the sink).
-      // Each run is caught separately: a transient failure on one run must
-      // not discard the other's complete measurement — the sentinel -1 is
-      // recorded only when BOTH runs fail (never fast-looking).
-      def attempt(): Double = try once() catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        -1.0
-      }
-      val runs = Seq(attempt(), attempt()).filter(_ >= 0)
-      name -> (if (runs.isEmpty) -1.0 else runs.min)
+    // One full timed capture + the state it ran in. The contamination
+    // `score` (> 1 = some clean-capture gate violated) drives the bounded
+    // settle-and-retry below: either the settle wait never reached the
+    // loadavg bar, or the host got SLOWER while the loop ran — the r12
+    // signature, where loadavg_start 4.41 passed the gate and the external
+    // load arrived mid-loop. The END yardsticks catch that case: they are
+    // re-sampled when the bench's own work is finished, so unlike
+    // loadavg_end (which the bench's own threads legitimately inflate)
+    // they cannot be self-contaminated. Thresholds: single-thread CPU cal
+    // repeats within a few % on an idle host (1.3x = external CPU
+    // pressure); sched cal is scheduler-noisy, so 2.5x.
+    case class Capture(results: Seq[(String, Double)], load0: Double,
+        load1: Double, gcMs: Long, cpuCal: Double, schedCal: Double,
+        cpuCalEnd: Double, schedCalEnd: Double, settleSec: Double) {
+      def score: Double = Seq(load0 / settleBar,
+        cpuCalEnd / (cpuCal * 1.3), schedCalEnd / (schedCal * 2.5)).max
     }
-    val load1 = loadavg()
-    val gcMs = gcMillis() - gc0
+    def timedCapture(): Capture = {
+      val settleT0 = System.nanoTime()
+      while (loadavg() > settleBar &&
+          (System.nanoTime() - settleT0) / 1e9 < 150.0)
+        Thread.sleep(5000)
+      val settleSec = (System.nanoTime() - settleT0) / 1e9
+      // host yardsticks, sampled on the settled machine right before the
+      // timed loop — the state the per-query numbers are measured in
+      val cpuCal = cpuCalMs()
+      val schedCal = schedCalMs(spark)
+      val load0 = loadavg()
+      val gc0 = gcMillis()
+      val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // Evaluate through the noop sink, NOT count(): count() lets
+        // Catalyst prune every projected column and eliminate sorts, so
+        // map-only queries would time a near-empty footer scan instead of
+        // their actual expression work. The noop write materializes every
+        // output row without writing bytes.
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        // Best-of-2 within the same JVM: a transient scheduler hiccup or GC
+        // pause during one run cannot inflate the recorded number, so the
+        // artifact resists the capture-time machine-load contamination that
+        // produced r5's phantom 2.2x regression. The floor of two runs is
+        // still an honest execution (full plan, all rows through the sink).
+        // Each run is caught separately: a transient failure on one run
+        // must not discard the other's complete measurement — the sentinel
+        // -1 is recorded only when BOTH runs fail (never fast-looking).
+        def attempt(): Double = try once() catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+        }
+        val runs = Seq(attempt(), attempt()).filter(_ >= 0)
+        name -> (if (runs.isEmpty) -1.0 else runs.min)
+      }
+      val load1 = loadavg()
+      val gcMs = gcMillis() - gc0
+      Capture(results, load0, load1, gcMs, cpuCal, schedCal,
+        cpuCalMs(), schedCalMs(spark), settleSec)
+    }
+    // Settle-and-retry, bounded (VERDICT r12 item 6): a contaminated
+    // capture retries the WHOLE timed loop after a fresh settle instead of
+    // only labeling itself — on any idle-capable host one attempt lands
+    // clean, so a contaminated headline number requires the host to stay
+    // loaded for the entire retry budget. At most 2 retries AND a 420 s
+    // wall budget (the driver's bench window must never be starved into
+    // producing NO artifact); the cleanest capture wins.
+    var capture = timedCapture()
+    var retries = 0
+    while (capture.score > 1.0 && retries < 2 &&
+        (System.nanoTime() - mainT0) / 1e9 < 420.0) {
+      retries += 1
+      System.err.println(f"[bench] contaminated capture " +
+        f"(score ${capture.score}%.2f) — settling and retrying ($retries)")
+      val again = timedCapture()
+      if (again.score < capture.score) capture = again
+    }
+    val results = capture.results
+    val settleSec = capture.settleSec
+    val cpuCal = capture.cpuCal
+    val schedCal = capture.schedCal
+    val load0 = capture.load0
+    val load1 = capture.load1
+    val gcMs = capture.gcMs
     // persisted/checkpointed RDDs still registered after the timed loop —
     // the leak detector for "inline operators pin checkpoint blocks until
     // session end" (the round-10 LSS finding). A growing number here
@@ -204,21 +262,23 @@ object Bench {
     // `profile` makes the record self-describing: the reduced m4 grid under
     // graft.bench.profile is a methodology choice, and cross-round
     // comparisons must be able to see it in the artifact itself.
-    // Self-labeling: a capture violating either documented clean-capture
-    // gate — loadavg past the 4.5 bar AT THE TIMED LOOP'S START
-    // (loadavg_start: sampled after the settle wait, i.e. the state the
-    // measurements actually run in — a pre-load that fully settles is
-    // clean, one the settle loop times out on is not) or CPUS ≠ 16 (the
-    // convention; BASELINE.md measures a ~40% bandwidth penalty at 32) —
-    // carries the flag IN the artifact, so a contaminated driver-side
-    // run reads as contaminated without BASELINE.md exegesis.
-    val contaminated = load0 > 4.5 || cpus != "16"
+    // Self-labeling, now the backstop behind the retry loop: the flag can
+    // only survive when every bounded retry stayed contaminated (host
+    // loaded for the whole budget) or the builder explicitly ran with
+    // FEWER than 16 threads. Over-16 requests are clamped above, so the
+    // r12 failure mode (driver capture at CPUS=32 becoming the headline
+    // number) is structurally impossible rather than merely labeled.
+    val contaminated = capture.score > 1.0 || cpus != "16"
     val tele = s""""loadavg_pre":${ms(loadPre)},""" +
       s""""loadavg_start":${ms(load0)},"loadavg_end":${ms(load1)},""" +
       s""""gc_ms":$gcMs,"timing":"best_of_2","profile":"bench_reduced_m4",""" +
       s""""prepare_sec":${ms(prepareSec)},"settle_sec":${ms(settleSec)},""" +
       s""""cpu_cal_ms":${ms(cpuCal)},"sched_cal_ms":${ms(schedCal)},""" +
+      s""""cpu_cal_end_ms":${ms(capture.cpuCalEnd)},""" +
+      s""""sched_cal_end_ms":${ms(capture.schedCalEnd)},""" +
+      s""""settle_retries":$retries,""" +
       s""""resid_rdds":$residRdds,"cpus":"$cpus",""" +
+      s""""cpus_requested":"$cpusReq",""" +
       s""""contaminated":$contaminated"""
     // The driver's artifact keeps only the LAST ~2.2 KB of stdout, so the
     // full named per-query map (~2.9 KB for 100+ queries) can never fit —

@@ -42,9 +42,18 @@ object Chunked {
     * (the a14_histogram pattern — exchange reuse shares the underlying
     * rollup with the main branch). */
   def chunkId(v: String, lo: String, hi: String,
-      maxChunks: Int = MaxChunks): Column =
+      maxChunks: Int = MaxChunks): Column = {
+    // The names are interpolated into expr() (the string path is the only
+    // way to reach integral `div`), so anything needing backtick quoting
+    // (spaces, dots, reserved words) would parse wrong or resolve against
+    // another column, failing as a far-away AnalysisException — reject it
+    // HERE instead (ADVICE r12).
+    for (n <- Seq(v, lo, hi))
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"chunkId needs simple identifier column names, got '$n'")
     expr(s"($v - $lo) div " +
       s"greatest(1L, ($hi - $lo) div ${maxChunks}L + 1L)")
+  }
 
   /** The cross-chunk combine: for every row of `chunkAgg` (one row per
     * chunk), aggregate `valCol` over the OTHER chunks satisfying

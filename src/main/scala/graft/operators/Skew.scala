@@ -390,11 +390,37 @@ object Skew {
     * matter WHICH keys MG happens to surface — the oracle pins exactly
     * that, the a11 discipline. The MG hot set is partition-order
     * dependent (lower bounds); by the same invariance that is harmless. */
+  /** Memoized hot-key harvest behind the guarded joins. frequentKeys is
+    * an EAGER action (mapPartitions + a bounded collect) — merely
+    * CONSTRUCTING a guarded-join DataFrame runs a cluster job, which
+    * surprised the r12 suite sweep (every plan-walk paid a scan per
+    * construction; ADVICE r12). Memoize per (analyzed-plan fingerprint,
+    * canonicalized key expression, k) the way IndexStore caches artifacts:
+    * repeat constructions over the same input reuse the harvested set.
+    * The cache is correctness-neutral by the split-invisibility contract
+    * (ANY hot set yields the same join result), so even a stale entry
+    * after an input overwrite only shifts WHICH keys broadcast. Bounded
+    * at 64 entries (cleared wholesale — key churn means test fixtures,
+    * not production reuse). */
+  private val hotCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int),
+      Seq[String]]()
+  private def hotKeysOf(fact: DataFrame, factKey: Column, k: Int)
+      : Seq[String] = {
+    val ck = (fact.queryExecution.analyzed.semanticHash(),
+      factKey.toString, k)
+    if (hotCache.size > 64) hotCache.clear()
+    hotCache.computeIfAbsent(ck, _ =>
+      frequentKeys(fact, factKey, k)
+        .select(col("key")).collect().map(_.getString(0)).toSeq)
+  }
+
+  /** NOTE: unless `hotKeys` is supplied, CONSTRUCTING this join runs the
+    * (memoized) frequentKeys scan eagerly — see [[hotKeysOf]]. */
   def skewGuardedJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
       dimKey: Column, k: Int,
       hotKeys: Option[Seq[String]] = None): DataFrame = {
-    val hot = hotKeys.getOrElse(frequentKeys(fact, factKey, k)
-      .select(col("key")).collect().map(_.getString(0)).toSeq)
+    val hot = hotKeys.getOrElse(hotKeysOf(fact, factKey, k))
       .filter(_ != null)
     if (hot.isEmpty) fact.join(dim, factKey === dimKey)
     else {
@@ -420,7 +446,10 @@ object Skew {
     * and unfiltered they would shuffle a second time into a branch where
     * no cold fact row can match them. Semantically invisible like the
     * broadcast variant — the result equals the unsplit join for ANY salt
-    * assignment, which is what the spec pins. */
+    * assignment, which is what the spec pins.
+    *
+    * NOTE: unless `hotKeys` is supplied, CONSTRUCTING this join runs the
+    * (memoized) frequentKeys scan eagerly — see [[hotKeysOf]]. */
   def saltReplicatedJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
       dimKey: Column, rowId: Column, k: Int, buckets: Int,
       hotKeys: Option[Seq[String]] = None): DataFrame = {
@@ -431,8 +460,7 @@ object Skew {
     require(!fact.columns.contains("_fsalt") &&
       !dim.columns.contains("_dsalt"),
       "fact/_fsalt or dim/_dsalt column collision")
-    val hot = hotKeys.getOrElse(frequentKeys(fact, factKey, k)
-      .select(col("key")).collect().map(_.getString(0)).toSeq)
+    val hot = hotKeys.getOrElse(hotKeysOf(fact, factKey, k))
       .filter(_ != null)
     if (hot.isEmpty) fact.join(dim, factKey === dimKey)
     else {

@@ -27,12 +27,21 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale8"
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
-UNCHANGED = ["region", "nation", "supplier", "part",
-             "orders", "lineitem"]
+UNCHANGED = ["region", "nation", "supplier"]
 # customer replicates with the SAME user offset as events (below), so
 # events→customer referential integrity survives replication — without
 # it, 7/8 of replicated fact rows dangle and any events⋈customer smoke
 # (j13) measures a mostly-discarded probe instead of a scaled join.
+#
+# Round 13 extends the same discipline to the relational family:
+# orders/lineitem replicate by (orderkey, custkey) offset — the custkey
+# offset MATCHES customer's replica offset, so orders→customer stays
+# fully covered, and lineitem's l_orderkey matches its replica's orders.
+# l_partkey/l_suppkey stay put (part replica 0 == the original rows, see
+# below; supplier is unchanged), so lineitem→part/supplier also hold.
+# part replicates with offset keys AND a per-replica p_type tag (replica
+# 0 untagged == original) so distinct-(brand,type) workloads (a9) scale
+# instead of collapsing onto the 1x distinct set.
 
 
 def main():
@@ -92,6 +101,36 @@ COPY (
   FROM '{SF}/customer.parquet'
   CROSS JOIN (SELECT unnest(generate_series(0, {N - 1})) AS i) r
 ) TO '{OUT}/customer.parquet' (FORMAT PARQUET)
+""")
+    max_ord, max_part = con.execute(
+        f"SELECT (SELECT MAX(o_orderkey) FROM '{SF}/orders.parquet'), "
+        f"(SELECT MAX(p_partkey) FROM '{SF}/part.parquet')").fetchone()
+    assert max_ord < 10000000 and max_part < 10000000, (
+        f"source ids exceed replication offsets (max o_orderkey={max_ord}, "
+        f"max p_partkey={max_part}) — use a raw sf dir as input")
+    con.execute(f"""
+COPY (
+  SELECT * REPLACE (o_orderkey + r.i * 10000000 AS o_orderkey,
+                    o_custkey + r.i * 10000000 AS o_custkey)
+  FROM '{SF}/orders.parquet'
+  CROSS JOIN (SELECT unnest(generate_series(0, {N - 1})) AS i) r
+) TO '{OUT}/orders.parquet' (FORMAT PARQUET)
+""")
+    con.execute(f"""
+COPY (
+  SELECT * REPLACE (l_orderkey + r.i * 10000000 AS l_orderkey)
+  FROM '{SF}/lineitem.parquet'
+  CROSS JOIN (SELECT unnest(generate_series(0, {N - 1})) AS i) r
+) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)
+""")
+    con.execute(f"""
+COPY (
+  SELECT * REPLACE (p_partkey + r.i * 10000000 AS p_partkey,
+    CASE WHEN r.i = 0 THEN p_type
+         ELSE p_type || ' rep' || CAST(r.i AS VARCHAR) END AS p_type)
+  FROM '{SF}/part.parquet'
+  CROSS JOIN (SELECT unnest(generate_series(0, {N - 1})) AS i) r
+) TO '{OUT}/part.parquet' (FORMAT PARQUET)
 """)
     docs = con.execute(
         f"SELECT COUNT(*) FROM '{OUT}/documents.parquet'").fetchone()[0]
