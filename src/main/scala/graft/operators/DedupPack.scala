@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.plans.Checkpointed
+
 import graft.Tables
 import graft.Exprs.asLong
 import graft.functions.HashFunctions._
@@ -203,7 +205,8 @@ object DedupPack {
     "dd_jaccard_prefix_stats" -> ((s, d) => {
       val sh = shingled(s, d)
       val (dfk, pref) = prefixTokens(sh)
-      val cand = prefixCandidates(pref).localCheckpoint(true)
+      val cand = Checkpointed("DedupPack.prefixCand",
+        prefixCandidates(pref))
       val dfp = pref.groupBy(col("g")).agg(count(lit(1)).as("dfp"))
       val full = dfk.agg(
         expr("sum(CAST(df AS DECIMAL(38,0)) * (df - 1))").as("full2"))
@@ -222,7 +225,7 @@ object DedupPack {
           when(col("full2") > 0,
             expr("((full2 - pref2) * 1000) div full2"))
             .otherwise(0L).as("pruned_permille"))
-        .localCheckpoint(true)
+        .transform(df => Checkpointed("DedupPack.prefixStats", df))
       cand.unpersist()
       result
     }),
@@ -295,9 +298,10 @@ object DedupPack {
     // rides BOTH already-verified outputs (OutToken road), so the
     // monitor can never desynchronize from the entries it describes.
     "dd_lsh_recall" -> ((s, d) => {
-      val exact = prefixJaccardPairs(shingled(s, d))
-        .select("doc_a", "doc_b").localCheckpoint(true)
-      val cand = minhashPairs(Tables.documents(s, d)).localCheckpoint(true)
+      val exact = Checkpointed("DedupPack.recall.exact",
+        prefixJaccardPairs(shingled(s, d)).select("doc_a", "doc_b"))
+      val cand = Checkpointed("DedupPack.recall.cand",
+        minhashPairs(Tables.documents(s, d)))
       val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
       val result = exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
@@ -305,7 +309,7 @@ object DedupPack {
         .select(col("n_exact"), col("n_candidates"), col("n_recalled"),
           when(col("n_exact") > 0,
             expr("n_recalled * 1000L div n_exact")).as("recall_permille"))
-        .localCheckpoint(true)
+        .transform(df => Checkpointed("DedupPack.recallStats", df))
       exact.unpersist(); cand.unpersist()
       result
     }),
@@ -884,7 +888,7 @@ object DedupPack {
       .union(e.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
     var labels = adj.select(col("id")).distinct()
       .withColumn("rep", col("id"))
-      .localCheckpoint(true)
+      .transform(df => Checkpointed("DedupPack.hashmin.init", df))
     var changed = 1L
     var iters = 0
     while (changed > 0) {
@@ -904,7 +908,7 @@ object DedupPack {
         .select(col("id"), col("rep"))
       val next = labels.select(col("id"), col("rep")).union(nbrRep)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-        .localCheckpoint(true)
+        .transform(df => Checkpointed("DedupPack.hashmin.round", df))
       // monotone: labels only decrease, so "changed" = any strict decrease
       changed = next
         .join(labels.select(col("id"), col("rep").as("old")), "id")
@@ -924,6 +928,17 @@ object DedupPack {
     * though real graphs converge in a handful of rounds). A run still
     * moving past the SCALED ceiling is a genuine bug. */
   private[graft] val MinLssRounds = 64
+
+  /** Rounds the LAST components run took to reach its fixpoint — pure
+    * observability (the loop is already hard-bounded by the O(log^2 n)
+    * throw). The spec pins convergence at a small constant on the
+    * fixture, and the scale smoke reads it at 8x/64x pair-graph scale:
+    * alternating large-star/small-star contracts star-forest components
+    * in O(log n) rounds regardless of input size, so a rounds count that
+    * GROWS with replication would flag a contraction bug long before the
+    * maxRounds throw. */
+  private[graft] val LastLssRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Connected components by large-star/small-star alternation [Kiveris
     * et al., "Connected Components in MapReduce and Beyond", SoCC 2014] —
@@ -954,7 +969,7 @@ object DedupPack {
         .distinct()
     val nodes = edges.select(col("doc_a").as("doc_id"))
       .union(edges.select(col("doc_b").as("doc_id"))).distinct()
-      .localCheckpoint(true)
+      .transform(df => Checkpointed("DedupPack.nodes", df))
     def adj(e: DataFrame): DataFrame =
       e.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
@@ -981,9 +996,10 @@ object DedupPack {
     val log2n = 64 - java.lang.Long.numberOfLeadingZeros(
       math.max(1L, nodes.count() - 1)) // ⌈log₂ n⌉ for n ≥ 1
     val maxRounds = math.max(MinLssRounds, 4 * log2n * log2n)
-    var cur = canon(edges).localCheckpoint(true)
+    var cur = Checkpointed("DedupPack.lss.init", canon(edges))
     var rounds = 0
     var stable = false
+    LastLssRounds.set(0)
     while (!stable) {
       rounds += 1
       if (rounds > maxRounds) {
@@ -992,10 +1008,12 @@ object DedupPack {
           s"large-star/small-star still moving after $maxRounds rounds" +
             " — beyond the O(log^2 n) bound; this is a bug, not an input")
       }
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = Checkpointed("DedupPack.lss.round",
+        smallStar(largeStar(cur)))
       // fixpoint: the canonical pair sets coincide (both directions of
       // except, since counts alone can't see a swap)
       stable = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      LastLssRounds.set(rounds)
       cur.unpersist() // superseded checkpoint blocks — free them now
       cur = next
     }
@@ -1012,7 +1030,7 @@ object DedupPack {
     // frame the caller actually reads.
     val result = nodes.join(members, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
-      .localCheckpoint(true)
+      .transform(df => Checkpointed("DedupPack.components", df))
     cur.unpersist(); nodes.unpersist()
     result
   }

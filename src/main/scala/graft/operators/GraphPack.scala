@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.plans.Checkpointed
+
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -49,7 +51,7 @@ object GraphPack {
       .distinct()
     pairs.select(col("p").as("src"), col("q").as("dst"))
       .unionByName(pairs.select(col("q").as("src"), col("p").as("dst")))
-      .localCheckpoint()
+      .transform(df => Checkpointed("GraphPack.edges", df))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -110,7 +112,7 @@ object GraphPack {
   private def bfsLayersQuery(s: SparkSession, d: String): DataFrame = {
     val pinned = collection.mutable.ArrayBuffer.empty[DataFrame]
     def ck(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint(true); pinned += c; c
+      val c = Checkpointed("GraphPack.bfs.iter", df); pinned += c; c
     }
     val e = edges(s, d); pinned += e
     // seed bound from the graph's own supplier-key domain
@@ -139,7 +141,8 @@ object GraphPack {
     }
     // materialize the ≤ 2·(rounds+1)-row profile, then free every
     // intermediate block (components pattern — resid_rdds is the canary)
-    val result = rows.orderBy("dist", "node_type").localCheckpoint(true)
+    val result =
+      Checkpointed("GraphPack.bfs.result", rows.orderBy("dist", "node_type"))
     pinned.foreach(_.unpersist())
     result
   }
@@ -205,7 +208,8 @@ object GraphPack {
     * would hide everything behind it as a Scan ExistingRDD). */
   private[graft] def trianglesFrame(s: SparkSession, d: String,
       materialize: Boolean): DataFrame = {
-    def ck(df: DataFrame) = if (materialize) df.localCheckpoint(true) else df
+    def ck(df: DataFrame) =
+      if (materialize) Checkpointed("GraphPack.triangles", df) else df
     val e = ck(coOrderEdges(s, d))
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
@@ -234,7 +238,7 @@ object GraphPack {
       .limit(100)
     if (!materialize) page
     else {
-      val result = page.localCheckpoint(true)
+      val result = Checkpointed("GraphPack.triangles.page", page)
       e.unpersist(); oriented.unpersist()
       result
     }
@@ -261,7 +265,7 @@ object GraphPack {
   private def kcoreProfileQuery(s: SparkSession, d: String): DataFrame = {
     val pinned = collection.mutable.ArrayBuffer.empty[DataFrame]
     def ck(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint(true); pinned += c; c
+      val c = Checkpointed("GraphPack.pagerank.iter", df); pinned += c; c
     }
     var cur = ck(coOrderEdges(s, d))
     var rows: DataFrame = null
@@ -283,7 +287,8 @@ object GraphPack {
     }
     // materialize the 3-row profile, then free every intermediate block
     // (components pattern — resid_rdds is the canary)
-    val result = rows.orderBy("round").localCheckpoint(true)
+    val result =
+      Checkpointed("GraphPack.pagerank.rounds", rows.orderBy("round"))
     pinned.foreach(_.unpersist())
     result
   }
@@ -320,7 +325,8 @@ object GraphPack {
     val ps0 = Tables.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
       .distinct()
-    val ps = if (materialize) ps0.localCheckpoint(true) else ps0
+    val ps =
+      if (materialize) Checkpointed("GraphPack.jaccard", ps0) else ps0
     val deg = ps.groupBy("sk").agg(count(lit(1)).as("deg"))
     val inter = ps.select(col("pk"), col("sk").as("s1"))
       .join(ps.select(col("pk"), col("sk").as("s2")), "pk")
@@ -338,7 +344,7 @@ object GraphPack {
       .limit(100)
     if (!materialize) page
     else {
-      val result = page.localCheckpoint(true)
+      val result = Checkpointed("GraphPack.kcore.page", page)
       ps.unpersist()
       result
     }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.plans.Checkpointed
+
 import graft.Tables
 import graft.Exprs.asLong
 import graft.functions.VectorFunctions._
@@ -508,9 +510,9 @@ object SimilarityPack {
       // hit joins below — localCheckpoint materializes it once instead of
       // recomputing it per variant (same discipline as the monitor a
       // production deployment would run on its sampled slice).
-      val exact = topkExact(s, d, qset)
-        .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint()
+      val exact = Checkpointed("SimilarityPack.recall.exact",
+        topkExact(s, d, qset)
+          .select(col("query_id"), col("neighbor_id")))
       val qs = exact.select("query_id").distinct()
       def hitsOf(approx: DataFrame, name: String): DataFrame =
         exact.join(approx.select(col("query_id"), col("neighbor_id")),
@@ -811,7 +813,8 @@ object SimilarityPack {
     var assign = vecs.withColumn("cell",
       col("vec_id") % IvfTunedCells)
     for (_ <- 1 to IvfTunedIters)
-      assign = tunedAssign(vecs, tunedCentroids(assign)).localCheckpoint()
+      assign = Checkpointed("SimilarityPack.ivfTuned.iter",
+        tunedAssign(vecs, tunedCentroids(assign)))
     (tunedCentroids(assign), assign)
   }
 
@@ -1018,7 +1021,8 @@ object SimilarityPack {
     var assign = ex.select(col("vec_id"), col("s")).distinct()
       .withColumn("cell", col("vec_id") % PqCodes)
     for (_ <- 1 to PqIters)
-      assign = pqAssign(ex, pqCentroids(ex, assign)).localCheckpoint()
+      assign = Checkpointed("SimilarityPack.pq.iter",
+        pqAssign(ex, pqCentroids(ex, assign)))
     (pqCentroids(ex, assign), assign)
   }
 
@@ -1404,7 +1408,8 @@ object SimilarityPack {
   private def gonzalezSeeds(s: SparkSession, corpus: DataFrame)
       : Seq[(Long, Array[Long])] = {
     import s.implicits._
-    val sample = trainSample(corpus).localCheckpoint()
+    val sample = Checkpointed("SimilarityPack.gonzalez.sample",
+      trainSample(corpus))
     val s0 = sample.orderBy("vec_id").limit(1)
       .select(col("vec_id"), col("cv")).collect()(0)
     var seeds = Vector((s0.getLong(0), s0.getSeq[Long](1).toArray))
@@ -1432,7 +1437,8 @@ object SimilarityPack {
     import s.implicits._
     // reused by seeding, assignment, buckets, queries and the exact rank —
     // materialize once (same discipline as ann_recall's exact anchor)
-    val corpus = clusteredVecs(s, d).localCheckpoint()
+    val corpus = Checkpointed("SimilarityPack.clustered.corpus",
+      clusteredVecs(s, d))
     val sdf = broadcast(gonzalezSeeds(s, corpus).toDF("cell", "sv"))
     // nearest seed by exact-integer 2·dot − ‖s‖² (ties → lower cell id)
     def seedScore = lit(2.0) * gridDot(col("v"), col("sv")) -
@@ -1451,7 +1457,8 @@ object SimilarityPack {
     val q = corpus.join(broadcast(qids), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("cv").as("qv"))
       .withColumn("qn", sqrt(gridDot(col("qv"), col("qv"))))
-      .localCheckpoint() // ≤ ClusSampleN rows, reused by all three ranks
+      // ≤ ClusSampleN rows, reused by all three ranks
+      .transform(df => Checkpointed("SimilarityPack.clustered.q", df))
     val nrmed = corpus.withColumn("nrm", sqrt(gridDot(col("cv"), col("cv"))))
     val wE = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -1460,7 +1467,8 @@ object SimilarityPack {
         (gridDot(col("qv"), col("cv")) / (col("qn") * col("nrm"))).as("cos"))
       .withColumn("rank", row_number().over(wE)).filter(col("rank") <= 10)
       .select("query_id", "neighbor_id")
-      .localCheckpoint() // anchor for both hit joins (≤ 10·ClusSampleN rows)
+      // anchor for both hit joins (≤ 10·ClusSampleN rows)
+      .transform(df => Checkpointed("SimilarityPack.clustered.exact", df))
     // IVF probe: top-ClusProbe cells per query, same integer metric
     val wP = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cell"))

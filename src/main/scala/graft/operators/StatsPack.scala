@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.plans.Checkpointed
+
 import graft.Exprs._
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -477,7 +479,7 @@ object StatsPack {
     // back — the suite's monitor pattern); n ≤ K degrades to τ = 0
     // (everything sampled exactly, ŵ = w). ------------------------------
     "sk_priority_sample" -> ((s, d) => {
-      val top = prioTop(s, d).localCheckpoint(true)
+      val top = Checkpointed("StatsPack.prioTop", prioTop(s, d))
       val tau = top.agg(min(col("q")).as("tau_min"),
         count(lit(1)).as("n_top"))
       val w = Window.orderBy(col("q").desc, col("o_orderkey"))
@@ -489,7 +491,7 @@ object StatsPack {
             when(col("n_top") === PrioSampleK + 1, col("tau_min"))
               .otherwise(lit(0L))).as("est_cents"))
         .orderBy("rn")
-        .localCheckpoint(true)
+        .transform(df => Checkpointed("StatsPack.prioSample", df))
       top.unpersist() // components pattern — no pinned blocks after return
       result
     }),

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.plans.Checkpointed
+
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -550,7 +552,7 @@ object TextPack {
       .select(col("f"), expr(
         "concat_ws('\u0001', transform(sequence(1, length(w)), " +
           "i -> substring(w, i, 1)))").as("rep"))
-      .localCheckpoint(true)
+      .transform(df => Checkpointed("TextPack.bpe.init", df))
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     if (cur.count() <= driverMaxVocab) {
       // vocab fits in driver metadata: one collect, then the whole
@@ -582,7 +584,7 @@ object TextPack {
           merges += ((round.toLong, l, r, cnt))
           val next = cur
             .select(col("f"), greedyMergeFold(col("rep"), l, r).as("rep"))
-            .localCheckpoint(true)
+            .transform(df => Checkpointed("TextPack.bpe.round", df))
           cur.unpersist() // superseded round state — free it now
           cur = next
           round += 1

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.plans.Checkpointed
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -216,7 +218,7 @@ object EventStream {
     * cell equi-join of its own rows against the frozen set. */
   def incidentGate(windows: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
-    val frozen = windows.localCheckpoint()
+    val frozen = Checkpointed("EventStream.windows", windows)
     batch =>
       graft.operators.EventsPack.purchaseIncidentTags(frozen,
         graft.operators.EventsPack.purchaseProbes(batch))

@@ -715,14 +715,13 @@ class PlanSpec extends SparkSpec {
     // must appear here with its boundedness justification, so a new
     // data-proportional funnel cannot land silently.
     //
-    // Known blind spot: lineage truncated by localCheckpoint(true) (the
-    // components/candidate materializations in DedupPack/GraphPack)
-    // replaces the upstream plan with a leaf scan, so a window INSIDE a
-    // checkpointed segment is invisible here. Those segments are covered
-    // by their dedicated unmaterialized-frame plan pins (g2/g3 below run
-    // materialize = false for exactly this reason, and now also assert
-    // the window invariant); a new checkpointing builder must bring the
-    // same unmaterialized pin.
+    // The old blind spot — lineage truncated by localCheckpoint(true)
+    // replaces the upstream plan with a leaf scan, hiding any window
+    // INSIDE a checkpointed segment — is closed generically (round 13):
+    // every checkpoint funnels through plans.Checkpointed, the capture
+    // below records each segment's PRE-truncation plan while the queries
+    // construct, and those frames are swept with the same invariant. The
+    // source meta-gate (next test) keeps new builders inside the funnel.
     val bounded: Map[String, String] = Map(
       "t1_daily_stats" -> "calendar-day rollup frame (date-domain bounded)",
       "t1_incremental" -> "catch-up cumulative over the ≤ 7-day horizon",
@@ -744,22 +743,61 @@ class PlanSpec extends SparkSpec {
     // driver-side work at construction; only plan TOPOLOGY is inspected
     // here and the reduced grid plans identically)
     System.setProperty("graft.bench.profile", "true")
-    val offenders =
-      try (for ((name, fn) <- SparkEntry.queries.toSeq) yield {
-        val unpart = windowNodes(fn(spark, sfTiny).queryExecution.sparkPlan)
-          .filter(_.partitionSpec.isEmpty)
-        (name, unpart.size)
-      }).filter(_._2 > 0).filterNot { case (n, _) => bounded.contains(n) }
-      finally System.clearProperty("graft.bench.profile")
+    graft.plans.Checkpointed.startCapture()
+    val (offenders, frames) =
+      try {
+        val off = (for ((name, fn) <- SparkEntry.queries.toSeq) yield {
+          val unpart = windowNodes(fn(spark, sfTiny).queryExecution.sparkPlan)
+            .filter(_.partitionSpec.isEmpty)
+          (name, unpart.size)
+        }).filter(_._2 > 0).filterNot { case (n, _) => bounded.contains(n) }
+        (off, graft.plans.Checkpointed.stopCapture())
+      } finally {
+        graft.plans.Checkpointed.stopCapture()
+        System.clearProperty("graft.bench.profile")
+      }
     assert(offenders.isEmpty,
       "unjustified unpartitioned windows: " + offenders.sortBy(_._1)
         .map { case (n, k) => s"$n($k)" }.mkString(", "))
-    // the checkpoint-hidden segments' own frames (see blind-spot note)
-    for (f <- Seq(
-        operators.GraphPack.trianglesFrame(spark, sfTiny, materialize = false),
-        operators.GraphPack.neighborJaccardFrame(spark, sfTiny,
-          materialize = false)))
-      assert(windowNodes(f.queryExecution.sparkPlan)
-        .forall(_.partitionSpec.nonEmpty))
+    // The checkpoint-hidden segments, swept via the registry: eager
+    // checkpoints EXECUTE at query construction, so the loop above
+    // captured every pre-truncation frame the suite builds (iterative
+    // rounds included — one capture per iteration). Same invariant, same
+    // justification map (labels are site names, not query names, so a
+    // bounded site lists itself here).
+    val boundedSites: Map[String, String] = Map(
+      "StatsPack.prioSample" -> ("global rank over prioTop's (K+1)-row " +
+        "TakeOrdered carry (K = PrioSampleK — sketch-sized, never data); " +
+        "previously invisible behind the checkpoint, caught by this " +
+        "registry the day it landed"))
+    assert(frames.nonEmpty, "no checkpointed frames captured — registry " +
+      "wiring broke (every iterative operator checkpoints)")
+    val badFrames = frames
+      .map { case (label, plan) =>
+        (label, windowNodes(plan).count(_.partitionSpec.isEmpty)) }
+      .filter(_._2 > 0)
+      .filterNot { case (l, _) => boundedSites.contains(l) }
+    assert(badFrames.isEmpty,
+      "unpartitioned windows INSIDE checkpointed segments: " +
+        badFrames.distinct.sortBy(_._1)
+          .map { case (l, k) => s"$l($k)" }.mkString(", "))
+  }
+
+  test("meta-gate: localCheckpoint appears ONLY inside plans.Checkpointed") {
+    // The registry sweep above is only exhaustive while every checkpoint
+    // site funnels through the wrapper — turn that from convention into
+    // a gate by scanning main source. (Comments mentioning the API are
+    // fine; a call is `.localCheckpoint(`.)
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    assert(java.nio.file.Files.exists(root), s"source root missing: $root")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filterNot(_.toString.endsWith("plans/Checkpointed.scala"))
+      .filter(p => java.nio.file.Files.readString(p)
+        .contains(".localCheckpoint("))
+      .map(_.toString).toList
+    assert(offenders.isEmpty,
+      s"raw localCheckpoint outside plans.Checkpointed: $offenders")
   }
 }

@@ -27,7 +27,7 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale8"
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
-UNCHANGED = ["region", "nation", "supplier"]
+UNCHANGED = ["region", "nation"]
 # customer replicates with the SAME user offset as events (below), so
 # events→customer referential integrity survives replication — without
 # it, 7/8 of replicated fact rows dangle and any events⋈customer smoke
@@ -116,12 +116,28 @@ COPY (
   CROSS JOIN (SELECT unnest(generate_series(0, {N - 1})) AS i) r
 ) TO '{OUT}/orders.parquet' (FORMAT PARQUET)
 """)
+    # l_partkey/l_suppkey offsets match the part/supplier replicas below,
+    # so lineitem->part/supplier coverage holds AND the (part, supplier)
+    # bipartite pair GRAPH (GraphPack.edges) scales in node count — with
+    # unchanged dim keys the 64x graph would be IDENTICAL to 1x (distinct
+    # pairs dedup the replicas away) and any graph smoke vacuous.
     con.execute(f"""
 COPY (
-  SELECT * REPLACE (l_orderkey + r.i * 10000000 AS l_orderkey)
+  SELECT * REPLACE (l_orderkey + r.i * 10000000 AS l_orderkey,
+                    l_partkey + r.i * 10000000 AS l_partkey,
+                    l_suppkey + r.i * 10000000 AS l_suppkey)
   FROM '{SF}/lineitem.parquet'
   CROSS JOIN (SELECT unnest(generate_series(0, {N - 1})) AS i) r
 ) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)
+""")
+    con.execute(f"""
+COPY (
+  SELECT * REPLACE (s_suppkey + r.i * 10000000 AS s_suppkey,
+    s_name || CASE WHEN r.i = 0 THEN '' ELSE ' rep' || CAST(r.i AS VARCHAR)
+      END AS s_name)
+  FROM '{SF}/supplier.parquet'
+  CROSS JOIN (SELECT unnest(generate_series(0, {N - 1})) AS i) r
+) TO '{OUT}/supplier.parquet' (FORMAT PARQUET)
 """)
     con.execute(f"""
 COPY (
