@@ -6,6 +6,7 @@ import graft.Tables
 import graft.Exprs.asLong
 import graft.functions.HashFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -100,8 +101,12 @@ object DedupPack {
     * documents layout scans one task per bucket, so it parallelizes
     * natively. */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sh"))
+    shingledOf(Tables.documents(s, d))
+
+  /** [[shingled]] over an arbitrary documents-shaped frame — the
+    * self-tuning capped join is spec-tested on constructed corpora. */
+  private[graft] def shingledOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sh"))
 
   /** Edit-distance threshold for the blocked fuzzy-match join. */
   private[graft] val EditMax = 2
@@ -160,6 +165,12 @@ object DedupPack {
     // ---- exact n-gram Jaccard near-dup pairs (inverted shingle index) ----
     "dd_jaccard_pairs" -> ((s, d) =>
       jaccardPairs(shingled(s, d)).orderBy("doc_a", "doc_b")),
+
+    // ---- the SELF-TUNING capped variant: CMS pass -> budgeted threshold
+    //      -> pushable map-side filter; cap_df + dropped_shingles ride in
+    //      the schema (see the jaccardCappedOver section scaladoc) --------
+    "dd_jaccard_capped" -> ((s, d) =>
+      jaccardCappedOver(Tables.documents(s, d))),
 
     // ---- asymmetric containment pairs (sub-document detection) ----------
     "dd_containment" -> ((s, d) =>
@@ -731,10 +742,15 @@ object DedupPack {
     * `(a << 32) | b` long, which capped ids at 2³¹ behind a raise_error
     * guard; the two-column key measures within noise of the packed one and
     * removes the cap — pinned by the >2³² property test in PropertySpec.) */
-  private def cappedPairCore(sh: DataFrame): (DataFrame, DataFrame) = {
-    val postings = sh
-      .select(col("doc_id"),
-        explode(transform(col("sh"), g => xxhash64(g))).as("g"))
+  private def cappedPairCore(sh: DataFrame): (DataFrame, DataFrame) =
+    cappedPairCoreTok(sh.select(col("doc_id"),
+      explode(transform(col("sh"), g => xxhash64(g))).as("g")))
+
+  /** [[cappedPairCore]] over an already-exploded (doc_id, g) token frame
+    * (g 64-bit-hashed) — the CMS-capped join pre-filters its tokens
+    * map-side and shares everything downstream of the explode. */
+  private def cappedPairCoreTok(tok: DataFrame): (DataFrame, DataFrame) = {
+    val postings = tok
       .groupBy(col("g"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) <= MaxShingleDf)
@@ -755,6 +771,12 @@ object DedupPack {
     * the [[cappedPairCore]] universe. */
   private[graft] def jaccardPairs(sh: DataFrame): DataFrame = {
     val (shared, sizes) = cappedPairCore(sh)
+    jaccardFrom(shared, sizes)
+  }
+
+  /** The threshold-Jaccard tail shared by the fixed-cap and CMS-capped
+    * joins: size joins + the J ≥ [[JaccardThreshold]] filter. */
+  private def jaccardFrom(shared: DataFrame, sizes: DataFrame): DataFrame =
     shared
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -762,6 +784,96 @@ object DedupPack {
         (col("shared").cast(DoubleType) /
           (col("sa.n") + col("sb.n") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
+
+  // ---- self-tuning df cap (`dd_jaccard_capped`, VERDICT r12 item 4) -----
+  // dd_jaccard_pairs' MaxShingleDf is a CONSTANT: on a corpus whose
+  // boilerplate lands just under it (measured: semi-boilerplate at
+  // df≈800 on the 8x smoke corpus), the fixed cap admits C(df,2) pair
+  // events per junk shingle and the audit blows up 3-4x for zero recall
+  // gain. Here the cap DERIVES from the corpus: one CMS pass over the
+  // shingle stream (StatsPack's grid recipe at a width sized for ~10^6
+  // tokens), the df-ESTIMATE histogram's cumulative pair mass, and the
+  // largest cap whose mass fits a budget linear in corpus size —
+  // boilerplate is dropped exactly when it is what the mass consists of.
+  // The filter is PUSHABLE: per-token estimates come from 4 broadcast
+  // grid lookups ahead of the postings shuffle, so hot postings are
+  // never built. Est ≥ true df (CMS overestimates members of its own
+  // stream), so df ≤ cap survives per-shingle work bounds. The drop is
+  // LOUD: cap_df and dropped_shingles ride in the output schema, and
+  // the oracle recomputes the entire derivation (grid, estimates,
+  // histogram, threshold) value-for-value.
+  private[graft] val CmsJacWidth = 65536
+  private[graft] val CmsJacPrefix = "cmsjac"
+  private[graft] val CapFloor = 16L
+  private[graft] val PairBudgetPerDoc = 4096L
+
+  private[graft] def jaccardCappedOver(docs: DataFrame): DataFrame = {
+    // Materialize the token stream and the counter grid ONCE: five
+    // consumers (grid build, token estimates, histogram estimates, the
+    // kept-token filter, postings) would otherwise each re-run the
+    // regex shingle split (the CollapseProject re-inlining trap — the
+    // split dominates; measured 6.6 s -> ~2 s at sf0.1), and the eight
+    // broadcast grid slices would each rebuild the grid shuffle. At
+    // scale these are the staged temp tables an ingest pipeline would
+    // write anyway.
+    val tok = Checkpointed("DedupPack.capTokens", shingledOf(docs)
+      .select(col("doc_id"), explode(col("sh")).as("g")))
+    val grid = Checkpointed("DedupPack.capGrid",
+      StatsPack.cmsGrid(tok.select(col("g").as("k")),
+        CmsJacWidth, CmsJacPrefix))
+    // map-side estimate: the key's CmsDepth cells against broadcast
+    // per-row grid slices (canonical CMS: missing cell = 0 counter)
+    def withEst(keys: DataFrame): DataFrame = {
+      val cells = StatsPack.cmsCells(col("g"), CmsJacWidth, CmsJacPrefix)
+      var t = keys.withColumn("cells", cells)
+      for (i <- 0 until StatsPack.CmsDepth)
+        t = t.join(broadcast(grid.filter(col("row") === i)
+            .select(col("bucket").as(s"_b$i"), col("c").as(s"_c$i"))),
+          element_at(col("cells"), i + 1) === col(s"_b$i"), "left")
+      val est = least((0 until StatsPack.CmsDepth)
+        .map(i => coalesce(col(s"_c$i"), lit(0L))): _*)
+      t.withColumn("est", est)
+        .drop("cells" +: (0 until StatsPack.CmsDepth)
+          .flatMap(i => Seq(s"_b$i", s"_c$i")): _*)
+    }
+    val tokEst = withEst(tok)
+    // distinct-shingle df-estimate histogram -> cumulative DOUBLED pair
+    // mass (cnt·est·(est−1), the /2 folded into the budget — all-integer
+    // DECIMAL(38,0), HUGEINT in the oracle). The cumulative window runs
+    // over the df-VALUE histogram: value-domain bounded, allowlisted in
+    // the suite sweep. Estimates for the histogram run over the DISTINCT
+    // shingle frame (vocabulary-sized), not the token stream.
+    val hist = withEst(tok.select(col("g")).distinct())
+      .groupBy(col("est")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("est"))
+    val cum = hist.withColumn("mass",
+      sum(col("cnt").cast(DecimalType(38, 0)) *
+        col("est").cast(DecimalType(38, 0)) *
+        (col("est") - 1).cast(DecimalType(38, 0))).over(wCum))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val thrRow = cum.crossJoin(broadcast(nDocs))
+      .agg(least(lit(MaxShingleDf.toLong), greatest(lit(CapFloor),
+        coalesce(
+          max(when(col("mass") <=
+            (col("n_docs") * (2L * PairBudgetPerDoc)).cast(DecimalType(38, 0)),
+            col("est"))),
+          lit(CapFloor)))).as("cap_df"))
+    val monitor = hist.crossJoin(broadcast(thrRow))
+      .agg(max(col("cap_df")).as("cap_df"),
+        coalesce(sum(when(col("est") > col("cap_df"), col("cnt"))
+          .otherwise(0L)), lit(0L)).as("dropped_shingles"))
+    val keep = tokEst.crossJoin(broadcast(thrRow))
+      .filter(col("est") <= col("cap_df"))
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+    val (shared, sizes) = cappedPairCoreTok(keep)
+    // components pattern: materialize the (output-sized) result, then
+    // free the token/grid checkpoint blocks — no pins after return
+    val result = Checkpointed("DedupPack.capResult",
+      jaccardFrom(shared, sizes)
+        .crossJoin(broadcast(monitor))
+        .orderBy("doc_a", "doc_b"))
+    tok.unpersist(); grid.unpersist()
+    result
   }
 
   /** Asymmetric near-duplication: C(A→B) = |A∩B| / |A| — "A is (mostly)
@@ -1236,6 +1348,61 @@ object DedupPack {
          |JOIN sizes sa ON doc_a = sa.doc_id
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // mirrors jaccardCappedOver: the CMS grid at the cmsjac family
+    // (CmsJacWidth buckets), per-shingle MIN-cell estimates, the
+    // df-estimate histogram's cumulative doubled pair mass (HUGEINT),
+    // the budgeted threshold, and the same pairs tail over the kept
+    // universe — every derived value replayed, incl. the monitor columns
+    "dd_jaccard_capped" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |cgrid AS (SELECT i,
+         |    ('0x' || substr(md5('$CmsJacPrefix' || CAST(i AS VARCHAR)
+         |      || ':' || g), 1, 8))::BIGINT % $CmsJacWidth AS bucket,
+         |    COUNT(*) AS c
+         |  FROM ex CROSS JOIN (SELECT unnest(generate_series(0,
+         |    ${StatsPack.CmsDepth - 1})) AS i) gi
+         |  GROUP BY 1, 2),
+         |cdest AS (SELECT g, MIN(COALESCE(c, 0)) AS est FROM (
+         |  SELECT d.g, gr.c FROM (SELECT DISTINCT g FROM ex) d
+         |  CROSS JOIN (SELECT unnest(generate_series(0,
+         |    ${StatsPack.CmsDepth - 1})) AS i) gi
+         |  LEFT JOIN cgrid gr ON gr.i = gi.i AND gr.bucket =
+         |    ('0x' || substr(md5('$CmsJacPrefix' || CAST(gi.i AS VARCHAR)
+         |      || ':' || d.g), 1, 8))::BIGINT % $CmsJacWidth) t
+         |  GROUP BY g),
+         |chist AS (SELECT est, COUNT(*) AS cnt FROM cdest GROUP BY est),
+         |ccum AS (SELECT est,
+         |    SUM(CAST(cnt AS HUGEINT) * est * (est - 1))
+         |      OVER (ORDER BY est) AS mass
+         |  FROM chist),
+         |cnd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |cthr AS (SELECT LEAST($MaxShingleDf, GREATEST($CapFloor,
+         |    COALESCE((SELECT MAX(est) FROM ccum, cnd
+         |      WHERE mass <= 2 * $PairBudgetPerDoc * n_docs), $CapFloor)))
+         |  AS cap_df),
+         |cmon AS (SELECT COALESCE(SUM(CASE WHEN est > cap_df THEN cnt
+         |    ELSE 0 END), 0) AS dropped_shingles FROM chist, cthr),
+         |ckeep AS (SELECT e.doc_id, e.g FROM ex e JOIN cdest USING (g),
+         |  cthr WHERE est <= cap_df),
+         |csizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM ckeep GROUP BY doc_id),
+         |cshared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS shared
+         |  FROM ckeep a JOIN ckeep b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared,
+         |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard,
+         |  (SELECT CAST(cap_df AS BIGINT) FROM cthr) AS cap_df,
+         |  (SELECT CAST(dropped_shingles AS BIGINT) FROM cmon)
+         |    AS dropped_shingles
+         |FROM cshared
+         |JOIN csizes sa ON doc_a = sa.doc_id
+         |JOIN csizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)
+         |  >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // replays the prefix algebra value-for-value: df, the (df, g) order

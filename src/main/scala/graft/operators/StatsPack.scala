@@ -97,19 +97,26 @@ object StatsPack {
 
   /** The (row, bucket, c) counter grid over a one-column `k` key-stream
     * frame — reusable for tokens, shingles, ids, …; ONE hashing
-    * definition ([[cmsCells]]) shared with the gate row and the probe. */
-  def cmsGrid(keyStream: DataFrame): DataFrame =
+    * definition ([[cmsCells]]) shared with the gate row and the probe.
+    * `width`/`prefix` size an independent grid family (DedupPack's
+    * self-tuning df cap uses a wider one — at its ~10⁶-token streams the
+    * 4096-bucket default drowns the estimate in ~stream/width collision
+    * mass, the gate row's own overcount monitor made measurable). */
+  def cmsGrid(keyStream: DataFrame, width: Int = CmsWidth,
+      prefix: String = "cms"): DataFrame =
     keyStream
-      .select(org.apache.spark.sql.functions.posexplode(cmsCells(col("k")))
+      .select(org.apache.spark.sql.functions
+        .posexplode(cmsCells(col("k"), width, prefix))
         .as(Seq("row", "bucket")))
       .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("c"))
 
   /** The depth md5-derived cell coordinates of one key. */
-  private[graft] def cmsCells(
-      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def cmsCells(key: org.apache.spark.sql.Column,
+      width: Int = CmsWidth,
+      prefix: String = "cms"): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.array((0 until CmsDepth).map(i =>
-      pmod(conv(substring(md5(concat(lit(s"cms$i:"), key)), 1, 8), 16, 10)
-        .cast(LongType), lit(CmsWidth.toLong))): _*)
+      pmod(conv(substring(md5(concat(lit(s"$prefix$i:"), key)), 1, 8), 16, 10)
+        .cast(LongType), lit(width.toLong))): _*)
 
   /** The T1 per-day rollup — ONE definition shared by the full recompute
     * and the incremental catch-up, so their day bucketing and aggregate
@@ -143,6 +150,34 @@ object StatsPack {
         .coalesce(1).write.mode("overwrite").parquet(s"$p/daily")
     }
 
+  /** The ledger's high watermark and cumulative seed, read once.
+    * EMPTY-ledger degenerate (a corpus spanning ≤ the 7-day horizon):
+    * max(day) would be null and `event_day > lit(null)` would drop
+    * every fresh row — the catch-up must instead treat ALL days as
+    * fresh with a zero seed (the reference's own no-stats-yet branch,
+    * db/submission_stats.py:95-100). The fixture never hits this, but
+    * the operator's contract should not depend on that. */
+  private[graft] def ledgerHead(ledger: DataFrame): (Option[java.sql.Date], Long) = {
+    val head = ledger.agg(max(col("day")).as("wm"),
+      coalesce(max(col("cum_n")), lit(0L)).as("seed")).head()
+    (Option(head.getDate(0)), head.getLong(1))
+  }
+
+  /** ONE catch-up core shared by the batch operator (`t1_incremental`)
+    * and its streaming gate (EventStream.ledgerCatchupGate): fresh rows
+    * (already filtered past the ledger watermark) roll up by day and
+    * continue the cumulative from the frozen seed; the output is the
+    * full ledger ∪ fresh series. The fresh cumulative window spans only
+    * the catch-up horizon (≤ 7 day rows). */
+  private[graft] def ledgerCatchupCore(ledger: DataFrame, seed: Long,
+      fresh: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ledger.unionByName(t1Rollup(fresh)
+        .withColumn("cum_n", lit(seed) + sum(col("n")).over(w)))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- daily incremental stats + running cumulative (T1) ---------------
     "t1_daily_stats" -> ((s, d) => {
@@ -166,25 +201,13 @@ object StatsPack {
     // cumulative window spans only the catch-up horizon (≤ 7 day rows).
     "t1_incremental" -> ((s, d) => {
       val ledger = s.read.parquet(s"${ensureStatsLedger(s, d)}/daily")
-      // EMPTY-ledger degenerate (a corpus spanning ≤ the 7-day horizon):
-      // max(day) would be null and `event_day > lit(null)` would drop
-      // every fresh row — the catch-up must instead treat ALL days as
-      // fresh with a zero seed (the reference's own no-stats-yet branch,
-      // db/submission_stats.py:95-100). The fixture never hits this, but
-      // the operator's contract should not depend on that.
-      val head = ledger.agg(max(col("day")).as("wm"),
-        coalesce(max(col("cum_n")), lit(0L)).as("seed")).head()
-      val wmOpt = Option(head.getDate(0))
-      val w = Window.orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val (wmOpt, seed) = ledgerHead(ledger)
       val freshSrc = wmOpt match {
         case Some(wm) => Tables.eventsPartitioned(s, d)
           .filter(col("event_day") > lit(wm))
         case None => Tables.eventsPartitioned(s, d)
       }
-      val fresh = t1Rollup(freshSrc)
-        .withColumn("cum_n", lit(head.getLong(1)) + sum(col("n")).over(w))
-      ledger.unionByName(fresh).orderBy("day")
+      ledgerCatchupCore(ledger, seed, freshSrc)
     }),
 
     // ---- period-over-period deltas (DoD / WoW growth) --------------------

@@ -206,6 +206,35 @@ object EventStream {
       .toDF("user_id", "n_events", "start_us", "end_us", "duration_us")
   }
 
+  /** The reference's daily-stats catch-up daemon (db/submission_stats
+    * .py:80-124: wake, read the statistics table's high watermark,
+    * batch-compute only the missing days, append) as a streaming gate —
+    * the last reference daemon without a streaming twin (VERDICT r12
+    * item 7). The ledger artifact and its head (watermark day +
+    * cumulative seed) resolve ONCE at gate construction, exactly like
+    * the daemon's SELECT max(collected); each micro-batch then feeds its
+    * own fresh rows (ts past the watermark) through the SAME
+    * ledgerCatchupCore the batch operator runs, emitting the full
+    * ledger ∪ fresh series. Exact distincts stay exact because the
+    * rollup runs per catch-up batch — the daemon's real cadence is one
+    * run per day, one batch per run; a multi-batch replay would need
+    * per-day re-aggregation across batches, which is the batch
+    * operator's job, not the daemon's. Row-for-row parity with
+    * `t1_incremental` is pinned in StreamingSpec. */
+  def ledgerCatchupGate(spark: SparkSession, dir: String)
+      : DataFrame => DataFrame = {
+    val p = graft.operators.StatsPack.ensureStatsLedger(spark, dir)
+    val ledger = spark.read.parquet(s"$p/daily")
+    val (wmOpt, seed) = graft.operators.StatsPack.ledgerHead(ledger)
+    batch => {
+      val fresh = wmOpt match {
+        case Some(wm) => batch.filter(to_date(col("ts")) > lit(wm))
+        case None => batch
+      }
+      graft.operators.StatsPack.ledgerCatchupCore(ledger, seed, fresh)
+    }
+  }
+
   /** Incident-coverage gate at ingest: each arriving micro-batch's
     * purchases are tagged with the number of frozen incident windows
     * covering them — the streaming read side of the cell-blocked range

@@ -2530,6 +2530,33 @@ class OperatorInvariantsSpec extends SparkSpec {
       s"components fixpoint took $rounds rounds at sfTiny")
   }
 
+  test("dd_jaccard_capped: the budget binds on mid-hot boilerplate — " +
+    "cap derived below the junk df, drop loud, true pairs intact") {
+    import spark.implicits._
+    // 400 docs in 200 identical-text pairs; every doc carries the same
+    // 32-word boilerplate tail (df = 400 per boiler shingle — mid-hot:
+    // far under MaxShingleDf=1000, so the CONSTANT cap would admit
+    // C(400,2) pair events per junk shingle). Total doubled pair mass
+    // 30 shingles x 400·399 ≈ 4.8M exceeds the 2·4096·400 ≈ 3.3M budget,
+    // so the derived cap must land BELOW 400 and the boilerplate drops —
+    // loudly — while the identical pairs (rare df=2 shingles) survive.
+    val boiler = (1 to 32).map(j => s"bw$j").mkString(" ")
+    val docs = (0 until 400).map { i =>
+      val p = i / 2
+      (i.toLong, (1 to 12).map(j => s"r${p}w$j").mkString(" ") + " " + boiler)
+    }.toDF("doc_id", "text")
+    val rows = operators.DedupPack.jaccardCappedOver(docs).collect()
+    val cap = rows.head.getAs[Long]("cap_df")
+    assert(cap >= operators.DedupPack.CapFloor && cap < 400,
+      s"cap_df=$cap — the budget should bind below the df-400 boilerplate")
+    assert(rows.head.getAs[Long]("dropped_shingles") > 0)
+    // every identical pair found, nothing else, J exact 1.0 on the kept
+    // universe (texts identical => kept shingle sets identical)
+    val pairs = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.toSet == (0 until 200).map(p => (2L * p, 2L * p + 1)).toSet)
+    assert(rows.forall(_.getAs[Double]("jaccard") == 1.0))
+  }
+
   test("d7_bag_ops: count algebra satisfies the multiset identities " +
     "against the raw bags") {
     val rows = Tables.orders(spark, sfTiny)

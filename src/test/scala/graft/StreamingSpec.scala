@@ -262,6 +262,28 @@ class StreamingSpec extends SparkSpec {
       new RuntimeException("disk full")).isEmpty)
   }
 
+  test("foreachBatch ledger catch-up equals the batch incremental series") {
+    // the daemon cadence: one catch-up run, one micro-batch; the gate's
+    // frozen ledger head + shared core must reproduce t1_incremental
+    // row-for-row (which the DuckDB full-recompute oracle already gates)
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val gate = EventStream.ledgerCatchupGate(spark, sfTiny)
+    val q = EventStream.source(spark, sfTiny)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.clear() // each catch-up run emits the full series
+        got ++= gate(batch).collect().map(_.toString)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val want = SparkEntry.queries("t1_incremental")(spark, sfTiny)
+      .collect().map(_.toString)
+    assert(want.nonEmpty && got.toSeq == want.toSeq,
+      s"stream series ${got.size} rows vs batch ${want.size}")
+  }
+
   test("foreachBatch quality gate equals the batch cascade verdicts") {
     import graft.streaming.DocStream
     // drive the attributed gate per micro-batch, the deployment shape

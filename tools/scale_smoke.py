@@ -26,6 +26,13 @@ import duckdb
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale8"
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+# --boiler: append a 30-word semi-boilerplate paragraph shared by the
+# doc_id%50 group to every document — at 8x (40k docs) each boiler
+# shingle has df ~= 800: UNDER the constant MaxShingleDf=1000 (so the
+# fixed-cap audit pays C(800,2) pair events per junk shingle) but over
+# any sane corpus-derived cap. The regime dd_jaccard_capped's budget
+# rule exists for.
+BOILER = "--boiler" in sys.argv[4:]
 
 UNCHANGED = ["region", "nation"]
 # customer replicates with the SAME user offset as events (below), so
@@ -50,10 +57,15 @@ def main():
     for t in UNCHANGED:
         shutil.copy(f"{SF}/{t}.parquet", f"{OUT}/{t}.parquet")
     con = duckdb.connect()
+    boiler = ("""
+         || ' ' || (SELECT string_agg('bp' || CAST((doc_id + r.i * 10000000)
+              % 50 AS VARCHAR) || 'w' || CAST(j AS VARCHAR), ' ')
+            FROM (SELECT unnest(generate_series(1, 30)) AS j))"""
+              if BOILER else "")
     con.execute(f"""
 COPY (
   SELECT doc_id + r.i * 10000000 AS doc_id,
-         text || ' rep' || CAST(r.i AS VARCHAR) AS text,
+         text || ' rep' || CAST(r.i AS VARCHAR){boiler} AS text,
          lang, source, n_chars + 5 AS n_chars
   FROM '{SF}/documents.parquet'
   CROSS JOIN (SELECT unnest(generate_series(0, {N - 1})) AS i) r
