@@ -807,6 +807,12 @@ object DedupPack {
   private[graft] val CapFloor = 16L
   private[graft] val PairBudgetPerDoc = 4096L
 
+  /** Memoized derived caps per input-plan fingerprint (see the cap
+    * resolution note inside [[jaccardCappedOver]]). Bounded like
+    * Skew.hotCache. */
+  private val capCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+
   private[graft] def jaccardCappedOver(docs: DataFrame): DataFrame = {
     // Materialize the token stream and the counter grid ONCE: five
     // consumers (grid build, token estimates, histogram estimates, the
@@ -840,9 +846,11 @@ object DedupPack {
     // distinct-shingle df-estimate histogram -> cumulative DOUBLED pair
     // mass (cnt·est·(est−1), the /2 folded into the budget — all-integer
     // DECIMAL(38,0), HUGEINT in the oracle). The cumulative window runs
-    // over the df-VALUE histogram: value-domain bounded, allowlisted in
-    // the suite sweep. Estimates for the histogram run over the DISTINCT
-    // shingle frame (vocabulary-sized), not the token stream.
+    // over the df-VALUE histogram — value-domain bounded (one row per
+    // distinct estimate), and it executes once inside the eager 1-row
+    // cap resolution below, never in the shipped query plan. Estimates
+    // for the histogram run over the DISTINCT shingle frame
+    // (vocabulary-sized), not the token stream.
     val hist = withEst(tok.select(col("g")).distinct())
       .groupBy(col("est")).agg(count(lit(1)).as("cnt"))
     val wCum = Window.orderBy(col("est"))
@@ -851,19 +859,29 @@ object DedupPack {
         col("est").cast(DecimalType(38, 0)) *
         (col("est") - 1).cast(DecimalType(38, 0))).over(wCum))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val thrRow = cum.crossJoin(broadcast(nDocs))
-      .agg(least(lit(MaxShingleDf.toLong), greatest(lit(CapFloor),
-        coalesce(
-          max(when(col("mass") <=
-            (col("n_docs") * (2L * PairBudgetPerDoc)).cast(DecimalType(38, 0)),
-            col("est"))),
-          lit(CapFloor)))).as("cap_df"))
-    val monitor = hist.crossJoin(broadcast(thrRow))
-      .agg(max(col("cap_df")).as("cap_df"),
-        coalesce(sum(when(col("est") > col("cap_df"), col("cnt"))
+    // The derived cap is ONE long — resolve it eagerly (bounded metadata,
+    // the t1 ledger-head discipline) instead of threading a 1-row frame
+    // through four plan branches: the cum window's subtree would
+    // otherwise replicate into every consumer (4 executions of the
+    // histogram chain, and the registry sweep flagged exactly that).
+    // Memoized per input fingerprint, like Skew.hotKeysOf — repeat
+    // constructions over the same corpus reuse the harvested cap.
+    val cap = capCache.computeIfAbsent(
+      docs.queryExecution.analyzed.semanticHash(), _ =>
+        cum.crossJoin(broadcast(nDocs))
+          .agg(least(lit(MaxShingleDf.toLong), greatest(lit(CapFloor),
+            coalesce(
+              max(when(col("mass") <=
+                (col("n_docs") * (2L * PairBudgetPerDoc))
+                  .cast(DecimalType(38, 0)),
+                col("est"))),
+              lit(CapFloor)))).as("cap_df"))
+          .head().getLong(0))
+    val monitor = hist
+      .agg(lit(cap).as("cap_df"),
+        coalesce(sum(when(col("est") > cap, col("cnt"))
           .otherwise(0L)), lit(0L)).as("dropped_shingles"))
-    val keep = tokEst.crossJoin(broadcast(thrRow))
-      .filter(col("est") <= col("cap_df"))
+    val keep = tokEst.filter(col("est") <= cap)
       .select(col("doc_id"), xxhash64(col("g")).as("g"))
     val (shared, sizes) = cappedPairCoreTok(keep)
     // components pattern: materialize the (output-sized) result, then

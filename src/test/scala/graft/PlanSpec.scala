@@ -732,9 +732,6 @@ class PlanSpec extends SparkSpec {
       "u1_user_get_or_create" -> ("id allocation over the UNMATCHED slice " +
         "of the request batch only (request-sized, like BulkParams)"),
       "s3_highlevel_write" -> "distinct (model, data) dimension vocabulary",
-      "dd_jaccard_capped" -> ("cumulative pair mass over the df-ESTIMATE " +
-        "histogram (value-domain rollup: one row per distinct df value, " +
-        "never per shingle/doc)"),
       "io_zorder_layout" -> ("ntile layout gate — documented verification " +
         "shape (LayoutPack header: production = repartitionByRange + " +
         "sortWithinPartitions, same contiguous-range property, spec-pinned)"),
