@@ -807,11 +807,13 @@ object DedupPack {
   private[graft] val CapFloor = 16L
   private[graft] val PairBudgetPerDoc = 4096L
 
-  /** Memoized derived caps per input-plan fingerprint (see the cap
-    * resolution note inside [[jaccardCappedOver]]). Bounded like
-    * Skew.hotCache. */
+  /** Memoized derived caps per input plan (see the cap resolution note
+    * inside [[jaccardCappedOver]]). Keyed on the EXACT canonicalized
+    * plan string, not a 32-bit hash: unlike Skew's hot set (correctness-
+    * neutral by split invisibility), a collision here would ship a wrong
+    * cap_df into the output schema. Bounded like Skew.hotCache. */
   private val capCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
   private[graft] def jaccardCappedOver(docs: DataFrame): DataFrame = {
     // Materialize the token stream and the counter grid ONCE: five
@@ -866,8 +868,9 @@ object DedupPack {
     // histogram chain, and the registry sweep flagged exactly that).
     // Memoized per input fingerprint, like Skew.hotKeysOf — repeat
     // constructions over the same corpus reuse the harvested cap.
+    if (capCache.size > 64) capCache.clear()
     val cap = capCache.computeIfAbsent(
-      docs.queryExecution.analyzed.semanticHash(), _ =>
+      docs.queryExecution.analyzed.canonicalized.toString, _ =>
         cum.crossJoin(broadcast(nDocs))
           .agg(least(lit(MaxShingleDf.toLong), greatest(lit(CapFloor),
             coalesce(
