@@ -1524,15 +1524,21 @@ object SimilarityPack {
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
         .select("query_id", "neighbor_id")
       val scanned = cand.groupBy(col("query_id")).agg(count(lit(1)).as(sc))
-      val hits = exact.join(top10, Seq("query_id", "neighbor_id"), "left_semi")
+      // every frame here is query-set-sized (≤ 10·ClusSampleN rows) —
+      // broadcast the whole assembly, no sort-merge anywhere
+      val hits = exact
+        .join(broadcast(top10), Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as(h))
-      scanned.join(hits, Seq("query_id"), "left")
+      scanned.join(broadcast(hits), Seq("query_id"), "left")
         .select(col("query_id"), coalesce(col(h), lit(0L)).as(h), col(sc))
     }
     val n = corpus.agg(count(lit(1)).as("corpus_n"))
+    // the stats frames are ≤ ClusSampleN rows — broadcast the assembly
     qids.select(col("vec_id").as("query_id"))
-      .join(stats(candIvf, "hits_ivf", "scanned_ivf"), Seq("query_id"), "left")
-      .join(stats(candLsh, "hits_lsh", "scanned_lsh"), Seq("query_id"), "left")
+      .join(broadcast(stats(candIvf, "hits_ivf", "scanned_ivf")),
+        Seq("query_id"), "left")
+      .join(broadcast(stats(candLsh, "hits_lsh", "scanned_lsh")),
+        Seq("query_id"), "left")
       .crossJoin(broadcast(n))
       .select(col("query_id"),
         coalesce(col("hits_ivf"), lit(0L)).as("hits_ivf"),

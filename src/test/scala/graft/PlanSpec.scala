@@ -783,6 +783,40 @@ class PlanSpec extends SparkSpec {
           .map { case (l, k) => s"$l($k)" }.mkString(", "))
   }
 
+  test("dd_jaccard_capped: grid lookups broadcast map-side, corpus never " +
+    "sort-merges") {
+    // the pushability claim: per-token CMS estimates come from CmsDepth
+    // broadcast joins against the (materialized) grid slices AHEAD of
+    // the postings shuffle — a sort-merge join anywhere means a corpus
+    // shuffle the map-side filter was supposed to avoid. The returned
+    // frame is the eager result checkpoint (a leaf), so the shape lives
+    // in the PRE-truncation plan the registry records.
+    graft.plans.Checkpointed.startCapture()
+    val frames =
+      try { run("dd_jaccard_capped"); graft.plans.Checkpointed.stopCapture() }
+      finally graft.plans.Checkpointed.stopCapture()
+    val res = frames.filter(_._1 == "DedupPack.capResult").map(_._2.toString)
+    assert(res.nonEmpty, s"no capResult frame captured: ${frames.map(_._1)}")
+    for (plan <- res) {
+      // (the shared/sizes joins downstream are fact-sized and sort-merge
+      // legitimately — the same shape dd_jaccard_pairs runs; the claim
+      // here is only that the GRID lookups broadcast)
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+      assert(bhj >= operators.StatsPack.CmsDepth,
+        s"dd_jaccard_capped: $bhj broadcast joins, expected >= " +
+          s"${operators.StatsPack.CmsDepth} grid-slice lookups:\n$plan")
+    }
+  }
+
+  test("ann_clustered_recall: seeds/probes broadcast, corpus never " +
+    "sort-merges") {
+    val plan = planText(run("ann_clustered_recall"))
+    assert(!plan.contains("SortMergeJoin"),
+      s"ann_clustered_recall: corpus-side sort-merge join in:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"ann_clustered_recall: expected broadcast seed/probe sides:\n$plan")
+  }
+
   test("meta-gate: localCheckpoint appears ONLY inside plans.Checkpointed") {
     // The registry sweep above is only exhaustive while every checkpoint
     // site funnels through the wrapper — turn that from convention into
