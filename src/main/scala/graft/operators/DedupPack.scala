@@ -1373,20 +1373,24 @@ object DedupPack {
 
     // mirrors jaccardCappedOver: the CMS grid at the cmsjac family
     // (CmsJacWidth buckets), per-shingle MIN-cell estimates, the
+    // heavy CTEs MATERIALIZED (DuckDB 1.0 inlines multiply-referenced
+    // CTEs — ckeep feeds sizes + both join sides, so the whole grid
+    // chain would otherwise re-execute per reference; the
+    // SimilarityPack.materializeCtes lesson), then the
     // df-estimate histogram's cumulative doubled pair mass (HUGEINT),
     // the budgeted threshold, and the same pairs tail over the kept
     // universe — every derived value replayed, incl. the monitor columns
     "dd_jaccard_capped" ->
       s"""WITH $shingleCte,
          |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-         |cgrid AS (SELECT i,
+         |cgrid AS MATERIALIZED (SELECT i,
          |    ('0x' || substr(md5('$CmsJacPrefix' || CAST(i AS VARCHAR)
          |      || ':' || g), 1, 8))::BIGINT % $CmsJacWidth AS bucket,
          |    COUNT(*) AS c
          |  FROM ex CROSS JOIN (SELECT unnest(generate_series(0,
          |    ${StatsPack.CmsDepth - 1})) AS i) gi
          |  GROUP BY 1, 2),
-         |cdest AS (SELECT g, MIN(COALESCE(c, 0)) AS est FROM (
+         |cdest AS MATERIALIZED (SELECT g, MIN(COALESCE(c, 0)) AS est FROM (
          |  SELECT d.g, gr.c FROM (SELECT DISTINCT g FROM ex) d
          |  CROSS JOIN (SELECT unnest(generate_series(0,
          |    ${StatsPack.CmsDepth - 1})) AS i) gi
@@ -1394,7 +1398,7 @@ object DedupPack {
          |    ('0x' || substr(md5('$CmsJacPrefix' || CAST(gi.i AS VARCHAR)
          |      || ':' || d.g), 1, 8))::BIGINT % $CmsJacWidth) t
          |  GROUP BY g),
-         |chist AS (SELECT est, COUNT(*) AS cnt FROM cdest GROUP BY est),
+         |chist AS MATERIALIZED (SELECT est, COUNT(*) AS cnt FROM cdest GROUP BY est),
          |ccum AS (SELECT est,
          |    SUM(CAST(cnt AS HUGEINT) * est * (est - 1))
          |      OVER (ORDER BY est) AS mass
@@ -1406,11 +1410,11 @@ object DedupPack {
          |  AS cap_df),
          |cmon AS (SELECT COALESCE(SUM(CASE WHEN est > cap_df THEN cnt
          |    ELSE 0 END), 0) AS dropped_shingles FROM chist, cthr),
-         |ckeep AS (SELECT e.doc_id, e.g FROM ex e JOIN cdest USING (g),
+         |ckeep AS MATERIALIZED (SELECT e.doc_id, e.g FROM ex e JOIN cdest USING (g),
          |  cthr WHERE est <= cap_df),
-         |csizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |csizes AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
          |  FROM ckeep GROUP BY doc_id),
-         |cshared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |cshared AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    CAST(COUNT(*) AS BIGINT) AS shared
          |  FROM ckeep a JOIN ckeep b ON a.g = b.g AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)

@@ -1439,6 +1439,7 @@ object SimilarityPack {
         .orderBy(col("mind").desc, col("vec_id")).limit(1).collect()(0)
       seeds :+= ((nxt.getLong(0), nxt.getAs[Seq[Long]]("cv").toArray))
     }
+    sample.unpersist() // seeds are driver values now — free the block
     seeds
   }
 
@@ -1533,8 +1534,10 @@ object SimilarityPack {
         .select(col("query_id"), coalesce(col(h), lit(0L)).as(h), col(sc))
     }
     val n = corpus.agg(count(lit(1)).as("corpus_n"))
-    // the stats frames are ≤ ClusSampleN rows — broadcast the assembly
-    qids.select(col("vec_id").as("query_id"))
+    // the stats frames are ≤ ClusSampleN rows — broadcast the assembly;
+    // then the components pattern: materialize the (25-row) result and
+    // free every intermediate checkpoint block deterministically
+    val assembled = qids.select(col("vec_id").as("query_id"))
       .join(broadcast(stats(candIvf, "hits_ivf", "scanned_ivf")),
         Seq("query_id"), "left")
       .join(broadcast(stats(candLsh, "hits_lsh", "scanned_lsh")),
@@ -1551,6 +1554,9 @@ object SimilarityPack {
           .as("frac_lsh_ppm"),
         col("corpus_n"))
       .orderBy("query_id")
+    val result = Checkpointed("SimilarityPack.clustered.result", assembled)
+    corpus.unpersist(); q.unpersist(); exact.unpersist()
+    result
   }
 
   private[graft] val LshPlanes = 8

@@ -810,11 +810,25 @@ class PlanSpec extends SparkSpec {
 
   test("ann_clustered_recall: seeds/probes broadcast, corpus never " +
     "sort-merges") {
-    val plan = planText(run("ann_clustered_recall"))
-    assert(!plan.contains("SortMergeJoin"),
-      s"ann_clustered_recall: corpus-side sort-merge join in:\n$plan")
-    assert(plan.contains("BroadcastExchange"),
-      s"ann_clustered_recall: expected broadcast seed/probe sides:\n$plan")
+    // the returned frame is the eager result checkpoint — assert on the
+    // registry's pre-truncation plan (every frame: seeds, probes, query
+    // set and the ≤ 25-row stats assembly are broadcast sides)
+    graft.plans.Checkpointed.startCapture()
+    val frames =
+      try {
+        run("ann_clustered_recall")
+        graft.plans.Checkpointed.stopCapture()
+      } finally graft.plans.Checkpointed.stopCapture()
+    val res = frames.filter(_._1 == "SimilarityPack.clustered.result")
+      .map(_._2.toString)
+    assert(res.nonEmpty, s"no clustered.result frame: ${frames.map(_._1)}")
+    for (plan <- res) {
+      assert(!plan.contains("SortMergeJoin"),
+        s"ann_clustered_recall: corpus-side sort-merge join in:\n$plan")
+      assert(plan.contains("BroadcastExchange") ||
+        plan.contains("BroadcastHashJoin"),
+        s"ann_clustered_recall: expected broadcast seed/probe sides:\n$plan")
+    }
   }
 
   test("meta-gate: localCheckpoint appears ONLY inside plans.Checkpointed") {
