@@ -1014,8 +1014,16 @@ object DedupPack {
     * under this. */
   private[graft] val MaxComponentIters = 15
 
+  /** Rounds the LAST min-label-propagation run took — the hash-min
+    * counterpart of [[LastLssRounds]] (dd_components' actual path; LSS
+    * runs only on the diameter fallback or direct calls). Spec-pinned
+    * small at fixture scale; the scale smoke reads it at 8x/64x. */
+  private[graft] val LastHashMinRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   private[graft] def connectedComponents(
       edges: DataFrame, maxIters: Int = MaxComponentIters): DataFrame = {
+    LastHashMinRounds.set(0)
     val e = edges.persist() // re-read every iteration
     val adj = e.select(col("doc_a").as("id"), col("doc_b").as("nbr"))
       .union(e.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
@@ -1048,6 +1056,7 @@ object DedupPack {
         .filter(col("rep") < col("old")).count()
       labels.unpersist() // superseded checkpoint blocks — free them now
       labels = next
+      LastHashMinRounds.set(iters)
     }
     e.unpersist()
     labels.select(col("id").as("doc_id"), col("rep"))

@@ -2519,13 +2519,14 @@ class OperatorInvariantsSpec extends SparkSpec {
     // labels come from the pair graph — a component has >= 2 members
     assert(got.forall(_._1 >= 2L),
       s"singleton component reported: ${got.mkString(", ")}")
-    // iteration pin (VERDICT r12 item 3): alternating large-star/small-star
-    // reaches its star-forest fixpoint in O(log n) rounds; on the fixture's
-    // near-clique LSH components that is a small constant. A growing count
-    // (here or in the 8x/64x smoke, which reads the same counter's wall
-    // time) means a contraction regression, caught far below the
-    // maxRounds throw.
-    val rounds = operators.DedupPack.LastLssRounds.get()
+    // iteration pin (VERDICT r12 item 3): dd_components runs min-label
+    // propagation (hash-min) — O(component diameter) rounds, a small
+    // constant on near-clique LSH components. A growing count (here or
+    // in the 8x/64x smoke via tools.ComponentsRounds) means a
+    // contraction regression, caught far below the LSS-fallback ceiling.
+    // (The large-star/small-star path has its own LastLssRounds counter,
+    // exercised by PropertySpec's equality tests and the fallback.)
+    val rounds = operators.DedupPack.LastHashMinRounds.get()
     assert(rounds >= 1 && rounds <= 6,
       s"components fixpoint took $rounds rounds at sfTiny")
   }

@@ -24,6 +24,38 @@ class PropertySpec extends SparkSpec {
   private val bitString: Gen[String] =
     Gen.listOfN(64, Gen.oneOf('0', '1')).map(_.mkString)
 
+  test("Chunked.chunkId: bounded in [0, maxChunks], monotone in v, for " +
+    "any observed range; non-identifier names rejected at the call site") {
+    import graft.operators.Chunked
+    val ranges: Gen[(Long, Long)] = for {
+      lo <- Gen.chooseNum(-1000000000000L, 1000000000000L)
+      span <- Gen.chooseNum(0L, 2000000000000L)
+    } yield (lo, lo + span)
+    val cases = samples(ranges, 60).flatMap { case (lo, hi) =>
+      // probe the range edges + interior points
+      val vs = Seq(lo, hi, lo + (hi - lo) / 2, lo + (hi - lo) / 3,
+        hi - (hi - lo) / 7).distinct
+      vs.map(v => (v, lo, hi))
+    }
+    val got = cases.toDF("v", "lo", "hi")
+      .withColumn("id", Chunked.chunkId("v", "lo", "hi"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for ((v, lo, hi, id) <- got)
+      assert(id >= 0 && id <= Chunked.MaxChunks,
+        s"chunkId($v in [$lo,$hi]) = $id out of [0, ${Chunked.MaxChunks}]")
+    // monotone: within one range, higher v never gets a lower chunk
+    for (((_, lo, hi), group) <- got.groupBy(t => (0, t._2, t._3))) {
+      val sorted = group.sortBy(_._1)
+      assert(sorted.map(_._4).sliding(2).forall(
+        p => p.length < 2 || p(0) <= p(1)),
+        s"chunkId not monotone on [$lo,$hi]: ${sorted.mkString(",")}")
+    }
+    // ADVICE r12: raw-string interpolation rejects non-identifiers HERE
+    intercept[IllegalArgumentException](Chunked.chunkId("v; DROP", "lo", "hi"))
+    intercept[IllegalArgumentException](Chunked.chunkId("v", "a.b", "hi"))
+  }
+
   test("hamming_distance is a metric on bit strings") {
     def h(x: String, y: String) =
       HammingDistance.hamming(UTF8String.fromString(x), UTF8String.fromString(y))
