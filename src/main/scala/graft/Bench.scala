@@ -136,7 +136,8 @@ object Bench {
             operators.TextPack.ensureLmIndex,
             operators.TextPack.ensureBigramLmIndex,
             operators.TextPack.ensureBpeIndex,
-            operators.PipelinePack.ensureComponentsIndex)
+            operators.PipelinePack.ensureComponentsIndex,
+            operators.StatsPack.ensureStatsCache)
         } yield () => { b(spark, d); () })
       val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       try {

@@ -178,15 +178,47 @@ object StatsPack {
       .orderBy("day")
   }
 
+  /** The T1 daily series with its running cumulative — ONE definition
+    * shared by the t1 row and the T3 cache's build, so the cached and
+    * recomputed rows can never drift. */
+  private def t1Series(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t1Rollup(Tables.events(s, d))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .orderBy("day")
+  }
+
+  /** The reference's 1-hour stats-cache TTL (STATS_CACHE_TIMEOUT,
+    * db/submission_stats.py:20) — far above any gate run's wall time,
+    * so verification always serves the hit path after the first build. */
+  private[graft] val StatsCacheTtlMs = 60L * 60 * 1000
+
+  /** Build-or-serve the TTL'd stats artifact (see `t3_cached_stats`). */
+  private[graft] def ensureStatsCache(s: SparkSession, d: String): String =
+    graft.sim.StatsCache.ensureTtl(s, d, "recent_stats",
+      Tables.events(s, d).select("event_id", "ts", "user_id", "value"),
+      "event_id", StatsCacheTtlMs, "members=v1") { p =>
+      t1Series(s, d).coalesce(1).write.mode("overwrite").parquet(s"$p/stats")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- daily incremental stats + running cumulative (T1) ---------------
-    "t1_daily_stats" -> ((s, d) => {
-      val daily = t1Rollup(Tables.events(s, d))
-      val w = Window.orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily.withColumn("cum_n", sum(col("n")).over(w))
-        .orderBy("day")
-    }),
+    "t1_daily_stats" -> ((s, d) => t1Series(s, d)),
+
+    // ---- T3: the serving-cache layer (reference db/submission_stats.py
+    //      :20-25, 127-165 — the redis STATS_CACHE with its 1 h TTL).
+    //      The ONE §2 row previously out of scope, closed Spark-first:
+    //      sim.StatsCache persists the computed series once per TTL
+    //      window (redis setex == member + built_at manifest; get ==
+    //      freshness-gated read; expiry == age > ttl rebuilds), and the
+    //      QUERY plan reads ONLY the artifact — no events scan on a hit
+    //      (plan-pinned). Caching is row-invisible: hit or miss, the rows
+    //      equal t1_daily_stats' recompute, which is what the shared
+    //      oracle checks. Corpus-fingerprint invalidation rides on top of
+    //      the TTL (strictly fresher than redis). ------------------------
+    "t3_cached_stats" -> ((s, d) =>
+      s.read.parquet(s"${ensureStatsCache(s, d)}/stats").orderBy("day")),
 
     // ---- incremental T1 catch-up off the persisted ledger ----------------
     // The reference's compute_stats daemon loop (db/submission_stats.py:
@@ -909,18 +941,26 @@ object StatsPack {
       .select(col("l_partkey").as("k"))
       .distinct()
 
+  /** The T1 series oracle — shared verbatim by t1_daily_stats and the
+    * cache-served t3_cached_stats (identity is the caching contract). */
+  private val T1SeriesSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY 1)
+      |SELECT day, n, users, total_value,
+      |  CAST(SUM(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW) AS BIGINT) AS cum_n
+      |FROM daily ORDER BY day""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "t1_daily_stats" ->
-      """WITH daily AS (
-        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        |  FROM events GROUP BY 1)
-        |SELECT day, n, users, total_value,
-        |  CAST(SUM(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
-        |    AND CURRENT ROW) AS BIGINT) AS cum_n
-        |FROM daily ORDER BY day""".stripMargin,
+    "t1_daily_stats" -> T1SeriesSql,
+
+    // cache hit or miss, the served rows ARE the recompute — the
+    // row-invisible-caching contract, checked by the identical oracle
+    "t3_cached_stats" -> T1SeriesSql,
 
     // the FULL recompute: incremental-equals-batch is the contract
     "t1_incremental" ->

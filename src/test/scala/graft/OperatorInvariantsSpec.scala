@@ -2558,6 +2558,29 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("StatsCache TTL: within-TTL ensures serve, expiry rebuilds") {
+    import graft.sim.StatsCache
+    val corpus = Tables.events(spark, sfTiny)
+      .select("event_id", "ts", "user_id", "value")
+    def ens(ttl: Long) = StatsCache.ensureTtl(spark, sfTiny,
+      "ttl_spec_probe", corpus, "event_id", ttl, "spec=v1") { p =>
+      spark.range(1).write.mode("overwrite").parquet(s"$p/stats")
+    }
+    ens(60000L) // build (or a prior run's still-fresh artifact)
+    val base = StatsCache.rebuilds.get()
+    ens(60000L)
+    assert(StatsCache.rebuilds.get() == base,
+      "second ensure within the TTL must serve, not rebuild")
+    // a ttl change re-keys the params hash -> rebuild, stamping built_at
+    ens(20L)
+    val afterRekey = StatsCache.rebuilds.get()
+    assert(afterRekey == base + 1)
+    Thread.sleep(60)
+    ens(20L) // 60 ms old > 20 ms TTL: redis-style expiry forces recompute
+    assert(StatsCache.rebuilds.get() == afterRekey + 1,
+      "ensure past the TTL must rebuild")
+  }
+
   test("d7_bag_ops: count algebra satisfies the multiset identities " +
     "against the raw bags") {
     val rows = Tables.orders(spark, sfTiny)

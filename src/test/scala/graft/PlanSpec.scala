@@ -831,6 +831,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t3_cached_stats serves from the TTL'd artifact — no events scan") {
+    // the caching contract's plan half: after the build, the QUERY reads
+    // only the persisted member (the reference serves the homepage from
+    // redis, not by re-running the stats SQL)
+    run("t3_cached_stats").collect() // ensure built
+    val plan = planText(run("t3_cached_stats"))
+    assert(plan.contains("ttl_recent_stats"),
+      s"t3_cached_stats: no stats-cache artifact scan in:\n$plan")
+    assert(!plan.contains("graft_events") && !plan.contains("events.parquet"),
+      s"t3_cached_stats: events scan on the hit path:\n$plan")
+  }
+
   test("meta-gate: localCheckpoint appears ONLY inside plans.Checkpointed") {
     // The registry sweep above is only exhaustive while every checkpoint
     // site funnels through the wrapper — turn that from convention into
