@@ -2579,6 +2579,19 @@ class OperatorInvariantsSpec extends SparkSpec {
     ens(20L) // 60 ms old > 20 ms TTL: redis-style expiry forces recompute
     assert(StatsCache.rebuilds.get() == afterRekey + 1,
       "ensure past the TTL must rebuild")
+    // corpus-fingerprint invalidation (the strictly-fresher-than-redis
+    // half): with name/ttl/params all UNCHANGED from a fresh in-TTL
+    // build, a different corpus must rebuild immediately
+    ens(60000L) // re-key back to ttl=60000 and stamp a fresh build
+    val before = StatsCache.rebuilds.get()
+    ens(60000L)
+    assert(StatsCache.rebuilds.get() == before, "control: in-TTL hit")
+    StatsCache.ensureTtl(spark, sfTiny, "ttl_spec_probe",
+      corpus.limit(10), "event_id", 60000L, "spec=v1") { p =>
+      spark.range(1).write.mode("overwrite").parquet(s"$p/stats")
+    }
+    assert(StatsCache.rebuilds.get() == before + 1,
+      "a changed corpus fingerprint must invalidate inside the TTL")
   }
 
   test("d7_bag_ops: count algebra satisfies the multiset identities " +
