@@ -43,9 +43,22 @@ object Checkpointed {
   }
 
   /** `df.localCheckpoint(eager)`, registering the pre-truncation plan
-    * under `label` when a capture is active. */
+    * under `label` when a capture is active. The recorded frame is the
+    * PREPARED plan (exchanges inserted, adaptive wrapper unwrapped —
+    * `executedPlan` on an unexecuted adaptive root is the initial
+    * prepared tree), so sweeps can count both WindowExec AND
+    * ShuffleExchangeExec nodes; `sparkPlan` predates EnsureRequirements
+    * and carries no Exchange nodes at all. Preparation is rule-running
+    * only — nothing executes beyond the checkpoint itself. */
   def apply(label: String, df: DataFrame, eager: Boolean = true): DataFrame = {
-    if (capturing.get) reg.add(label -> df.queryExecution.sparkPlan)
+    if (capturing.get) {
+      val prepared = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      reg.add(label -> prepared)
+    }
     df.localCheckpoint(eager)
   }
 }

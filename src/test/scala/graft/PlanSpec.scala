@@ -860,4 +860,114 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"raw localCheckpoint outside plans.Checkpointed: $offenders")
   }
+
+  /** The PREPARED (exchange-bearing) physical plan without executing:
+    * `sparkPlan` predates EnsureRequirements (no Exchange nodes exist in
+    * it at all), and under AQE the prepared tree hides behind the
+    * AdaptiveSparkPlanExec leaf wrapper — unwrap it (`executedPlan` on an
+    * unexecuted adaptive root IS the initial prepared plan). */
+  private def preparedPlan(df: DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
+  /** Structural shuffle count of a prepared, not-yet-executed plan: every
+    * ShuffleExchangeExec instance in the main tree. Runtime exchange
+    * REUSE (AQE stage cache) deduplicates some of these at execution —
+    * the count here is the structural upper bound the optimizer plans,
+    * which is the number a code change moves. */
+  private def shuffleCount(p: org.apache.spark.sql.execution.SparkPlan): Int =
+    p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+
+  test("suite sweep: shuffle-count ratchet — no query gains an exchange " +
+    "silently") {
+    // Every groupBy/join/distinct/window that isn't broadcast- or
+    // bucket-satisfied is a full repartition of its input — at 100 TB the
+    // difference between 2 and 3 exchanges in a hot query is the
+    // difference between a plan that fits the night and one that doesn't.
+    // The per-query plan pins above guard the queries someone thought
+    // about; this ratchet guards ALL of them: the committed manifest
+    // records each query's structural shuffle count (and each
+    // checkpointed segment's, via the pre-truncation registry — the same
+    // blind spot the window sweep closes), and the gate fails BOTH ways.
+    // More shuffles than the manifest = a regression that must be fixed
+    // or consciously justified by editing the manifest line in the same
+    // diff (where a reviewer sees it). Fewer = an improvement that must
+    // be banked by ratcheting the line down, so the manifest never goes
+    // stale-loose. New/removed queries must add/drop their lines.
+    // Regenerate with GRAFT_REGEN_SHUFFLE_MANIFEST=1 on a STANDALONE
+    // `testOnly graft.PlanSpec -- -z ratchet` run: cold memos capture the
+    // maximal checkpoint-site set (in-suite runs see fewer sites because
+    // earlier tests warm the harvest memos — which is also why absent
+    // pinned sites are not treated as stale below).
+    val manifestPath =
+      java.nio.file.Paths.get("src/test/resources/shuffle_manifest.tsv")
+    // bench-profile trims m4's eager 360-combo grid, as in the window
+    // sweep — construction only; plan topology is identical
+    System.setProperty("graft.bench.profile", "true")
+    graft.plans.Checkpointed.startCapture()
+    val (queryCounts, frames) =
+      try {
+        val c = SparkEntry.queries.toSeq.map { case (name, fn) =>
+          name -> shuffleCount(preparedPlan(fn(spark, sfTiny)))
+        }
+        (c, graft.plans.Checkpointed.stopCapture())
+      } finally {
+        graft.plans.Checkpointed.stopCapture()
+        System.clearProperty("graft.bench.profile")
+      }
+    // Iterative sites re-checkpoint per round with a stable per-round
+    // shape (round k reads round k-1's leaf); pin the max across rounds.
+    val siteCounts = frames.groupBy(_._1).map { case (label, ps) =>
+      s"site:$label" -> ps.map(f => shuffleCount(f._2)).max }
+    val current: Map[String, Int] = queryCounts.toMap ++ siteCounts
+    if (sys.env.contains("GRAFT_REGEN_SHUFFLE_MANIFEST")) {
+      val body = current.toSeq.sortBy(_._1)
+        .map { case (n, k) => s"$n\t$k" }.mkString("\n")
+      java.nio.file.Files.createDirectories(manifestPath.getParent)
+      java.nio.file.Files.writeString(manifestPath,
+        "# Structural shuffle counts per query plan (sfTiny, pre-AQE) —\n" +
+        "# maintained by PlanSpec's shuffle-count ratchet. Edit a line\n" +
+        "# ONLY alongside the change that moves it; regenerate with\n" +
+        "# GRAFT_REGEN_SHUFFLE_MANIFEST=1 sbt 'testOnly graft.PlanSpec'.\n" +
+        body + "\n")
+      info(s"manifest regenerated: ${current.size} entries")
+    } else {
+      assert(java.nio.file.Files.exists(manifestPath),
+        s"missing $manifestPath — regenerate (see test comment)")
+      import scala.jdk.CollectionConverters._
+      val pinned: Map[String, Int] =
+        java.nio.file.Files.readAllLines(manifestPath).asScala
+          .filterNot(l => l.startsWith("#") || l.isBlank)
+          .map { l => val Array(n, k) = l.split("\t"); n -> k.toInt }.toMap
+      val regressed = current.collect {
+        case (n, k) if pinned.get(n).exists(k > _) => s"$n(${pinned(n)}->$k)"
+      }.toSeq.sorted
+      val improved = current.collect {
+        case (n, k) if pinned.get(n).exists(k < _) => s"$n(${pinned(n)}->$k)"
+      }.toSeq.sorted
+      val missing = (current.keySet -- pinned.keySet).toSeq.sorted
+      // `site:` frames only register when their builder actually RUNS —
+      // memoized harvests (Gonzalez seeds, skew hot sets) skip their
+      // checkpoint entirely once another test has warmed them, so a
+      // pinned site absent from this sweep is a warm memo, not a stale
+      // line. Query entries have no such excuse.
+      val stale = (pinned.keySet -- current.keySet)
+        .filterNot(_.startsWith("site:")).toSeq.sorted
+      assert(regressed.isEmpty, "queries GAINED structural shuffles — fix " +
+        "the plan or justify by editing shuffle_manifest.tsv in this " +
+        s"diff: ${regressed.mkString(", ")}")
+      assert(improved.isEmpty, "queries LOST shuffles — bank the win by " +
+        s"ratcheting shuffle_manifest.tsv down: ${improved.mkString(", ")}")
+      assert(missing.isEmpty,
+        s"queries not in shuffle_manifest.tsv: ${missing.mkString(", ")}")
+      assert(stale.isEmpty,
+        s"stale manifest entries: ${stale.mkString(", ")}")
+    }
+  }
 }
