@@ -514,8 +514,18 @@ object SimilarityPack {
         topkExact(s, d, qset)
           .select(col("query_id"), col("neighbor_id")))
       val qs = exact.select("query_id").distinct()
+      // Each variant's top-k output is ≤ RecallSampleN·k rows — broadcast
+      // it into the semi probe (and the per-variant hit counts into the
+      // assembly joins below) instead of letting the planner sort-merge
+      // request-sized frames: the static estimates behind these heavy
+      // pipelines are way past the broadcast threshold, so without the
+      // hint EACH variant planned 2 structural shuffles for the semi join
+      // plus 2 per assembly join (~40 across the monitor; AQE bought some
+      // back at runtime, but planning/scheduling 10 redundant exchanges
+      // dominated the monitor's wall time at bench scale).
       def hitsOf(approx: DataFrame, name: String): DataFrame =
-        exact.join(approx.select(col("query_id"), col("neighbor_id")),
+        exact.join(
+            broadcast(approx.select(col("query_id"), col("neighbor_id"))),
             Seq("query_id", "neighbor_id"), "left_semi")
           .groupBy(col("query_id")).agg(count(lit(1)).as(name))
       val variants = Seq(
@@ -532,7 +542,7 @@ object SimilarityPack {
         "hits_sq8" -> sq8Topk(s, d, qset),
         "hits_ivfpq" -> ivfPqServe(s, d, qset))
       variants.foldLeft(qs) { case (acc, (name, approx)) =>
-        acc.join(hitsOf(approx, name), Seq("query_id"), "left")
+        acc.join(broadcast(hitsOf(approx, name)), Seq("query_id"), "left")
       }.select(col("query_id") +: variants.map { case (name, _) =>
           coalesce(col(name), lit(0L)).as(name) }: _*)
         .orderBy("query_id")
