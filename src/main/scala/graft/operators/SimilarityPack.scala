@@ -420,7 +420,10 @@ object SimilarityPack {
       val a1 = kmeansTrain(s, d)._2.withColumn("nrm", l2Norm(col("v")))
       val sizes = a1.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
         .filter(col("cn").between(2, MaxCosineBucket))
-      val keep = a1.join(sizes.select("cell"), Seq("cell"))
+      // the qualifying-cell set is bounded by the cell VOCABULARY (K rows)
+      // at any corpus size — broadcast it back over the assignment rather
+      // than letting the estimate-blind planner sort-merge the corpus
+      val keep = a1.join(broadcast(sizes.select("cell")), Seq("cell"))
       val a = keep.select(col("cell"), col("vec_id").as("doc_a"),
         col("v").as("va"), col("nrm").as("na"))
       val b = keep.select(col("cell"), col("vec_id").as("doc_b"),
@@ -1004,16 +1007,21 @@ object SimilarityPack {
         .cast(LongType).as("civ"))
 
   /** One E-step over every (vector, subspace): nearest code by TRUE
-    * subspace L2 — argmax of 2·dot − ‖c‖², all exact longs. */
+    * subspace L2 — argmax of 2·dot − ‖c‖², all exact longs. The codebook
+    * frames broadcast: cent is Subspaces·Codes·dsub rows and cn
+    * Subspaces·Codes rows BY CONSTRUCTION at any corpus size, but they
+    * sit downstream of corpus-wide aggregations whose static estimates
+    * never clear the auto-broadcast threshold — without the hints each
+    * iteration plans two corpus sort-merges against kilobyte frames. */
   private def pqAssign(ex: DataFrame, cent: DataFrame): DataFrame = {
     val cn = cent.groupBy(col("s"), col("cell"))
       .agg(sum(col("civ") * col("civ")).as("cc"))
     val w = Window.partitionBy(col("vec_id"), col("s"))
       .orderBy((col("dp") * 2 - col("cc")).desc, col("cell"))
-    ex.join(cent, Seq("s", "pos"))
+    ex.join(broadcast(cent), Seq("s", "pos"))
       .groupBy(col("vec_id"), col("s"), col("cell"))
       .agg(sum(col("giv") * col("civ")).as("dp"))
-      .join(cn, Seq("s", "cell"))
+      .join(broadcast(cn), Seq("s", "cell"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("s"), col("cell"))
@@ -1028,7 +1036,14 @@ object SimilarityPack {
     * them. */
   private def pqTrain(vecs: DataFrame): (DataFrame, DataFrame) = {
     val ex = pqExplode(vecs)
-    var assign = ex.select(col("vec_id"), col("s")).distinct()
+    // id-modulo init straight off the unique vec_ids — the (vec_id, s)
+    // universe is vecs × [0, Subspaces) by construction, so deriving it
+    // from `ex` (select + distinct) paid a corpus-wide shuffle for rows a
+    // map-side explode produces exactly
+    var assign = vecs.select(col("vec_id"))
+      .select(col("vec_id"),
+        explode(array((0 until PqSubspaces).map(i =>
+          lit(i).cast(IntegerType)): _*)).as("s"))
       .withColumn("cell", col("vec_id") % PqCodes)
     for (_ <- 1 to PqIters)
       assign = Checkpointed("SimilarityPack.pq.iter",
@@ -1091,7 +1106,7 @@ object SimilarityPack {
     val q = qs(vecs)
       .select(col("vec_id").as("query_id"), col("iv").as("qiv"),
         col("nrm").as("qnrm"))
-    val lut = pqExplode(qs(vecs)).join(cent, Seq("s", "pos"))
+    val lut = pqExplode(qs(vecs)).join(broadcast(cent), Seq("s", "pos"))
       .groupBy(col("vec_id").as("query_id"), col("s"), col("cell"))
       .agg(sum(col("giv") * col("civ")).as("qdot"))
     val wShort = Window.partitionBy(col("query_id"))
@@ -1266,7 +1281,7 @@ object SimilarityPack {
     // restrict BEFORE exploding: only the query rows pay the subspace
     // explode (a pushed-down filter for the default set; an explicit
     // prune for semi-join query sets, which don't push through Generate)
-    val lut = pqExplode(qs(assign)).join(pqCent, Seq("s", "pos"))
+    val lut = pqExplode(qs(assign)).join(broadcast(pqCent), Seq("s", "pos"))
       .groupBy(col("vec_id").as("query_id"), col("s"), col("code"))
       .agg(sum(col("giv") * col("civ")).as("qdot"))
     val wShort = Window.partitionBy(col("query_id"))
