@@ -124,7 +124,7 @@ object PipelinePack {
   private[graft] def mixThresholdsFromCounts(counts: DataFrame): DataFrame = {
     val nout = counts.agg(min(
         expr(s"(CAST(n AS DECIMAL(38,0)) * $MixDen) div wt")).as("nout"))
-    counts.crossJoin(nout).select(
+    counts.crossJoin(broadcast(nout)).select(
       col("lang"), col("n"), col("wt"),
       expr(s"(CAST(wt AS DECIMAL(38,0)) * nout * ${MixScale}L) div " +
         s"(CAST(n AS DECIMAL(38,0)) * $MixDen)").as("thresh"))
@@ -162,7 +162,7 @@ object PipelinePack {
     * bit-identical across engines (see [[TempScale]]). */
   private[graft] def tempThresholdsFromCounts(counts: DataFrame): DataFrame = {
     val nmin = counts.agg(min(col("n")).as("n_min"))
-    counts.crossJoin(nmin).select(col("lang"), col("n"),
+    counts.crossJoin(broadcast(nmin)).select(col("lang"), col("n"),
       expr(s"CAST(floor(sqrt(CAST((CAST(n_min AS DECIMAL(38,0)) * " +
         s"${TempScaleSq}L) div n AS DOUBLE))) AS BIGINT)").as("thresh"))
   }

@@ -194,8 +194,14 @@ object Skew {
     val wg = Window.partitionBy(col("g")).orderBy(col("u"))
     val sk = draws.withColumn("rn", row_number().over(wg))
       .filter(col("rn") <= k).select(col("g"), col("u"))
+    // group-vocabulary × group-vocabulary: bounded by the number of
+    // distinct sources at any corpus size — hint both stages (the pair
+    // frame and its joins against the k·groups sketch rows below are all
+    // sketch-sized; without hints the estimate-blind planner degrades the
+    // cross to a CartesianProductExec in the nothing-auto-broadcasts
+    // regime, i.e. at real scale)
     val pairs = sk.select(col("g").as("src_a")).distinct()
-      .crossJoin(sk.select(col("g").as("src_b")).distinct())
+      .crossJoin(broadcast(sk.select(col("g").as("src_b")).distinct()))
       .filter(col("src_a") < col("src_b"))
     val ua = pairs.join(sk.withColumnRenamed("g", "src_a"), Seq("src_a"))
       .select(col("src_a"), col("src_b"), col("u"),

@@ -861,6 +861,46 @@ class PlanSpec extends SparkSpec {
       s"raw localCheckpoint outside plans.Checkpointed: $offenders")
   }
 
+  test("suite sweep: auto-broadcast OFF — no query degrades to a " +
+    "cartesian product when nothing fits the threshold") {
+    // At 100 TB no join side clears an auto-broadcast threshold: every
+    // broadcast the plans rely on must come from an EXPLICIT hint on a
+    // bounded-by-construction frame, never from the test corpus being
+    // small. This sweep re-plans every query with both the static and
+    // adaptive thresholds disabled — the planner's view of the
+    // nothing-is-small regime — and rejects any CartesianProductExec: a
+    // query that is cartesian-free only at sfTiny sizes would detonate on
+    // the first real corpus. (Hinted bounded crossJoins survive as
+    // BroadcastNestedLoopJoin — correct and intended; unhinted ones
+    // surface here as cartesians.)
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    System.setProperty("graft.bench.profile", "true")
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      val offenders = for {
+        (name, fn) <- SparkEntry.queries.toSeq
+        cart = preparedPlan(fn(spark, sfTiny)).collect {
+          case c: org.apache.spark.sql.execution.joins
+              .CartesianProductExec => c
+        }
+        if cart.nonEmpty
+      } yield s"$name(${cart.size})"
+      assert(offenders.isEmpty,
+        "cartesian products under auto-broadcast OFF (these queries only " +
+          "survive because the test corpus is tiny): " +
+          offenders.sorted.mkString(", "))
+    } finally {
+      System.clearProperty("graft.bench.profile")
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    }
+  }
+
   /** The PREPARED (exchange-bearing) physical plan without executing:
     * `sparkPlan` predates EnsureRequirements (no Exchange nodes exist in
     * it at all), and under AQE the prepared tree hides behind the
