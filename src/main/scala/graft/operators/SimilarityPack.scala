@@ -1450,10 +1450,17 @@ object SimilarityPack {
     import s.implicits._
     val sample = Checkpointed("SimilarityPack.gonzalez.sample",
       trainSample(corpus))
+    // totality on degenerate corpora: an empty slice seeds nothing (the
+    // monitor serves zero rows — an empty catch-up day must not throw),
+    // and a slice smaller than ClusCells seeds every distinct point it
+    // has (farthest-first exhausts the corpus, then stops)
     val s0 = sample.orderBy("vec_id").limit(1)
-      .select(col("vec_id"), col("cv")).collect()(0)
-    var seeds = Vector((s0.getLong(0), s0.getSeq[Long](1).toArray))
-    while (seeds.size < ClusCells) {
+      .select(col("vec_id"), col("cv")).collect().headOption
+    var seeds = s0.map(r =>
+      Vector((r.getLong(0), r.getSeq[Long](1).toArray)))
+      .getOrElse(Vector.empty)
+    var exhausted = seeds.isEmpty
+    while (!exhausted && seeds.size < ClusCells) {
       val sdf = seeds.toDF("sid", "sv")
       val nxt = sample.crossJoin(broadcast(sdf))
         .withColumn("dd", gridDot(col("cv"), col("cv")) -
@@ -1461,8 +1468,14 @@ object SimilarityPack {
           gridDot(col("sv"), col("sv")))
         .groupBy(col("vec_id"))
         .agg(min(col("dd")).as("mind"), first(col("cv")).as("cv"))
-        .orderBy(col("mind").desc, col("vec_id")).limit(1).collect()(0)
-      seeds :+= ((nxt.getLong(0), nxt.getAs[Seq[Long]]("cv").toArray))
+        .filter(col("mind") > 0) // only points OUTSIDE the seed set left
+        .orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .collect().headOption
+      nxt match {
+        case Some(r) =>
+          seeds :+= ((r.getLong(0), r.getAs[Seq[Long]]("cv").toArray))
+        case None => exhausted = true
+      }
     }
     sample.unpersist() // seeds are driver values now — free the block
     seeds

@@ -13,6 +13,16 @@ class PlanSpec extends SparkSpec {
   private def run(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sfTiny)
 
+  /** Corpus dir for the construct-only suite sweeps (window funnel,
+    * auto-broadcast-off, shuffle ratchet). Defaults to sfTiny; point
+    * GRAFT_PLAN_SF at a replicated corpus (tools/scale_smoke.py) to audit
+    * the same invariants against 64× file-size ESTIMATES — planner
+    * behavior is size-dependent, and an invariant that only holds while
+    * everything is broadcastable is exactly what these sweeps hunt. The
+    * ratchet manifest is pinned at the default dir; regen/compare runs
+    * with an override are for eyeballing, not CI. */
+  private val planSweepDir = sys.env.getOrElse("GRAFT_PLAN_SF", sfTiny)
+
   /** Final physical plan text (AQE re-plans at runtime, so execute first). */
   private def planText(df: DataFrame): String = {
     df.collect()
@@ -747,7 +757,8 @@ class PlanSpec extends SparkSpec {
     val (offenders, frames) =
       try {
         val off = (for ((name, fn) <- SparkEntry.queries.toSeq) yield {
-          val unpart = windowNodes(fn(spark, sfTiny).queryExecution.sparkPlan)
+          val unpart = windowNodes(
+            fn(spark, planSweepDir).queryExecution.sparkPlan)
             .filter(_.partitionSpec.isEmpty)
           (name, unpart.size)
         }).filter(_._2 > 0).filterNot { case (n, _) => bounded.contains(n) }
@@ -882,7 +893,7 @@ class PlanSpec extends SparkSpec {
       saved.foreach { case (k, _) => conf.set(k, "-1") }
       val offenders = for {
         (name, fn) <- SparkEntry.queries.toSeq
-        cart = preparedPlan(fn(spark, sfTiny)).collect {
+        cart = preparedPlan(fn(spark, planSweepDir)).collect {
           case c: org.apache.spark.sql.execution.joins
               .CartesianProductExec => c
         }
@@ -954,7 +965,7 @@ class PlanSpec extends SparkSpec {
     val (queryCounts, frames) =
       try {
         val c = SparkEntry.queries.toSeq.map { case (name, fn) =>
-          name -> shuffleCount(preparedPlan(fn(spark, sfTiny)))
+          name -> shuffleCount(preparedPlan(fn(spark, planSweepDir)))
         }
         (c, graft.plans.Checkpointed.stopCapture())
       } finally {
