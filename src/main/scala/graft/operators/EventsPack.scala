@@ -451,11 +451,17 @@ object EventsPack {
           sum(when(col("vb") === 0, col("conv")).otherwise(0L)).as("c_a"),
           sum(when(col("vb") === 1, 1L).otherwise(0L)).as("n_b"),
           sum(when(col("vb") === 1, col("conv")).otherwise(0L)).as("c_b"))
+        // an empty arm (every sampled user hashed to one variant — routine
+        // on small cohorts) rates NULL instead of tripping ANSI divide;
+        // z_score's pool-in-(0,1) guard already covers the rest
         .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
-          (col("c_a").cast(dbl) / col("n_a").cast(dbl)).as("rate_a"),
-          (col("c_b").cast(dbl) / col("n_b").cast(dbl)).as("rate_b"),
+          (col("c_a").cast(dbl) / nullif(col("n_a").cast(dbl), lit(0.0)))
+            .as("rate_a"),
+          (col("c_b").cast(dbl) / nullif(col("n_b").cast(dbl), lit(0.0)))
+            .as("rate_b"),
           ((col("c_a") + col("c_b")).cast(dbl) /
-            (col("n_a") + col("n_b")).cast(dbl)).as("pool"))
+            nullif((col("n_a") + col("n_b")).cast(dbl), lit(0.0)))
+            .as("pool"))
         .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
           col("rate_a"), col("rate_b"),
           when(col("pool") > 0.0 && col("pool") < 1.0,
@@ -737,9 +743,12 @@ object EventsPack {
         |      AS c_b
         |  FROM u),
         |r AS (SELECT n_a, c_a, n_b, c_b,
-        |    CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
-        |    CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
-        |    CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pool
+        |    CAST(c_a AS DOUBLE) / NULLIF(CAST(n_a AS DOUBLE), 0.0)
+        |      AS rate_a,
+        |    CAST(c_b AS DOUBLE) / NULLIF(CAST(n_b AS DOUBLE), 0.0)
+        |      AS rate_b,
+        |    CAST(c_a + c_b AS DOUBLE) / NULLIF(CAST(n_a + n_b AS DOUBLE),
+        |      0.0) AS pool
         |  FROM c)
         |SELECT n_a, c_a, n_b, c_b, rate_a, rate_b,
         |  CASE WHEN pool > 0.0 AND pool < 1.0 THEN

@@ -461,12 +461,19 @@ object MLPack {
       // Standardizer/Gaussianizer arrays), not the training matrix — the
       // scoring tasks must not re-fit the preprocessing per partition
       val bcModel = s.sparkContext.broadcast((finalModel, ppFull))
-      test.mapPartitions { it =>
-        val (m, pp) = bcModel.value
-        it.map { case (l, v) =>
-          (l, RbfSvm.predict(m, pp(v.toArray)).toLong)
+      // totality: an empty training snapshot (every sampled id hashed into
+      // the test split — the zero/one-row corpus regime) trains no
+      // classes, so there is nothing to vote over; the defined result is
+      // an empty eval, not an ArrayIndexOutOfBounds inside predict
+      val pred =
+        if (sample.isEmpty) s.createDataset(Seq.empty[(Long, Long)])
+        else test.mapPartitions { it =>
+          val (m, pp) = bcModel.value
+          it.map { case (l, v) =>
+            (l, RbfSvm.predict(m, pp(v.toArray)).toLong)
+          }
         }
-      }.toDF("label", "predicted")
+      pred.toDF("label", "predicted")
         .groupBy("label", "predicted")
         .agg(count(lit(1)).as("n"))
         .withColumn("grid_size", lit(combos.size.toLong))

@@ -144,7 +144,14 @@ object SimilarityPack {
         (col("sq0").cast(DoubleType) / 1e18).as("sq"))
       .select(col("pos"),
         (col("sd") / col("n")).as("mean"),
-        sqrt((col("sq") - col("sd") * col("sd") / col("n")) / col("n")).as("std"),
+        // clamp the float variance at 0: with n = 1 (or an all-equal
+        // dimension) the exact variance is 0 but the double expression
+        // lands ~-1e-22, where Spark's sqrt returns NaN and DuckDB's
+        // ERRORS — greatest(·, 0) defines std = 0 identically on both
+        // engines and is inert wherever the variance is truly positive
+        sqrt(greatest(
+          (col("sq") - col("sd") * col("sd") / col("n")) / col("n"),
+          lit(0.0))).as("std"),
         col("vmin"), col("vmax"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1792,7 +1799,8 @@ object SimilarityPack {
       |  CAST(s9 AS DOUBLE) / 1e9 AS sd,
       |  CAST(CAST(sq0 AS VARCHAR) AS DOUBLE) / 1e18 AS sq FROM sums),
       |stats AS (SELECT pos, sd / n AS mean,
-      |  sqrt((sq - sd * sd / n) / n) AS std, vmin, vmax FROM sums2)""".stripMargin
+      |  sqrt(greatest((sq - sd * sd / n) / n, 0.0)) AS std, vmin, vmax
+      |  FROM sums2)""".stripMargin
 
   /** Force every CTE in an oracle to DuckDB's `AS MATERIALIZED` form.
     *

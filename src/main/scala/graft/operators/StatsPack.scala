@@ -431,13 +431,18 @@ object StatsPack {
             .as("syy"),
           sum(expr("CAST(x AS DECIMAL(38,0)) * y")).cast(DoubleType)
             .as("sxy"))
+        // degenerate groups (n = 1, or zero x/y variance — a single-member
+        // group happens at ANY corpus scale) get NULL corr/slope, the SQL
+        // corr() contract; NULLIF mirrors DuckDB's native x/0 → NULL, and
+        // without it Spark's ANSI divide throws on the first such group
         .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
           ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            nullif(sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy")), lit(0.0)))
             .as("corr"),
           ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+            nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0)))
+            .as("slope"))
         .select(col("l_returnflag"), col("n").cast(LongType).as("n"),
           col("corr"), col("slope"),
           ((col("sy") - col("slope") * col("sx")) / col("n") / lit(100.0))
@@ -1287,9 +1292,10 @@ object StatsPack {
         |      AS sxy
         |  FROM u GROUP BY l_returnflag),
         |t AS (SELECT l_returnflag, n, sx, sy,
-        |    (n * sxy - sx * sy) /
-        |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr,
-        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        |    (n * sxy - sx * sy) / NULLIF(
+        |      sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0.0)
+        |      AS corr,
+        |    (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) AS slope
         |  FROM s)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n, corr, slope,
         |  (sy - slope * sx) / n / 100.0 AS intercept
