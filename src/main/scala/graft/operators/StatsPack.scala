@@ -598,9 +598,14 @@ object StatsPack {
     // groupBy on (type, bin) — a ≤ 20·|types|-row result, no sort until
     // presentation. -------------------------------------------------------
     "a14_histogram" -> ((s, d) => {
+      // null measurements carry no bin: drop them (standard histogram
+      // semantics; `value` is contractually nullable) — without the
+      // filter both engines emit a NULL-bin group but PLACE it
+      // differently (Spark sorts nulls first, DuckDB last)
       val ev = Tables.events(s, d)
         .select(col("event_type"),
           floor(col("value") * 1000).cast(LongType).as("v"))
+        .filter(col("v").isNotNull)
       ev.crossJoin(broadcast(
           ev.agg(min(col("v")).as("vlo"), max(col("v")).as("vhi"))))
         .withColumn("width", expr("(vhi - vlo) div 20 + 1L"))
@@ -1248,7 +1253,8 @@ object StatsPack {
 
     "a14_histogram" ->
       """WITH v AS (SELECT event_type,
-        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v FROM events),
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL),
         |b AS (SELECT MIN(v) AS vlo,
         |    (MAX(v) - MIN(v)) // 20 + 1 AS width FROM v)
         |SELECT event_type, (v - vlo) // width AS bin,
