@@ -228,6 +228,7 @@ object RbfSvm {
     * unscaled, matching `n1_vector_normalize`'s zero-std guard. */
   final case class Standardizer(mean: Array[Double], std: Array[Double]) {
     def apply(x: Array[Double]): Array[Double] = {
+      if (mean.length == 0) return x // identity: fitted on an empty corpus
       val out = new Array[Double](x.length)
       var k = 0
       while (k < x.length) {
@@ -282,6 +283,7 @@ object RbfSvm {
     * sorted train columns + binary search, no RNG. */
   final case class Gaussianizer(sorted: Array[Array[Double]]) {
     def apply(x: Array[Double]): Array[Double] = {
+      if (sorted.length == 0) return x // identity: fitted on an empty corpus
       val out = new Array[Double](x.length)
       var k = 0
       while (k < x.length) {
@@ -304,7 +306,11 @@ object RbfSvm {
   }
 
   object Gaussianizer {
+    /** Total on empty input: returns the identity transform rather than
+      * throwing on rows.head — callers (MLPack.prepOf) eta-expand fit and
+      * an innocent hoist must not reintroduce the empty-corpus crash. */
     def fit(rows: Array[Array[Double]]): Gaussianizer = {
+      if (rows.isEmpty) return Gaussianizer(Array.empty)
       val dim = rows.head.length
       Gaussianizer(Array.tabulate(dim) { k =>
         val col = rows.map(_(k)); java.util.Arrays.sort(col); col
@@ -313,7 +319,9 @@ object RbfSvm {
   }
 
   object Standardizer {
+    /** Total on empty input: identity transform (see Gaussianizer.fit). */
     def fit(rows: Array[Array[Double]]): Standardizer = {
+      if (rows.isEmpty) return Standardizer(Array.empty, Array.empty)
       val dim = rows.head.length
       val n = rows.length.toDouble
       val mean = new Array[Double](dim)

@@ -2378,7 +2378,12 @@ object SimilarityPack {
       .flatMap { case (row, p) =>
         row.zipWithIndex.map { case (v, k) => s"($p,${k + 1},${v - 8388608L})" }
       }.mkString(",")
-    // seeding steps 2..K: csd{i} = csd{i-1} + argmax of min-dist² to it
+    // seeding steps 2..K: csd{i} = csd{i-1} + argmax of min-dist² to it.
+    // WHERE mind > 0 mirrors the engine's exhaustion rule (filter(mind>0)
+    // + headOption): once every distinct training vector is a seed the
+    // step adds NOTHING instead of padding a duplicate sid — duplicate
+    // cseeds rows would double-count SUM(dp) per copy and diverge from
+    // the engine on corpora with < ClusCells distinct training vectors.
     val seedSteps = (2 to ClusCells).map { i =>
       s"""cm${i - 1} AS (SELECT t.vec_id, MIN(t.d2) AS mind FROM (
          |  SELECT a.vec_id, s.sid, SUM((a.val - b.val) * (a.val - b.val)) AS d2
@@ -2386,7 +2391,7 @@ object SimilarityPack {
          |  JOIN ccx b ON b.vec_id = s.sid AND b.pos = a.pos
          |  GROUP BY 1, 2) t GROUP BY 1),
          |csd$i AS (SELECT sid FROM csd${i - 1} UNION ALL
-         |  (SELECT vec_id AS sid FROM cm${i - 1}
+         |  (SELECT vec_id AS sid FROM cm${i - 1} WHERE mind > 0
          |   ORDER BY mind DESC, vec_id LIMIT 1))""".stripMargin
     }.mkString(",\n")
     s"""WITH cids AS (SELECT vec_id FROM embeddings),

@@ -958,6 +958,19 @@ class PlanSpec extends SparkSpec {
     // pinned sites are not treated as stale below).
     val manifestPath =
       java.nio.file.Paths.get("src/test/resources/shuffle_manifest.tsv")
+    // The manifest is pinned at sfTiny BY CONSTRUCTION: a GRAFT_PLAN_SF
+    // override points this sweep at a replicated corpus whose plans may
+    // legitimately differ (file counts, AQE thresholds), so both the
+    // compare AND the regen branch must not touch the sfTiny manifest —
+    // an override regen would silently commit 64×-derived counts under
+    // a header claiming sfTiny. Override runs are eyeball-only.
+    if (sys.env.contains("GRAFT_PLAN_SF")) {
+      assert(!sys.env.contains("GRAFT_REGEN_SHUFFLE_MANIFEST"),
+        "refusing to regenerate the sfTiny shuffle manifest under a " +
+        "GRAFT_PLAN_SF override — unset one of the two")
+      cancel("GRAFT_PLAN_SF override active: shuffle-manifest compare is " +
+        "pinned to the default sfTiny corpus; this run is eyeball-only")
+    }
     // bench-profile trims m4's eager 360-combo grid, as in the window
     // sweep — construction only; plan topology is identical
     System.setProperty("graft.bench.profile", "true")
