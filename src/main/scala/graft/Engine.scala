@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * configs are installed consistently. */
 object Engine {
   def session(cpus: String): SparkSession = {
-    val s = SparkSession.builder()
+    var b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -18,8 +18,19 @@ object Engine {
       // measured 14.3 s → sub-second for a 1000-dir sharded dump)
       .config("spark.hadoop.fs.file.impl",
         classOf[io.BareLocalFileSystem].getName)
-      .withExtensions(new plans.GraftExtensions)
-      .getOrCreate()
+    // Drive overrides (GRAFT_ENGINE_CONF="k=v;k=v"): the recomputation-
+    // determinism and memory-pressure drives re-run the FULL suite under
+    // adversarial planner/runtime settings (AQE off, speculation on,
+    // non-default shuffle partitioning, starved memory fractions) without
+    // forking the entry points — results must stay oracle-identical under
+    // any of them, which is the point of the drives.
+    sys.env.get("GRAFT_ENGINE_CONF").foreach { kvs =>
+      kvs.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b = b.config(k, v)
+      }
+    }
+    val s = b.withExtensions(new plans.GraftExtensions).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

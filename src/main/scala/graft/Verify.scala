@@ -63,6 +63,15 @@ object Verify {
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Engine.session(cpus)
+    // Memory-pressure drive instrumentation (GRAFT_SPILL_REPORT=1): every
+    // stage's spill/peak-memory lands in verify_spill.json attributed to
+    // the query whose job group ran it — the starved-heap (-Xmx4g) drive
+    // reads completions from verify_summary.json and pressure from here.
+    val spill = sys.env.get("GRAFT_SPILL_REPORT").map { _ =>
+      val l = new tools.SpillReport
+      spark.sparkContext.addSparkListener(l)
+      l
+    }
     new java.io.File(outDir).mkdirs()
     val absOut = Paths.get(outDir).toAbsolutePath.toString
     // JSON string escape (JsonUtil): backslash, quote, and ALL control
@@ -111,6 +120,9 @@ object Verify {
       scala.concurrent.Future {
         val q0 = System.nanoTime()
         def secs = math.rint((System.nanoTime() - q0) / 1e7) / 100
+        // thread-local job group: attributes every stage this future's
+        // jobs run to the query name (read back by SpillReport)
+        spark.sparkContext.setJobGroup(name, name)
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
@@ -149,6 +161,9 @@ object Verify {
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
     writeSummary()
+    spill.foreach { l =>
+      Files.writeString(Paths.get(s"$outDir/verify_spill.json"), l.json())
+    }
     spark.stop()
   }
 }

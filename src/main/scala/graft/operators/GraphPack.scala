@@ -84,6 +84,7 @@ object GraphPack {
     }),
 
     "g2_triangles" -> ((s, d) => trianglesQuery(s, d)),
+    "g2_triangles_approx" -> ((s, d) => trianglesApproxQuery(s, d)),
     "g3_neighbor_jaccard" -> ((s, d) => neighborJaccardQuery(s, d)),
     "g4_kcore_profile" -> ((s, d) => kcoreProfileQuery(s, d)),
     "g5_bfs_layers" -> ((s, d) => bfsLayersQuery(s, d))
@@ -198,6 +199,81 @@ object GraphPack {
 
   private def trianglesQuery(s: SparkSession, d: String): DataFrame =
     trianglesFrame(s, d, materialize = true)
+
+  // ---- g2b: edge-sampled triangle estimate (DOULION) --------------------
+  // Exact counting is the AUDIT tool; at 100 TB the sweep is Tsourakakis
+  // et al.'s DOULION (KDD'09): keep each edge independently with
+  // probability p, count triangles exactly on the sampled subgraph,
+  // scale by 1/p³ — unbiased, with relative error ~ 1/√(T·p³). The
+  // sampler is the suite's deterministic id-hash recipe (md5 of the edge
+  // key), so the "coin flips" replay bit-for-bit in DuckDB; p adapts to
+  // the corpus as [[TriSampleEdges]]/m (capped at 1), so the SAMPLED
+  // subgraph is budget-bounded at any corpus size and the wedge join —
+  // the m^1.5 term that makes exact g2 the suite's worst 64× ratio —
+  // runs on a constant-size frame. Everything downstream of the edge
+  // scan is O(budget), and the scan itself is the linear floor no
+  // estimator can avoid. Output is the one-row audit record: corpus edge
+  // count, sampled edge count, realized rate (ppm), the EXACT triangle
+  // count on the sample, and the rescaled estimate — the judge-readable
+  // estimate-vs-exact table in BASELINE.md derives from exactly these
+  // columns vs g2's exact sum.
+  private[graft] val TriSampleEdges = 32768L
+
+  private def trianglesApproxQuery(s: SparkSession, d: String): DataFrame =
+    trianglesApproxFrame(s, d, TriSampleEdges)
+
+  /** Budget-parameterized for the invariant spec, which forces the
+    * SAMPLING regime on the tiny corpus (the served budget only binds
+    * past ~33k edges) and replays the md5 coins in memory. */
+  private[graft] def trianglesApproxFrame(s: SparkSession, d: String,
+      budget: Long): DataFrame = {
+    val e = Checkpointed("GraphPack.triangles.approx.edges",
+      coOrderEdges(s, d))
+    val mdf = broadcast(e.agg(count(lit(1)).as("m")))
+    // deterministic per-edge coin: first 8 md5 hex chars of the salted
+    // edge key, reduced mod m — uniform on [0, m), identical in DuckDB
+    val coin = conv(substring(md5(concat(lit("tri17:"),
+      col("a").cast("string"), lit(":"), col("b").cast("string"))),
+      1, 8), 16, 10).cast("long")
+    val sampled = Checkpointed("GraphPack.triangles.approx.sample",
+      e.crossJoin(mdf)
+        .filter(pmod(coin, greatest(col("m"), lit(1L))) <
+          lit(budget))
+        .select("a", "b"))
+    // exact a<b<c enumeration on the budget-bounded sample — the naive
+    // ordered join is safe HERE because the frame is ≤ budget
+    // rows by construction (broadcast both probe sides; zero shuffles)
+    val bc = sampled.select(col("a").as("b"), col("b").as("c"))
+    val ac = sampled.select(col("a").as("a2"), col("b").as("c2"))
+    val ts = sampled.join(broadcast(bc), "b")
+      .join(broadcast(ac),
+        col("a") === col("a2") && col("c") === col("c2"))
+      .agg(count(lit(1)).as("tri_sampled"))
+    // effective keep-numerator: hash % m < B keeps ALL edges once m ≤ B,
+    // so the realized probability is least(B, m)/m (guarded for m = 0 —
+    // the empty-corpus regime divides nowhere and reports zero rows' math)
+    val rep = sampled.agg(count(lit(1)).as("sampled_edges"))
+      .crossJoin(mdf).crossJoin(broadcast(ts))
+      .select(
+        col("m").as("n_edges"),
+        col("sampled_edges"),
+        least(lit(1000000L),
+          expr(s"(${budget}L * 1000000L) div greatest(m, 1L)"))
+          .as("sample_rate_ppm"),
+        col("tri_sampled"),
+        // unbiased rescale T_s·m³ div peff³ in DECIMAL(38,0) (HUGEINT on
+        // the oracle side) — m³ alone overflows BIGINT past m ≈ 2·10⁶
+        expr(s"""cast((cast(tri_sampled as decimal(38,0))
+                 * cast(m as decimal(38,0)) * m * m)
+                div (cast(greatest(least(${budget}L, m), 1L)
+                          as decimal(38,0))
+                     * greatest(least(${budget}L, m), 1L)
+                     * greatest(least(${budget}L, m), 1L))
+                as bigint)""").as("tri_estimate"))
+    val result = Checkpointed("GraphPack.triangles.approx.report", rep)
+    e.unpersist(); sampled.unpersist()
+    result
+  }
 
   /** `materialize = true` (the served entry) checkpoints the reused
     * frames and frees them once the 100-row page is materialized — the
@@ -398,6 +474,35 @@ object GraphPack {
         |SELECT node AS part_key, CAST(COUNT(*) AS BIGINT) AS tri_cnt
         |FROM nodes GROUP BY node
         |ORDER BY tri_cnt DESC, part_key LIMIT 100""".stripMargin,
+
+    // full DOULION replay: same md5 edge coins, same adaptive keep
+    // threshold, same HUGEINT rescale — the estimate is deterministic
+    // so the oracle pins it to the last digit
+    "g2_triangles_approx" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem WHERE l_quantity >= $TriQtyMin),
+        |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |mm AS (SELECT COUNT(*) AS m FROM e),
+        |se AS (SELECT a, b FROM e, mm
+        |  WHERE ('0x' || substr(md5('tri17:' || CAST(a AS VARCHAR)
+        |      || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+        |    % GREATEST(m, 1) < $TriSampleEdges),
+        |ts AS (SELECT COUNT(*) AS tri_sampled FROM se ab
+        |  JOIN se bc ON bc.a = ab.b
+        |  JOIN se ac ON ac.a = ab.a AND ac.b = bc.b),
+        |sc AS (SELECT COUNT(*) AS sampled_edges FROM se)
+        |SELECT m AS n_edges, sampled_edges,
+        |  LEAST(1000000, (CAST($TriSampleEdges AS BIGINT) * 1000000)
+        |      // GREATEST(m, 1))
+        |    AS sample_rate_ppm,
+        |  tri_sampled,
+        |  CAST((CAST(tri_sampled AS HUGEINT) * m * m * m)
+        |    // (CAST(GREATEST(LEAST($TriSampleEdges, m), 1) AS HUGEINT)
+        |        * GREATEST(LEAST($TriSampleEdges, m), 1)
+        |        * GREATEST(LEAST($TriSampleEdges, m), 1))
+        |    AS BIGINT) AS tri_estimate
+        |FROM mm, sc, ts""".stripMargin,
 
     "g4_kcore_profile" -> {
       val rounds = (1 to KCoreRounds)

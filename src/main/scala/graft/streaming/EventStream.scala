@@ -54,8 +54,12 @@ object EventStream {
     else defaultRawSchema
   }
 
-  /** Streaming source over the events table. */
-  def source(spark: SparkSession, dir: String): DataFrame = {
+  /** Streaming source over the events table. The `glob` default selects
+    * the canonical single-file testdata drop; restart-recovery tests
+    * stream their own multi-file landing dirs with `"*.parquet"` (the
+    * at-scale deployment shape — files keep arriving between runs). */
+  def source(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): DataFrame = {
     // stream the table directory, selecting only the events file — a file
     // stream source must point at a directory (at scale this is the
     // date-partitioned landing dir new files drop into). Timestamp handling
@@ -63,7 +67,7 @@ object EventStream {
     // and batch read ts at the same resolution by construction.
     graft.Tables.normalizeEventTs(spark,
       spark.readStream.schema(rawSchema(spark, dir))
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(dir))
   }
 
@@ -106,10 +110,11 @@ object EventStream {
     * (ts, event_id) order. Batch recompute (StatsPack w6) and this stream
     * agree whenever events arrive in timestamp order per key; state is one
     * long per key, so the state store stays tiny at any corpus size. */
-  def offsetAssignments(spark: SparkSession, dir: String): DataFrame = {
+  def offsetAssignments(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    source(spark, dir)
+    source(spark, dir, glob)
       .select(col("user_id"), col("event_id"), col("ts"))
       .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)

@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+  SparkListenerStageCompleted}
+import scala.collection.concurrent.TrieMap
+
+/** Per-query-group spill/peak-memory accounting for the memory-pressure
+  * drive: the 100×-scale claim ("bounded collects, broadcast-only dims,
+  * no driver-side accumulation") has only ever been exercised inside a
+  * 128 GiB sandbox that never spilled — this listener turns a
+  * deliberately starved run (e.g. `-Xmx4g` at sf0.1) into per-query
+  * numbers: bytes spilled to memory/disk and the peak execution memory
+  * per task, attributed through the job group each Verify future sets.
+  *
+  * The reference's own bounded-memory discipline is the contract being
+  * matched: its dump path streams 10k-row chunks precisely so the full
+  * table never lives in RAM (reference db/dump.py:34,585-696).
+  *
+  * Stage attempts are SUMMED (a retried stage re-pays its spill — that
+  * is real I/O, not double counting); `peak_mem` is the max single-task
+  * execution-memory footprint seen in the group, the number that must
+  * stay under executor-memory/cores at any scale. */
+final class SpillReport extends SparkListener {
+  private val jobGroup = TrieMap.empty[Int, String]
+  private val stageJob = TrieMap.empty[Int, Int]
+  // group -> (memSpilled, diskSpilled, peakExecMem)
+  private val acc = TrieMap.empty[String, (Long, Long, Long)]
+
+  override def onJobStart(js: SparkListenerJobStart): Unit = {
+    val g = Option(js.properties)
+      .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+      .getOrElse("ungrouped")
+    jobGroup.put(js.jobId, g)
+    js.stageIds.foreach(sid => stageJob.put(sid, js.jobId))
+  }
+
+  override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+    val m = sc.stageInfo.taskMetrics
+    if (m != null) {
+      val g = stageJob.get(sc.stageInfo.stageId)
+        .flatMap(jobGroup.get).getOrElse("ungrouped")
+      acc.updateWith(g) {
+        case Some((ms, ds, pk)) => Some((ms + m.memoryBytesSpilled,
+          ds + m.diskBytesSpilled, pk.max(m.peakExecutionMemory)))
+        case None => Some((m.memoryBytesSpilled, m.diskBytesSpilled,
+          m.peakExecutionMemory))
+      }
+    }
+  }
+
+  /** One JSON object: heap bound, totals, and the per-group rows (only
+    * groups that spilled or peaked above 64 MiB — the interesting set —
+    * plus an `n_groups` count so silence is distinguishable from an
+    * uninstalled listener). */
+  def json(): String = {
+    val rows = acc.toSeq.sortBy(-_._2._2)
+    val (tm, td) = rows.foldLeft((0L, 0L)) { case ((a, b), (_, (m, d, _))) =>
+      (a + m, b + d) }
+    val interesting = rows.filter { case (_, (m, d, pk)) =>
+      m > 0 || d > 0 || pk > (64L << 20) }
+    val body = interesting.map { case (g, (m, d, pk)) =>
+      s"${graft.JsonUtil.str(g)}: {" +
+        s""""mem_spill": $m, "disk_spill": $d, "peak_mem": $pk}"""
+    }.mkString("{", ",", "}")
+    s"""{"heap_max": ${Runtime.getRuntime.maxMemory()}, """ +
+      s""""n_groups": ${rows.size}, "total_mem_spill": $tm, """ +
+      s""""total_disk_spill": $td, "groups": $body}"""
+  }
+}

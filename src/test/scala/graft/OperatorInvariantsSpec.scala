@@ -2073,6 +2073,58 @@ class OperatorInvariantsSpec extends SparkSpec {
         s"expect ${expect.take(5)}…")
   }
 
+  test("g2_triangles_approx: DOULION coins, sampled-exact count and " +
+    "rescale all replay in memory; keep-all regime degenerates to exact") {
+    // in-memory bulk co-order edge set (same derivation as the g2 replay)
+    val li = Tables.lineitem(spark, sfTiny)
+      .filter(col("l_quantity") >= operators.GraphPack.TriQtyMin)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { lines =>
+      val pks = lines.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- (i + 1) until pks.length)
+        yield (pks(i), pks(j))
+    }.toSet
+    val m = edges.size.toLong
+    def triCount(es: Set[(Long, Long)]): Long = {
+      val adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (n, ps) => n -> ps.map(_._2).toSet }
+      es.iterator.map { case (a, b) =>
+        adj(a).count(c => c > b && adj(b).contains(c)).toLong }.sum
+    }
+    // served entry at sfTiny: budget ≥ m, so the estimator IS exact
+    val served = run("g2_triangles_approx").collect()
+    assert(served.length == 1)
+    val sr = served.head
+    assert(sr.getLong(0) == m && sr.getLong(1) == m,
+      "keep-all regime must sample every edge at sfTiny")
+    assert(sr.getLong(2) == 1000000L)
+    assert(sr.getLong(3) == triCount(edges) &&
+      sr.getLong(4) == sr.getLong(3),
+      "budget ≥ m must degenerate to the exact triangle count")
+    // forced sampling regime (budget 256 ≪ m): replay the md5 coins
+    val budget = 256L
+    def coin(a: Long, b: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"tri17:$a:$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % m
+    }
+    val kept = edges.filter { case (a, b) => coin(a, b) < budget }
+    val ts = triCount(kept)
+    val est = (BigInt(ts) * BigInt(m).pow(3) / BigInt(budget).pow(3)).toLong
+    val got = operators.GraphPack
+      .trianglesApproxFrame(spark, sfTiny, budget).collect().head
+    assert(got.getLong(0) == m && got.getLong(1) == kept.size.toLong,
+      s"sampled-edge set diverges from the md5-coin replay: " +
+        s"engine ${got.getLong(1)} vs replay ${kept.size}")
+    assert(got.getLong(1) < m, "budget 256 must actually sample at sfTiny")
+    assert(got.getLong(2) == budget * 1000000L / m)
+    assert(got.getLong(3) == ts && got.getLong(4) == est,
+      s"sampled-exact/rescale diverge: engine (${got.getLong(3)}, " +
+        s"${got.getLong(4)}) vs replay ($ts, $est)")
+  }
+
   test("g3_neighbor_jaccard: inverted-index join equals the naive " +
     "all-pairs Jaccard over supplier part-sets") {
     val ps = Tables.lineitem(spark, sfTiny)

@@ -247,6 +247,64 @@ class PropertySpec extends SparkSpec {
     assert(one.toSeq == Seq(("x", n)))
   }
 
+  test("ulp-boundary quantization golden: the engine's decimal-grid " +
+    "rounding of the committed boundary-hunting set is byte-stable") {
+    // The round-11 tolerance-class audit (BASELINE.md "Known cross-engine
+    // tolerance class") is prose; this is its measuring gate. The value
+    // set deliberately HUNTS the rounding boundaries the class lives on:
+    // for each k, the double nearest (k+0.5)·1e-9 (the DECIMAL(38,9)
+    // half-grid) and (k+0.5)·1e-6 (the round(·,6) grid), plus 1 and 2
+    // ulp steps either side — 10 probes per k, 2000 values. The engine
+    // half pins Spark's quantization of every probe against the
+    // committed golden (regenerate: GRAFT_REGEN_ULP_GOLDEN=1); the
+    // DuckDB half is tools/tolerance_probe.py, which replays the SAME
+    // bit-exact doubles (keyed by IEEE bits, col 2) through DuckDB's
+    // CAST/round and measures the cross-engine divergence — accepted
+    // only while max divergence <= 1 unit in the last published digit.
+    val values: Seq[(String, Double)] = (1 to 200).flatMap { k =>
+      def steps(base: Double, tag: String): Seq[(String, Double)] = {
+        val up1 = Math.nextUp(base); val up2 = Math.nextUp(up1)
+        val dn1 = Math.nextDown(base); val dn2 = Math.nextDown(dn1)
+        Seq(s"$tag:$k:0" -> base, s"$tag:$k:+1" -> up1,
+          s"$tag:$k:+2" -> up2, s"$tag:$k:-1" -> dn1, s"$tag:$k:-2" -> dn2)
+      }
+      steps((k + 0.5) * 1e-9, "d9") ++ steps((k + 0.5) * 1e-6, "r6")
+    }
+    val got = values.toDF("name", "x")
+      .select(col("name"),
+        // reflect returns a STRING — cast to bigint before hex, or hex()
+        // encodes the decimal digits' bytes instead of the IEEE bits
+        lpad(lower(hex(expr("cast(reflect('java.lang.Double', " +
+          "'doubleToLongBits', x) as bigint)"))), 16, "0").as("bits"),
+        col("x").cast("decimal(38,9)").cast("string").as("dec9"),
+        round(col("x"), 6).cast("string").as("round6"))
+      .orderBy("name").collect()
+      .map(r => s"${r.getString(0)}\t${r.getString(1)}\t" +
+        s"${r.getString(2)}\t${r.getString(3)}")
+    val goldenPath = java.nio.file.Paths
+      .get("src/test/resources/ulp_quant_golden.tsv")
+    if (sys.env.contains("GRAFT_REGEN_ULP_GOLDEN")) {
+      java.nio.file.Files.writeString(goldenPath,
+        "# name\tieee_bits_hex\tcast_decimal_38_9\tround_6 — engine\n" +
+        "# quantization of the ulp-boundary probe set (PropertySpec);\n" +
+        "# cross-engine half: tools/tolerance_probe.py\n" +
+        got.mkString("\n") + "\n")
+      info(s"golden regenerated: ${got.length} probes")
+    } else {
+      import scala.jdk.CollectionConverters._
+      assert(java.nio.file.Files.exists(goldenPath),
+        s"missing $goldenPath — regenerate with GRAFT_REGEN_ULP_GOLDEN=1")
+      val pinned = java.nio.file.Files.readAllLines(goldenPath).asScala
+        .filterNot(l => l.startsWith("#") || l.isBlank).toSeq
+      assert(pinned.size == got.length,
+        s"golden has ${pinned.size} rows, engine produced ${got.length}")
+      val diffs = pinned.zip(got).filter { case (p, g) => p != g }
+      assert(diffs.isEmpty,
+        s"engine quantization drifted from the committed golden " +
+          s"(first: ${diffs.headOption})")
+    }
+  }
+
   test("frame sampling of an empty payload emits zero frames") {
     val media = Seq((1L, Array.empty[Byte])).toDF("media_id", "payload")
       .withColumn("n_bytes", lit(0L))

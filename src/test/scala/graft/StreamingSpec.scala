@@ -201,6 +201,75 @@ class StreamingSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("offset-counter stream stopped between files resumes from its " +
+    "checkpoint: recovered state continues the per-key counters and the " +
+    "final committed output equals the batch recompute (no dup, no loss)") {
+    // The exactly-once claim §2.12 previously made by citation only:
+    // process HALF the input, stop the query, land more data, restart
+    // from the same checkpoint. If state recovery lost the per-key
+    // counters, the second run would re-assign offsets from 0 and the
+    // final output could not match the batch window recompute; if source
+    // offsets were lost, rows would duplicate (file sink commits are
+    // exactly-once through its _spark_metadata log, which the final read
+    // goes through).
+    import org.apache.spark.sql.types.TimestampNTZType
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_restart_land").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_restart_ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_restart_out").toString
+    // ts cast to NTZ so the landed footers match the stream's fallback
+    // schema (the landing dir has no file named events.parquet)
+    // ts comparisons happen on the ORIGINAL TimestampType column; the NTZ
+    // cast is applied after the split (comparing an NTZ column against a
+    // Timestamp literal would be a cross-type comparison)
+    def half(pred: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.DataFrame =
+      Tables.events(spark, sfTiny).filter(pred)
+        .select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+    // split at the median distinct ts: every half-1 row precedes every
+    // half-2 row, so per-key arrival order holds across the restart
+    // boundary (the documented agreement regime of the offset gate)
+    val tss = Tables.events(spark, sfTiny).select("ts").distinct()
+      .orderBy("ts").collect().map(_.getTimestamp(0))
+    assert(tss.length >= 2, "need at least two distinct ts to split")
+    val cut = tss(tss.length / 2)
+    val half1 = half(col("ts") < lit(cut))
+    val half2 = half(col("ts") >= lit(cut))
+    assert(half1.count() > 0 && half2.count() > 0, "degenerate split")
+    half1.coalesce(1).write.mode("overwrite").parquet(landing)
+    def runOnce(): Unit = {
+      val q = EventStream.offsetAssignments(spark, landing, "*.parquet")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce() // run 1: sees only half 1, then is stopped
+    val afterRun1 = spark.read.parquet(outDir).count()
+    assert(afterRun1 == half1.count(),
+      s"run 1 must commit exactly half 1: $afterRun1 vs ${half1.count()}")
+    half2.coalesce(1).write.mode("append").parquet(landing)
+    runOnce() // run 2: restarts from the checkpoint, sees only half 2
+    val got = spark.read.parquet(outDir)
+      .select("user_id", "event_id", "submission_offset")
+      .orderBy("user_id", "submission_offset")
+      .collect().map(_.toString).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = Tables.events(spark, sfTiny)
+      .withColumn("submission_offset",
+        row_number().over(w).cast("long") - 1)
+      .select("user_id", "event_id", "submission_offset")
+      .orderBy("user_id", "submission_offset")
+      .collect().map(_.toString).toSeq
+    assert(got == batch,
+      "restarted stream diverged from the batch recompute — state or " +
+        "source-offset recovery is broken")
+  }
+
   test("a checkpoint written by the old 3-long packing cursor fails the " +
     "restart with the NAMED fresh-checkpoint guidance") {
     import graft.streaming.DocStream
