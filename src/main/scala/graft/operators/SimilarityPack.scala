@@ -319,18 +319,16 @@ object SimilarityPack {
     }),
 
     // ---- IVF-style ANN: coarse quantizer (per-label centroids) → assign
-    //      query to nearest centroid → probe only that cell ----------------
+    //      query to its `nprobe` nearest cells → probe only those ----------
     // The scale path for similarity search: the corpus is partitioned into
     // cells (here by label; in production by trained centroids), each query
-    // scores one cell instead of the full corpus. Centroids use exact
-    // decimal sums so the quantizer is bit-identical across engines.
-    "ann_ivf" -> ((s, d) => ivfTopk(s, d, nprobe = 1)),
-
-    // ---- IVF with multi-cell probe: each query scores its `nprobe`
-    //      nearest cells instead of one — IVF's recall lever (a true
-    //      neighbour just across a cell boundary is recovered by the
-    //      second-nearest cell). Candidate volume grows linearly in
-    //      nprobe, still O(nprobe · cell), never a corpus scan. ------------
+    // scores nprobe cells instead of the full corpus — O(nprobe · cell),
+    // never a corpus scan. Centroids use exact decimal sums so the
+    // quantizer is bit-identical across engines. (The r14 retirement
+    // audit: the former nprobe=1 row `ann_ivf` is covered by this entry —
+    // same cell derivation and ranking SQL, probe-set superset; the
+    // per-query nprobe dominance invariant lives in
+    // OperatorInvariantsSpec via direct ivfTopk calls.)
     "ann_ivf_nprobe" -> ((s, d) => ivfTopk(s, d, nprobe = 2)),
 
     // ---- sign-LSH bucketed ANN (the 100 TB scale path). Approximate as a
@@ -338,16 +336,6 @@ object SimilarityPack {
     //      are MD5-derived constants — so it IS oracle-checked: the oracle
     //      inlines the exact integer hyperplane literals. ------------------
     "ann_lsh_bucketed" -> ((s, d) => lshTopk(s, d, multiProbe = false)),
-
-    // ---- IVF with TRAINED centroids: one Lloyd iteration ----------------
-    // Closes the label-stand-in caveat of `ann_ivf`: cent0 = per-label
-    // means (init), E-step reassigns every vector to its nearest cent0,
-    // M-step recomputes the cell means (cent1), and both the inverted
-    // lists and query routing use the trained cent1 assignment. Each
-    // step is a broadcast of K centroid vectors against a linear corpus
-    // scan — no shuffle grows with the corpus beyond the K-row centroid
-    // aggregates, so further Lloyd iterations are O(corpus) each. --------
-    "ann_ivf_kmeans" -> ((s, d) => kmeansTopk(s, d, k = 5)),
 
     // ---- TUNED trained IVF: the usable-recall configuration --------------
     // The headline IVF variant (the reference tunes its Annoy index the
@@ -623,7 +611,7 @@ object SimilarityPack {
     * engines), each query probes its `nprobe` nearest cells and scores only
     * their members. Cells partition the corpus, so multi-cell candidates
     * never duplicate. */
-  private def ivfTopk(s: SparkSession, d: String, nprobe: Int,
+  private[graft] def ivfTopk(s: SparkSession, d: String, nprobe: Int,
       k: Int = 5, qs: QuerySet = DefaultQueries): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
@@ -662,7 +650,7 @@ object SimilarityPack {
     * cent0, M-step recomputes the cell means (cent1), and both the inverted
     * lists and query routing use the trained cent1 assignment. Each step is
     * a broadcast of K centroid vectors against a linear corpus scan. */
-  private def kmeansTopk(s: SparkSession, d: String, k: Int,
+  private[graft] def kmeansTopk(s: SparkSession, d: String, k: Int,
       qs: QuerySet = DefaultQueries): DataFrame =
     cellTopk(kmeansTrain(s, d)._2, k, qs)
 
@@ -1959,8 +1947,6 @@ object SimilarityPack {
         |WHERE dp / (na.nrm * nb.nrm) >= $NearDupCosine
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "ann_ivf" -> ivfOracleSql(nprobe = 1),
-
     "ann_ivf_nprobe" -> ivfOracleSql(nprobe = 2),
 
     "ann_ivf_tuned" -> ivfTunedOracleSql,
@@ -2013,14 +1999,18 @@ object SimilarityPack {
 
     "ann_sq8" -> sq8OracleSql,
 
-    "ann_ivf_kmeans" -> kmeansOracleSql,
-
     // The persisted-index variants serve IDENTICAL semantics from the
     // saved artifact; equality with the recompute path is the property
     // under test, and the recompute path's own oracle is the full
     // training-chain SQL — so these assert row-identity (see
-    // ann_tuned_indexed above for the cost rationale).
-    "ann_kmeans_indexed" -> sameRowsAs("ann_ivf_kmeans"),
+    // ann_tuned_indexed above for the cost rationale). EXCEPT the kmeans
+    // serve path: its inline anchor (`ann_ivf_kmeans`) retired in the r14
+    // audit, so the FULL one-Lloyd-iteration training-chain SQL moved
+    // HERE — the artifact-served rows are identical to the retired inline
+    // recompute by construction (IndexStoreSpec pins that equality via a
+    // direct kmeansTopk call), so the full oracle now verifies the
+    // artifact CONTENT end to end, not just row-identity.
+    "ann_kmeans_indexed" -> kmeansOracleSql,
     "ann_lsh_indexed" -> sameRowsAs("ann_lsh_multitable"),
 
     // The MD5-derived hyperplane family as exact integer literals (p 0-based

@@ -314,8 +314,11 @@ object TextPack {
     }
 
   /** Score an arbitrary (doc_id, text) frame against `dir`'s persisted LM
-    * artifact — the serving core shared by the `tx_unigram_ppl_indexed`
-    * batch twin and the streaming ppl gate (DocStream.pplGate). */
+    * artifact — the MLE serving core. Its suite row retired in the r14
+    * audit (tx_unigram_ppl pins the MLE arithmetic, tx_unigram_ppl_smoothed
+    * full-oracle-verifies the same artifact's content); PlanSpec still pins
+    * the serving plan ("reads the artifact, never re-counts the corpus")
+    * and the inline-equality via a direct call here. */
   private[graft] def pplServe(s: SparkSession, d: String,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val p = ensureLmIndex(s, d)
@@ -1078,17 +1081,6 @@ object TextPack {
       bigramServeSmoothedAt(s, ensureBigramLmIndex(s, d),
         Tables.documents(s, d), prefilter = false).orderBy("doc_id")),
 
-    // ---- the same scoring served from the PERSISTED LM artifact ----------
-    // The text-side twin of the ANN `_indexed` family: the corpus LM
-    // (token counts + total) is a build-once IndexStore artifact, and
-    // scoring touches ONLY the scored documents plus the artifact — the
-    // corpus is never re-counted per scoring job (plan-asserted). Rows are
-    // identical to the inline entry by construction (shared scoring core
-    // over the same exact counts), which is what the row-identity oracle
-    // checks. -------------------------------------------------------------
-    "tx_unigram_ppl_indexed" -> ((s, d) =>
-      pplServe(s, d, Tables.documents(s, d)).orderBy("doc_id")),
-
     // ---- add-one-smoothed scoring from the persisted LM ------------------
     // The POST-FREEZE serving semantics (and the streaming ppl gate's
     // batch twin — DocStream.pplGate runs this core verbatim): Laplace
@@ -1441,13 +1433,6 @@ object TextPack {
          |  round(CAST(nll AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
          |    AS mean_nll
          |FROM sc ORDER BY doc_id""".stripMargin,
-
-    // row-identity against the inline entry's already-oracle-checked
-    // verify output (the ANN `_indexed` twins' pattern — the artifact
-    // serves IDENTICAL rows by construction; the plan-level "reads the
-    // artifact, never re-counts the corpus" half is PlanSpec's)
-    "tx_unigram_ppl_indexed" ->
-      "SELECT * FROM '__GRAFT_OUT__/tx_unigram_ppl/*.parquet'",
 
     // full smoothing-arithmetic mirror: Laplace (c+1)/(N+V) with the LEFT
     // join (structural on the corpus itself — every token is LM-present —

@@ -125,7 +125,7 @@ class PlanSpec extends SparkSpec {
   test("no accidental cartesian products in any query plan") {
     // intended broadcast-cross plans (tiny single-row / query-set side):
     val allowedCross = Set("n5_pairwise_distance", "p6_distance_threshold",
-      "ann_ivf", "ann_ivf_nprobe", "n4_topk_cosine", "ann_lsh_bucketed")
+      "ann_ivf_nprobe", "n4_topk_cosine", "ann_lsh_bucketed")
     for ((name, fn) <- SparkEntry.queries if !allowedCross(name)) {
       val plan = planText(fn(spark, sfTiny))
       assert(!plan.contains("CartesianProduct"),
@@ -421,9 +421,15 @@ class PlanSpec extends SparkSpec {
       served.nonEmpty)
   }
 
-  test("tx_unigram_ppl_indexed serves from the LM artifact and equals " +
-    "the inline scoring") {
-    val indexed = run("tx_unigram_ppl_indexed")
+  test("pplServe serves from the LM artifact and equals the inline " +
+    "scoring (the retired tx_unigram_ppl_indexed row's plan pin)") {
+    // suite row retired in the r14 audit (tx_unigram_ppl_smoothed's full
+    // oracle verifies the same artifact's content); the PLAN halves —
+    // artifact scan present, corpus never re-counted — stay pinned here
+    // against the serving core directly
+    val indexed = graft.operators.TextPack
+      .pplServe(spark, sfTiny, Tables.documents(spark, sfTiny))
+      .orderBy("doc_id")
     val served = indexed.collect()
     val idxPlan = indexed.queryExecution.executedPlan.toString
     assert(idxPlan.contains("unigram_lm"),
