@@ -206,69 +206,98 @@ object GraphPack {
   // probability p, count triangles exactly on the sampled subgraph,
   // scale by 1/p³ — unbiased, with relative error ~ 1/√(T·p³). The
   // sampler is the suite's deterministic id-hash recipe (md5 of the edge
-  // key), so the "coin flips" replay bit-for-bit in DuckDB; p adapts to
-  // the corpus as [[TriSampleEdges]]/m (capped at 1), so the SAMPLED
-  // subgraph is budget-bounded at any corpus size and the wedge join —
-  // the m^1.5 term that makes exact g2 the suite's worst 64× ratio —
-  // runs on a constant-size frame. Everything downstream of the edge
-  // scan is O(budget), and the scan itself is the linear floor no
-  // estimator can avoid. Output is the one-row audit record: corpus edge
+  // key), so the "coin flips" replay bit-for-bit in DuckDB.
+  //
+  // The keep threshold ADAPTS to the corpus: K = ⌊(C·m²)^⅓⌋ edges kept
+  // out of m (p = K/m ∝ m^-⅓), so the expected SAMPLED triangle count
+  // T·p³ = C·(T/m) is scale-INVARIANT (≈ C·triangles-per-edge — the
+  // estimator's precision does not decay as the corpus grows), while the
+  // sampled subgraph grows only as m^⅔ and its wedge join as (m^⅔)^1.5 =
+  // m — the estimator's total cost is LINEAR in the corpus, i.e. the
+  // scan floor, vs the m^1.5 of the exact sweep. A fixed-budget sampler
+  // (the r14 first cut) holds cost constant but its precision decays
+  // cubically: measured T_s = 261 → 7 → 0 at 1×/8×/64× — the honest
+  // negative result in BASELINE.md that motivated this rule.
+  //
+  // The cube root is EXACT-INTEGER on both engines: a double cbrt
+  // proposes a candidate (correct to ≪1 for any m < 5·10²²), and a CASE
+  // chain fixes the floor with exact DECIMAL(38,0)/HUGEINT cube
+  // comparisons — engines can disagree on the double by an ulp, never on
+  // the adjusted K. Output is the one-row audit record: corpus edge
   // count, sampled edge count, realized rate (ppm), the EXACT triangle
   // count on the sample, and the rescaled estimate — the judge-readable
-  // estimate-vs-exact table in BASELINE.md derives from exactly these
-  // columns vs g2's exact sum.
-  private[graft] val TriSampleEdges = 32768L
+  // estimate-vs-exact table in BASELINE.md derives from these columns
+  // vs g2's exact sum.
+  /** Precision constant: E[sampled triangles] ≈ C · (T/m). 350 puts the
+    * fixture corpora (T/m ≈ 0.7–2.1) at ~250–750 sampled triangles —
+    * a few-percent standard error at every scale. */
+  private[graft] val TriApproxC = 350L
+  /** Sentinel: derive the keep threshold adaptively from m. */
+  private[graft] val AdaptiveBudget = -1L
 
   private def trianglesApproxQuery(s: SparkSession, d: String): DataFrame =
-    trianglesApproxFrame(s, d, TriSampleEdges)
+    trianglesApproxFrame(s, d, AdaptiveBudget)
 
-  /** Budget-parameterized for the invariant spec, which forces the
-    * SAMPLING regime on the tiny corpus (the served budget only binds
-    * past ~33k edges) and replays the md5 coins in memory. */
+  /** Budget-parameterized for the invariant spec, which forces a fixed
+    * keep threshold on the tiny corpus and replays the md5 coins in
+    * memory; [[AdaptiveBudget]] (the served entry) derives K = ⌊(C·m²)^⅓⌋
+    * in-plan from the corpus edge count. */
   private[graft] def trianglesApproxFrame(s: SparkSession, d: String,
       budget: Long): DataFrame = {
     val e = Checkpointed("GraphPack.triangles.approx.edges",
       coOrderEdges(s, d))
-    val mdf = broadcast(e.agg(count(lit(1)).as("m")))
+    val kbSql =
+      if (budget == AdaptiveBudget)
+        """CASE WHEN cast(c0 + 2 as decimal(38,0)) * (c0 + 2) * (c0 + 2) <= x
+          |     THEN c0 + 2
+          |     WHEN cast(c0 + 1 as decimal(38,0)) * (c0 + 1) * (c0 + 1) <= x
+          |     THEN c0 + 1
+          |     WHEN cast(c0 as decimal(38,0)) * c0 * c0 <= x THEN c0
+          |     ELSE c0 - 1 END""".stripMargin
+      else s"${budget}L"
+    val mk = broadcast(e.agg(count(lit(1)).as("m"))
+      .withColumn("x", expr(s"cast(${TriApproxC}L as decimal(38,0)) * m * m"))
+      .withColumn("c0", expr("cast(floor(cbrt(cast(x as double))) as bigint)"))
+      .withColumn("kb", expr(kbSql))
+      .select(col("m"), col("kb")))
     // deterministic per-edge coin: first 8 md5 hex chars of the salted
     // edge key, reduced mod m — uniform on [0, m), identical in DuckDB
     val coin = conv(substring(md5(concat(lit("tri17:"),
       col("a").cast("string"), lit(":"), col("b").cast("string"))),
       1, 8), 16, 10).cast("long")
     val sampled = Checkpointed("GraphPack.triangles.approx.sample",
-      e.crossJoin(mdf)
-        .filter(pmod(coin, greatest(col("m"), lit(1L))) <
-          lit(budget))
+      e.crossJoin(mk)
+        .filter(pmod(coin, greatest(col("m"), lit(1L))) < col("kb"))
         .select("a", "b"))
-    // exact a<b<c enumeration on the budget-bounded sample — the naive
-    // ordered join is safe HERE because the frame is ≤ budget
-    // rows by construction (broadcast both probe sides; zero shuffles)
+    // exact a<b<c enumeration on the m^⅔-bounded sample — the naive
+    // ordered join is safe HERE because the frame is ≤ K rows by
+    // construction (broadcast both probe sides; zero shuffles)
     val bc = sampled.select(col("a").as("b"), col("b").as("c"))
     val ac = sampled.select(col("a").as("a2"), col("b").as("c2"))
     val ts = sampled.join(broadcast(bc), "b")
       .join(broadcast(ac),
         col("a") === col("a2") && col("c") === col("c2"))
       .agg(count(lit(1)).as("tri_sampled"))
-    // effective keep-numerator: hash % m < B keeps ALL edges once m ≤ B,
-    // so the realized probability is least(B, m)/m (guarded for m = 0 —
+    // effective keep-numerator: hash % m < K keeps ALL edges once m ≤ K,
+    // so the realized probability is least(K, m)/m (guarded for m = 0 —
     // the empty-corpus regime divides nowhere and reports zero rows' math)
     val rep = sampled.agg(count(lit(1)).as("sampled_edges"))
-      .crossJoin(mdf).crossJoin(broadcast(ts))
+      .crossJoin(mk).crossJoin(broadcast(ts))
       .select(
         col("m").as("n_edges"),
         col("sampled_edges"),
         least(lit(1000000L),
-          expr(s"(${budget}L * 1000000L) div greatest(m, 1L)"))
+          expr("(kb * 1000000L) div greatest(m, 1L)"))
           .as("sample_rate_ppm"),
         col("tri_sampled"),
         // unbiased rescale T_s·m³ div peff³ in DECIMAL(38,0) (HUGEINT on
         // the oracle side) — m³ alone overflows BIGINT past m ≈ 2·10⁶
-        expr(s"""cast((cast(tri_sampled as decimal(38,0))
+        expr("""cast((cast(tri_sampled as decimal(38,0))
                  * cast(m as decimal(38,0)) * m * m)
-                div (cast(greatest(least(${budget}L, m), 1L)
+                div (cast(greatest(least(kb, m), 1L)
                           as decimal(38,0))
-                     * greatest(least(${budget}L, m), 1L)
-                     * greatest(least(${budget}L, m), 1L))
+                     * greatest(least(kb, m), 1L)
+                     * greatest(least(kb, m), 1L))
                 as bigint)""").as("tri_estimate"))
     val result = Checkpointed("GraphPack.triangles.approx.report", rep)
     e.unpersist(); sampled.unpersist()
@@ -476,33 +505,46 @@ object GraphPack {
         |ORDER BY tri_cnt DESC, part_key LIMIT 100""".stripMargin,
 
     // full DOULION replay: same md5 edge coins, same adaptive keep
-    // threshold, same HUGEINT rescale — the estimate is deterministic
-    // so the oracle pins it to the last digit
+    // threshold K = ⌊(C·m²)^⅓⌋ (double-cbrt candidate fixed to the exact
+    // integer floor with HUGEINT cube comparisons — an ulp disagreement
+    // between libm and the JVM cannot change K), same HUGEINT rescale —
+    // the estimate is deterministic so the oracle pins it to the digit
     "g2_triangles_approx" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |    FROM lineitem WHERE l_quantity >= $TriQtyMin),
         |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
         |mm AS (SELECT COUNT(*) AS m FROM e),
-        |se AS (SELECT a, b FROM e, mm
+        |mk AS (SELECT m, CASE
+        |    WHEN CAST(c0 + 2 AS HUGEINT) * (c0 + 2) * (c0 + 2) <= x
+        |    THEN c0 + 2
+        |    WHEN CAST(c0 + 1 AS HUGEINT) * (c0 + 1) * (c0 + 1) <= x
+        |    THEN c0 + 1
+        |    WHEN CAST(c0 AS HUGEINT) * c0 * c0 <= x THEN c0
+        |    ELSE c0 - 1 END AS kb
+        |  FROM (SELECT m, x,
+        |      CAST(FLOOR(CBRT(CAST(x AS DOUBLE))) AS BIGINT) AS c0
+        |    FROM (SELECT m, CAST($TriApproxC AS HUGEINT) * m * m AS x
+        |      FROM mm) q1) q2),
+        |se AS (SELECT a, b FROM e, mk
         |  WHERE ('0x' || substr(md5('tri17:' || CAST(a AS VARCHAR)
         |      || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
-        |    % GREATEST(m, 1) < $TriSampleEdges),
+        |    % GREATEST(m, 1) < kb),
         |ts AS (SELECT COUNT(*) AS tri_sampled FROM se ab
         |  JOIN se bc ON bc.a = ab.b
         |  JOIN se ac ON ac.a = ab.a AND ac.b = bc.b),
         |sc AS (SELECT COUNT(*) AS sampled_edges FROM se)
         |SELECT m AS n_edges, sampled_edges,
-        |  LEAST(1000000, (CAST($TriSampleEdges AS BIGINT) * 1000000)
+        |  LEAST(1000000, (CAST(kb AS BIGINT) * 1000000)
         |      // GREATEST(m, 1))
         |    AS sample_rate_ppm,
         |  tri_sampled,
         |  CAST((CAST(tri_sampled AS HUGEINT) * m * m * m)
-        |    // (CAST(GREATEST(LEAST($TriSampleEdges, m), 1) AS HUGEINT)
-        |        * GREATEST(LEAST($TriSampleEdges, m), 1)
-        |        * GREATEST(LEAST($TriSampleEdges, m), 1))
+        |    // (CAST(GREATEST(LEAST(kb, m), 1) AS HUGEINT)
+        |        * GREATEST(LEAST(kb, m), 1)
+        |        * GREATEST(LEAST(kb, m), 1))
         |    AS BIGINT) AS tri_estimate
-        |FROM mm, sc, ts""".stripMargin,
+        |FROM mk, sc, ts""".stripMargin,
 
     "g4_kcore_profile" -> {
       val rounds = (1 to KCoreRounds)

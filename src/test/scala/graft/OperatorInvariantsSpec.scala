@@ -2097,37 +2097,49 @@ class OperatorInvariantsSpec extends SparkSpec {
       es.iterator.map { case (a, b) =>
         adj(a).count(c => c > b && adj(b).contains(c)).toLong }.sum
     }
-    // served entry at sfTiny: budget ≥ m, so the estimator IS exact
-    val served = run("g2_triangles_approx").collect()
-    assert(served.length == 1)
-    val sr = served.head
-    assert(sr.getLong(0) == m && sr.getLong(1) == m,
-      "keep-all regime must sample every edge at sfTiny")
-    assert(sr.getLong(2) == 1000000L)
-    assert(sr.getLong(3) == triCount(edges) &&
-      sr.getLong(4) == sr.getLong(3),
-      "budget ≥ m must degenerate to the exact triangle count")
-    // forced sampling regime (budget 256 ≪ m): replay the md5 coins
-    val budget = 256L
     def coin(a: Long, b: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(s"tri17:$a:$b".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.substring(0, 8), 16) % m
     }
-    val kept = edges.filter { case (a, b) => coin(a, b) < budget }
-    val ts = triCount(kept)
-    val est = (BigInt(ts) * BigInt(m).pow(3) / BigInt(budget).pow(3)).toLong
+    def replay(kb: Long): (Long, Long, Long, Long, Long) = {
+      val kept = edges.filter { case (a, b) => coin(a, b) < kb }
+      val ts = triCount(kept)
+      val peff = math.max(math.min(kb, m), 1L)
+      val est = (BigInt(ts) * BigInt(m).pow(3) / BigInt(peff).pow(3)).toLong
+      (m, kept.size.toLong, math.min(1000000L, kb * 1000000L / m), ts, est)
+    }
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    // SERVED entry: adaptive K = exact integer ⌊(C·m²)^⅓⌋ — replay the
+    // whole derivation (BigInt cube-root by search, md5 coins, rescale)
+    val x = BigInt(operators.GraphPack.TriApproxC) * BigInt(m) * BigInt(m)
+    val kAdaptive = {
+      var k = BigInt(math.cbrt(x.toDouble).toLong)
+      while ((k + 1).pow(3) <= x) k += 1
+      while (k.pow(3) > x) k -= 1
+      k.toLong
+    }
+    val served = run("g2_triangles_approx").collect()
+    assert(served.length == 1)
+    assert(row(served.head) == replay(kAdaptive),
+      s"adaptive-K replay diverges: engine ${row(served.head)} vs " +
+        s"replay ${replay(kAdaptive)} at K=$kAdaptive")
+    assert(served.head.getLong(1) < m && served.head.getLong(3) > 0,
+      "adaptive K must actually sample at sfTiny and still see triangles")
+    // forced FIXED threshold (256 ≪ m): the spec's budget knob
     val got = operators.GraphPack
-      .trianglesApproxFrame(spark, sfTiny, budget).collect().head
-    assert(got.getLong(0) == m && got.getLong(1) == kept.size.toLong,
-      s"sampled-edge set diverges from the md5-coin replay: " +
-        s"engine ${got.getLong(1)} vs replay ${kept.size}")
-    assert(got.getLong(1) < m, "budget 256 must actually sample at sfTiny")
-    assert(got.getLong(2) == budget * 1000000L / m)
-    assert(got.getLong(3) == ts && got.getLong(4) == est,
-      s"sampled-exact/rescale diverge: engine (${got.getLong(3)}, " +
-        s"${got.getLong(4)}) vs replay ($ts, $est)")
+      .trianglesApproxFrame(spark, sfTiny, 256L).collect().head
+    assert(row(got) == replay(256L),
+      s"fixed-budget replay diverges: engine ${row(got)} vs " +
+        s"replay ${replay(256L)}")
+    // keep-all degeneration: threshold ≥ m ⇒ the estimator IS exact
+    val all = operators.GraphPack
+      .trianglesApproxFrame(spark, sfTiny, m + 10).collect().head
+    assert(all.getLong(1) == m && all.getLong(3) == triCount(edges) &&
+      all.getLong(4) == all.getLong(3),
+      "threshold ≥ m must degenerate to the exact triangle count")
   }
 
   test("g3_neighbor_jaccard: inverted-index join equals the naive " +
