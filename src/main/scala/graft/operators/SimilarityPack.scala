@@ -1546,6 +1546,39 @@ object SimilarityPack {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cv"))
       .dropDuplicates("query_id", "neighbor_id")
+    // query-directed multiprobe arm (Lv et al., VLDB'07, in sign-LSH
+    // form): per table, ALSO probe the bucket whose key flips the
+    // query's least-confident bit — the plane with the smallest |dot|
+    // (exact integers; ties → lowest plane index). This is the recall
+    // lever for clusters that straddle one hyperplane, the measured
+    // small-corpus failure mode of the base arm (194/250 at sf0.01) —
+    // candidate volume only doubles the probed buckets, and both the
+    // hits and the scanned count ride in the schema so the price is a
+    // gated number, not an argument.
+    val qProbe = planes.grouped(ClusLshPlanes).toSeq.zipWithIndex
+      .map { case (tbl, t) =>
+        val dots = tbl.map(p => gridDot(col("qv"), typedLit(p)))
+        val bits = dots.map(d =>
+          when(d >= 0, lit("1")).otherwise(lit("0")))
+        // argmin |dot| as array_min over (|dot|, idx) structs — struct
+        // comparison is lexicographic, so ties resolve on idx exactly
+        val flipIdx = array_min(array(dots.zipWithIndex.map {
+          case (d, j) => struct(abs(d).as("a"), lit(j).as("j")) }: _*))
+          .getField("j")
+        val flipped = concat(bits.zipWithIndex.map { case (b, j) =>
+          when(lit(j) === flipIdx,
+            when(dots(j) >= 0, lit("0")).otherwise(lit("1")))
+            .otherwise(b)
+        }: _*)
+        q.select(col("query_id"), lit(t).as("tbl"), concat(bits: _*)
+            .as("key"))
+          .unionAll(q.select(col("query_id"), lit(t).as("tbl"),
+            flipped.as("key")))
+      }.reduce(_ unionAll _)
+    val candLshMp = keyed.join(broadcast(qProbe), Seq("tbl", "key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
     // per-variant hit count vs the exact anchor + scanned-candidate count
     def stats(cand: DataFrame, h: String, sc: String): DataFrame = {
       val w = Window.partitionBy(col("query_id"))
@@ -1575,6 +1608,8 @@ object SimilarityPack {
         Seq("query_id"), "left")
       .join(broadcast(stats(candLsh, "hits_lsh", "scanned_lsh")),
         Seq("query_id"), "left")
+      .join(broadcast(stats(candLshMp, "hits_lsh_mp", "scanned_lsh_mp")),
+        Seq("query_id"), "left")
       .crossJoin(broadcast(n))
       .select(col("query_id"),
         coalesce(col("hits_ivf"), lit(0L)).as("hits_ivf"),
@@ -1585,6 +1620,10 @@ object SimilarityPack {
         coalesce(col("scanned_lsh"), lit(0L)).as("scanned_lsh"),
         expr("(1000000 * coalesce(scanned_lsh, 0)) div corpus_n")
           .as("frac_lsh_ppm"),
+        coalesce(col("hits_lsh_mp"), lit(0L)).as("hits_lsh_mp"),
+        coalesce(col("scanned_lsh_mp"), lit(0L)).as("scanned_lsh_mp"),
+        expr("(1000000 * coalesce(scanned_lsh_mp, 0)) div corpus_n")
+          .as("frac_lsh_mp_ppm"),
         col("corpus_n"))
       .orderBy("query_id")
     val result = Checkpointed("SimilarityPack.clustered.result", assembled)
@@ -2452,6 +2491,33 @@ object SimilarityPack {
        |    PARTITION BY c.query_id ORDER BY x.cos DESC, c.neighbor_id) AS rank
        |  FROM clsh c JOIN ccos x ON x.query_id = c.query_id
        |    AND x.neighbor_id = c.neighbor_id) t WHERE rank <= 10),
+       |cfl AS (SELECT vec_id, tbl, p AS fp FROM (
+       |  SELECT vec_id, p, p // $ClusLshPlanes AS tbl, row_number() OVER (
+       |    PARTITION BY vec_id, p // $ClusLshPlanes ORDER BY ABS(dp), p)
+       |    AS rn
+       |  FROM cbd WHERE vec_id IN (SELECT query_id FROM cqs)) t
+       |  WHERE rn = 1),
+       |cbkf AS (SELECT d.vec_id, d.p // $ClusLshPlanes AS tbl,
+       |  string_agg(CASE WHEN d.p = f.fp THEN
+       |      (CASE WHEN d.dp >= 0 THEN '0' ELSE '1' END)
+       |    ELSE (CASE WHEN d.dp >= 0 THEN '1' ELSE '0' END) END, ''
+       |    ORDER BY d.p) AS key
+       |  FROM cbd d JOIN cfl f ON f.vec_id = d.vec_id
+       |    AND f.tbl = d.p // $ClusLshPlanes
+       |  WHERE d.vec_id IN (SELECT query_id FROM cqs)
+       |  GROUP BY d.vec_id, d.p // $ClusLshPlanes),
+       |cqk AS (SELECT vec_id, tbl, key FROM cbk
+       |    WHERE vec_id IN (SELECT query_id FROM cqs)
+       |  UNION SELECT vec_id, tbl, key FROM cbkf),
+       |clshm AS (SELECT DISTINCT q.vec_id AS query_id,
+       |    c.vec_id AS neighbor_id
+       |  FROM cqk q JOIN cbk c ON c.tbl = q.tbl AND c.key = q.key
+       |    AND c.vec_id <> q.vec_id),
+       |clshm10 AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT c.query_id, c.neighbor_id, row_number() OVER (
+       |    PARTITION BY c.query_id ORDER BY x.cos DESC, c.neighbor_id) AS rank
+       |  FROM clshm c JOIN ccos x ON x.query_id = c.query_id
+       |    AND x.neighbor_id = c.neighbor_id) t WHERE rank <= 10),
        |csivf AS (SELECT query_id, COUNT(*) AS scanned_ivf
        |  FROM civf GROUP BY 1),
        |chivf AS (SELECT e.query_id, COUNT(*) AS hits_ivf FROM cexact e
@@ -2461,6 +2527,11 @@ object SimilarityPack {
        |  FROM clsh GROUP BY 1),
        |chlsh AS (SELECT e.query_id, COUNT(*) AS hits_lsh FROM cexact e
        |  JOIN clsh10 a ON a.query_id = e.query_id
+       |    AND a.neighbor_id = e.neighbor_id GROUP BY 1),
+       |cslshm AS (SELECT query_id, COUNT(*) AS scanned_lsh_mp
+       |  FROM clshm GROUP BY 1),
+       |chlshm AS (SELECT e.query_id, COUNT(*) AS hits_lsh_mp FROM cexact e
+       |  JOIN clshm10 a ON a.query_id = e.query_id
        |    AND a.neighbor_id = e.neighbor_id GROUP BY 1),
        |ccn AS (SELECT COUNT(*) AS corpus_n FROM cids)
        |SELECT q.query_id,
@@ -2472,12 +2543,18 @@ object SimilarityPack {
        |  COALESCE(s2.scanned_lsh, 0) AS scanned_lsh,
        |  (1000000 * COALESCE(s2.scanned_lsh, 0)) // ccn.corpus_n
        |    AS frac_lsh_ppm,
+       |  COALESCE(h3.hits_lsh_mp, 0) AS hits_lsh_mp,
+       |  COALESCE(s3.scanned_lsh_mp, 0) AS scanned_lsh_mp,
+       |  (1000000 * COALESCE(s3.scanned_lsh_mp, 0)) // ccn.corpus_n
+       |    AS frac_lsh_mp_ppm,
        |  ccn.corpus_n
        |FROM cqs q CROSS JOIN ccn
        |LEFT JOIN csivf s1 ON s1.query_id = q.query_id
        |LEFT JOIN chivf h1 ON h1.query_id = q.query_id
        |LEFT JOIN cslsh s2 ON s2.query_id = q.query_id
        |LEFT JOIN chlsh h2 ON h2.query_id = q.query_id
+       |LEFT JOIN cslshm s3 ON s3.query_id = q.query_id
+       |LEFT JOIN chlshm h3 ON h3.query_id = q.query_id
        |ORDER BY q.query_id""".stripMargin
   }
 

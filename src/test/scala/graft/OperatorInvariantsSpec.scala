@@ -84,8 +84,24 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(rows.length == operators.SimilarityPack.ClusSampleN)
     val hitsIvf = rows.map(_.getAs[Long]("hits_ivf")).sum
     val hitsLsh = rows.map(_.getAs[Long]("hits_lsh")).sum
+    val hitsMp = rows.map(_.getAs[Long]("hits_lsh_mp")).sum
     assert(hitsIvf >= 240, s"IVF recall $hitsIvf/250 at 1/8 scan")
     assert(hitsLsh >= 180, s"LSH recall $hitsLsh/250")
+    // multiprobe probes a SUPERSET of the base arm's buckets per table,
+    // so per-query dominance is an invariant (the survival argument),
+    // and the scanned price stays bounded (≤ ~2× the base buckets)
+    for (r <- rows) {
+      assert(r.getAs[Long]("hits_lsh_mp") >= r.getAs[Long]("hits_lsh"),
+        s"query ${r.get(0)}: multiprobe hits below base")
+      assert(r.getAs[Long]("scanned_lsh_mp") >=
+        r.getAs[Long]("scanned_lsh"))
+      assert(r.getAs[Long]("frac_lsh_mp_ppm") <= 500000,
+        s"query ${r.get(0)} multiprobe scanned " +
+          s"${r.getAs[Long]("frac_lsh_mp_ppm")} ppm")
+    }
+    assert(hitsMp >= hitsLsh)
+    assert(rows.map(_.getAs[Long]("frac_lsh_mp_ppm")).sum
+      / rows.length <= 285714, "multiprobe mean scan above 2/7")
     // every query's scanned fraction stays near 1/8 of the corpus
     // (IVF <= 1/6 allows bounded cell imbalance, never a half-corpus
     // probe; LSH buckets are random-plane cuts, so individual queries

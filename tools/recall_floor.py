@@ -22,16 +22,17 @@ import sys
 
 import duckdb
 
-# corpus_n -> (ivf_floor, lsh_floor) out of 250 (25 queries x top-10)
+# corpus_n -> (ivf_floor, lsh_floor, lsh_mp_floor) out of 250
+# (25 queries x top-10); lsh_mp = the query-directed multiprobe arm
 FLOORS = {
-    500: (250, 194),     # sf0.01
-    2000: (249, 236),    # sf0.1
-    16000: (250, 241),   # 8x (scale_smoke of sf0.1)
-    128000: (250, 250),  # 64x
+    500: (250, 194, 235),     # sf0.01
+    2000: (249, 236, 247),    # sf0.1
+    16000: (250, 241, 248),   # 8x (scale_smoke of sf0.1)
+    128000: (250, 250, 250),  # 64x
 }
 # scanned-fraction ceilings (ppm of corpus, mean over queries) — the
 # other half of the pruning claim: recall must not be bought by scanning
-IVF_FRAC_PPM, LSH_FRAC_PPM = 166666, 142857
+IVF_FRAC_PPM, LSH_FRAC_PPM, LSH_MP_FRAC_PPM = 166666, 142857, 200000
 
 
 def main():
@@ -43,19 +44,23 @@ def main():
     con = duckdb.connect()
     row = con.execute(
         "SELECT MAX(corpus_n), COUNT(*), SUM(hits_ivf), SUM(hits_lsh), "
-        "AVG(frac_ivf_ppm), AVG(frac_lsh_ppm) "
+        "AVG(frac_ivf_ppm), AVG(frac_lsh_ppm), SUM(hits_lsh_mp), "
+        "AVG(frac_lsh_mp_ppm) "
         f"FROM read_parquet('{out}/ann_clustered_recall/*.parquet')"
     ).fetchone()
-    n, nq, ivf, lsh, fivf, flsh = row
+    n, nq, ivf, lsh, fivf, flsh, mp, fmp = row
     print(f"corpus_n={n} queries={nq} hits_ivf={ivf}/250 hits_lsh={lsh}/250 "
-          f"mean_frac_ivf={fivf / 10000:.1f}% mean_frac_lsh={flsh / 10000:.1f}%")
+          f"hits_lsh_mp={mp}/250 mean_frac_ivf={fivf / 10000:.1f}% "
+          f"mean_frac_lsh={flsh / 10000:.1f}% mean_frac_mp={fmp / 10000:.1f}%")
     failures = []
     if n in FLOORS:
-        fi, fl = FLOORS[n]
+        fi, fl, fm = FLOORS[n]
         if ivf < fi:
             failures.append(f"hits_ivf {ivf} < pinned floor {fi} at n={n}")
         if lsh < fl:
             failures.append(f"hits_lsh {lsh} < pinned floor {fl} at n={n}")
+        if mp < fm:
+            failures.append(f"hits_lsh_mp {mp} < pinned floor {fm} at n={n}")
     else:
         # unverified scale: generic sanity floors so a drive at a new
         # corpus still gets a loud signal instead of silence
@@ -63,11 +68,16 @@ def main():
             failures.append(f"hits_ivf {ivf} < generic floor 225 at n={n}")
         if lsh < 175:
             failures.append(f"hits_lsh {lsh} < generic floor 175 at n={n}")
+        if mp < lsh:
+            failures.append(f"hits_lsh_mp {mp} < hits_lsh {lsh} "
+                            "(superset dominance broken)")
         print(f"recall_floor: n={n} is not a pinned scale — generic floors")
     if fivf > IVF_FRAC_PPM:
         failures.append(f"mean frac_ivf {fivf:.0f} ppm > {IVF_FRAC_PPM}")
     if flsh > LSH_FRAC_PPM:
         failures.append(f"mean frac_lsh {flsh:.0f} ppm > {LSH_FRAC_PPM}")
+    if fmp > LSH_MP_FRAC_PPM:
+        failures.append(f"mean frac_lsh_mp {fmp:.0f} ppm > {LSH_MP_FRAC_PPM}")
     if failures:
         for f in failures:
             print(f"FAIL {f}")
