@@ -242,22 +242,30 @@ object GraphPack {
     * keep threshold on the tiny corpus and replays the md5 coins in
     * memory; [[AdaptiveBudget]] (the served entry) derives K = ⌊(C·m²)^⅓⌋
     * in-plan from the corpus edge count. */
+  /** The exact-integer-cube-root CASE over columns `x` (DECIMAL(38,0))
+    * and `c0` (the double-cbrt candidate): the unique k with
+    * k³ ≤ x < (k+1)³, regardless of which nearby integer the
+    * non-correctly-rounded cbrt proposed. Shared by the estimator and
+    * PropertySpec's adversarial sweep (perfect cubes ± 1). */
+  private[graft] val IcbrtCaseSql: String =
+    """CASE WHEN cast(c0 + 2 as decimal(38,0)) * (c0 + 2) * (c0 + 2) <= x
+      |     THEN c0 + 2
+      |     WHEN cast(c0 + 1 as decimal(38,0)) * (c0 + 1) * (c0 + 1) <= x
+      |     THEN c0 + 1
+      |     WHEN cast(c0 as decimal(38,0)) * c0 * c0 <= x THEN c0
+      |     ELSE c0 - 1 END""".stripMargin
+  private[graft] val CbrtCandidateSql: String =
+    "cast(floor(cbrt(cast(x as double))) as bigint)"
+
   private[graft] def trianglesApproxFrame(s: SparkSession, d: String,
       budget: Long): DataFrame = {
     val e = Checkpointed("GraphPack.triangles.approx.edges",
       coOrderEdges(s, d))
     val kbSql =
-      if (budget == AdaptiveBudget)
-        """CASE WHEN cast(c0 + 2 as decimal(38,0)) * (c0 + 2) * (c0 + 2) <= x
-          |     THEN c0 + 2
-          |     WHEN cast(c0 + 1 as decimal(38,0)) * (c0 + 1) * (c0 + 1) <= x
-          |     THEN c0 + 1
-          |     WHEN cast(c0 as decimal(38,0)) * c0 * c0 <= x THEN c0
-          |     ELSE c0 - 1 END""".stripMargin
-      else s"${budget}L"
+      if (budget == AdaptiveBudget) IcbrtCaseSql else s"${budget}L"
     val mk = broadcast(e.agg(count(lit(1)).as("m"))
       .withColumn("x", expr(s"cast(${TriApproxC}L as decimal(38,0)) * m * m"))
-      .withColumn("c0", expr("cast(floor(cbrt(cast(x as double))) as bigint)"))
+      .withColumn("c0", expr(CbrtCandidateSql))
       .withColumn("kb", expr(kbSql))
       .select(col("m"), col("kb")))
     // deterministic per-edge coin: first 8 md5 hex chars of the salted

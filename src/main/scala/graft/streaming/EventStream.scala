@@ -95,8 +95,9 @@ object EventStream {
     * (user, hash) forever. The hash recipe is Exprs.eventContentHash,
     * shared with the batch pipeline (s2) so batch and stream drop the same
     * rows by construction. */
-  def dedupedSubmissions(spark: SparkSession, dir: String): DataFrame =
-    source(spark, dir)
+  def dedupedSubmissions(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): DataFrame =
+    source(spark, dir, glob)
       .withColumn("content_hash",
         graft.Exprs.eventContentHash(col("event_type"), col("value"),
           col("props")))

@@ -848,6 +848,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("g2_triangles_approx: the triangle join runs broadcast on the " +
+    "m^(2/3)-bounded sample, never a sort-merge or cartesian") {
+    // the estimator's whole point is that everything past the edge scan
+    // is sample-sized; a sort-merge join here would mean the corpus-side
+    // frame leaked into the wedge join
+    graft.plans.Checkpointed.startCapture()
+    val frames =
+      try {
+        run("g2_triangles_approx")
+        graft.plans.Checkpointed.stopCapture()
+      } finally graft.plans.Checkpointed.stopCapture()
+    val rep = frames.filter(_._1 == "GraphPack.triangles.approx.report")
+      .map(_._2.toString)
+    assert(rep.nonEmpty,
+      s"no triangles.approx.report frame: ${frames.map(_._1)}")
+    for (plan <- rep) {
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"g2_triangles_approx: non-broadcast join in the sample path:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"g2_triangles_approx: expected broadcast wedge probes:\n$plan")
+    }
+  }
+
   test("t3_cached_stats serves from the TTL'd artifact — no events scan") {
     // the caching contract's plan half: after the build, the QUERY reads
     // only the persisted member (the reference serves the homepage from

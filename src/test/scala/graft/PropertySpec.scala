@@ -247,6 +247,32 @@ class PropertySpec extends SparkSpec {
     assert(one.toSeq == Seq(("x", n)))
   }
 
+  test("exact integer cube root: the double-cbrt + CASE-adjust chain " +
+    "equals the BigInt floor cube root on perfect cubes, their " +
+    "neighbours, and wide random-ish values") {
+    // the adaptive DOULION threshold K = ⌊(C·m²)^⅓⌋ hinges on this chain
+    // being EXACT where a bare floor(cbrt(double)) is off by one — k³±1
+    // and the doubles nearest huge cubes are precisely those boundaries
+    val ks = (1L to 60L).map(k => k * k * k) ++
+      Seq(7L, 26L, 28L, 63L, 65L, 999L, 1000L, 1001L) ++
+      (1 to 60).map(i => (1L << 40) + i * 2654435761L) ++
+      (30 to 55).flatMap { b =>
+        val k = 1L << b; Seq(k * 7 - 1, k * 7, k * 7 + 1) }
+    val cases = ks.distinct.map(x => Tuple1(BigDecimal(x)))
+    val got = cases.toDF("x")
+      .select(col("x").cast("decimal(38,0)").as("x"))
+      .withColumn("c0", expr(operators.GraphPack.CbrtCandidateSql))
+      .withColumn("k", expr(operators.GraphPack.IcbrtCaseSql))
+      .select("x", "k").collect()
+    for (r <- got) {
+      val x = BigInt(r.getDecimal(0).toBigInteger)
+      val k = r.getLong(1)
+      assert(BigInt(k).pow(3) <= x && BigInt(k + 1).pow(3) > x,
+        s"icbrt($x) = $k is not the floor cube root")
+    }
+    assert(got.length == ks.distinct.length)
+  }
+
   test("ulp-boundary quantization golden: the engine's decimal-grid " +
     "rounding of the committed boundary-hunting set is byte-stable") {
     // The round-11 tolerance-class audit (BASELINE.md "Known cross-engine

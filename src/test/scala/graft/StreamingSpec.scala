@@ -270,6 +270,60 @@ class StreamingSpec extends SparkSpec {
         "source-offset recovery is broken")
   }
 
+  test("watermarked dedup stream restarted from checkpoint still drops " +
+    "duplicates FIRST SEEN BEFORE the restart (state-store recovery, " +
+    "the second state class: dropDuplicatesWithinWatermark)") {
+    // The offset test covers flatMapGroupsWithState recovery; this one
+    // covers the watermark-evicted dedup state store. Controlled corpus:
+    // 10 users submit once before the stop; after the restart each user
+    // submits an exact DUPLICATE (1 h later — well inside the 1-day
+    // horizon, so the recovered state must still drop it) plus one fresh
+    // submission. Lost state would re-emit the 10 duplicates.
+    import org.apache.spark.sql.types.TimestampNTZType
+    import spark.implicits._
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_dedup_land").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_dedup_ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_out").toString
+    val t0 = java.time.LocalDateTime.of(2025, 3, 1, 12, 0, 0)
+    def mk(rows: Seq[(Long, java.time.LocalDateTime, Long, String,
+        Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+        .select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+    val half1 = mk((1L to 10L).map(u =>
+      (u, t0.plusSeconds(u), u, "submit", u.toDouble, "p")))
+    val half2 = mk((1L to 10L).flatMap(u => Seq(
+      // exact duplicate of user u's first submission, 1 h later
+      (100L + u, t0.plusHours(1).plusSeconds(u), u, "submit",
+        u.toDouble, "p"),
+      // a genuinely new submission
+      (200L + u, t0.plusHours(2).plusSeconds(u), u, "submit",
+        u.toDouble + 100.0, "p"))))
+    half1.coalesce(1).write.mode("overwrite").parquet(landing)
+    def runOnce(): Unit = {
+      val q = EventStream.dedupedSubmissions(spark, landing, "*.parquet")
+        .select("event_id", "user_id", "content_hash")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 10)
+    half2.coalesce(1).write.mode("append").parquet(landing)
+    runOnce()
+    val ids = spark.read.parquet(outDir)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val expect = ((1L to 10L) ++ (201L to 210L)).sorted
+    assert(ids == expect,
+      s"restarted dedup state diverged: emitted $ids — the 10x-duplicate " +
+        "ids 101..110 must stay dropped by the RECOVERED state store")
+  }
+
   test("a checkpoint written by the old 3-long packing cursor fails the " +
     "restart with the NAMED fresh-checkpoint guidance") {
     import graft.streaming.DocStream
