@@ -88,7 +88,11 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Materialize the bucketed/partitioned layout before the concurrent
     // drive (one writer, then every query reads the stored layout).
+    // Job-grouped so the spill report attributes the layout write to
+    // "prepare" instead of an anonymous "ungrouped" bucket.
+    spark.sparkContext.setJobGroup("prepare", "prepare")
     Tables.prepare(spark, sfDir)
+    spark.sparkContext.clearJobGroup()
     // Incremental per-query status: rewritten (atomically, tmp+move) after
     // each completion so a mid-run kill leaves the scoreboard of everything
     // that finished. Keyed map under a lock; rewrite cost is ~KBs.

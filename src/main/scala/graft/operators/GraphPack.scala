@@ -279,7 +279,12 @@ object GraphPack {
         .select("a", "b"))
     // exact a<b<c enumeration on the m^⅔-bounded sample — the naive
     // ordered join is safe HERE because the frame is ≤ K rows by
-    // construction (broadcast both probe sides; zero shuffles)
+    // construction (broadcast both probe sides; zero shuffles).
+    // Broadcast-validity bound: K = (C·m²)^⅓ stays broadcastable
+    // (≲ 500 MB) through m ≈ 10¹⁰ edges; past that, drop these hints
+    // and let the planner shuffle the K-row frames — the estimator's
+    // asymptotics (linear total work) do not depend on the join
+    // strategy, only the constant does.
     val bc = sampled.select(col("a").as("b"), col("b").as("c"))
     val ac = sampled.select(col("a").as("a2"), col("b").as("c2"))
     val ts = sampled.join(broadcast(bc), "b")
