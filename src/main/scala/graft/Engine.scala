@@ -26,8 +26,10 @@ object Engine {
     // any of them, which is the point of the drives.
     sys.env.get("GRAFT_ENGINE_CONF").foreach { kvs =>
       kvs.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        b = b.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => b = b.config(k, v)
+          case _ => sys.error(s"bad GRAFT_ENGINE_CONF entry (no '='): $kv")
+        }
       }
     }
     val s = b.withExtensions(new plans.GraftExtensions).getOrCreate()

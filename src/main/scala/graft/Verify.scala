@@ -117,7 +117,13 @@ object Verify {
     // Run queries concurrently: Spark's scheduler interleaves independent
     // jobs, so 8 in flight keep all cores busy while single-threaded
     // stages (sorts, tiny outputs) of one query overlap another's scans.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    // GRAFT_VERIFY_THREADS=1 is the shuffle-bytes-manifest convention:
+    // concurrent futures race for shared memoized stages (whichever query
+    // runs first pays — and gets billed — the artifact build), so
+    // deterministic per-query byte attribution needs a sequential drive.
+    val nThreads = sys.env.get("GRAFT_VERIFY_THREADS").map(_.toInt)
+      .getOrElse(8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = selected.toSeq.map { case (name, fn) =>
@@ -165,9 +171,14 @@ object Verify {
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
     writeSummary()
+    // Serialize the spill report only AFTER spark.stop(): the listener bus
+    // is asynchronous, and onStageCompleted events for the last stages may
+    // still be queued when the futures resolve — stop() drains every queue
+    // before returning, so the post-stop snapshot is complete (a pre-stop
+    // write under-counted spill, biasing the memory drive toward "clean").
+    spark.stop()
     spill.foreach { l =>
       Files.writeString(Paths.get(s"$outDir/verify_spill.json"), l.json())
     }
-    spark.stop()
   }
 }

@@ -47,6 +47,12 @@ object IoPack {
   // zeros cannot collide two ids.
   private val GidWidth = 6
 
+  /** Sample-archive size for the `sample=True` dump flavor (reference
+    * SAMPLE_DATASET_SIZE, db/dump.py:585-601 — the reference samples 1000
+    * full documents; the engine constant is fixture-sized the same way
+    * the other gate constants are). */
+  private[graft] val SampleDumpSize = 100
+
   private val s7Schema = StructType(Seq(
     StructField("gid", StringType),
     StructField("doc_id", LongType),
@@ -122,6 +128,34 @@ object IoPack {
           .as("gid"),
         col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
+      Dump.writeJsonSharded(docs, "gid", out)
+      Dump.readJsonSharded(s, out, s7Schema)
+        .select(s7Schema.fieldNames.toIndexedSeq.map(col): _*)
+        .orderBy("doc_id")
+    }),
+
+    // ---- S7-sample: the `sample=True` dump flavor (reference
+    //      db/dump.py:585-601,699-715 — a SAMPLE_DATASET_SIZE-row sample
+    //      archive written through the SAME sharded-JSON writer as the
+    //      full dump). Composes F19's deterministic hash-order sample
+    //      with the S7 writer/reader pair: the sample is the engine's
+    //      reproducible coin (md5 order — TABLESAMPLE/random.sample made
+    //      deterministic), sized by [[SampleDumpSize]], and the round
+    //      trip must survive sharding byte-exactly like the full S7.
+    //      Scale: the sample is a TakeOrdered top-K (constant K), never
+    //      a global sort materialization. ---------------------------------
+    "s7_sample_dump_roundtrip" -> ((s, d) => {
+      val out = scratch("s7s", d)
+      val sampleOrder =
+        md5(concat(lit("sample:"), col("doc_id").cast(StringType)))
+      val docs = Tables.documents(s, d)
+        .orderBy(sampleOrder, col("doc_id"))
+        .limit(SampleDumpSize)
+        .select(
+          rpad(reverse(col("doc_id").cast(StringType)), GidWidth, "0")
+            .as("gid"),
+          col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
       Dump.writeJsonSharded(docs, "gid", out)
       Dump.readJsonSharded(s, out, s7Schema)
         .select(s7Schema.fieldNames.toIndexedSeq.map(col): _*)
@@ -215,6 +249,17 @@ object IoPack {
       s"""WITH g AS (SELECT *,
          |  rpad(reverse(CAST(doc_id AS VARCHAR)), $GidWidth, '0') AS gid
          |  FROM documents)
+         |SELECT gid, doc_id, text, lang, source, n_chars,
+         |  substr(gid, 1, 2) AS shard1, substr(gid, 3, 1) AS shard2
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "s7_sample_dump_roundtrip" ->
+      s"""WITH smp AS (SELECT * FROM documents
+         |  ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id
+         |  LIMIT $SampleDumpSize),
+         |g AS (SELECT *,
+         |  rpad(reverse(CAST(doc_id AS VARCHAR)), $GidWidth, '0') AS gid
+         |  FROM smp)
          |SELECT gid, doc_id, text, lang, source, n_chars,
          |  substr(gid, 1, 2) AS shard1, substr(gid, 3, 1) AS shard2
          |FROM g ORDER BY doc_id""".stripMargin,

@@ -76,12 +76,22 @@ object MLPack {
     //      artistfilter.py:66-119 — one recording per (class, artist) into
     //      train, rest to test; deterministic hash order replaces RNG) -----
     "m2_artist_split" -> ((s, d) => {
-      val w = Window.partitionBy(col("lang"), col("source"))
-        .orderBy(hashOrder, col("doc_id"))
-      Tables.documents(s, d)
-        .withColumn("rn", row_number().over(w))
+      // "is this row the group's hash-order minimum?" as a broadcast join
+      // against the per-(lang, source) min — NOT a row_number window: the
+      // (lang, source) key is enum × enum (constant partition count), so
+      // a window would funnel each group's whole document frame through
+      // one task; the min rollup is map-side combinable and group-sized
+      // (round 15, the a17 enum-window gate). doc_id is unique, so the
+      // struct min picks exactly the row row_number() === 1 picked.
+      val d0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          hashOrder.as("ho"))
+      val mins = d0.groupBy(col("lang"), col("source"))
+        .agg(min(struct(col("ho"), col("doc_id"))).as("mn"))
+      d0.join(broadcast(mins), Seq("lang", "source"))
         .select(col("doc_id"), col("lang").as("class"),
-          when(col("rn") === 1, "train").otherwise("test").as("split"))
+          when(struct(col("ho"), col("doc_id")) === col("mn"), "train")
+            .otherwise("test").as("split"))
         .orderBy("doc_id")
     }),
 

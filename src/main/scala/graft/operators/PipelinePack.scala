@@ -227,18 +227,46 @@ object PipelinePack {
     * best-fit bin packing, is NP-hard and inherently sequential; this
     * formulation is one window computation and fully deterministic).
     *
-    * Scale: the window partitions by `source` — the ingest-shard key at
-    * deployment scale — so each shard packs independently in one shuffle
-    * and no global ordered scan exists. Per-shard packing is also what a
-    * training job wants (shards stream independently into loaders). */
+    * Scale: `source` is an enum-domain key (constant partition count), so
+    * the running token sum CANNOT be one window per source — that would
+    * funnel each shard's whole frame through one task (the a17 lesson,
+    * round 15). It decomposes as the shared [[Chunked]] two-level prefix
+    * instead: within-(source, doc_id-chunk) prefix sums (a PARTITIONED
+    * window over range-bounded chunks) plus the token total of all
+    * strictly-lower chunks of the same source (a broadcast triangle over
+    * the ≤ sources·4096-row chunk rollup). `bin_pos` keeps its window:
+    * (source, bin) partitions GROW with the data and each holds at most
+    * one budget's worth of documents. */
   private[graft] def packSequences(docs: DataFrame): DataFrame = {
-    val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val base = docs.select(col("doc_id"), col("source"),
+      tokenCount(col("text")).as("n_tokens"))
+    // checkpoint once: the consumers below prune different columns, so
+    // exchange reuse cannot share this frame — without it each branch
+    // re-scans the corpus and re-runs the tokenizer (measured 10× scans)
+    // range bounds from the raw id column (pruned scan — footer-stats
+    // cheap), never from `base`: that would re-run the tokenizer
+    val mm = docs.agg(min(col("doc_id")).as("dlo"),
+      max(col("doc_id")).as("dhi"))
+    val lvl = graft.plans.Checkpointed("PipelinePack.packBase", base
+      .crossJoin(broadcast(mm))
+      .withColumn("chunk", Chunked.chunkId("doc_id", "dlo", "dhi")))
+    val wIn = Window.partitionBy(col("source"), col("chunk"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunkAgg = lvl.groupBy(col("source"), col("chunk"))
+      .agg(sum(col("n_tokens")).as("cs"))
+    val loSum = chunkAgg.as("a")
+      .join(broadcast(chunkAgg.as("b")),
+        col("b.source") === col("a.source") &&
+          col("b.chunk") < col("a.chunk"), "left")
+      .groupBy(col("a.source").as("source"), col("a.chunk").as("chunk"))
+      .agg(sum(col("b.cs")).as("lo_sum"))
     val wPos = Window.partitionBy(col("source"), col("bin"))
       .orderBy(col("doc_id"))
-    docs
-      .select(col("doc_id"), col("source"),
-        tokenCount(col("text")).as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(wCum))
+    lvl
+      .withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+      .join(broadcast(loSum), Seq("source", "chunk"))
+      .withColumn("cum", col("cum_in") + coalesce(col("lo_sum"), lit(0L)))
       .withColumn("bin",
         floor((col("cum") - col("n_tokens")) / PackBudget).cast("long"))
       .withColumn("bin_pos", row_number().over(wPos).cast("long"))

@@ -373,19 +373,82 @@ object Relational {
     // Balance enters as exact cents (both engines floor the same IEEE
     // product); percent_rank/cume_dist are single IEEE divisions of small
     // exact integers — bit-equal across engines.
+    // Chunked decomposition (round 15, the enum-window gate): the segment
+    // key is a 5-value enum, so one window per segment would funnel every
+    // customer through 5 tasks. Every ranking statistic decomposes over
+    // value-range chunks because a chunk id is a FUNCTION of bal_cents —
+    // ties never straddle chunks and higher chunks hold strictly higher
+    // balances: rank = within-chunk rank + rows in higher chunks,
+    // dense_rank adds distinct VALUES in higher chunks (values sum
+    // cleanly across chunks for the same reason), row_number uses the
+    // unique (bal desc, custkey) order, cume_dist's numerator is the
+    // within-chunk RANGE-frame count (peers included) plus higher-chunk
+    // rows, and ntile/percent_rank are integer arithmetic on
+    // (row_number | rank, segment total) replaying Spark's and DuckDB's
+    // shared SQL definition (larger buckets first; (rank−1)/(n−1) with
+    // the n=1 → 0.0 guard). The cross-chunk offsets are a broadcast
+    // triangle over the ≤ segments·4096-row chunk rollup.
     "w9_window_ranks" -> ((s, d) => {
-      val byBal = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("bal_cents").desc)
-      val total = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("bal_cents").desc, col("c_custkey"))
-      Tables.customer(s, d)
+      val base = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"),
           floor(col("c_acctbal") * 100).cast(LongType).as("bal_cents"))
-        .withColumn("rnk", asLong(rank().over(byBal)))
-        .withColumn("drnk", asLong(dense_rank().over(byBal)))
-        .withColumn("pct_rank", percent_rank().over(byBal))
-        .withColumn("cume", cume_dist().over(byBal))
-        .withColumn("quartile", asLong(ntile(4).over(total)))
+      // range bounds from the raw column (pruned scan); checkpoint once:
+      // the window branch and the chunk rollup prune different columns,
+      // so exchange reuse cannot share the customer scan (measured 13
+      // scans at sf0.1 without this)
+      val mm = Tables.customer(s, d)
+        .agg(floor(min(col("c_acctbal")) * 100).cast(LongType).as("blo"),
+          floor(max(col("c_acctbal")) * 100).cast(LongType).as("bhi"))
+      val lvl = graft.plans.Checkpointed("Relational.w9Levels", base
+        .crossJoin(broadcast(mm))
+        .withColumn("chunk", Chunked.chunkId("bal_cents", "blo", "bhi")))
+      val wIn = Window.partitionBy(col("c_mktsegment"), col("chunk"))
+        .orderBy(col("bal_cents").desc)
+      val wInU = Window.partitionBy(col("c_mktsegment"), col("chunk"))
+        .orderBy(col("bal_cents").desc, col("c_custkey"))
+      val wInR = Window.partitionBy(col("c_mktsegment"), col("chunk"))
+        .orderBy(col("bal_cents").desc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val chunkAgg = lvl.groupBy(col("c_mktsegment"), col("chunk"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("bal_cents")).as("n_vals"))
+      val hi = chunkAgg.as("a")
+        .join(broadcast(chunkAgg.as("b")),
+          col("b.c_mktsegment") === col("a.c_mktsegment") &&
+            col("b.chunk") > col("a.chunk"), "left")
+        .groupBy(col("a.c_mktsegment").as("c_mktsegment"),
+          col("a.chunk").as("chunk"))
+        .agg(coalesce(sum(col("b.n_rows")), lit(0L)).as("hi_rows"),
+          coalesce(sum(col("b.n_vals")), lit(0L)).as("hi_vals"))
+      val tot = chunkAgg.groupBy(col("c_mktsegment"))
+        .agg(sum(col("n_rows")).as("n_seg"))
+      lvl
+        .withColumn("rnk_in", rank().over(wIn))
+        .withColumn("drnk_in", dense_rank().over(wIn))
+        .withColumn("rn_in", row_number().over(wInU))
+        .withColumn("cume_in", count(lit(1)).over(wInR))
+        .join(broadcast(hi), Seq("c_mktsegment", "chunk"))
+        .join(broadcast(tot), Seq("c_mktsegment"))
+        .withColumn("rnk", col("rnk_in") + col("hi_rows"))
+        .withColumn("drnk", col("drnk_in") + col("hi_vals"))
+        .withColumn("pct_rank",
+          when(col("n_seg") === 1L, lit(0.0))
+            .otherwise((col("rnk") - 1L).cast("double") /
+              (col("n_seg") - 1L).cast("double")))
+        .withColumn("cume",
+          (col("cume_in") + col("hi_rows")).cast("double") /
+            col("n_seg").cast("double"))
+        .withColumn("rn", col("rn_in") + col("hi_rows"))
+        .withColumn("quartile", expr(
+          """CASE WHEN rn <= (n_seg % 4) * (n_seg div 4 + 1)
+            |THEN (rn - 1) div (n_seg div 4 + 1) + 1
+            |ELSE (n_seg % 4) +
+            |  (rn - (n_seg % 4) * (n_seg div 4 + 1) - 1)
+            |    div greatest(n_seg div 4, 1L) + 1
+            |END""".stripMargin))
+        .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"),
+          col("rnk"), col("drnk"), col("pct_rank"), col("cume"),
+          col("quartile"))
         .orderBy(col("c_mktsegment"), col("bal_cents").desc,
           col("c_custkey"))
     }),

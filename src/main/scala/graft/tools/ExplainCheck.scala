@@ -9,9 +9,17 @@ object ExplainCheck {
       else Seq("s8_hl_reassembly", "s3_highlevel_write", "w7_dedup_all",
         "w7_dedup_samescore", "ann_recall", "ann_lsh_multiprobe",
         "n1_vector_normalize")
+    graft.Tables.prepare(spark, d)
     for (q <- names) {
-      val plan = graft.SparkEntry.queries(q)(spark, d)
-        .queryExecution.executedPlan.toString
+      val df = graft.SparkEntry.queries(q)(spark, d)
+      df.collect() // final (post-AQE) plan — reuse decisions are runtime
+      val plan = df.queryExecution.executedPlan.toString
+      val scans = "FileScan parquet [^\\s,\\]]*".r.findAllIn(plan).toSeq
+      println(s"-- $q scans: ${scans.size} " +
+        scans.groupBy(identity).map { case (k, v) => s"${v.size}x $k" }
+          .mkString(", "))
+      println(s"   reused_exchanges: " +
+        "ReusedExchange".r.findAllIn(plan).size)
       val exchanges =
         "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
           .findAllIn(plan).toSeq

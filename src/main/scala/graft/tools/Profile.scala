@@ -10,6 +10,9 @@ object Profile {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Engine.session(cpus)
+    // same stored layout as Bench/Verify — raw-parquet timings are not
+    // representative of the driven paths
+    graft.Tables.prepare(spark, sfDir)
     args.foreach { name =>
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()

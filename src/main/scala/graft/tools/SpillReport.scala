@@ -23,15 +23,23 @@ import scala.collection.concurrent.TrieMap
 final class SpillReport extends SparkListener {
   private val jobGroup = TrieMap.empty[Int, String]
   private val stageJob = TrieMap.empty[Int, Int]
-  // group -> (memSpilled, diskSpilled, peakExecMem)
-  private val acc = TrieMap.empty[String, (Long, Long, Long)]
+  // group -> (memSpilled, diskSpilled, peakExecMem, shufRead, shufWrite)
+  // Shuffle BYTES ride the same attribution (round 15, VERDICT r14 #4):
+  // the shuffle-count ratchet pins exchange TOPOLOGY but cannot see a
+  // candidate explosion that keeps the plan shape (the dd_edit_blocked
+  // class) — per-query read+write bytes, gated by
+  // tools/shuffle_ratchet.py against the committed manifest, can.
+  private val acc = TrieMap.empty[String, (Long, Long, Long, Long, Long)]
 
   override def onJobStart(js: SparkListenerJobStart): Unit = {
     val g = Option(js.properties)
       .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
       .getOrElse("ungrouped")
     jobGroup.put(js.jobId, g)
-    js.stageIds.foreach(sid => stageJob.put(sid, js.jobId))
+    // putIfAbsent: a stage shared with an earlier job is SKIPPED by later
+    // jobs — the first (executing) job must keep the attribution, or a
+    // stage that ran under query A gets billed to query B's group.
+    js.stageIds.foreach(sid => stageJob.putIfAbsent(sid, js.jobId))
   }
 
   override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -39,28 +47,34 @@ final class SpillReport extends SparkListener {
     if (m != null) {
       val g = stageJob.get(sc.stageInfo.stageId)
         .flatMap(jobGroup.get).getOrElse("ungrouped")
+      val sr = m.shuffleReadMetrics.remoteBytesRead +
+        m.shuffleReadMetrics.localBytesRead
+      val sw = m.shuffleWriteMetrics.bytesWritten
       acc.updateWith(g) {
-        case Some((ms, ds, pk)) => Some((ms + m.memoryBytesSpilled,
-          ds + m.diskBytesSpilled, pk.max(m.peakExecutionMemory)))
+        case Some((ms, ds, pk, r, w)) => Some((ms + m.memoryBytesSpilled,
+          ds + m.diskBytesSpilled, pk.max(m.peakExecutionMemory),
+          r + sr, w + sw))
         case None => Some((m.memoryBytesSpilled, m.diskBytesSpilled,
-          m.peakExecutionMemory))
+          m.peakExecutionMemory, sr, sw))
       }
     }
   }
 
-  /** One JSON object: heap bound, totals, and the per-group rows (only
-    * groups that spilled or peaked above 64 MiB — the interesting set —
-    * plus an `n_groups` count so silence is distinguishable from an
-    * uninstalled listener). */
+  /** One JSON object: heap bound, totals, and the per-group rows (every
+    * group that spilled, peaked above 64 MiB, or shuffled any bytes — the
+    * shuffle-bytes ratchet needs all shuffling groups — plus an
+    * `n_groups` count so silence is distinguishable from an uninstalled
+    * listener). */
   def json(): String = {
     val rows = acc.toSeq.sortBy(-_._2._2)
-    val (tm, td) = rows.foldLeft((0L, 0L)) { case ((a, b), (_, (m, d, _))) =>
-      (a + m, b + d) }
-    val interesting = rows.filter { case (_, (m, d, pk)) =>
-      m > 0 || d > 0 || pk > (64L << 20) }
-    val body = interesting.map { case (g, (m, d, pk)) =>
+    val (tm, td) = rows.foldLeft((0L, 0L)) {
+      case ((a, b), (_, (m, d, _, _, _))) => (a + m, b + d) }
+    val interesting = rows.filter { case (_, (m, d, pk, r, w)) =>
+      m > 0 || d > 0 || pk > (64L << 20) || r > 0 || w > 0 }
+    val body = interesting.map { case (g, (m, d, pk, r, w)) =>
       s"${graft.JsonUtil.str(g)}: {" +
-        s""""mem_spill": $m, "disk_spill": $d, "peak_mem": $pk}"""
+        s""""mem_spill": $m, "disk_spill": $d, "peak_mem": $pk, """ +
+        s""""shuffle_read": $r, "shuffle_write": $w}"""
     }.mkString("{", ",", "}")
     s"""{"heap_max": ${Runtime.getRuntime.maxMemory()}, """ +
       s""""n_groups": ${rows.size}, "total_mem_spill": $tm, """ +

@@ -165,4 +165,81 @@ class IndexStoreSpec extends SparkSpec {
     assert(rebuilt)
     assert(IndexStore.isFresh(spark, p, fp, kmeansPh))
   }
+
+  test("crash-window audit: a build killed between member write and " +
+    "manifest stamp leaves an artifact the next ensure REBUILDS — a " +
+    "partial artifact is never served") {
+    // VERDICT r14 #6: incrementalDump has pinned orphan semantics;
+    // ensure() did not. The injected fault simulates a JVM kill inside
+    // build(p) AFTER a member landed: ensure must propagate the failure
+    // (no manifest stamp), and the next reader must rebuild from scratch
+    // rather than trusting the orphaned member.
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfTiny)
+    val params = s"crash=${System.nanoTime()}"
+    val name = "crash_probe"
+    val p = IndexStore.path(sfTiny, name)
+    val fp = IndexStore.fingerprint(emb, "vec_id")
+    val ph = IndexStore.paramsHash(params)
+    val boom = intercept[RuntimeException] {
+      IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params) { q =>
+        Seq(("partial", 1L)).toDF("tag", "v")
+          .coalesce(1).write.mode("overwrite").parquet(s"$q/member")
+        throw new RuntimeException("injected kill between member and manifest")
+      }
+    }
+    assert(boom.getMessage.contains("injected kill"))
+    // the member is on disk, the manifest is not — the artifact must
+    // read as STALE, and the orphaned member must be unreachable through
+    // the ensure path (the only sanctioned way to resolve an artifact)
+    assert(new java.io.File(s"$p/member").exists(),
+      "fixture broke: the partial member should exist")
+    assert(!IndexStore.isFresh(spark, p, fp, ph),
+      "a manifest-less artifact read as fresh — partials would serve")
+    var rebuilt = false
+    IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params) { q =>
+      rebuilt = true
+      Seq(("complete", 2L)).toDF("tag", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$q/member")
+    }
+    assert(rebuilt, "next ensure served the partial instead of rebuilding")
+    assert(IndexStore.isFresh(spark, p, fp, ph))
+    assert(spark.read.parquet(s"$p/member").select("tag").head().getString(0)
+      == "complete", "the rebuild did not overwrite the orphaned member")
+  }
+
+  test("crash-window audit: a manifest directory torn by a mid-write kill " +
+    "reads as stale (never throws) and the next ensure rebuilds over it") {
+    // The other half of the window: writeManifest's overwrite stages into
+    // the manifest DIRECTORY; a kill there leaves the directory present
+    // but with no committed parquet. isFresh must treat unreadable as
+    // stale — before round 15 this THREW for every subsequent reader,
+    // wedging the artifact until a human deleted it.
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfTiny)
+    val params = s"torn=${System.nanoTime()}"
+    val name = "torn_manifest_probe"
+    val p = IndexStore.path(sfTiny, name)
+    val fp = IndexStore.fingerprint(emb, "vec_id")
+    val ph = IndexStore.paramsHash(params)
+    IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params) { q =>
+      Seq(("complete", 1L)).toDF("tag", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$q/member")
+    }
+    assert(IndexStore.isFresh(spark, p, fp, ph))
+    // tear the manifest: directory exists, no committed parquet inside
+    val mDir = new java.io.File(s"$p/manifest")
+    mDir.listFiles().foreach(f => assert(f.delete(), s"could not clear $f"))
+    assert(mDir.exists() && mDir.listFiles().isEmpty)
+    assert(!IndexStore.isFresh(spark, p, fp, ph),
+      "a torn manifest must read as stale, not throw")
+    var rebuilt = false
+    IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params) { q =>
+      rebuilt = true
+      Seq(("complete", 2L)).toDF("tag", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$q/member")
+    }
+    assert(rebuilt, "ensure served an artifact with a torn manifest")
+    assert(IndexStore.isFresh(spark, p, fp, ph))
+  }
 }

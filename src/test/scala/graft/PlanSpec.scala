@@ -800,6 +800,65 @@ class PlanSpec extends SparkSpec {
           .map { case (l, k) => s"$l($k)" }.mkString(", "))
   }
 
+  test("suite sweep: no window partitioned ONLY by enum-domain keys — a " +
+    "3-value partitionSpec is an unpartitioned funnel wearing a disguise") {
+    // The unpartitioned sweep above catches empty partitionSpecs; this one
+    // closes the blind spot it left (VERDICT r14: a17's flag-partitioned
+    // running sum passed the gate while funneling the whole distinct-price
+    // frame through 3 tasks). A window keyed solely on columns whose value
+    // DOMAIN is a fixed enum (return flags, line statuses, market
+    // segments, event types, languages, sources) has a constant partition
+    // count: per-partition input grows linearly with the data, exactly
+    // like an unpartitioned window, just k× cheaper for constant k.
+    // Gate: every WindowExec must either carry at least one non-enum
+    // partition key (ids, chunk ids, days) or be justified below with a
+    // boundedness argument for its INPUT frame. Name-based on the
+    // testdata's enum columns — a rename could evade it, but the point is
+    // catching convenience regressions, not adversarial evasion.
+    val enumCols = Set(
+      "l_returnflag", "l_linestatus", "o_orderstatus", "o_orderpriority",
+      "l_shipmode", "l_shipinstruct", "c_mktsegment", "r_name", "n_name",
+      "event_type", "prev_type", "etype", "source", "src", "src_a", "src_b",
+      "lang", "status", "label", "model", "cls", "klass")
+    // query -> justification: the window input is bounded by CONSTRUCTION
+    // (a value-domain rollup), so constant-partition parallelism is moot.
+    val bounded: Map[String, String] = Map(
+      "t4_gap_fill" -> ("LOCF over the per-type calendar frame (≤ types × " +
+        "span-hours rows — wall-clock-bounded, the post-rollup argument)"),
+      "ev_transitions" -> ("row normalizer over the |types+1|² transition " +
+        "matrix rollup — enum² frame, never the event stream"),
+      "sk_kmv_overlap" -> ("pair-rank over the min-union draw frame: both " +
+        "inputs are k-row group-limited sketches, so each (src_a, src_b) " +
+        "partition holds ≤ 2k rows by construction"))
+    // Structural exemption: a window whose partitionSpec also plans a
+    // WindowGroupLimitExec (Spark's rank-filter pushdown from
+    // `row_number/rank ≤/= k` filters) is bounded at k rows per group per
+    // map partition BEFORE the shuffle — the funnel never sees the data.
+    def groupLimited(p: org.apache.spark.sql.execution.SparkPlan)
+        : Set[Set[String]] = p.collect {
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        g.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet
+    }.toSet
+    System.setProperty("graft.bench.profile", "true")
+    val offenders =
+      try {
+        (for ((name, fn) <- SparkEntry.queries.toSeq) yield {
+          val plan = fn(spark, planSweepDir).queryExecution.sparkPlan
+          val gl = groupLimited(plan)
+          val enumOnly = windowNodes(plan)
+            .filter(_.partitionSpec.nonEmpty)
+            .map(_.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet)
+            .filter(ks => ks.nonEmpty && ks.forall(enumCols) && !gl(ks))
+          (name, enumOnly)
+        }).filter(_._2.nonEmpty).filterNot { case (n, _) => bounded.contains(n) }
+      } finally System.clearProperty("graft.bench.profile")
+    assert(offenders.isEmpty,
+      "enum-only window partitionings (constant partition count — add a " +
+        "chunk key or justify the frame): " + offenders.sortBy(_._1)
+        .map { case (n, ks) => s"$n${ks.map(_.mkString("(", ",", ")"))}" }
+        .mkString(", "))
+  }
+
   test("dd_jaccard_capped: grid lookups broadcast map-side, corpus never " +
     "sort-merges") {
     // the pushability claim: per-token CMS estimates come from CmsDepth

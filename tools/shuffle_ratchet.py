@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Shuffle-BYTES ratchet (round 15, VERDICT r14 #4).
+
+The shuffle-count ratchet (PlanSpec) pins exchange TOPOLOGY; it cannot see
+a candidate explosion that keeps the same plan shape — exactly the
+dd_edit_blocked class (constant blocking cells, quadratically growing
+in-cell candidates). This tool gates per-query shuffle read+write BYTES
+against a committed manifest, BOTH ways: growth beyond tolerance means a
+new data explosion (fix it or bank it in the same diff); shrinkage beyond
+tolerance means an optimization that must be banked so it cannot silently
+regress later.
+
+Manifest convention (src/test/resources/shuffle_bytes_manifest.tsv):
+recorded at sf0.1 with a SEQUENTIAL drive and a FRESH index root, so
+memoized artifact-build stages have deterministic per-query attribution:
+
+    rm -rf /tmp/graft_idx_ratchet
+    GRAFT_SPILL_REPORT=1 GRAFT_VERIFY_THREADS=1 \
+      SPARK_GRAFT_INDEX_ROOT=/tmp/graft_idx_ratchet SPARK_GRAFT_CPUS=16 \
+      java ... graft.Verify /root/testdata/sf0.1 /tmp/verify_ratchet
+    python3 tools/shuffle_ratchet.py /tmp/verify_ratchet --regen
+
+Gate run (same drive, no --regen):
+
+    python3 tools/shuffle_ratchet.py /tmp/verify_ratchet
+
+Tolerance: a query passes while new_bytes is within [old/TOL - SLACK,
+old*TOL + SLACK] with TOL=1.35 and SLACK=256 KiB — the multiplicative
+band absorbs compression/partial-agg run-to-run variance on big shuffles,
+the absolute slack keeps KB-scale queries from flapping. The gated number
+is read+write summed (one number per query keeps the manifest reviewable;
+an explosion shows up in both sides anyway).
+"""
+import json
+import os
+import sys
+
+TOL = 1.35
+SLACK = 256 * 1024
+MANIFEST = os.path.join(os.path.dirname(__file__), "..",
+                        "src", "test", "resources",
+                        "shuffle_bytes_manifest.tsv")
+# non-query job groups the Verify main sets
+SKIP_GROUPS = {"prepare", "ungrouped"}
+
+if "--help" in sys.argv or "-h" in sys.argv or len(sys.argv) < 2:
+    print(__doc__)
+    sys.exit(0)
+
+out_dir = sys.argv[1]
+regen = "--regen" in sys.argv
+
+spill_path = os.path.join(out_dir, "verify_spill.json")
+if not os.path.exists(spill_path):
+    print(f"FAIL: {spill_path} missing — run graft.Verify with "
+          "GRAFT_SPILL_REPORT=1")
+    sys.exit(2)
+
+with open(spill_path) as f:
+    report = json.load(f)
+groups = report.get("groups", {})
+fresh = {g: v.get("shuffle_read", 0) + v.get("shuffle_write", 0)
+         for g, v in groups.items() if g not in SKIP_GROUPS}
+
+if regen:
+    os.makedirs(os.path.dirname(MANIFEST), exist_ok=True)
+    with open(MANIFEST, "w") as f:
+        for q in sorted(fresh):
+            f.write(f"{q}\t{fresh[q]}\n")
+    print(f"manifest regenerated: {len(fresh)} entries -> {MANIFEST}")
+    sys.exit(0)
+
+if not os.path.exists(MANIFEST):
+    print(f"FAIL: manifest {MANIFEST} missing — regen first (--regen)")
+    sys.exit(2)
+
+old = {}
+with open(MANIFEST) as f:
+    for line in f:
+        line = line.strip()
+        if line:
+            q, b = line.split("\t")
+            old[q] = int(b)
+
+failures = []
+for q in sorted(set(old) | set(fresh)):
+    if q not in old:
+        failures.append(f"{q}: NEW query shuffling {fresh[q]} bytes — "
+                        "bank it (--regen) in the same diff")
+        continue
+    if q not in fresh:
+        failures.append(f"{q}: in manifest but absent from this drive — "
+                        "retired? bank the removal (--regen)")
+        continue
+    lo = old[q] / TOL - SLACK
+    hi = old[q] * TOL + SLACK
+    if not (lo <= fresh[q] <= hi):
+        direction = "GREW" if fresh[q] > hi else "SHRANK"
+        failures.append(
+            f"{q}: shuffle bytes {direction} {old[q]} -> {fresh[q]} "
+            f"(band [{int(max(lo, 0))}, {int(hi)}]) — fix or bank")
+
+if failures:
+    print(f"{len(failures)} shuffle-bytes ratchet failure(s):")
+    for msg in failures:
+        print("  " + msg)
+    sys.exit(1)
+print(f"shuffle-bytes ratchet holds: {len(fresh)} queries within "
+      f"x{TOL} (+/-{SLACK // 1024} KiB) of the committed manifest")
