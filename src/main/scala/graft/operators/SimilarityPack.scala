@@ -455,26 +455,25 @@ object SimilarityPack {
     //      production posture of the headline IVF variant ------------------
     "ann_tuned_indexed" -> ((s, d) => ivfTunedServe(s, d)),
 
-    // ---- Product Quantization + ADC: the memory-compression path (16
-    //      bytes/vector), ADC scan via per-query LUT, exact re-rank of the
-    //      shortlist — see the PQ section scaladoc -------------------------
-    "ann_pq_adc" -> ((s, d) => pqTopk(s, d)),
-
     // ---- persisted PQ: codebook training is the build half; queries scan
-    //      only the saved codebooks/codes/vectors --------------------------
+    //      only the saved codebooks/codes/vectors. The inline ADC anchor
+    //      (ann_pq_adc) retired in the r15 audit — this row carries its
+    //      full unrolled training-chain oracle now, and the
+    //      served-equals-recomputed pin (IndexStoreSpec) drives the
+    //      trainer frame directly. See the PQ section scaladoc. ------------
     "ann_pq_indexed" -> ((s, d) => pqServe(s, d)),
 
     // ---- SQ8 scalar quantization: the near-lossless compression point
     //      (4x memory, measured 100/100 recall@10) — see the SQ8 scaladoc --
     "ann_sq8" -> ((s, d) => sq8Topk(s, d)),
 
-    // ---- IVF-PQ (IVFADC): tuned-IVF cells over PQ codes with exact
-    //      re-rank — the composed memory-AND-compute 100 TB serving shape;
-    //      see the IVF-PQ section scaladoc ---------------------------------
-    "ann_ivfpq" -> ((s, d) => ivfPqTopk(s, d)),
-
-    // ---- persisted IVF-PQ: both trainings are the build half; queries
-    //      serve from centroids + codebooks + codes + assignment ----------
+    // ---- persisted IVF-PQ (IVFADC): both trainings are the build half;
+    //      queries serve from centroids + codebooks + codes + assignment —
+    //      the composed memory-AND-compute 100 TB serving shape. The
+    //      inline trainer anchor (ann_ivfpq) retired in the r15 audit —
+    //      this row carries the full composed-chain oracle now, with the
+    //      served-equals-recomputed pin in IndexStoreSpec. See the IVF-PQ
+    //      section scaladoc. ------------------------------------------------
     "ann_ivfpq_indexed" -> ((s, d) => ivfPqServe(s, d)),
 
     // ---- persisted trained-IVF: the Lloyd iteration is the expensive
@@ -1048,7 +1047,7 @@ object SimilarityPack {
 
   /** PQ-ADC top-10 with the training INLINE in the plan — the
     * trainer-contract query (its oracle re-derives every iteration). */
-  private def pqTopk(s: SparkSession, d: String,
+  private[graft] def pqTopk(s: SparkSession, d: String,
       qs: QuerySet = DefaultQueries): DataFrame =
     pqTopkWith(s, d, PqShortlist, qs)
 
@@ -1235,7 +1234,7 @@ object SimilarityPack {
   private[graft] val IvfPqShortlist = 150
 
   /** IVF-PQ with BOTH trainings inline — the trainer-contract query. */
-  private def ivfPqTopk(s: SparkSession, d: String,
+  private[graft] def ivfPqTopk(s: SparkSession, d: String,
       qs: QuerySet = DefaultQueries): DataFrame = {
     val (cents, assign) = ivfTunedTrain(s, d)
     val (pqCent, codes) = pqTrain(assign)
@@ -2026,15 +2025,13 @@ object SimilarityPack {
          |SELECT query_id, rec_id, sub_offset, round(dist, 8) AS dist
          |FROM cmdd ORDER BY query_id, dist, rec_id, sub_offset""".stripMargin,
 
-    "ann_pq_adc" -> pqOracleSql,
-
-    // artifact-served PQ: identical semantics, row-identity oracle
-    "ann_pq_indexed" -> sameRowsAs("ann_pq_adc"),
-
-    "ann_ivfpq" -> ivfPqOracleSql,
-
-    // artifact-served IVF-PQ: identical semantics, row-identity oracle
-    "ann_ivfpq_indexed" -> sameRowsAs("ann_ivfpq"),
+    // artifact-served PQ / IVF-PQ: the inline trainer anchors retired in
+    // the r15 audit — each serving row inherits the FULL unrolled
+    // training-chain SQL its anchor carried (the kmeans precedent, r14),
+    // so the DuckDB gate's cost is unchanged while the Spark side stops
+    // re-paying the inline training twice per drive
+    "ann_pq_indexed" -> pqOracleSql,
+    "ann_ivfpq_indexed" -> ivfPqOracleSql,
 
     "ann_sq8" -> sq8OracleSql,
 

@@ -74,10 +74,14 @@ class IndexStoreSpec extends SparkSpec {
       run("ann_lsh_multitable").collect().map(_.toString).toSeq)
     assert(run("ann_tuned_indexed").collect().map(_.toString).toSeq ==
       run("ann_ivf_tuned").collect().map(_.toString).toSeq)
+    // pq/ivfpq inline anchors retired (r15 audit — their full oracles
+    // moved onto the _indexed rows); the pins drive the trainers directly
     assert(run("ann_pq_indexed").collect().map(_.toString).toSeq ==
-      run("ann_pq_adc").collect().map(_.toString).toSeq)
+      operators.SimilarityPack.pqTopk(spark, sfTiny)
+        .collect().map(_.toString).toSeq)
     assert(run("ann_ivfpq_indexed").collect().map(_.toString).toSeq ==
-      run("ann_ivfpq").collect().map(_.toString).toSeq)
+      operators.SimilarityPack.ivfPqTopk(spark, sfTiny)
+        .collect().map(_.toString).toSeq)
   }
 
   // the REAL params the kmeans store is built with — stamping manifests

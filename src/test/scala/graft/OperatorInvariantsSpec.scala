@@ -158,8 +158,11 @@ class OperatorInvariantsSpec extends SparkSpec {
       .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("h"))
     val narrow = operators.SimilarityPack.pqTopkWith(spark, sfTiny, 30)
+    // the wide side is the inline ADC pipeline at its default shortlist
+    // (its queries-map anchor retired in the r15 audit)
     val joined = hits(narrow).as("nr")
-      .join(hits(run("ann_pq_adc")).as("wd"), Seq("query_id"), "full")
+      .join(hits(operators.SimilarityPack.pqTopk(spark, sfTiny)).as("wd"),
+        Seq("query_id"), "full")
       .select(col("query_id"),
         coalesce(col("nr.h"), lit(0L)).as("h1"),
         coalesce(col("wd.h"), lit(0L)).as("h2"))
