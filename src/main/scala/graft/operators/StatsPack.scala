@@ -502,7 +502,7 @@ object StatsPack {
         .orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val chunkAgg = lvl.groupBy(col("l_returnflag"), col("chunk"))
-        .agg(sum(col("wv")).as("cs"))
+        .agg(sum(col("wv")).as("cs"), count(lit(1)).as("nl"))
       val loSum = chunkAgg.as("a")
         .join(broadcast(chunkAgg.as("b")),
           col("b.l_returnflag") === col("a.l_returnflag") &&
@@ -514,8 +514,10 @@ object StatsPack {
         .withColumn("cw_in", sum(col("wv")).over(wIn))
         .join(broadcast(loSum), Seq("l_returnflag", "chunk"))
         .withColumn("cw", col("cw_in") + coalesce(col("lo_sum"), lit(0L)))
-      val tot = lvl.groupBy(col("l_returnflag"))
-        .agg(sum(col("wv")).as("w_total"), count(lit(1)).as("n_levels"))
+      // flag totals from the CHUNK ROLLUP, not a third pass over the
+      // level frame: w_total/n_levels are sums of the per-chunk partials
+      val tot = chunkAgg.groupBy(col("l_returnflag"))
+        .agg(sum(col("cs")).as("w_total"), sum(col("nl")).as("n_levels"))
       cum.join(broadcast(tot), "l_returnflag")
         .groupBy(col("l_returnflag"), col("w_total"), col("n_levels"))
         .agg(
