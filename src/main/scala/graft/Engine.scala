@@ -34,6 +34,14 @@ object Engine {
     }
     val s = b.withExtensions(new plans.GraftExtensions).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Reliable-checkpoint mode (multi-executor deployments): when the conf
+    // names a checkpoint dir, make sure the context actually has it — the
+    // Checkpointed funnel switches from executor-local to shared-storage
+    // checkpoints on this signal (executor-loss survival; see
+    // plans.Checkpointed).
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.conf.getOption("spark.checkpoint.dir")
+        .foreach(s.sparkContext.setCheckpointDir)
     s
   }
 }

@@ -42,14 +42,29 @@ object Checkpointed {
     out
   }
 
-  /** `df.localCheckpoint(eager)`, registering the pre-truncation plan
-    * under `label` when a capture is active. The recorded frame is the
-    * PREPARED plan (exchanges inserted, adaptive wrapper unwrapped —
+  /** Checkpoint `df` (eagerly by default), registering the pre-truncation
+    * plan under `label` when a capture is active. The recorded frame is
+    * the PREPARED plan (exchanges inserted, adaptive wrapper unwrapped —
     * `executedPlan` on an unexecuted adaptive root is the initial
     * prepared tree), so sweeps can count both WindowExec AND
     * ShuffleExchangeExec nodes; `sparkPlan` predates EnsureRequirements
     * and carries no Exchange nodes at all. Preparation is rule-running
-    * only — nothing executes beyond the checkpoint itself. */
+    * only — nothing executes beyond the checkpoint itself.
+    *
+    * FAULT-TOLERANCE CONTRACT (round 15, found by the executor-kill
+    * drive): `localCheckpoint` stores its blocks ONLY on the computing
+    * executors and truncates lineage, so losing one of those executors
+    * makes every downstream read fail PERMANENTLY
+    * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — task retries cannot recompute a
+    * truncated plan). That is acceptable in one-JVM gates and wrong on a
+    * real cluster. When `spark.checkpoint.dir` is configured (any
+    * multi-executor deployment; the kill drive sets it via
+    * GRAFT_ENGINE_CONF) this funnel switches to the RELIABLE
+    * `Dataset.checkpoint` — shared-storage files survive any executor
+    * loss, and the frames funneled through here are rollup-sized by
+    * design, so the write is bounded. Reliable checkpoint files
+    * accumulate for the app's lifetime unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`. */
   def apply(label: String, df: DataFrame, eager: Boolean = true): DataFrame = {
     if (capturing.get) {
       val prepared = df.queryExecution.executedPlan match {
@@ -59,6 +74,8 @@ object Checkpointed {
       }
       reg.add(label -> prepared)
     }
-    df.localCheckpoint(eager)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager)
+    else df.localCheckpoint(eager)
   }
 }
