@@ -18,6 +18,13 @@ object Engine {
       // measured 14.3 s → sub-second for a 1000-dir sharded dump)
       .config("spark.hadoop.fs.file.impl",
         classOf[io.BareLocalFileSystem].getName)
+      // Reliable-checkpoint deployments (spark.checkpoint.dir set) write
+      // shared-storage checkpoint files per Checkpointed call; without the
+      // cleaner they accumulate for the app's lifetime (hundreds per
+      // Verify drive alone — ADVICE r15). Default the reference-tracking
+      // cleanup ON so out-of-scope checkpoint RDDs are deleted when their
+      // dataset is GC'd; GRAFT_ENGINE_CONF below can still override it.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     // Drive overrides (GRAFT_ENGINE_CONF="k=v;k=v"): the recomputation-
     // determinism and memory-pressure drives re-run the FULL suite under
     // adversarial planner/runtime settings (AQE off, speculation on,

@@ -121,8 +121,10 @@ object Verify {
     // concurrent futures race for shared memoized stages (whichever query
     // runs first pays — and gets billed — the artifact build), so
     // deterministic per-query byte attribution needs a sequential drive.
-    val nThreads = sys.env.get("GRAFT_VERIFY_THREADS").map(_.toInt)
-      .getOrElse(8)
+    val nThreads = sys.env.get("GRAFT_VERIFY_THREADS").map { v =>
+      v.toIntOption.filter(_ > 0).getOrElse(sys.error(
+        s"GRAFT_VERIFY_THREADS must be a positive integer, got '$v'"))
+    }.getOrElse(8)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)

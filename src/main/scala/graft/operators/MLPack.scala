@@ -88,7 +88,16 @@ object MLPack {
           hashOrder.as("ho"))
       val mins = d0.groupBy(col("lang"), col("source"))
         .agg(min(struct(col("ho"), col("doc_id"))).as("mn"))
-      d0.join(broadcast(mins), Seq("lang", "source"))
+        .withColumnRenamed("lang", "mlang")
+        .withColumnRenamed("source", "msource")
+      // null-SAFE keys (ADVICE r15): groupBy puts NULL lang/source rows in
+      // their own group (as does the oracle's PARTITION BY window), so the
+      // probe join must match them back — a plain equi-join would silently
+      // drop such rows from BOTH splits. Documents in the reference data
+      // are non-null here, but the operator's semantics must not depend on
+      // that (the MLPackSpec pins the NULL-group behavior).
+      d0.join(broadcast(mins),
+          col("lang") <=> col("mlang") && col("source") <=> col("msource"))
         .select(col("doc_id"), col("lang").as("class"),
           when(struct(col("ho"), col("doc_id")) === col("mn"), "train")
             .otherwise("test").as("split"))

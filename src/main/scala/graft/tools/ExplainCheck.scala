@@ -12,7 +12,12 @@ object ExplainCheck {
     graft.Tables.prepare(spark, d)
     for (q <- names) {
       val df = graft.SparkEntry.queries(q)(spark, d)
-      df.collect() // final (post-AQE) plan — reuse decisions are runtime
+      // Execute for the final (post-AQE) plan — reuse decisions are
+      // runtime — WITHOUT materializing the result on the driver: query
+      // names come from args, so a large-output query under collect()
+      // could OOM the driver where the plan audit itself never would
+      // (ADVICE r15). The noop sink runs every stage and discards rows.
+      df.write.format("noop").mode("overwrite").save()
       val plan = df.queryExecution.executedPlan.toString
       val scans = "FileScan parquet [^\\s,\\]]*".r.findAllIn(plan).toSeq
       println(s"-- $q scans: ${scans.size} " +

@@ -381,6 +381,28 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(perGroup.filter(col("count") =!= 1).count() == 0)
   }
 
+  test("m2 split keeps NULL (class, source) rows as their own group") {
+    // The oracle's PARTITION BY lang, source window puts NULL-keyed rows
+    // in one partition of their own; the broadcast-min rewrite must match
+    // (null-safe join keys — a plain equi-join would DROP these rows from
+    // both splits, ADVICE r15). Reference data is non-null here, so this
+    // contract needs a synthetic corpus.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_m2_null").toString
+    Seq((1L, "en", "web"), (2L, "en", "web"),
+        (3L, null, null), (4L, null, null), (5L, "fr", null))
+      .asInstanceOf[Seq[(Long, String, String)]]
+      .toDF("doc_id", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("m2_artist_split")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    // no row vanishes, and each group — including the NULL ones — has
+    // exactly one train member (hash-order min: doc 3 of {3,4}, doc 5 solo)
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(Seq(3L, 4L).count(out(_) == "train") == 1)
+    assert(out(5L) == "train")
+  }
+
   test("t1 cumulative count ends at total event count") {
     val t1 = run("t1_daily_stats")
     val last = t1.orderBy(col("day").desc).limit(1)

@@ -76,29 +76,42 @@ if not os.path.exists(MANIFEST):
 
 old = {}
 with open(MANIFEST) as f:
-    for line in f:
+    for lineno, line in enumerate(f, 1):
         line = line.strip()
-        if line:
-            q, b = line.split("\t")
-            old[q] = int(b)
+        if not line:
+            continue
+        parts = line.split("\t")
+        if len(parts) != 2 or not parts[1].lstrip("-").isdigit():
+            print(f"FAIL: malformed manifest line {lineno} in {MANIFEST}: "
+                  f"{line!r} (expected 'query<TAB>bytes')")
+            sys.exit(2)
+        old[parts[0]] = int(parts[1])
 
+# A query whose shuffle bytes drop to exactly 0 disappears from
+# verify_spill.json's groups (the report keeps only spill/peak/shuffle>0
+# rows). That is an IMPROVEMENT, not a retirement — apply the normal band
+# at bytes=0 so the message says to bank it. A genuinely retired query
+# (gone from SparkEntry.queries) would also land here; either way the
+# manifest edit belongs in the same diff.
 failures = []
 for q in sorted(set(old) | set(fresh)):
     if q not in old:
         failures.append(f"{q}: NEW query shuffling {fresh[q]} bytes — "
                         "bank it (--regen) in the same diff")
         continue
-    if q not in fresh:
-        failures.append(f"{q}: in manifest but absent from this drive — "
-                        "retired? bank the removal (--regen)")
-        continue
+    new_bytes = fresh.get(q, 0)
     lo = old[q] / TOL - SLACK
     hi = old[q] * TOL + SLACK
-    if not (lo <= fresh[q] <= hi):
-        direction = "GREW" if fresh[q] > hi else "SHRANK"
-        failures.append(
-            f"{q}: shuffle bytes {direction} {old[q]} -> {fresh[q]} "
-            f"(band [{int(max(lo, 0))}, {int(hi)}]) — fix or bank")
+    if not (lo <= new_bytes <= hi):
+        if new_bytes == 0:
+            failures.append(
+                f"{q}: shuffle bytes shrank to 0 (was {old[q]}) — "
+                "improvement or retirement; bank it (--regen)")
+        else:
+            direction = "GREW" if new_bytes > hi else "SHRANK"
+            failures.append(
+                f"{q}: shuffle bytes {direction} {old[q]} -> {new_bytes} "
+                f"(band [{int(max(lo, 0))}, {int(hi)}]) — fix or bank")
 
 if failures:
     print(f"{len(failures)} shuffle-bytes ratchet failure(s):")
