@@ -54,8 +54,17 @@ object StatsCache {
       val now = System.currentTimeMillis()
       if (!isFresh(s, p, fp, ph, now, ttlMs)) {
         rebuilds.incrementAndGet()
-        build(p)
-        writeManifest(s, p, fp, ph, now)
+        // same atomic tmp+rename commit as IndexStore.ensure: members and
+        // manifest land whole or not at all, and the previous cache entry
+        // keeps serving until the rename
+        val committed = IndexStore.commitBuild(s, p) { tmp =>
+          build(tmp)
+          writeManifest(s, tmp, fp, ph, now)
+        }
+        if (!committed && !isFresh(s, p, fp, ph,
+            System.currentTimeMillis(), ttlMs))
+          sys.error(s"StatsCache: commit rename refused at $p and the " +
+            "surviving entry is stale")
       }
       p
     }
@@ -70,20 +79,30 @@ object StatsCache {
       .coalesce(1).write.mode("overwrite").parquet(s"$p/manifest")
   }
 
-  /** IndexStore.isFresh's schema-checked discipline + the age gate. */
+  /** IndexStore.isFresh's schema-checked, exception-hardened discipline
+    * + the age gate: the existence probe goes through the path's Hadoop
+    * filesystem (URI roots work), and any unreadable manifest — torn
+    * write, unreachable FS — reads as STALE, never as an error. */
   private def isFresh(s: SparkSession, p: String, fp: (Long, Long, Long),
       ph: Long, now: Long, ttlMs: Long): Boolean =
-    new java.io.File(s"$p/manifest").exists() && {
-      val df = s.read.parquet(s"$p/manifest")
-      val cols = Seq("corpus_rows", "max_id", "content_hash",
-        "params_hash", "built_at_ms")
-      cols.forall(n => df.schema.fields.exists(f =>
-        f.name == n && f.dataType == org.apache.spark.sql.types.LongType)) && {
-        val m = df.select(cols.map(col): _*).head()
-        !m.anyNull &&
-          (m.getLong(0), m.getLong(1), m.getLong(2)) == fp &&
-          m.getLong(3) == ph &&
-          now - m.getLong(4) <= ttlMs
+    try {
+      IndexStore.hfs(s, p)
+        .exists(new org.apache.hadoop.fs.Path(s"$p/manifest")) && {
+        val df = s.read.parquet(s"$p/manifest")
+        val cols = Seq("corpus_rows", "max_id", "content_hash",
+          "params_hash", "built_at_ms")
+        cols.forall(n => df.schema.fields.exists(f =>
+          f.name == n && f.dataType == org.apache.spark.sql.types.LongType)) && {
+          val m = df.select(cols.map(col): _*).head()
+          !m.anyNull &&
+            (m.getLong(0), m.getLong(1), m.getLong(2)) == fp &&
+            m.getLong(3) == ph &&
+            now - m.getLong(4) <= ttlMs
+        }
       }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[StatsCache] unreadable manifest at $p " +
+        s"(${e.getClass.getSimpleName}: ${e.getMessage}) — rebuilding")
+      false
     }
 }

@@ -84,42 +84,45 @@ class IndexStoreSpec extends SparkSpec {
         .collect().map(_.toString).toSeq)
   }
 
-  // the REAL params the kmeans store is built with — stamping manifests
-  // with any other hash would itself read as (correctly) stale
-  private def kmeansPh =
-    IndexStore.paramsHash(operators.SimilarityPack.KmeansIndexParams)
-
   test("a changed corpus fails the freshness gate and forces a rebuild") {
+    import spark.implicits._
     val emb = Tables.embeddings(spark, sfTiny)
     val fp = IndexStore.fingerprint(emb, "vec_id")
-    run("ann_kmeans_indexed").collect() // builds if absent
-    val p = IndexStore.path(sfTiny, "angular_ivf_kmeans")
-    assert(IndexStore.isFresh(spark, p, fp, kmeansPh))
+    val params = "probe=freshness_v1"
+    val ph = IndexStore.paramsHash(params)
+    val name = "freshness_probe"
+    def build(q: String): Unit =
+      Seq(("m", 1L)).toDF("tag", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$q/member")
+    IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params)(build)
+    val p = IndexStore.path(sfTiny, name)
+    assert(IndexStore.isFresh(spark, p, fp, ph))
     // simulate corpus drift: the manifest now claims a different corpus
-    IndexStore.writeManifest(spark, p, (fp._1 - 1, fp._2, fp._3), kmeansPh)
-    assert(!IndexStore.isFresh(spark, p, fp, kmeansPh))
+    IndexStore.writeManifest(spark, p, (fp._1 - 1, fp._2, fp._3), ph)
+    assert(!IndexStore.isFresh(spark, p, fp, ph))
     // an IN-PLACE edit (same count, same max key, different values) is
     // caught by the content component of the fingerprint
-    IndexStore.writeManifest(spark, p, fp, kmeansPh)
-    assert(IndexStore.isFresh(spark, p, fp, kmeansPh))
-    IndexStore.writeManifest(spark, p, (fp._1, fp._2, fp._3 ^ 1L), kmeansPh)
-    assert(!IndexStore.isFresh(spark, p, fp, kmeansPh))
+    IndexStore.writeManifest(spark, p, fp, ph)
+    assert(IndexStore.isFresh(spark, p, fp, ph))
+    IndexStore.writeManifest(spark, p, (fp._1, fp._2, fp._3 ^ 1L), ph)
+    assert(!IndexStore.isFresh(spark, p, fp, ph))
     // a BUILD-CONSTANT change with an unchanged corpus is caught by the
     // params hash — under the stable cross-process root this is what
     // prevents prior-run artifacts built by different constants from
     // serving silently
     IndexStore.writeManifest(spark, p, fp,
       IndexStore.paramsHash("lloyd=2,cap=999"))
-    assert(!IndexStore.isFresh(spark, p, fp, kmeansPh))
-    IndexStore.writeManifest(spark, p, (fp._1 - 1, fp._2, fp._3), kmeansPh)
-    // ensure() sees the mismatch, rebuilds, and restamps the manifest
+    assert(!IndexStore.isFresh(spark, p, fp, ph))
+    IndexStore.writeManifest(spark, p, (fp._1 - 1, fp._2, fp._3), ph)
+    // ensure() sees the mismatch, rebuilds (whole artifact — rename
+    // semantics replace the directory), and restamps the manifest
     var rebuilt = false
-    IndexStore.ensure(spark, sfTiny, "angular_ivf_kmeans", emb, "vec_id",
-      operators.SimilarityPack.KmeansIndexParams) {
-      _ => rebuilt = true
+    IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params) { q =>
+      rebuilt = true; build(q)
     }
     assert(rebuilt)
-    assert(IndexStore.isFresh(spark, p, fp, kmeansPh))
+    assert(IndexStore.isFresh(spark, p, fp, ph))
+    assert(spark.read.parquet(s"$p/member").count() == 1)
   }
 
   test("concurrent ensure on the same artifact builds exactly once") {
@@ -152,32 +155,37 @@ class IndexStoreSpec extends SparkSpec {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfTiny)
     val fp = IndexStore.fingerprint(emb, "vec_id")
-    val p = IndexStore.path(sfTiny, "angular_ivf_kmeans")
-    run("ann_kmeans_indexed").collect() // builds if absent
+    val params = "probe=layout_v1"
+    val ph = IndexStore.paramsHash(params)
+    val name = "layout_probe"
+    val p = IndexStore.path(sfTiny, name)
+    def build(q: String): Unit =
+      Seq(("m", 1L)).toDF("tag", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$q/member")
+    IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params)(build)
     // simulate an artifact persisted by the pre-params-hash 3-column
     // manifest format (plausible on shared storage across engine versions):
     // the freshness gate must degrade to a rebuild, not throw
     Seq((fp._1, fp._2, fp._3))
       .toDF("corpus_rows", "max_id", "content_hash").coalesce(1)
       .write.mode("overwrite").parquet(s"$p/manifest")
-    assert(!IndexStore.isFresh(spark, p, fp, kmeansPh))
+    assert(!IndexStore.isFresh(spark, p, fp, ph))
     var rebuilt = false
-    IndexStore.ensure(spark, sfTiny, "angular_ivf_kmeans", emb, "vec_id",
-      operators.SimilarityPack.KmeansIndexParams) {
-      _ => rebuilt = true
+    IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params) { q =>
+      rebuilt = true; build(q)
     }
     assert(rebuilt)
-    assert(IndexStore.isFresh(spark, p, fp, kmeansPh))
+    assert(IndexStore.isFresh(spark, p, fp, ph))
   }
 
-  test("crash-window audit: a build killed between member write and " +
-    "manifest stamp leaves an artifact the next ensure REBUILDS — a " +
-    "partial artifact is never served") {
-    // VERDICT r14 #6: incrementalDump has pinned orphan semantics;
-    // ensure() did not. The injected fault simulates a JVM kill inside
-    // build(p) AFTER a member landed: ensure must propagate the failure
-    // (no manifest stamp), and the next reader must rebuild from scratch
-    // rather than trusting the orphaned member.
+  test("crash-window audit: a build killed mid-way never touches the " +
+    "TARGET — the rename invariant (r16): the previous artifact keeps " +
+    "serving, the tmp dir is swept, the next ensure rebuilds") {
+    // r14 pinned "a partial artifact is never served" via the manifest-
+    // last ordering; the r16 atomic-rename commit strengthens it: a crash
+    // anywhere inside build() leaves the target directory EXACTLY as it
+    // was (old artifact intact and serving), with the partial members
+    // stranded in a tmp sibling that the next committer sweeps.
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfTiny)
     val params = s"crash=${System.nanoTime()}"
@@ -185,31 +193,90 @@ class IndexStoreSpec extends SparkSpec {
     val p = IndexStore.path(sfTiny, name)
     val fp = IndexStore.fingerprint(emb, "vec_id")
     val ph = IndexStore.paramsHash(params)
+    // 1) commit a good artifact, then crash a rebuild (params change)
+    IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params) { q =>
+      Seq(("v1", 1L)).toDF("tag", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$q/member")
+    }
+    val params2 = s"$params,gen=2"
     val boom = intercept[RuntimeException] {
-      IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params) { q =>
+      IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params2) { q =>
+        // the old artifact must STILL be serving while this build runs
+        assert(spark.read.parquet(s"$p/member").select("tag").head()
+          .getString(0) == "v1", "old artifact unreadable during rebuild")
+        // and the build target must be a tmp sibling, never p itself
+        assert(q != p && q.startsWith(s"$p.build-"),
+          s"build got the live path: $q")
         Seq(("partial", 1L)).toDF("tag", "v")
           .coalesce(1).write.mode("overwrite").parquet(s"$q/member")
         throw new RuntimeException("injected kill between member and manifest")
       }
     }
     assert(boom.getMessage.contains("injected kill"))
-    // the member is on disk, the manifest is not — the artifact must
-    // read as STALE, and the orphaned member must be unreachable through
-    // the ensure path (the only sanctioned way to resolve an artifact)
-    assert(new java.io.File(s"$p/member").exists(),
-      "fixture broke: the partial member should exist")
-    assert(!IndexStore.isFresh(spark, p, fp, ph),
-      "a manifest-less artifact read as fresh — partials would serve")
+    // 2) target untouched: the OLD artifact is still fresh under its own
+    // params and still reads v1 — the crash destroyed nothing
+    assert(IndexStore.isFresh(spark, p, fp, ph),
+      "a crashed rebuild must leave the previous artifact serving")
+    assert(spark.read.parquet(s"$p/member").select("tag").head().getString(0)
+      == "v1")
+    assert(!IndexStore.isFresh(spark, p, fp, IndexStore.paramsHash(params2)),
+      "the new params must still read stale — nothing was committed")
+    // 3) the next ensure rebuilds, commits atomically, and sweeps the
+    // abandoned tmp dir
     var rebuilt = false
-    IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params) { q =>
+    IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params2) { q =>
       rebuilt = true
       Seq(("complete", 2L)).toDF("tag", "v")
         .coalesce(1).write.mode("overwrite").parquet(s"$q/member")
     }
-    assert(rebuilt, "next ensure served the partial instead of rebuilding")
-    assert(IndexStore.isFresh(spark, p, fp, ph))
+    assert(rebuilt, "next ensure served the crashed build's leftovers")
+    assert(IndexStore.isFresh(spark, p, fp, IndexStore.paramsHash(params2)))
     assert(spark.read.parquet(s"$p/member").select("tag").head().getString(0)
-      == "complete", "the rebuild did not overwrite the orphaned member")
+      == "complete")
+    val leftovers = new java.io.File(p).getParentFile.listFiles()
+      .filter(_.getName.startsWith(s"$name.build-"))
+    assert(leftovers.isEmpty,
+      s"abandoned tmp dirs not swept: ${leftovers.mkString(", ")}")
+  }
+
+  test("cross-process commit seam: a second writer committing mid-build " +
+    "does not corrupt — last rename wins and the survivor is complete") {
+    // Two DRIVER PROCESSES sharing one root cannot see each other's
+    // buildLocks; the atomic-rename commit is what keeps them safe. The
+    // seam: while ensure()'s build runs, a direct commitBuild (bypassing
+    // the JVM lock, exactly what a second process does) commits a full
+    // artifact for the same inputs. ensure's writer then renames over it;
+    // both artifacts pass the same fingerprint gate, so the survivor is
+    // complete and fresh either way.
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfTiny)
+    val params = s"race=${System.nanoTime()}"
+    val name = "race_probe"
+    val p = IndexStore.path(sfTiny, name)
+    val fp = IndexStore.fingerprint(emb, "vec_id")
+    val ph = IndexStore.paramsHash(params)
+    IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params) { q =>
+      // "second process" commits first, whole-artifact, same fp/ph
+      val won = IndexStore.commitBuild(spark, p) { tmp =>
+        Seq(("writer2", 1L)).toDF("tag", "v")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/member")
+        IndexStore.writeManifest(spark, tmp, fp, ph)
+      }
+      assert(won, "seam writer's rename should succeed on an empty target")
+      assert(IndexStore.isFresh(spark, p, fp, ph))
+      // first writer keeps building, unaware
+      Seq(("writer1", 1L)).toDF("tag", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$q/member")
+    }
+    // last rename won; the artifact is whole, fresh, and one of the two
+    assert(IndexStore.isFresh(spark, p, fp, ph))
+    val tag = spark.read.parquet(s"$p/member").select("tag").head().getString(0)
+    assert(tag == "writer1" || tag == "writer2")
+    // and no tmp garbage survived either writer
+    val leftovers = new java.io.File(p).getParentFile.listFiles()
+      .filter(_.getName.startsWith(s"$name.build-"))
+    assert(leftovers.isEmpty,
+      s"tmp dirs leaked by the race: ${leftovers.mkString(", ")}")
   }
 
   test("crash-window audit: a manifest directory torn by a mid-write kill " +
