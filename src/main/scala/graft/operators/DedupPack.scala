@@ -218,9 +218,13 @@ object DedupPack {
         .orderBy("keep_id")
     }),
 
-    // ---- exact n-gram Jaccard near-dup pairs (inverted shingle index) ----
-    "dd_jaccard_pairs" -> ((s, d) =>
-      jaccardPairs(shingled(s, d)).orderBy("doc_a", "doc_b")),
+    // (r16 retirement: `dd_jaccard_pairs` — the fixed-df-cap inverted
+    // shingle index — left the suite; its exact-threshold-Jaccard
+    // semantics are gated LOSSLESSLY by `dd_jaccard_prefix` below (spec
+    // pins ≡ naive all-pairs), its capped-universe production posture by
+    // the self-tuning `dd_jaccard_capped`, and the [[jaccardPairs]] plan
+    // itself stays spec-driven (PropertySpec id-domain + df-cap contracts,
+    // OperatorInvariantsSpec LSH-recall and containment cross-checks).)
 
     // ---- the SELF-TUNING capped variant: CMS pass -> budgeted threshold
     //      -> pushable map-side filter; cap_df + dropped_shingles ride in
@@ -234,7 +238,7 @@ object DedupPack {
 
     // ---- prefix-filtered exact Jaccard join (PPJoin-style) ---------------
     // The LOSSLESS scale lever for exact threshold-Jaccard, complementing
-    // dd_jaccard_pairs' df cap (which drops hot shingles from the
+    // the jaccardPairs df cap (which drops hot shingles from the
     // universe, changing the measured Jaccard): order every document's
     // shingles by ascending global frequency and index only the first
     // |d| − ⌈t·|d|⌉ + 1 of them — two sets with J ≥ t MUST share a
@@ -842,7 +846,7 @@ object DedupPack {
       .filter(col("jaccard") >= JaccardThreshold)
 
   // ---- self-tuning df cap (`dd_jaccard_capped`, VERDICT r12 item 4) -----
-  // dd_jaccard_pairs' MaxShingleDf is a CONSTANT: on a corpus whose
+  // jaccardPairs' MaxShingleDf is a CONSTANT: on a corpus whose
   // boilerplate lands just under it (measured: semi-boilerplate at
   // df≈800 on the 8x smoke corpus), the fixed cap admits C(df,2) pair
   // events per junk shingle and the audit blows up 3-4x for zero recall
@@ -1409,7 +1413,7 @@ object DedupPack {
         | CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY min(doc_id)""".stripMargin,
 
-    // same capped universe as dd_jaccard_pairs, ppm integer ratios
+    // same capped universe as jaccardPairs, ppm integer ratios
     "dd_containment" ->
       s"""WITH $shingleCte,
          |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
@@ -1433,26 +1437,6 @@ object DedupPack {
          |  shared * 1000000 // sb.n) >= $ContainmentPpm
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "dd_jaccard_pairs" ->
-      s"""WITH $shingleCte,
-         |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-         |dfk AS (SELECT g, COUNT(*) AS c FROM ex GROUP BY g),
-         |keep AS (SELECT doc_id, ex.g FROM ex JOIN dfk USING (g)
-         |         WHERE c <= $MaxShingleDf),
-         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-         |          FROM keep GROUP BY doc_id),
-         |shared AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(COUNT(*) AS BIGINT) AS shared
-         |  FROM keep a JOIN keep b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT doc_a, doc_b, shared,
-         |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
-         |FROM shared
-         |JOIN sizes sa ON doc_a = sa.doc_id
-         |JOIN sizes sb ON doc_b = sb.doc_id
-         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // mirrors jaccardCappedOver: the CMS grid at the cmsjac family
     // (CmsJacWidth buckets), per-shingle MIN-cell estimates, the

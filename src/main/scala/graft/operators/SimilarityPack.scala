@@ -487,24 +487,34 @@ object SimilarityPack {
     }),
 
     // ---- ANN recall against the exact contract ---------------------------
-    // Per query: how many of the exact top-10 each approximate variant
-    // (three LSH, four IVF, one PQ, one SQ8, one IVF-PQ) recovered.
-    // Quality is thereby MEASURED and oracle-gated, not asserted. The
-    // query set is the PRODUCTION monitor's: a seeded deterministic
-    // [[RecallSampleN]]-id sample (F19's hash-order recipe) of the whole
-    // corpus, not a fixed id prefix — so the monitor story is real: at
-    // scale the identical query runs on the same kind of sampled slice.
-    // (r6 ran this over the fixed 10-id set; r7 sampled 100; r8 sizes the
-    // sample at [[RecallSampleN]]=25 so the unrolled DuckDB oracle fits
-    // the driver's gate budget — per-query work is unchanged.)
-    // Tuned headlines at sf0.01:
-    // `hits_tables` (k=4, L=12 multi-table LSH) and `hits_ivf_tuned`
-    // (K=16, 6 Lloyd iters, nprobe=8) remain the approximate-family
-    // anchors; `hits_ivfpq` measures the composed IVFADC serving index.
+    // Per query: how many of the exact top-10 each SERVED index variant
+    // recovered. Quality is thereby MEASURED and oracle-gated, not
+    // asserted. The query set is the PRODUCTION monitor's: a seeded
+    // deterministic [[RecallSampleN]]-id sample (F19's hash-order recipe)
+    // of the whole corpus, not a fixed id prefix — so the monitor story
+    // is real: at scale the identical query runs on the same kind of
+    // sampled slice. (r6 ran this over the fixed 10-id set; r7 sampled
+    // 100; r8 sized the sample at [[RecallSampleN]]=25 so the unrolled
+    // DuckDB oracle fits the driver's gate budget.)
+    //
+    // r16 retirement (VERDICT r15 #3): every monitor column now rides a
+    // SERVED artifact — a production recall monitor measures the indexes
+    // that serve traffic, and the inline training chains this row used
+    // to replay per capture (single/multiprobe LSH hashing, per-label and
+    // one-Lloyd IVF training: ~5 s of the #1 bench line) remain fully
+    // oracle-gated by their own standalone rows (`ann_lsh_bucketed`,
+    // `ann_lsh_multiprobe`, `ann_ivf_nprobe`) and by the served==inline
+    // pins in IndexStoreSpec. hits_sq8 stays an inline compute by nature:
+    // SQ8 is a compression format, not a pruning index — serving IS one
+    // quantized full scan and there is no training phase to persist.
+    // Tuned headlines at sf0.01: `hits_tables` (k=4, L=12 multi-table
+    // LSH) and `hits_ivf_tuned` (K=16, 6 Lloyd iters, nprobe=8) remain
+    // the approximate-family anchors; `hits_ivfpq` measures the composed
+    // IVFADC serving index.
     "ann_recall" -> ((s, d) => {
       val qset: QuerySet = querySetOf(sampledQueryIds(s, d))
-      // The exact top-10 (a full corpus scan + window) anchors all ten
-      // hit joins below — localCheckpoint materializes it once instead of
+      // The exact top-10 (a full corpus scan + window) anchors all the
+      // hit joins below — checkpointing materializes it once instead of
       // recomputing it per variant (same discipline as the monitor a
       // production deployment would run on its sampled slice).
       val exact = Checkpointed("SimilarityPack.recall.exact",
@@ -514,26 +524,26 @@ object SimilarityPack {
       // Each variant's top-k output is ≤ RecallSampleN·k rows — broadcast
       // it into the semi probe (and the per-variant hit counts into the
       // assembly joins below) instead of letting the planner sort-merge
-      // request-sized frames: the static estimates behind these heavy
-      // pipelines are way past the broadcast threshold, so without the
-      // hint EACH variant planned 2 structural shuffles for the semi join
-      // plus 2 per assembly join (~40 across the monitor; AQE bought some
-      // back at runtime, but planning/scheduling 10 redundant exchanges
-      // dominated the monitor's wall time at bench scale).
+      // request-sized frames: the static estimates behind these pipelines
+      // are way past the broadcast threshold, so without the hint EACH
+      // variant planned 2 structural shuffles for the semi join plus 2
+      // per assembly join; planning/scheduling the redundant exchanges
+      // dominated the monitor's wall time at bench scale.
       def hitsOf(approx: DataFrame, name: String): DataFrame =
         exact.join(
             broadcast(approx.select(col("query_id"), col("neighbor_id"))),
             Seq("query_id", "neighbor_id"), "left_semi")
           .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val variants = Seq(
-        "hits_single" -> lshTopk(s, d, multiProbe = false, qset),
-        "hits_multi" -> lshTopk(s, d, multiProbe = true, qset),
-        "hits_tables" -> lshTablesTopk(s, d, qset),
-        "hits_ivf" -> ivfTopk(s, d, nprobe = 1, k = 10, qset),
-        "hits_ivf2" -> ivfTopk(s, d, nprobe = 2, k = 10, qset),
-        "hits_kmeans" -> kmeansTopk(s, d, k = 10, qset),
-        // the monitor measures the PRODUCTION paths: the artifact-served
-        // indexes (identical to the inline recomputes by construction)
+        // multi-table LSH served from the persisted bucket rows
+        "hits_tables" -> lshTablesRank(emb,
+          s.read.parquet(s"${ensureLshIndex(s, d)}/buckets"), qset),
+        // one-Lloyd IVF served from the persisted assignments
+        "hits_kmeans" -> cellTopk(
+          s.read.parquet(s"${ensureKmeansIndex(s, d)}/assignments")
+            .join(emb, Seq("vec_id")), k = 10, qset),
         "hits_ivf_tuned" -> ivfTunedServe(s, d, qset),
         "hits_pq" -> pqServe(s, d, qset),
         "hits_sq8" -> sq8Topk(s, d, qset),
@@ -586,7 +596,7 @@ object SimilarityPack {
 
   /** Exact brute-force top-10 cosine neighbours of the query set (N4's
     * contract; the broadcast-query + window plan). */
-  private def topkExact(s: SparkSession, d: String,
+  private[graft] def topkExact(s: SparkSession, d: String,
       qs: QuerySet = DefaultQueries): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -2127,28 +2137,26 @@ object SimilarityPack {
 
     "ann_clustered_recall" -> clusteredRecallOracleSql,
 
+    // r16: the monitor columns are the SERVED indexes (see the queries
+    // entry); the oracle still unrolls each variant's FULL deterministic
+    // chain — artifact members equal the inline computation by
+    // construction (IndexStoreSpec pins it), so the SQL is the complete
+    // semantics of what the artifacts serve. The four retired inline
+    // columns' chains stay oracle-gated by their standalone rows.
     "ann_recall" ->
       s"""WITH $exCte,
          |$exiCte,
          |$tivCte,
          |$qsampleCte,
          |${exactTopkCtes("e", SampleQPred)},
-         |${lshTopkCtes("l", multiProbe = false, SampleQPred)},
-         |${lshTopkCtes("m", multiProbe = true, SampleQPred)},
          |${lshTablesCtes("t", SampleQPred)},
-         |${ivfCtes("i1", nprobe = 1, SampleQPred)},
-         |${ivfCtes("i2", nprobe = 2, SampleQPred)},
          |${kmeansCtes("km", SampleQPred)},
          |${ivfTunedCtes("tu", SampleQPred)},
          |${pqCtes("pq", SampleQPred)},
          |${sq8Ctes("s8", SampleQPred)},
          |${ivfPqTail("vq", "tu", "pq")},
          |exact AS (SELECT query_id, neighbor_id FROM eranked WHERE rank <= 10),
-         |${recallHits("s", "lranked")}
-         |${recallHits("m", "mranked")}
          |${recallHits("t", "tranked")}
-         |${recallHits("i1", "i1ranked")}
-         |${recallHits("i2", "i2ranked")}
          |${recallHits("km", "kmranked")}
          |${recallHits("tu", "turanked")}
          |${recallHits("pq", "pqranked")}
@@ -2156,22 +2164,14 @@ object SimilarityPack {
          |${recallHits("vq", "vqranked")}
          |qs AS (SELECT DISTINCT query_id FROM exact)
          |SELECT q.query_id,
-         |  CAST(COALESCE(sh.hits, 0) AS BIGINT) AS hits_single,
-         |  CAST(COALESCE(mh.hits, 0) AS BIGINT) AS hits_multi,
          |  CAST(COALESCE(th.hits, 0) AS BIGINT) AS hits_tables,
-         |  CAST(COALESCE(i1h.hits, 0) AS BIGINT) AS hits_ivf,
-         |  CAST(COALESCE(i2h.hits, 0) AS BIGINT) AS hits_ivf2,
          |  CAST(COALESCE(kmh.hits, 0) AS BIGINT) AS hits_kmeans,
          |  CAST(COALESCE(tuh.hits, 0) AS BIGINT) AS hits_ivf_tuned,
          |  CAST(COALESCE(pqh.hits, 0) AS BIGINT) AS hits_pq,
          |  CAST(COALESCE(s8h.hits, 0) AS BIGINT) AS hits_sq8,
          |  CAST(COALESCE(vqh.hits, 0) AS BIGINT) AS hits_ivfpq
          |FROM qs q
-         |LEFT JOIN shits sh ON q.query_id = sh.query_id
-         |LEFT JOIN mhits mh ON q.query_id = mh.query_id
          |LEFT JOIN thits th ON q.query_id = th.query_id
-         |LEFT JOIN i1hits i1h ON q.query_id = i1h.query_id
-         |LEFT JOIN i2hits i2h ON q.query_id = i2h.query_id
          |LEFT JOIN kmhits kmh ON q.query_id = kmh.query_id
          |LEFT JOIN tuhits tuh ON q.query_id = tuh.query_id
          |LEFT JOIN pqhits pqh ON q.query_id = pqh.query_id

@@ -45,7 +45,11 @@ class OperatorInvariantsSpec extends SparkSpec {
   }
 
   test("dedup: LSH candidates recall the exact-Jaccard near-dup pairs") {
-    val exact = run("dd_jaccard_pairs").select("doc_a", "doc_b")
+    // drives the [[DedupPack.jaccardPairs]] frame directly: the suite
+    // entry retired in r16 (dd_jaccard_prefix is the lossless gated form)
+    val exact = operators.DedupPack.jaccardPairs(
+        operators.DedupPack.shingledOf(Tables.documents(spark, sfTiny)))
+      .select("doc_a", "doc_b")
     val lsh = run("dd_minhash_lsh")
     // with 4x4 banding, P(miss) = (1-J^4)^4: ~12% per pair AT J=0.8, far
     // lower for the higher-J pairs the fixture contains — allow 25%
@@ -61,16 +65,26 @@ class OperatorInvariantsSpec extends SparkSpec {
     // member in a candidate set always survives exact-cosine re-ranking
     // (only globally-higher-cosine candidates can displace it, and there
     // are at most 9 of those). Dominance is therefore an invariant, not a
-    // statistical expectation.
-    val rec = run("ann_recall").collect()
+    // statistical expectation. Computed from the standalone rows since
+    // r16 retired the inline single-table columns from the ann_recall
+    // monitor (both standalone rows share the same default query set).
+    val exact = operators.SimilarityPack.topkExact(spark, sfTiny)
+      .select("query_id", "neighbor_id")
+    def hitsOf(name: String, as: String) =
+      exact.join(run(name).select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as(as))
+    val rec = hitsOf("ann_lsh_multitable", "tables")
+      .join(hitsOf("ann_lsh_bucketed", "single"), Seq("query_id"), "full")
+      .na.fill(0L, Seq("tables", "single")).collect()
     assert(rec.nonEmpty)
     for (r <- rec) {
       val (single, tables) =
-        (r.getAs[Long]("hits_single"), r.getAs[Long]("hits_tables"))
+        (r.getAs[Long]("single"), r.getAs[Long]("tables"))
       assert(tables >= single,
         s"query ${r.get(0)}: hits_tables $tables < hits_single $single")
     }
-    assert(rec.map(_.getAs[Long]("hits_tables")).sum > 0)
+    assert(rec.map(_.getAs[Long]("tables")).sum > 0)
   }
 
   test("clustered corpus: the index prunes 7/8 of the corpus at >=96% recall") {
@@ -2234,7 +2248,7 @@ class OperatorInvariantsSpec extends SparkSpec {
       math.abs(c) <= 1.0 && !s2.isNaN && !i.isNaN })
   }
 
-  test("dd_containment is consistent with dd_jaccard_pairs on the shared " +
+  test("dd_containment is consistent with the jaccardPairs core on the shared " +
     "capped universe and catches asymmetric pairs Jaccard misses") {
     val cont = run("dd_containment").collect()
       .map(r => ((r.getLong(0), r.getLong(1)),
@@ -2244,9 +2258,12 @@ class OperatorInvariantsSpec extends SparkSpec {
     // threshold honesty: every row clears 0.9 ppm in SOME direction
     assert(cont.values.forall { case (_, _, _, ca, cb) =>
       math.max(ca, cb) >= operators.DedupPack.ContainmentPpm })
-    // the same (shared, sizes) core must reproduce the Jaccard entry's
-    // ratio exactly for pairs both joins emit
-    val jac = run("dd_jaccard_pairs").collect()
+    // the same (shared, sizes) core must reproduce the Jaccard frame's
+    // ratio exactly for pairs both joins emit (direct drive — the suite
+    // entry retired in r16)
+    val jac = operators.DedupPack.jaccardPairs(
+        operators.DedupPack.shingledOf(Tables.documents(spark, sfTiny)))
+      .orderBy("doc_a", "doc_b").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2),
         r.getDouble(3)))).toMap
     val both = cont.keySet intersect jac.keySet
