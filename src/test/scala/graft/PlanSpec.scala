@@ -23,6 +23,18 @@ class PlanSpec extends SparkSpec {
     * with an override are for eyeballing, not CI. */
   private val planSweepDir = sys.env.getOrElse("GRAFT_PLAN_SF", sfTiny)
 
+  /** Allowlist hygiene (VERDICT r15 #8): every name-keyed justification
+    * must point at a LIVE query — a retirement that leaves its allowlist
+    * line behind would strand prose nobody re-argues. (Site-label maps
+    * are exempt: warm memos legitimately skip their checkpoint capture,
+    * so site presence is run-dependent.) */
+  private def assertAllowlistLive(which: String, names: Set[String]): Unit = {
+    val stale = names.diff(SparkEntry.queries.keySet)
+    assert(stale.isEmpty,
+      s"$which allowlist names retired queries — delete or re-argue the " +
+        s"lines: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   /** Final physical plan text (AQE re-plans at runtime, so execute first). */
   private def planText(df: DataFrame): String = {
     df.collect()
@@ -126,6 +138,7 @@ class PlanSpec extends SparkSpec {
     // intended broadcast-cross plans (tiny single-row / query-set side):
     val allowedCross = Set("n5_pairwise_distance", "p6_distance_threshold",
       "ann_ivf_nprobe", "n4_topk_cosine", "ann_lsh_bucketed")
+    assertAllowlistLive("allowedCross", allowedCross)
     for ((name, fn) <- SparkEntry.queries if !allowedCross(name)) {
       val plan = planText(fn(spark, sfTiny))
       assert(!plan.contains("CartesianProduct"),
@@ -755,6 +768,7 @@ class PlanSpec extends SparkSpec {
         "the 64-file manifest frame (metadata-proportional)"),
       "io_zorder_prune" -> ("same layout gate × two layouts; monitors the " +
         "64-file manifest frame"))
+    assertAllowlistLive("bounded windows", bounded.keySet)
     // bench-profile trims m4's eager 360-combo grid (the builders run
     // driver-side work at construction; only plan TOPOLOGY is inspected
     // here and the reduced grid plans identically)
@@ -830,6 +844,7 @@ class PlanSpec extends SparkSpec {
       "sk_kmv_overlap" -> ("pair-rank over the min-union draw frame: both " +
         "inputs are k-row group-limited sketches, so each (src_a, src_b) " +
         "partition holds ≤ 2k rows by construction"))
+    assertAllowlistLive("enum-window bounded", bounded.keySet)
     // Structural exemption: a window whose partitionSpec also plans a
     // WindowGroupLimitExec (Spark's rank-filter pushdown from
     // `row_number/rank ≤/= k` filters) is bounded at k rows per group per
@@ -875,7 +890,7 @@ class PlanSpec extends SparkSpec {
     assert(res.nonEmpty, s"no capResult frame captured: ${frames.map(_._1)}")
     for (plan <- res) {
       // (the shared/sizes joins downstream are fact-sized and sort-merge
-      // legitimately — the same shape dd_jaccard_pairs runs; the claim
+      // legitimately — the same inverted-index shape jaccardPairs runs; the claim
       // here is only that the GRID lookups broadcast)
       val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
       assert(bhj >= operators.StatsPack.CmsDepth,

@@ -1349,4 +1349,163 @@ class StreamingSpec extends SparkSpec {
     assert(mixed.nonEmpty && mixed.toSeq == freshOnly.toSeq,
       "late rows leaked into finalized ledger days")
   }
+
+  // ---- upgrade contract across a checkpoint restart (round 16) -----------
+  // The executor-kill drive proved SAME-code recovery; real deployments
+  // restart checkpoints with NEW code (the reference daemons restart
+  // stateless every 30 s — hl_calc.py; the engine's stateful equivalent
+  // must make its upgrade story explicit). Pinned here: which code changes
+  // a running checkpoint tolerates (stateless transforms) and which fail
+  // LOUDLY at the first batch (state-schema widening, stateful-topology
+  // change) — the deployment answer for the failing class is
+  // drain-and-restart: stop the old query, start the new code with a
+  // FRESH checkpoint + full source replay (or a batch backfill), exactly
+  // the reference's stateless-daemon posture. Guidance: BASELINE.md
+  // "Streaming upgrade contract".
+
+  /** Minimal stateful pipeline over a parquet landing dir: per-user
+    * running event count via flatMapGroupsWithState. `wide` switches the
+    * state product from Long to (Long, Long) — the canonical "state
+    * gained a field" upgrade; `dedupUpstream` prepends a second stateful
+    * operator — the topology upgrade. */
+  private def counterStream(landing: String, wide: Boolean,
+      dedupUpstream: Boolean = false) = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val src0 = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP_NTZ, user_id LONG")
+      .parquet(s"$landing/*.parquet")
+    val src = if (dedupUpstream)
+      src0.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("event_id")
+    else src0
+    val keyed = src.select(col("user_id"), col("event_id"))
+      .as[(Long, Long)].groupByKey(_._1)
+    if (!wide)
+      keyed.flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, Long)], st: GroupState[Long]) => {
+          val n = st.getOption.getOrElse(0L) + rows.size
+          st.update(n); Iterator((uid, n))
+        }).toDF("user_id", "n")
+    else
+      keyed.flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, Long)],
+         st: GroupState[(Long, Long)]) => {
+          val (n0, mx0) = st.getOption.getOrElse((0L, 0L))
+          val ids = rows.map(_._2).toSeq
+          val s = (n0 + ids.size, math.max(mx0, ids.max))
+          st.update(s); Iterator((uid, s._1))
+        }).toDF("user_id", "n")
+  }
+
+  private def feedCounter(landing: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampNTZType
+    val t0 = java.time.LocalDateTime.of(2025, 4, 1, 0, 0, 0)
+    ids.map(i => (i, t0.plusSeconds(i), i % 3))
+      .toDF("event_id", "ts", "user_id")
+      .select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"),
+        col("user_id"))
+      .coalesce(1).write.mode("append").parquet(landing)
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("upgrade contract: a checkpoint restart with a WIDENED state " +
+    "product fails loudly at the first batch — never silently " +
+    "misreads old state") {
+    val landing = tmp("graft_upg_state_land")
+    val ckpt = tmp("graft_upg_state_ckpt")
+    val outDir = tmp("graft_upg_state_out")
+    def runOnce(wide: Boolean): Unit = {
+      val q = counterStream(landing, wide)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    feedCounter(landing, 1L to 6L)
+    runOnce(wide = false)
+    feedCounter(landing, 7L to 9L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(wide = true)
+    }
+    val msg = (e.getMessage + " " +
+      Option(e.getCause).map(_.getMessage).getOrElse("")).toLowerCase
+    assert(msg.contains("schema") && msg.contains("compatible"),
+      s"expected a state-schema compatibility failure, got: $msg")
+    // and the committed v1 output is intact — the failed restart wrote
+    // nothing (3 rows: one per user group in batch 1)
+    assert(spark.read.parquet(outDir).count() == 3)
+  }
+
+  test("upgrade contract: adding a STATEFUL operator upstream of the " +
+    "counter fails the checkpoint restart loudly; a stateless transform " +
+    "restarts cleanly and state carries over") {
+    // failing half: new dedup stage shifts the stateful-operator layout
+    val landing = tmp("graft_upg_topo_land")
+    val ckpt = tmp("graft_upg_topo_ckpt")
+    val outDir = tmp("graft_upg_topo_out")
+    def runOnce(dedup: Boolean): Unit = {
+      val q = counterStream(landing, wide = false, dedupUpstream = dedup)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    feedCounter(landing, 1L to 6L)
+    runOnce(dedup = false)
+    feedCounter(landing, 7L to 9L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(dedup = true)
+    }
+    // the pinned error class: Spark detects the stateful-operator layout
+    // change against the checkpoint's state metadata at the first batch
+    val msg = (e.getMessage + " " +
+      Option(e.getCause).map(_.getMessage).getOrElse("")).toLowerCase
+    assert(msg.contains("stateful_operator_not_match_in_state_metadata"),
+      s"expected a stateful-topology mismatch failure, got: $msg")
+
+    // benign half: a STATELESS upstream change (projection/filter added)
+    // restarts on the same checkpoint and the per-user counts CONTINUE
+    // from carried state — the upgrade class that needs no drain
+    val landing2 = tmp("graft_upg_ok_land")
+    val ckpt2 = tmp("graft_upg_ok_ckpt")
+    val outDir2 = tmp("graft_upg_ok_out")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    def runCounter(filtered: Boolean): Unit = {
+      val src0 = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP_NTZ, user_id LONG")
+        .parquet(s"$landing2/*.parquet")
+      val src = if (filtered) src0.filter(col("event_id") =!= 9999L) else src0
+      val q = src.select(col("user_id"), col("event_id"))
+        .as[(Long, Long)].groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(
+          (uid: Long, rows: Iterator[(Long, Long)],
+           st: GroupState[Long]) => {
+            val n = st.getOption.getOrElse(0L) + rows.size
+            st.update(n); Iterator((uid, n))
+          }).toDF("user_id", "n")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt2)
+        .format("parquet").option("path", outDir2).start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    feedCounter(landing2, 1L to 6L)   // users 0,1,2 get 2 each
+    runCounter(filtered = false)
+    feedCounter(landing2, 7L to 9L)   // one more each
+    runCounter(filtered = true)       // NEW code, same checkpoint
+    val last = spark.read.parquet(outDir2)
+      .groupBy("user_id").agg(max("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(last == Map(0L -> 3L, 1L -> 3L, 2L -> 3L),
+      s"stateless upgrade lost carried state: $last")
+  }
 }
