@@ -279,6 +279,35 @@ class IndexStoreSpec extends SparkSpec {
       s"tmp dirs leaked by the race: ${leftovers.mkString(", ")}")
   }
 
+  test("the store control plane works on an explicit URI path (file:///)") {
+    // The env-bound root is exercised end-to-end by the URI-root drive
+    // (BASELINE r16); this pins the URI CODE PATH in-suite: isFresh's
+    // existence probe, commitBuild's mkdirs/sweep/rename, and the
+    // manifest read all resolve the path's Hadoop FileSystem — a
+    // java.io.File regression would read the URI as always-absent
+    // (rebuild-every-access) or throw on mkdirs.
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_uri_probe").toString
+    val p = s"file://$base/art/uri_probe"
+    val emb = Tables.embeddings(spark, sfTiny)
+    val fp = IndexStore.fingerprint(emb, "vec_id")
+    val ph = IndexStore.paramsHash("uri=1")
+    assert(!IndexStore.isFresh(spark, p, fp, ph))
+    val won = IndexStore.commitBuild(spark, p) { tmp =>
+      // Hadoop Path normalizes file://p to the single-slash URI form
+      assert(tmp.startsWith("file:/"), s"tmp lost its scheme: $tmp")
+      Seq(("m", 1L)).toDF("tag", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/member")
+      IndexStore.writeManifest(spark, tmp, fp, ph)
+    }
+    assert(won, "rename refused on an empty URI target")
+    assert(IndexStore.isFresh(spark, p, fp, ph))
+    assert(spark.read.parquet(s"$p/member").count() == 1)
+    // the POSIX view agrees: the artifact landed where the URI says
+    assert(new java.io.File(s"$base/art/uri_probe/member").exists())
+  }
+
   test("crash-window audit: a manifest directory torn by a mid-write kill " +
     "reads as stale (never throws) and the next ensure rebuilds over it") {
     // The other half of the window: writeManifest's overwrite stages into
