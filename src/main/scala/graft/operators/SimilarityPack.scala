@@ -464,8 +464,12 @@ object SimilarityPack {
     "ann_pq_indexed" -> ((s, d) => pqServe(s, d)),
 
     // ---- SQ8 scalar quantization: the near-lossless compression point
-    //      (4x memory, measured 100/100 recall@10) — see the SQ8 scaladoc --
-    "ann_sq8" -> ((s, d) => sq8Topk(s, d)),
+    //      (4x memory, measured 100/100 recall@10) — r16: served from the
+    //      persisted code artifact (quantize once at ingest; the codes ARE
+    //      the stored compressed corpus). The row carries the full
+    //      unrolled quantization-chain oracle; the served==inline pin is
+    //      in IndexStoreSpec. See the SQ8 scaladoc. ------------------------
+    "ann_sq8" -> ((s, d) => sq8Serve(s, d)),
 
     // ---- persisted IVF-PQ (IVFADC): both trainings are the build half;
     //      queries serve from centroids + codebooks + codes + assignment —
@@ -504,9 +508,10 @@ object SimilarityPack {
     // one-Lloyd IVF training: ~5 s of the #1 bench line) remain fully
     // oracle-gated by their own standalone rows (`ann_lsh_bucketed`,
     // `ann_lsh_multiprobe`, `ann_ivf_nprobe`) and by the served==inline
-    // pins in IndexStoreSpec. hits_sq8 stays an inline compute by nature:
-    // SQ8 is a compression format, not a pruning index — serving IS one
-    // quantized full scan and there is no training phase to persist.
+    // pins in IndexStoreSpec. hits_sq8 serves the persisted code
+    // artifact too (SQ8 has no training phase, but the CODES are the
+    // stored compressed corpus — ensureSq8Index); its scan stays a full
+    // one by nature: SQ8 is compression, not pruning.
     // Tuned headlines at sf0.01: `hits_tables` (k=4, L=12 multi-table
     // LSH) and `hits_ivf_tuned` (K=16, 6 Lloyd iters, nprobe=8) remain
     // the approximate-family anchors; `hits_ivfpq` measures the composed
@@ -546,7 +551,7 @@ object SimilarityPack {
             .join(emb, Seq("vec_id")), k = 10, qset),
         "hits_ivf_tuned" -> ivfTunedServe(s, d, qset),
         "hits_pq" -> pqServe(s, d, qset),
-        "hits_sq8" -> sq8Topk(s, d, qset),
+        "hits_sq8" -> sq8Serve(s, d, qset),
         "hits_ivfpq" -> ivfPqServe(s, d, qset))
       variants.foldLeft(qs) { case (acc, (name, approx)) =>
         acc.join(broadcast(hitsOf(approx, name)), Seq("query_id"), "left")
@@ -1172,28 +1177,50 @@ object SimilarityPack {
     * quantize + dequantize in 255-scaled integers (x̂·255 = 255·mn +
     * q8·span — exact longs, ≤ ~9e11), approximate cosine = exact decimal
     * dot of the query's grid ints against x̂·255 (the 255 scaling cancels
-    * in the ratio), shortlist, exact re-rank. No training phase. */
-  private def sq8Topk(s: SparkSession, d: String,
+    * in the ratio), shortlist, exact re-rank. No training phase — but
+    * the CODES are persistable (see [[ensureSq8Index]]): at 100 TB the
+    * quantized corpus is the stored artifact, not a per-query
+    * recompute. */
+  private[graft] def sq8Topk(s: SparkSession, d: String,
       qs: QuerySet = DefaultQueries): DataFrame = {
     val vecs = gridVecs(s, d)
-    val ex = vecs
-      .select(col("vec_id"), posexplode(col("iv")).as(Seq("p0", "giv")))
+    val ex = sq8Exploded(vecs)
+    val stats = sq8Stats(ex)
+    val xh = ex.join(broadcast(stats), Seq("pos"))
+      .withColumn("q8", sq8Code)
+      .select(col("vec_id"), col("pos"),
+        (lit(255L) * col("mn") + col("q8") * col("span")).as("xh"))
+    sq8Rank(xh, sq8Norms(xh), ex, vecs, qs)
+  }
+
+  private def sq8Exploded(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), posexplode(col("iv")).as(Seq("p0", "giv")))
       .select(col("vec_id"), (col("p0") + 1).cast(LongType).as("pos"),
         col("giv"))
-    val stats = ex.groupBy(col("pos"))
+
+  private def sq8Stats(ex: DataFrame): DataFrame =
+    ex.groupBy(col("pos"))
       .agg(min(col("giv")).as("mn"), max(col("giv")).as("mx"))
       .withColumn("span", when(col("mx") > col("mn"),
         col("mx") - col("mn")).otherwise(lit(1L)))
       .select("pos", "mn", "span")
-    val xh = ex.join(broadcast(stats), Seq("pos"))
-      .withColumn("q8", round((col("giv") - col("mn")).cast(DoubleType)
-        * 255.0 / col("span"), 0).cast(LongType))
-      .select(col("vec_id"), col("pos"),
-        (lit(255L) * col("mn") + col("q8") * col("span")).as("xh"))
-    val xn = xh.groupBy(col("vec_id"))
+
+  /** The 8-bit code (0..255) of a grid value against its dimension's
+    * (mn, span) — needs `giv`, `mn`, `span` in scope. */
+  private def sq8Code: org.apache.spark.sql.Column =
+    round((col("giv") - col("mn")).cast(DoubleType)
+      * 255.0 / col("span"), 0).cast(LongType)
+
+  private def sq8Norms(xh: DataFrame): DataFrame =
+    xh.groupBy(col("vec_id"))
       .agg(sqrt(sum(col("xh").cast(DecimalType(19, 0))
           * col("xh").cast(DecimalType(19, 0))).cast(DoubleType))
         .as("xnrm"))
+
+  /** Shortlist on dequantized scores + exact re-rank — shared by the
+    * inline compute and the artifact serve. */
+  private def sq8Rank(xh: DataFrame, xn: DataFrame, ex: DataFrame,
+      vecs: DataFrame, qs: QuerySet): DataFrame = {
     val q = qs(ex)
       .select(col("vec_id").as("query_id"), col("pos"),
         col("giv").as("qgiv"))
@@ -1214,6 +1241,53 @@ object SimilarityPack {
       .filter(col("rn") <= Sq8Shortlist)
       .select("query_id", "neighbor_id")
     exactRerank(short, vecs, qs)
+  }
+
+  /** Persisted SQ8 index — the point of scalar quantization at 100 TB is
+    * that the CODES are the stored, 4×-compressed corpus (FAISS
+    * ScalarQuantizer persists codes; quantization happens once at
+    * ingest): members are the per-dimension ranges (`stats`), the 8-bit
+    * codes (`codes`, stored as SHORT — the value domain is 0..255; the
+    * parquet encoding bit-packs them), the dequantized norms, and the
+    * re-rank vectors (Annoy-style, same as the PQ/tuned artifacts, so
+    * the serve path never touches the corpus). */
+  private[graft] def ensureSq8Index(s: SparkSession, d: String): String =
+    graft.sim.IndexStore.ensure(s, d, "angular_sq8",
+      Tables.embeddings(s, d), "vec_id",
+      s"shortlist=$Sq8Shortlist,members=v1") { p =>
+      val vecs = gridVecs(s, d)
+      val ex = sq8Exploded(vecs)
+      val stats = sq8Stats(ex)
+      stats.coalesce(1).write.mode("overwrite").parquet(s"$p/stats")
+      val statsBack = s.read.parquet(s"$p/stats")
+      val codes = ex.join(broadcast(statsBack), Seq("pos"))
+        .select(col("vec_id"), col("pos"),
+          sq8Code.cast(org.apache.spark.sql.types.ShortType).as("q8"))
+      codes.write.mode("overwrite").parquet(s"$p/codes")
+      val xh = s.read.parquet(s"$p/codes")
+        .join(broadcast(statsBack), Seq("pos"))
+        .select(col("vec_id"), col("pos"),
+          (lit(255L) * col("mn") + col("q8").cast(LongType) * col("span"))
+            .as("xh"))
+      sq8Norms(xh).write.mode("overwrite").parquet(s"$p/norms")
+      vecs.write.mode("overwrite").parquet(s"$p/vectors")
+    }
+
+  /** SQ8 served from the saved artifact alone: codes + ranges rebuild
+    * the dequantized scan, norms and re-rank vectors come from members —
+    * no corpus scan, no quantization in the query path. Identical to
+    * [[sq8Topk]] by construction (IndexStoreSpec pins it). */
+  private def sq8Serve(s: SparkSession, d: String,
+      qs: QuerySet = DefaultQueries): DataFrame = {
+    val p = ensureSq8Index(s, d)
+    val stats = s.read.parquet(s"$p/stats")
+    val vecs = s.read.parquet(s"$p/vectors")
+    val xh = s.read.parquet(s"$p/codes")
+      .join(broadcast(stats), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        (lit(255L) * col("mn") + col("q8").cast(LongType) * col("span"))
+          .as("xh"))
+    sq8Rank(xh, s.read.parquet(s"$p/norms"), sq8Exploded(vecs), vecs, qs)
   }
 
   // ---- IVF-PQ (IVFADC): the composed 100 TB serving shape ------------------

@@ -52,6 +52,13 @@ class IndexStoreSpec extends SparkSpec {
       s"pq plan should scan the saved index:\n$pq")
     assert(!pq.contains("embeddings"),
       s"pq plan re-joins the corpus:\n$pq")
+    val s8 = planOf("ann_sq8")
+    assert(s8.contains("graft_indexes") && s8.contains("angular_sq8"),
+      s"sq8 plan should scan the saved codes:\n$s8")
+    // the artifact carries codes + ranges + norms + re-rank vectors, so
+    // the serve path must not scan the corpus table at all
+    assert(!s8.contains("embeddings"),
+      s"sq8 plan re-quantizes the corpus:\n$s8")
     val vq = planOf("ann_ivfpq_indexed")
     assert(vq.contains("graft_indexes") && vq.contains("angular_ivfpq"),
       s"ivfpq plan should scan the saved index:\n$vq")
@@ -81,6 +88,11 @@ class IndexStoreSpec extends SparkSpec {
         .collect().map(_.toString).toSeq)
     assert(run("ann_ivfpq_indexed").collect().map(_.toString).toSeq ==
       operators.SimilarityPack.ivfPqTopk(spark, sfTiny)
+        .collect().map(_.toString).toSeq)
+    // sq8's suite row serves the persisted codes (r16); the pin drives
+    // the inline quantization chain directly
+    assert(run("ann_sq8").collect().map(_.toString).toSeq ==
+      operators.SimilarityPack.sq8Topk(spark, sfTiny)
         .collect().map(_.toString).toSeq)
   }
 
