@@ -470,16 +470,17 @@ object Dump {
   /** One ledger row: dump `dumpId` covered (startMicros, endMicros]. */
   case class DumpWindow(dumpId: Long, startMicros: Long, endMicros: Long)
 
-  def readLedger(ledger: String): Seq[DumpWindow] = {
-    import java.nio.file.{Files, Paths}
-    val p = Paths.get(ledger)
-    if (!Files.exists(p)) Seq.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { l =>
-        val Array(i, s, e) = l.split(",")
-        DumpWindow(i.toLong, s.toLong, e.toLong)
-      }
+  /** Ledger reads go through the ledger path's Hadoop filesystem
+    * (round 16): the ledger is the incremental chain's source of truth
+    * and on a real deployment lives on shared storage next to the dumps
+    * — the same FS-agnostic posture as the artifact-store manifests. */
+  def readLedger(spark: SparkSession, ledger: String): Seq[DumpWindow] = {
+    val fs = hadoopFs(spark, ledger)
+    val p = new org.apache.hadoop.fs.Path(ledger)
+    if (!fs.exists(p)) Seq.empty
+    else readSmall(fs, ledger).split("\n").toSeq.filter(_.nonEmpty).map { l =>
+      val Array(i, s, e) = l.split(",")
+      DumpWindow(i.toLong, s.toLong, e.toLong)
     }
   }
 
@@ -526,16 +527,23 @@ object Dump {
   def incrementalDump(df: DataFrame, tsCol: String, endMicros: Long,
       ledger: String, outDir: String,
       dayCol: Option[String] = None): DumpWindow = {
-    import java.nio.file.{Files, Paths, StandardOpenOption}
-    val prev = readLedger(ledger)
+    val spark = df.sparkSession
+    val prev = readLedger(spark, ledger)
     val start = if (prev.isEmpty) Long.MinValue else prev.map(_.endMicros).max
     require(endMicros > start,
       s"end $endMicros must advance past the last dump end $start")
     val id = (0L +: prev.map(_.dumpId)).max + 1
     writeTsv(windowSlice(df, tsCol, start, endMicros, dayCol),
       dumpPath(outDir, id))
-    Files.writeString(Paths.get(ledger), s"$id,$start,$endMicros\n",
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    // append = rewrite through the FS layer (HDFS append support is
+    // config-dependent and object stores have none; the ledger is tiny —
+    // one line per dump — so read+rewrite is the portable append). The
+    // at-least-once crash contract is unchanged: the row lands only
+    // after the dump directory is fully written.
+    val fs = hadoopFs(spark, ledger)
+    val body = (prev.map(w => s"${w.dumpId},${w.startMicros},${w.endMicros}")
+      :+ s"$id,$start,$endMicros").mkString("", "\n", "\n")
+    writeSmall(fs, ledger, body.getBytes("UTF-8"))
     DumpWindow(id, start, endMicros)
   }
 
@@ -544,7 +552,7 @@ object Dump {
     * directories from a crashed dump are invisible here by construction). */
   def readIncrementalDumps(spark: SparkSession, ledger: String,
       outDir: String, schema: StructType): DataFrame = {
-    val windows = readLedger(ledger)
+    val windows = readLedger(spark, ledger)
     require(windows.nonEmpty, s"ledger $ledger lists no dumps")
     windows.map(w => readTsv(spark, dumpPath(outDir, w.dumpId), schema))
       .reduce(_.unionByName(_))
