@@ -216,6 +216,39 @@ object IndexStore {
     } finally if (!renamed) fs.delete(tmp, true)
   }
 
+  /** O(1) freshness gate for deployments with an AUTHORITATIVE corpus
+    * version — an ingest-ledger head (io.Dump's incremental ledger), a
+    * table snapshot id: the manifest stamps the VERSION instead of the
+    * scanned fingerprint, so resolving a fresh artifact costs one
+    * manifest read and no corpus scan at any corpus size. This is the
+    * trade the fingerprint gate's scaladoc prices: the caller owns
+    * version correctness (bump it on every corpus change — a stale
+    * version serves a stale index, exactly like any snapshot-versioned
+    * system); rebuild/commit semantics are [[ensure]]'s (same locks,
+    * same atomic rename, same params hash for build constants). */
+  def ensureVersioned(s: SparkSession, dir: String, name: String,
+      version: Long, params: String = "")(
+      build: String => Unit): String = {
+    val p = path(dir, name)
+    ensureCalls.incrementAndGet()
+    val lock = buildLocks.computeIfAbsent(p, _ => new Object)
+    lock.synchronized {
+      val fp = (version, -1L, -1L)
+      val ph = paramsHash(params)
+      if (!isFresh(s, p, fp, ph)) {
+        val committed = commitBuild(s, p) { tmp =>
+          build(tmp)
+          writeManifest(s, tmp, fp, ph)
+        }
+        if (!committed && !isFresh(s, p, fp, ph))
+          sys.error(s"IndexStore: commit rename refused at $p and the " +
+            "surviving artifact is stale — concurrent writer with " +
+            "different inputs?")
+      }
+      p
+    }
+  }
+
   /** Build-once gate: run `build` when the artifact is absent or stale,
     * stamp the manifest, return the artifact path. `params` is the
     * builder's constant string (see [[paramsHash]]) — pass every constant

@@ -291,6 +291,43 @@ class IndexStoreSpec extends SparkSpec {
       s"tmp dirs leaked by the race: ${leftovers.mkString(", ")}")
   }
 
+  test("ensureVersioned: the O(1) gate needs NO corpus — same version " +
+    "serves, bumped version rebuilds, params changes rebuild") {
+    // The deployment alternative to the fingerprint scan: an
+    // authoritative corpus version (ingest-ledger head / snapshot id)
+    // stamps the manifest. The API takes no corpus frame at all — THAT
+    // is the O(1) claim: resolving a fresh artifact is one manifest
+    // read, no scan, at any corpus size.
+    import spark.implicits._
+    val name = "versioned_probe"
+    val params = s"v=${System.nanoTime()}"
+    var builds = 0
+    def resolve(version: Long): String =
+      IndexStore.ensureVersioned(spark, sfTiny, name, version, params) { q =>
+        builds += 1
+        Seq((version, 1L)).toDF("ver", "x")
+          .coalesce(1).write.mode("overwrite").parquet(s"$q/member")
+      }
+    val p = resolve(1L)
+    assert(builds == 1)
+    resolve(1L) // same version: manifest read only, no rebuild
+    assert(builds == 1)
+    assert(spark.read.parquet(s"$p/member").select("ver").head()
+      .getLong(0) == 1L)
+    resolve(2L) // corpus moved: the stamp mismatch forces the rebuild
+    assert(builds == 2)
+    assert(spark.read.parquet(s"$p/member").select("ver").head()
+      .getLong(0) == 2L)
+    // build-constant change at the same version rebuilds too (paramsHash)
+    IndexStore.ensureVersioned(spark, sfTiny, name, 2L, s"$params,k=2") {
+      q =>
+        builds += 1
+        Seq((2L, 2L)).toDF("ver", "x")
+          .coalesce(1).write.mode("overwrite").parquet(s"$q/member")
+    }
+    assert(builds == 3)
+  }
+
   test("the store control plane works on an explicit URI path (file:///)") {
     // The env-bound root is exercised end-to-end by the URI-root drive
     // (BASELINE r16); this pins the URI CODE PATH in-suite: isFresh's
