@@ -71,6 +71,7 @@ object IndexStore {
     * silently serve a stale index; it costs one extra aggregate over the
     * same scan the count already pays. */
   def fingerprint(corpus: DataFrame, idCol: String): (Long, Long, Long) = {
+    fingerprintScans.incrementAndGet()
     val r = corpus.agg(count(lit(1)), coalesce(max(col(idCol)), lit(-1L)),
         coalesce(bit_xor(xxhash64(corpus.columns.map(col).toIndexedSeq: _*)),
           lit(0L)))
@@ -151,12 +152,25 @@ object IndexStore {
   private[graft] val ensureCalls =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Number of [[fingerprint]] corpus scans this JVM — the cost the
+    * version gate ([[ensureVersioned]]) exists to avoid. Specs pin that
+    * resolving an artifact through a ledger-derived version runs ZERO of
+    * these (the O(1) claim, counted rather than argued). Telemetry only. */
+  private[graft] val fingerprintScans =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Number of build callbacks actually RUN this JVM (stale/absent gate
+    * outcomes) — lets specs pin "a ledger append forces exactly one
+    * rebuild" without instrumenting every builder. Telemetry only. */
+  private[graft] val buildsRun =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Atomic artifact commit (round 16, VERDICT r15 #2): `writeTmp`
     * builds EVERY member plus the manifest into a uniquely-named tmp
     * sibling of `p`; the artifact then moves into place with one
     * filesystem rename. Consequences, in order of importance:
     *
-    *   - a crash anywhere inside the build leaves the PREVIOUS artifact
+    *   - a crash anywhere inside the BUILD leaves the PREVIOUS artifact
     *     fully intact and serving (the old in-place build overwrote
     *     members one by one — a mid-build crash destroyed the old
     *     artifact too); the abandoned tmp dir is swept by the next
@@ -171,16 +185,32 @@ object IndexStore {
     *     fingerprint gate, so the survivor is complete and fresh either
     *     way.
     *
-    * Returns false when the commit was refused — either the rename
-    * itself (an HDFS-semantics FS with a concurrently re-created
-    * destination) or the SENTINEL check: the garbage sweep below may
-    * delete a tmp dir belonging to a still-live builder in another
-    * process (there is nothing cross-process to distinguish crashed from
-    * slow); that builder's later member writes would silently recreate
-    * the dir, and committing it would stamp a manifest-fresh artifact
-    * with MISSING members. The sentinel file written at tmp creation
-    * makes tampering visible: gone at rename time ⇒ abort, return false,
-    * and the caller re-checks freshness (the sweeper is itself a
+    * THE SWAP WINDOW (ADVICE r16) — the one residual non-atomicity when
+    * the target already exists: no Hadoop filesystem renames a directory
+    * over an existing non-empty directory (HDFS refuses outright, POSIX
+    * rename(2) requires the destination empty), so a REBUILD must
+    * `delete(target)` before the rename. Between those two calls
+    * other-process readers observe a MISSING artifact — their isFresh
+    * reads stale and they rebuild: loud and wasteful, never corrupt —
+    * and a crash inside the window loses the old artifact while leaving
+    * the COMPLETE new one at the tmp path (the next ensure sweeps it and
+    * rebuilds). First builds (target absent) have no window at all.
+    *
+    * Returns false when the commit was refused:
+    *   - the RENAME itself returned false after one retry (HDFS
+    *     semantics: a concurrent writer re-created the target after our
+    *     delete). The fully-built tmp is then LEFT IN PLACE for the next
+    *     committer's sweep rather than deleted — deleting it here would
+    *     discard both the old artifact (already gone) and the new one in
+    *     the same call (ADVICE r16);
+    *   - the SENTINEL check: the garbage sweep below may delete a tmp
+    *     dir belonging to a still-live builder in another process (there
+    *     is nothing cross-process to distinguish crashed from slow);
+    *     that builder's later member writes would silently recreate the
+    *     dir, and committing it would stamp a manifest-fresh artifact
+    *     with MISSING members. Gone at rename time ⇒ abort, return
+    *     false, delete the tampered tmp.
+    * Either way the caller re-checks freshness (the sweeper is itself a
     * committer, so a fresh winner exists). NOTE: directory rename is
     * atomic on file:// and hdfs://; object stores without atomic rename
     * (raw s3a) need a consistent layer for the same guarantee — the
@@ -203,17 +233,23 @@ object IndexStore {
       s"$p.build-${java.util.UUID.randomUUID().toString.take(8)}")
     val sentinel = new org.apache.hadoop.fs.Path(tmp, ".build_intact")
     var renamed = false
+    var built = false // fully-built, sentinel-intact tmp exists on disk
     try {
       fs.mkdirs(tmp)
       fs.create(sentinel, true).close()
       writeTmp(tmp.toString)
       if (fs.exists(sentinel)) {
         fs.delete(sentinel, false)
-        fs.delete(target, true)
+        built = true
+        if (fs.exists(target)) fs.delete(target, true) // swap window opens
         renamed = fs.rename(tmp, target)
+        if (!renamed) { // concurrent re-creation (no-overwrite FS): retry once
+          if (fs.exists(target)) fs.delete(target, true)
+          renamed = fs.rename(tmp, target)
+        }
       }
       renamed
-    } finally if (!renamed) fs.delete(tmp, true)
+    } finally if (!renamed && !built) fs.delete(tmp, true)
   }
 
   /** O(1) freshness gate for deployments with an AUTHORITATIVE corpus
@@ -237,6 +273,7 @@ object IndexStore {
       val ph = paramsHash(params)
       if (!isFresh(s, p, fp, ph)) {
         val committed = commitBuild(s, p) { tmp =>
+          buildsRun.incrementAndGet()
           build(tmp)
           writeManifest(s, tmp, fp, ph)
         }
@@ -269,6 +306,7 @@ object IndexStore {
       val ph = paramsHash(params)
       if (!isFresh(s, p, fp, ph)) {
         val committed = commitBuild(s, p) { tmp =>
+          buildsRun.incrementAndGet()
           build(tmp)
           writeManifest(s, tmp, fp, ph)
         }

@@ -16,8 +16,13 @@ object ExplainCheck {
       // runtime — WITHOUT materializing the result on the driver: query
       // names come from args, so a large-output query under collect()
       // could OOM the driver where the plan audit itself never would
-      // (ADVICE r15). The noop sink runs every stage and discards rows.
-      df.write.format("noop").mode("overwrite").save()
+      // (ADVICE r15). The execution must run through THIS DataFrame's own
+      // QueryExecution: a noop-sink write plans a SEPARATE one, so
+      // df.queryExecution.executedPlan would render the INITIAL adaptive
+      // tree, not the post-AQE plan this tool exists to print (ADVICE
+      // r16). foreachPartition over toRdd runs every stage of this exact
+      // QueryExecution and discards rows executor-side.
+      df.queryExecution.toRdd.foreachPartition(_ => ())
       val plan = df.queryExecution.executedPlan.toString
       val scans = "FileScan parquet [^\\s,\\]]*".r.findAllIn(plan).toSeq
       println(s"-- $q scans: ${scans.size} " +

@@ -214,6 +214,66 @@ class DumpSpec extends SparkSpec {
     assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
   }
 
+  test("sharded archives on a file:/// URI archiveDir run the URI control " +
+    "plane end to end; a remote scheme is refused loudly, by name, before " +
+    "any work (ADVICE r16: the half-URI posture)") {
+    val dumpDir = tmp("uri_dump")
+    val src = Tables.nation(spark, sfTiny)
+    Dump.writeTsv(src.repartition(4), dumpDir)
+    // file:/// URI: the ROOT control files ride the Hadoop FS with the
+    // URI intact, the per-executor envelope streams get the normalized
+    // local form — the whole set round-trips
+    val archiveLocal = tmp("uri_arch")
+    val archiveUri = s"file://$archiveLocal"
+    Dump.writeShardedArchives(spark, dumpDir, archiveUri, shards = 2)
+    assert(new java.io.File(s"$archiveLocal/MANIFEST").exists())
+    assert(new java.io.File(s"$archiveLocal/shard-0.zip").exists())
+    val dest = tmp("uri_out")
+    Dump.readShardedArchives(spark, archiveUri, dest)
+    val back = Dump.readTsv(spark, dest, src.schema)
+    assert(back.count() == src.count())
+    // remote scheme: refused with a NAMED error before anything is
+    // written — the r16 posture wrote the root manifest to the remote FS
+    // and then threw from every executor's local FileOutputStream
+    val e = intercept[IllegalArgumentException] {
+      Dump.writeShardedArchives(spark, dumpDir, "hdfs://nn/dumps/x")
+    }
+    assert(e.getMessage.contains("scheme 'hdfs'") &&
+      e.getMessage.contains("writeShardedArchives"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dump.readShardedArchives(spark, "s3a://bucket/dumps/x", dest)
+    }
+    assert(e2.getMessage.contains("scheme 's3a'"), e2.getMessage)
+    intercept[IllegalArgumentException] {
+      Dump.writeTarZstArchive(dumpDir, "hdfs://nn/a.tar.zst")
+    }
+    intercept[IllegalArgumentException] {
+      Dump.readArchive("s3a://bucket/a.zip", dest)
+    }
+  }
+
+  test("a crashed ledger writer leaves either the old or the new complete " +
+    "ledger — tmp residue is swept, the chain never restarts (ADVICE r16)") {
+    val ledger = tmp("ledger_crash") + "/chain.ledger"
+    val out = tmp("ledger_crash_out")
+    val df = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val w1 = Dump.incrementalDump(df, "ts", 150L, ledger, out)
+    // simulate a writer killed mid-tmp-write: a TORN tmp sibling next to
+    // an intact ledger (the only residue the tmp+rename protocol can
+    // leave on file://, where the final rename is one atomic replace)
+    Files.write(java.nio.file.Paths.get(s"$ledger.tmp-dead1234"),
+      "2,15".getBytes("UTF-8"))
+    // readers are untouched by the residue
+    assert(Dump.readLedger(spark, ledger) == Seq(w1))
+    // the next writer sweeps it and appends atomically
+    val w2 = Dump.incrementalDump(df, "ts", 300L, ledger, out)
+    assert(Dump.readLedger(spark, ledger) == Seq(w1, w2))
+    val dir = new java.io.File(ledger).getParentFile
+    assert(dir.listFiles().map(_.getName).filter(_.contains(".tmp-")).isEmpty,
+      "stale ledger tmp residue must be swept by the next writer")
+  }
+
   test("duplicate members across shards fail loudly, not last-write-wins") {
     val dumpDir = tmp("dupshard_dump")
     Dump.writeTsv(Tables.nation(spark, sfTiny), dumpDir)

@@ -35,6 +35,8 @@ import json
 import os
 import sys
 
+import ratchet_lib
+
 TOL = 1.35
 SLACK = 256 * 1024
 MANIFEST = os.path.join(os.path.dirname(__file__), "..",
@@ -63,60 +65,25 @@ fresh = {g: v.get("shuffle_read", 0) + v.get("shuffle_write", 0)
          for g, v in groups.items() if g not in SKIP_GROUPS}
 
 if regen:
-    os.makedirs(os.path.dirname(MANIFEST), exist_ok=True)
-    with open(MANIFEST, "w") as f:
-        for q in sorted(fresh):
-            f.write(f"{q}\t{fresh[q]}\n")
-    print(f"manifest regenerated: {len(fresh)} entries -> {MANIFEST}")
+    ratchet_lib.regen_manifest(MANIFEST, fresh, lambda v: str(v))
     sys.exit(0)
 
 if not os.path.exists(MANIFEST):
     print(f"FAIL: manifest {MANIFEST} missing — regen first (--regen)")
     sys.exit(2)
 
-old = {}
-with open(MANIFEST) as f:
-    for lineno, line in enumerate(f, 1):
-        line = line.strip()
-        if not line:
-            continue
-        parts = line.split("\t")
-        if len(parts) != 2 or not parts[1].lstrip("-").isdigit():
-            print(f"FAIL: malformed manifest line {lineno} in {MANIFEST}: "
-                  f"{line!r} (expected 'query<TAB>bytes')")
-            sys.exit(2)
-        old[parts[0]] = int(parts[1])
+old = ratchet_lib.load_manifest(MANIFEST, int)
 
-# A query whose shuffle bytes drop to exactly 0 disappears from
-# verify_spill.json's groups (the report keeps only spill/peak/shuffle>0
-# rows). That is an IMPROVEMENT, not a retirement — apply the normal band
-# at bytes=0 so the message says to bank it. A genuinely retired query
-# (gone from SparkEntry.queries) would also land here; either way the
-# manifest edit belongs in the same diff.
-failures = []
-for q in sorted(set(old) | set(fresh)):
-    if q not in old:
-        failures.append(f"{q}: NEW query shuffling {fresh[q]} bytes — "
-                        "bank it (--regen) in the same diff")
-        continue
-    new_bytes = fresh.get(q, 0)
-    lo = old[q] / TOL - SLACK
-    hi = old[q] * TOL + SLACK
-    if not (lo <= new_bytes <= hi):
-        if new_bytes == 0:
-            failures.append(
-                f"{q}: shuffle bytes shrank to 0 (was {old[q]}) — "
-                "improvement or retirement; bank it (--regen)")
-        else:
-            direction = "GREW" if new_bytes > hi else "SHRANK"
-            failures.append(
-                f"{q}: shuffle bytes {direction} {old[q]} -> {new_bytes} "
-                f"(band [{int(max(lo, 0))}, {int(hi)}]) — fix or bank")
-
-if failures:
-    print(f"{len(failures)} shuffle-bytes ratchet failure(s):")
-    for msg in failures:
-        print("  " + msg)
-    sys.exit(1)
-print(f"shuffle-bytes ratchet holds: {len(fresh)} queries within "
-      f"x{TOL} (+/-{SLACK // 1024} KiB) of the committed manifest")
+# A manifest query ABSENT from the capture is always an explicit failure
+# (ADVICE r16: the old `fresh.get(q, 0)` let small-shuffle queries vanish
+# silently whenever old_bytes <= ~TOL*SLACK). Absence means either a
+# retired query (gone from SparkEntry.queries) or shuffle bytes dropping
+# to exactly 0 (the spill report keeps only spill/peak/shuffle>0 rows) —
+# both are manifest edits that must be banked in the same diff, never
+# inferred from a band that happens to contain 0.
+failures = ratchet_lib.band_failures(
+    old, fresh, TOL, SLACK, lambda v: f"{int(v)} bytes",
+    absent_hint="retired query, or shuffle dropped to 0; bank it "
+                "(--regen) in the same diff")
+ratchet_lib.report(failures, len(fresh), "shuffle-bytes ratchet",
+                   f"x{TOL} (+/-{SLACK // 1024} KiB)")

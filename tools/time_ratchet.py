@@ -33,6 +33,8 @@ import json
 import os
 import sys
 
+import ratchet_lib
+
 TOL = 2.0
 SLACK = 0.75
 MANIFEST = os.path.join(os.path.dirname(__file__), "..",
@@ -58,52 +60,17 @@ if not isinstance(fresh, dict) or not fresh:
     sys.exit(2)
 
 if regen:
-    os.makedirs(os.path.dirname(MANIFEST), exist_ok=True)
-    with open(MANIFEST, "w") as f:
-        for q in sorted(fresh):
-            f.write(f"{q}\t{fresh[q]:.3f}\n")
-    print(f"manifest regenerated: {len(fresh)} entries -> {MANIFEST}")
+    ratchet_lib.regen_manifest(MANIFEST, fresh, lambda v: f"{v:.3f}")
     sys.exit(0)
 
 if not os.path.exists(MANIFEST):
     print(f"FAIL: manifest {MANIFEST} missing — regen first (--regen)")
     sys.exit(2)
 
-old = {}
-with open(MANIFEST) as f:
-    for lineno, line in enumerate(f, 1):
-        line = line.strip()
-        if not line:
-            continue
-        parts = line.split("\t")
-        try:
-            old[parts[0]] = float(parts[1])
-        except (IndexError, ValueError):
-            print(f"FAIL: malformed manifest line {lineno}: {line!r}")
-            sys.exit(2)
+old = ratchet_lib.load_manifest(MANIFEST, float)
 
-failures = []
-for q in sorted(set(old) | set(fresh)):
-    if q not in old:
-        failures.append(f"{q}: NEW query at {fresh[q]:.2f}s — bank it "
-                        "(--regen) in the same diff")
-        continue
-    if q not in fresh:
-        failures.append(f"{q}: in manifest but absent from this capture — "
-                        "retired? bank the removal (--regen)")
-        continue
-    lo = old[q] / TOL - SLACK
-    hi = old[q] * TOL + SLACK
-    if not (lo <= fresh[q] <= hi):
-        direction = "SLOWED" if fresh[q] > hi else "SPED UP"
-        failures.append(
-            f"{q}: {direction} {old[q]:.2f}s -> {fresh[q]:.2f}s "
-            f"(band [{max(lo, 0):.2f}, {hi:.2f}]) — attribute or bank")
-
-if failures:
-    print(f"{len(failures)} bench-time band failure(s):")
-    for msg in failures:
-        print("  " + msg)
-    sys.exit(1)
-print(f"bench-time bands hold: {len(fresh)} queries within x{TOL} "
-      f"(+/-{SLACK}s) of the committed manifest")
+failures = ratchet_lib.band_failures(
+    old, fresh, TOL, SLACK, lambda v: f"{v:.2f}s",
+    up_word="SLOWED", down_word="SPED UP")
+ratchet_lib.report(failures, len(fresh), "bench-time band",
+                   f"x{TOL} (+/-{SLACK}s)")
