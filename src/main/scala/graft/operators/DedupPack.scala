@@ -773,13 +773,25 @@ object DedupPack {
   private[graft] def ensureBandIndex(s: SparkSession, d: String): String = {
     val corpus = Tables.documents(s, d)
       .filter(col("source") =!= IncrementalBatchSource)
-    graft.sim.IndexStore.ensure(s, d, "minhash_bands",
-      corpus.select(col("doc_id"), col("text")), "doc_id",
-      lshParams) { p =>
+    def build(p: String): Unit =
       bandedKeys(corpus)
         .groupBy(col("band"), col("key"))
         .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
         .write.mode("overwrite").parquet(s"$p/buckets")
+    // Freshness gate, in preference order (VERDICT r16 #2): when the
+    // ingest maintains an incremental-dump ledger for this corpus, its
+    // head is the authoritative version and resolving a fresh index is
+    // ONE manifest read — no corpus scan at any corpus size (the
+    // reference's high-watermark posture, db/similarity.py:162-181).
+    // Without a ledger, the scanned fingerprint stays the gate.
+    graft.sim.CorpusLedger.version(s, d) match {
+      case Some(v) =>
+        graft.sim.IndexStore.ensureVersioned(s, d, "minhash_bands", v,
+          lshParams)(build)
+      case None =>
+        graft.sim.IndexStore.ensure(s, d, "minhash_bands",
+          corpus.select(col("doc_id"), col("text")), "doc_id",
+          lshParams)(build)
     }
   }
 

@@ -194,8 +194,26 @@ object SimilarityPack {
       val ex = exploded(s, d)
       val existing = ex.join(broadcast(wm), col("vec_id") <= col("wm"))
         .select(ex.columns.map(col).toIndexedSeq: _*)
-      val stats = dimStatsOf(existing)
+      val statsInline = dimStatsOf(existing)
         .select(col("pos"), col("mean"), col("std"))
+      // The precomputed population stats: under an authoritative corpus
+      // version (the ingest ledger head — VERDICT r16 #2) they are a
+      // build-once versioned artifact, so a batch job resolves them with
+      // ONE manifest read and re-scans the existing corpus ONLY when the
+      // ledger moved; without a ledger they compute inline (the scan is
+      // unavoidable then, and an artifact would just hide it behind a
+      // fingerprint scan of the same corpus). Rows are identical by
+      // construction — the artifact body IS the inline frame.
+      val stats = graft.sim.CorpusLedger.version(s, d) match {
+        case Some(v) =>
+          val p = graft.sim.IndexStore.ensureVersioned(s, d, "n1_popstats",
+            v, "wm=50,grid=1e9") { tmp =>
+            statsInline.coalesce(1).write.mode("overwrite")
+              .parquet(s"$tmp/stats")
+          }
+          s.read.parquet(s"$p/stats")
+        case None => statsInline
+      }
       ex.join(broadcast(wm), col("vec_id") > col("wm"))
         .join(broadcast(stats), Seq("pos"))
         .select(col("vec_id"), col("pos"),

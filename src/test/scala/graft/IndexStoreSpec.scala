@@ -96,6 +96,19 @@ class IndexStoreSpec extends SparkSpec {
         .collect().map(_.toString).toSeq)
   }
 
+  test("sq8's inline quantization chain survives ONLY as the " +
+    "served==inline pin's driver — no suite row routes through it") {
+    // VERDICT r16 #7: sq8Topk (the inline trainer) was retained when
+    // ann_sq8 moved to the persisted-codes artifact, solely so the pin
+    // above can assert served == inline. Keep it out of the suite: the
+    // only sq8 row is ann_sq8, and its plan is asserted (first test) to
+    // scan the saved codes with no embeddings scan — an inline chain
+    // reappearing under a new name would surface here by name.
+    assert(SparkEntry.queries.keySet.filter(_.contains("sq8")) ==
+      Set("ann_sq8"),
+      "unexpected sq8 suite rows — re-argue the retirement in SURVEY")
+  }
+
   test("a changed corpus fails the freshness gate and forces a rebuild") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfTiny)
