@@ -1508,4 +1508,103 @@ class StreamingSpec extends SparkSpec {
     assert(last == Map(0L -> 3L, 1L -> 3L, 2L -> 3L),
       s"stateless upgrade lost carried state: $last")
   }
+
+  // ---- upgrade contract, the EVOLUTION path (round 17, VERDICT r16 #6) ---
+  // The r16 contract pins that a WIDENED flatMapGroupsWithState product
+  // fails loudly; Spark 4.x's transformWithState + Avro state encoding is
+  // the engine's supported ALTERNATIVE to drain-and-restart: a state value
+  // that gains a NULLABLE field evolves across a checkpoint restart (old
+  // rows read back with the new field absent), under the same RocksDB
+  // production backend the r16 drives pinned. Posture documented in
+  // BASELINE.md "Streaming upgrade contract": fMGWS pipelines keep
+  // drain-and-restart; pipelines that EXPECT state evolution should be
+  // written on transformWithState with nullable additions.
+  test("upgrade contract, evolution path: transformWithState + Avro " +
+    "state encoding carries state through a WIDENED (nullable-add) value " +
+    "across a checkpoint restart") {
+    import spark.implicits._
+    val landing = tmp("graft_tws_land")
+    val ckpt = tmp("graft_tws_ckpt")
+    val outDir = tmp("graft_tws_out")
+    val confs = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.encodingFormat" -> "avro")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def runOnce(wide: Boolean): Unit = {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val keyed = spark.readStream
+          .schema("event_id LONG, ts TIMESTAMP_NTZ, user_id LONG")
+          .parquet(s"$landing/*.parquet")
+          .select(col("user_id"), col("event_id"))
+          .as[(Long, Long)].groupByKey(_._1)
+        val out =
+          if (!wide) keyed.transformWithState(new TwsCounterV1,
+            TimeMode.None(), OutputMode.Append())
+          else keyed.transformWithState(new TwsCounterV2,
+            TimeMode.None(), OutputMode.Append())
+        val q = out.toDF("user_id", "n")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir).start()
+        try { q.processAllAvailable() } finally q.stop()
+      }
+      feedCounter(landing, 1L to 6L)   // users 0,1,2: 2 events each
+      runOnce(wide = false)            // V1 state: TwsCount(n)
+      feedCounter(landing, 7L to 9L)   // one more each
+      runOnce(wide = true)             // V2 state: TwsCount2(n, mx: Option)
+      val last = spark.read.parquet(outDir)
+        .groupBy("user_id").agg(max("n").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(last == Map(0L -> 3L, 1L -> 3L, 2L -> 3L),
+        s"evolved state lost the carried counts: $last")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
+
+/** transformWithState state values for the evolution-path test. V2 adds a
+  * NULLABLE field — the Avro-evolvable widening (a non-nullable add has no
+  * default for old rows and would fail the schema-compatibility gate). */
+case class TwsCount(n: Long)
+case class TwsCount2(n: Long, mx: Option[Long])
+
+/** V1 processor: per-user running count with a TwsCount value state. */
+class TwsCounterV1 extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var st: ValueState[TwsCount] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[TwsCount]("cnt",
+      org.apache.spark.sql.Encoders.product[TwsCount], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      tv: TimerValues): Iterator[(Long, Long)] = {
+    val n = (if (st.exists()) st.get().n else 0L) + rows.size
+    st.update(TwsCount(n))
+    Iterator((key, n))
+  }
+}
+
+/** V2 processor: SAME state name, widened value type (nullable add) —
+  * restarted on V1's checkpoint it must read old rows with mx = None. */
+class TwsCounterV2 extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var st: ValueState[TwsCount2] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[TwsCount2]("cnt",
+      org.apache.spark.sql.Encoders.product[TwsCount2], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      tv: TimerValues): Iterator[(Long, Long)] = {
+    val prev = if (st.exists()) st.get() else TwsCount2(0L, None)
+    val ids = rows.map(_._2).toSeq
+    val s = TwsCount2(prev.n + ids.size,
+      Some(math.max(prev.mx.getOrElse(0L), ids.max)))
+    st.update(s)
+    Iterator((key, s.n))
+  }
 }
