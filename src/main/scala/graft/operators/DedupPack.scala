@@ -359,20 +359,27 @@ object DedupPack {
     // The exact side is the LOSSLESS prefix-filtered join
     // (dd_jaccard_prefix — the capped jaccardPairs would measure recall
     // against a universe that silently drops hot shingles once the df
-    // cap binds), still the gate-scale calibration (the kmvDistinct
-    // split: at 100 TB the exact join is the cost LSH exists to avoid —
-    // run the monitor on a held sample); the candidate side and the
-    // semi-join are production-shaped. Both pair frames feed two
-    // consumers (count + semi-join), so they materialize once
-    // (localCheckpoint, freed on return — the components pattern; the
-    // un-pinned plan re-ran both pair pipelines per consumer). Oracle
-    // rides BOTH already-verified outputs (OutToken road), so the
-    // monitor can never desynchronize from the entries it describes.
+    // cap binds), the monitor's declared exact anchor exactly like
+    // ann_recall's brute-force top-k (the kmvDistinct split: at 100 TB
+    // the exact join is the cost LSH exists to avoid — run the monitor
+    // on a held sample). The CANDIDATE side is SERVED from the persisted
+    // band-index artifact ([[servedMinhashPairs]] — the ann_recall
+    // pattern, r17): the corpus is never re-minhashed for the monitor,
+    // and the number describes the deployed buckets, not a recompute
+    // that could drift from them. Both pair frames feed two consumers
+    // (count + semi-join), so they materialize once (localCheckpoint,
+    // freed on return — the components pattern; the un-pinned plan
+    // re-ran both pair pipelines per consumer). Oracle rides BOTH
+    // already-verified outputs (OutToken road), so the monitor can never
+    // desynchronize from the entries it describes — and since the served
+    // reconstruction is row-identical to inline minhashPairs by
+    // construction, riding dd_minhash_lsh's output also pins artifact ≡
+    // inline every verify run.
     "dd_lsh_recall" -> ((s, d) => {
       val exact = Checkpointed("DedupPack.recall.exact",
         prefixJaccardPairs(shingled(s, d)).select("doc_a", "doc_b"))
       val cand = Checkpointed("DedupPack.recall.cand",
-        minhashPairs(Tables.documents(s, d)))
+        servedMinhashPairs(s, d))
       val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
       val result = exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
@@ -1265,6 +1272,36 @@ object DedupPack {
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
+
+  /** [[minhashPairs]] over the full documents table, reconstructed from
+    * the PERSISTED band-index artifact instead of re-minhashing the
+    * corpus (the ann_recall served-artifact pattern, r17): the
+    * non-batch corpus contributes its bucket id-lists straight from
+    * [[ensureBandIndex]]'s parquet (built uncapped, so nothing is lost
+    * to serve-time policy), the incremental batch slice — the only rows
+    * the artifact excludes — re-signatures batch-side only, and the two
+    * merge per (band, key) before the pack-wide bucket cap and pair
+    * expansion apply to the COMBINED list, exactly as the inline plan
+    * applies them to the full table. Row-identical to
+    * `minhashPairs(documents)` by construction (groupBy over a disjoint
+    * source split); the shuffle is keyed on (band, key) over
+    * bucket-count-sized rows, never on the corpus shingle stream. */
+  private[graft] def servedMinhashPairs(s: SparkSession, d: String): DataFrame = {
+    val p = ensureBandIndex(s, d)
+    val batchKeys = bandedKeys(Tables.documents(s, d)
+        .filter(col("source") === IncrementalBatchSource))
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(col("doc_id")).as("bids"))
+    s.read.parquet(s"$p/buckets")
+      .join(batchKeys, Seq("band", "key"), "full_outer")
+      .select(array_sort(concat(
+        coalesce(col("ids"), array().cast("array<bigint>")),
+        coalesce(col("bids"), array().cast("array<bigint>")))).as("ids"))
+      .filter(size(col("ids")).between(2, MaxLshBucket))
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+  }
 
   /** (doc_id, band, key) MinHash band keys (NULL keys dropped) over any
     * (doc_id, text, …) frame — the signature half of [[minhashPairs]],

@@ -134,6 +134,35 @@ class PlanSpec extends SparkSpec {
       served.map(_.toString).sameElements(inline.map(_.toString)))
   }
 
+  test("dd_lsh_recall candidate side serves from the band-index artifact") {
+    // The recall monitor's candidate pairs must ride the persisted
+    // buckets (the ann_recall served-artifact pattern, r17) — only the
+    // incremental batch slice may re-signature. Same three-way pin as
+    // dd_incremental_indexed: artifact scan present, strictly fewer
+    // documents scans than the inline recompute, rows identical (the
+    // full-table reconstruction contract servedMinhashPairs documents).
+    import graft.operators.DedupPack
+    val servedDf = DedupPack.servedMinhashPairs(spark, sfTiny)
+      .orderBy("doc_a", "doc_b")
+    val served = servedDf.collect()
+    val srvPlan = servedDf.queryExecution.executedPlan.toString
+    assert(srvPlan.contains("minhash_bands"),
+      s"servedMinhashPairs: no artifact scan in:\n$srvPlan")
+    // every documents scan the served plan retains must be the pushed
+    // batch slice (source = src6) — the corpus half rides the artifact,
+    // so a scan without the batch filter means the corpus is being
+    // re-minhashed behind the artifact read
+    val docScanLines =
+      srvPlan.linesIterator.filter(_.contains("graft_documents")).toSeq
+    assert(docScanLines.nonEmpty &&
+      docScanLines.forall(_.contains(DedupPack.IncrementalBatchSource)),
+      s"served plan scans documents without the batch filter:\n$srvPlan")
+    val inline = DedupPack.minhashPairs(Tables.documents(spark, sfTiny))
+      .orderBy("doc_a", "doc_b").collect()
+    assert(served.nonEmpty &&
+      served.map(_.toString).sameElements(inline.map(_.toString)))
+  }
+
   test("no accidental cartesian products in any query plan") {
     // intended broadcast-cross plans (tiny single-row / query-set side):
     val allowedCross = Set("n5_pairwise_distance", "p6_distance_threshold",
