@@ -69,6 +69,7 @@ object Verify {
     // reads completions from verify_summary.json and pressure from here.
     val spill = sys.env.get("GRAFT_SPILL_REPORT").map { _ =>
       val l = new tools.SpillReport
+      l.parallelism = spark.sparkContext.defaultParallelism
       spark.sparkContext.addSparkListener(l)
       l
     }

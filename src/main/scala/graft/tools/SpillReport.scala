@@ -21,6 +21,15 @@ import scala.collection.concurrent.TrieMap
   * execution-memory footprint seen in the group, the number that must
   * stay under executor-memory/cores at any scale. */
 final class SpillReport extends SparkListener {
+  /** The session's defaultParallelism, stamped by the installer: shuffle
+    * BYTES are deterministic per parallelism but NOT across them
+    * (local[16] vs local[32] regroups input splits and changes
+    * shuffle-block compression granularity — measured ±~2.4× on ~1 MB
+    * shuffles, r17), so a bytes capture is only comparable to a manifest
+    * seeded at the same setting. The ratchet refuses the compare
+    * otherwise; -1 means an installer predating the stamp. */
+  @volatile var parallelism: Int = -1
+
   private val jobGroup = TrieMap.empty[Int, String]
   private val stageJob = TrieMap.empty[Int, Int]
   // group -> (memSpilled, diskSpilled, peakExecMem, shufRead, shufWrite)
@@ -77,6 +86,7 @@ final class SpillReport extends SparkListener {
         s""""shuffle_read": $r, "shuffle_write": $w}"""
     }.mkString("{", ",", "}")
     s"""{"heap_max": ${Runtime.getRuntime.maxMemory()}, """ +
+      s""""parallelism": $parallelism, """ +
       s""""n_groups": ${rows.size}, "total_mem_spill": $tm, """ +
       s""""total_disk_spill": $td, "groups": $body}"""
   }

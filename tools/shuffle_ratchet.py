@@ -16,9 +16,19 @@ memoized artifact-build stages have deterministic per-query attribution:
 
     rm -rf /tmp/graft_idx_ratchet
     GRAFT_SPILL_REPORT=1 GRAFT_VERIFY_THREADS=1 \
-      SPARK_GRAFT_INDEX_ROOT=/tmp/graft_idx_ratchet SPARK_GRAFT_CPUS=16 \
+      SPARK_GRAFT_INDEX_ROOT=/tmp/graft_idx_ratchet SPARK_GRAFT_CPUS=32 \
       java ... graft.Verify /root/testdata/sf0.1 /tmp/verify_ratchet
     python3 tools/shuffle_ratchet.py /tmp/verify_ratchet --regen
+
+The parallelism is PINNED, mechanically: bytes are deterministic per
+defaultParallelism but not across settings (split regrouping changes
+shuffle-block compression granularity — measured ±~2.4× on ~1 MB
+shuffles between local[16] and local[32], r17: 14 false flags traced
+to a 16-seeded manifest compared against 32-cpu drives). The capture
+records the session's defaultParallelism (verify_spill.json
+`parallelism`), --regen banks it as the `__parallelism__` manifest row,
+and a gate run REFUSES a capture whose setting differs from the banked
+pin instead of reporting nonsense byte deltas.
 
 Gate run (same drive, no --regen):
 
@@ -63,9 +73,16 @@ with open(spill_path) as f:
 groups = report.get("groups", {})
 fresh = {g: v.get("shuffle_read", 0) + v.get("shuffle_write", 0)
          for g, v in groups.items() if g not in SKIP_GROUPS}
+# The capture's defaultParallelism (-1 / absent: a Verify predating the
+# stamp — treated as unknown and refused against a pinned manifest).
+cap_par = report.get("parallelism", -1)
+PIN_ROW = "__parallelism__"
 
 if regen:
-    ratchet_lib.regen_manifest(MANIFEST, fresh, lambda v: str(v))
+    banked = dict(fresh)
+    if cap_par > 0:
+        banked[PIN_ROW] = cap_par
+    ratchet_lib.regen_manifest(MANIFEST, banked, lambda v: str(v))
     sys.exit(0)
 
 if not os.path.exists(MANIFEST):
@@ -73,6 +90,13 @@ if not os.path.exists(MANIFEST):
     sys.exit(2)
 
 old = ratchet_lib.load_manifest(MANIFEST, int)
+pin = old.pop(PIN_ROW, None)
+if pin is not None and cap_par != pin:
+    print(f"FAIL: capture parallelism {cap_par} != manifest pin {pin} — "
+          "shuffle bytes are only comparable at the pinned setting; "
+          f"re-drive with SPARK_GRAFT_CPUS={pin} (or re-seed with --regen "
+          "and bank the new pin in the same diff)")
+    sys.exit(1)
 
 # A manifest query ABSENT from the capture is always an explicit failure
 # (ADVICE r16: the old `fresh.get(q, 0)` let small-shuffle queries vanish
