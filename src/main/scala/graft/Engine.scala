@@ -18,6 +18,24 @@ object Engine {
       // measured 14.3 s → sub-second for a 1000-dir sharded dump)
       .config("spark.hadoop.fs.file.impl",
         classOf[io.BareLocalFileSystem].getName)
+      // AQE's partition coalescer is BYTE-driven and compute-blind: with
+      // the default minPartitionSize (1 MiB), a small-bytes/heavy-compute
+      // shuffle output (a capped blocking grid feeding a Levenshtein join,
+      // a distinct-level rollup feeding chunked windows — this suite's
+      // profile) coalesces to 1-2 partitions and serializes the expensive
+      // stage on one core (measured r17: dd_edit_blocked 6.1 s → 1.3 s by
+      // lifting the floor). parallelismFirst (default true) exists for
+      // exactly this — "maximize parallelism, respect only the minimum
+      // partition size" — but the 1 MiB floor defeats it for MB-scale
+      // frames. 64 KiB keeps the floor's real job at scale (never splits
+      // a frame finer than 64 KiB/task, so a small rollup at production
+      // parallelism still coalesces to a bounded task count) while letting
+      // compute-dense small shuffles use the cores. Scale posture: at
+      // 100 TB every data-proportional shuffle partition is ≫ 1 MiB, so
+      // this floor is inert there; it binds only on small intermediate
+      // frames, where parallelism beats coalescing. Overridable below.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "64kb")
       // Reliable-checkpoint deployments (spark.checkpoint.dir set) write
       // shared-storage checkpoint files per Checkpointed call; without the
       // cleaner they accumulate for the app's lifetime (hundreds per
