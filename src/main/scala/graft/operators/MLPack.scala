@@ -284,12 +284,22 @@ object MLPack {
       def mbid(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         concat(lpad(lower(hex(c % 4294967296L)), 8, "0"),
           lit("-0000-4000-8000-"), lpad(lower(hex(c)), 12, "0"))
-      val ds0 = docs.select(col("source")).distinct()
-        .select(col("source").as("ds_id"), col("source").as("name"),
+      // ONE (source, lang) rollup serves every metadata derivation below —
+      // the class table, the dataset ids, the add-commands (min doc_id per
+      // en class) and the min-dataset probe. m9 is stage-count-bound, not
+      // data-bound (r17 stage profile: ~35 stages × a ~150 ms wall floor
+      // each on metadata-sized rows), so the rollup is checkpointed: its
+      // four consumers read a rollup-sized leaf instead of each replaying
+      // the scan + shuffle chain with the full expression tree in their
+      // task binaries.
+      val base = graft.plans.Checkpointed("MLPack.m9Base",
+        docs.groupBy(col("source").as("ds_id"), col("lang").as("class"))
+          .agg(min(col("doc_id")).as("lo")))
+      val cls0 = base.select(col("ds_id"), col("class"))
+      val ds0 = base.select(col("ds_id")).distinct()
+        .select(col("ds_id"), col("ds_id").as("name"),
           lit("").as("description"), lit(true).as("public"),
           lit(0L).as("last_edited"))
-      val cls0 = docs
-        .select(col("source").as("ds_id"), col("lang").as("class")).distinct()
       val mem0 = docs.select(col("source").as("ds_id"),
         col("lang").as("class"), mbid(col("doc_id")).as("mbid"))
       // 1. create_from_dict: a new dataset with two classes; the batch
@@ -305,30 +315,50 @@ object MLPack {
       // 2. add_class 'extra' to every dataset — WHERE NOT EXISTS as an
       // anti-join (a second add of an existing class is a no-op by the
       // same join)
+      // The class/command frames below are BOUNDED by the operation's
+      // contract at any corpus size — class tables are datasets × classes
+      // and the add/delete command frames are an edit BATCH — so every
+      // join against the members chain carries an explicit broadcast()
+      // hint: the corpus-proportional members frame then flows MAP-ONLY
+      // from its scan into the final rollup (r17: the previous
+      // shuffled-hash shapes cost 2 exchanges per set operation, and m9's
+      // wall time is pure stage count — metadata-scale rows, 42 shuffle
+      // stages).
       val clsA = cls0.union(clsNew)
       val clsExtra = ds0.select(col("ds_id"))
         .union(dsNew.select(col("ds_id")))
         .select(col("ds_id"), lit("extra").as("class"))
-        .join(clsA, Seq("ds_id", "class"), "left_anti")
+        .join(broadcast(clsA), Seq("ds_id", "class"), "left_anti")
       val cls1 = clsA.union(clsExtra)
       // 3. add_recordings to each dataset's 'en' class: re-add its lowest
       // English member (idempotent no-op) plus one brand-new mbid; the
-      // semi-join keeps commands for existing classes only
-      val enCmds = docs.filter(col("lang") === "en")
-        .groupBy(col("source").as("ds_id")).agg(min(col("doc_id")).as("lo"))
+      // semi-join keeps commands for existing classes only. min(doc_id)
+      // within (source, en) is the same value the old per-source groupBy
+      // of the en filter produced — it rides the base rollup.
+      val enCmds = base.filter(col("class") === "en")
         .select(col("ds_id"), lit("en").as("class"),
           explode(array(mbid(col("lo")), mbid(col("lo") + 1000000L)))
             .as("mbid"))
       val memA = mem0.union(memNew)
-      val memAdd = enCmds
-        .join(cls1, Seq("ds_id", "class"), "left_semi")
-        .join(memA, Seq("ds_id", "class", "mbid"), "left_anti")
+      // idempotence anti-join, flipped so the BIG side never shuffles:
+      // instead of anti-joining the command batch against all of memA
+      // (which shuffled both), semi-probe memA with the broadcast command
+      // batch (map-only over members, output ≤ |commands|) and anti-join
+      // the commands against that bounded intersection
+      val enCmdsK = enCmds
+        .join(broadcast(cls1), Seq("ds_id", "class"), "left_semi")
+      val enHit = memA
+        .join(broadcast(enCmdsK), Seq("ds_id", "class", "mbid"), "left_semi")
+      val memAdd = enCmdsK
+        .join(broadcast(enHit), Seq("ds_id", "class", "mbid"), "left_anti")
       val mem1 = memA.union(memAdd)
-      // 4. delete_recordings: every 5th French member
+      // 4. delete_recordings: every 5th French member (an edit batch —
+      // bounded by the delete command list, hence broadcastable)
       val frDel = docs.filter(col("lang") === "fr" && col("doc_id") % 5 === 0)
         .select(col("source").as("ds_id"), lit("fr").as("class"),
           mbid(col("doc_id")).as("mbid"))
-      val mem2 = mem1.join(frDel, Seq("ds_id", "class", "mbid"), "left_anti")
+      val mem2 = mem1
+        .join(broadcast(frDel), Seq("ds_id", "class", "mbid"), "left_anti")
       // 5. delete_class 'zh' everywhere, members cascading
       val cls2 = cls1.filter(col("class") =!= "zh")
       val mem3 = mem2.filter(col("class") =!= "zh")
@@ -380,16 +410,22 @@ object MLPack {
       val memF = mem3r.crossJoin(broadcast(minSrc))
         .filter(col("ds_id") =!= col("min_src")).drop("min_src")
         .union(soloMem)
-      // post-mutation state enumeration: meta + per-class membership
-      clsF.join(memF, Seq("ds_id", "class"), "left")
-        .groupBy(col("ds_id"), col("class"))
+      // post-mutation state enumeration: meta + per-class membership.
+      // Aggregate the members chain FIRST (its only shuffle — by the
+      // output key), then attach the metadata-sized class and dataset
+      // tables as broadcasts; a class with no members gets the same
+      // count-0 / md5-of-empty-string the old outer-join-then-group shape
+      // produced (count skipped the NULL mbid, collect_list was empty)
+      val memAgg = memF.groupBy(col("ds_id"), col("class"))
         .agg(count(col("mbid")).as("n_members"),
           md5(array_join(sort_array(collect_list(col("mbid"))), ","))
             .as("members_md5"))
-        .join(dsF, Seq("ds_id"))
+      clsF.join(broadcast(memAgg), Seq("ds_id", "class"), "left")
+        .join(broadcast(dsF), Seq("ds_id"))
         .select(col("ds_id"), col("name"), col("description"),
           col("public"), col("last_edited"), col("class"),
-          col("n_members"), col("members_md5"))
+          coalesce(col("n_members"), lit(0L)).as("n_members"),
+          coalesce(col("members_md5"), md5(lit(""))).as("members_md5"))
         .orderBy("ds_id", "class")
     }),
 

@@ -71,13 +71,54 @@ object IndexStore {
     * silently serve a stale index; it costs one extra aggregate over the
     * same scan the count already pays. */
   def fingerprint(corpus: DataFrame, idCol: String): (Long, Long, Long) = {
-    fingerprintScans.incrementAndGet()
-    val r = corpus.agg(count(lit(1)), coalesce(max(col(idCol)), lit(-1L)),
-        coalesce(bit_xor(xxhash64(corpus.columns.map(col).toIndexedSeq: _*)),
-          lit(0L)))
-      .head()
-    (r.getLong(0), r.getLong(1), r.getLong(2))
+    // Session-scoped memo, keyed on the corpus frame's CANONICALIZED plan
+    // (structural equality — two frames over the same files with the same
+    // transforms share one entry; a different filter/limit/dir is a
+    // different key). The scaladoc has always priced the fingerprint as a
+    // PER-JOB gate; without the memo every query that serves an artifact
+    // re-paid the corpus aggregate per CONSTRUCTION (ann_recall resolves
+    // six artifacts over one corpus = six identical scans per run — r17
+    // measured ~0.3 s per gate at bench scale, and at 100 TB each gate is
+    // a full corpus scan). Within one application the corpus tables are
+    // immutable inputs (the engine's own incremental paths present new
+    // frames, which miss the memo by construction); external mid-session
+    // corpus replacement was never detected reliably anyway (Spark caches
+    // file listings per plan) and cross-SESSION freshness is unchanged —
+    // every new JVM re-fingerprints once.
+    val key = (idCol, corpus.queryExecution.analyzed.canonicalized)
+    val hit = fpMemo.get(key)
+    if (hit != null) hit
+    else {
+      fingerprintScans.incrementAndGet()
+      val r = corpus.agg(count(lit(1)), coalesce(max(col(idCol)), lit(-1L)),
+          coalesce(bit_xor(xxhash64(corpus.columns.map(col).toIndexedSeq: _*)),
+            lit(0L)))
+        .head()
+      val fp = (r.getLong(0), r.getLong(1), r.getLong(2))
+      fpMemo.put(key, fp)
+      fp
+    }
   }
+
+  private val fpMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    (Long, Long, Long)]()
+
+  /** Test hook: drop the session fingerprint memo so a spec can pin the
+    * scanned-fallback behavior from a known-cold state. */
+  private[graft] def resetFingerprintMemo(): Unit = { fpMemo.clear(); freshMemo.clear() }
+
+  /** Last stamp this session RESOLVED per artifact path — the freshness
+    * gate's second half (the manifest parquet read, ~0.1 s of driver work
+    * per artifact per query construction) is skipped when this session
+    * already proved the same (fingerprint, params) pair fresh at that
+    * path. A DIFFERENT pair (corpus drift, params change, a
+    * fingerprint↔version mode switch) misses and takes the full
+    * manifest-read + rebuild path, so gate semantics are unchanged —
+    * only the per-query re-proof of an already-proved stamp goes away
+    * (the same per-job pricing as the fingerprint memo above). */
+  private val freshMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Long, Long, Long), Long)]()
 
   /** Stable hash of a builder's PARAMETER string (md5 head, so it does not
     * depend on JVM hashCode stability). The corpus fingerprint only covers
@@ -216,6 +257,44 @@ object IndexStore {
     * (raw s3a) need a consistent layer for the same guarantee — the
     * manifest-inside-tmp ordering still bounds the damage there (a torn
     * copy has no readable manifest and reads as stale). */
+  /** Right-size an artifact's member files before the commit rename
+    * (guide §6: output files belong in the 128 MB–1 GB range; builders
+    * write with whatever parallelism their plan ran at, so a map-only
+    * build over a 32-bucket corpus leaves 32 KB-sized part files PER
+    * MEMBER — r17 measured ann_recall's serving scans floor-bound on
+    * per-file opens, ~226 files for a 5 MB artifact). Any member whose
+    * parquet files are far more numerous than its byte size warrants is
+    * rewritten coalesced inside the still-uncommitted tmp dir; members
+    * already at ≥ 1 GiB (or partitioned layouts, which list as subdirs)
+    * are left alone, so the rewrite cost is bounded and the big-artifact
+    * path at production scale is untouched. Runs before the sentinel
+    * check + rename, so crash semantics are unchanged (a half-compacted
+    * tmp is swept like any other abandoned build). */
+  private def compactSmallMembers(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path): Unit = {
+    val targetBytes = 128L << 20
+    val rewriteCap = 1L << 30
+    val kids = try fs.listStatus(tmp).filter(_.isDirectory)
+      catch { case scala.util.control.NonFatal(_) => Array.empty[org.apache.hadoop.fs.FileStatus] }
+    for (k <- kids) {
+      val files = fs.listStatus(k.getPath)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val ideal = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+      if (files.length > ideal * 2 && bytes < rewriteCap) {
+        val member = k.getPath
+        val compact = new org.apache.hadoop.fs.Path(tmp,
+          member.getName + ".compact-tmp")
+        s.read.parquet(member.toString).coalesce(ideal.toInt)
+          .write.mode("overwrite").parquet(compact.toString)
+        fs.delete(member, true)
+        if (!fs.rename(compact, member))
+          sys.error(s"IndexStore: compaction rename refused at $member")
+      }
+    }
+  }
+
   private[graft] def commitBuild(s: SparkSession, p: String)(
       writeTmp: String => Unit): Boolean = {
     val fs = hfs(s, p)
@@ -238,6 +317,7 @@ object IndexStore {
       fs.mkdirs(tmp)
       fs.create(sentinel, true).close()
       writeTmp(tmp.toString)
+      compactSmallMembers(s, fs, tmp)
       if (fs.exists(sentinel)) {
         fs.delete(sentinel, false)
         built = true
@@ -271,16 +351,19 @@ object IndexStore {
     lock.synchronized {
       val fp = (version, -1L, -1L)
       val ph = paramsHash(params)
-      if (!isFresh(s, p, fp, ph)) {
-        val committed = commitBuild(s, p) { tmp =>
-          buildsRun.incrementAndGet()
-          build(tmp)
-          writeManifest(s, tmp, fp, ph)
+      if (freshMemo.get(p) != ((fp, ph))) {
+        if (!isFresh(s, p, fp, ph)) {
+          val committed = commitBuild(s, p) { tmp =>
+            buildsRun.incrementAndGet()
+            build(tmp)
+            writeManifest(s, tmp, fp, ph)
+          }
+          if (!committed && !isFresh(s, p, fp, ph))
+            sys.error(s"IndexStore: commit rename refused at $p and the " +
+              "surviving artifact is stale — concurrent writer with " +
+              "different inputs?")
         }
-        if (!committed && !isFresh(s, p, fp, ph))
-          sys.error(s"IndexStore: commit rename refused at $p and the " +
-            "surviving artifact is stale — concurrent writer with " +
-            "different inputs?")
+        freshMemo.put(p, (fp, ph))
       }
       p
     }
@@ -304,18 +387,21 @@ object IndexStore {
     lock.synchronized {
       val fp = fingerprint(corpus, idCol)
       val ph = paramsHash(params)
-      if (!isFresh(s, p, fp, ph)) {
-        val committed = commitBuild(s, p) { tmp =>
-          buildsRun.incrementAndGet()
-          build(tmp)
-          writeManifest(s, tmp, fp, ph)
+      if (freshMemo.get(p) != ((fp, ph))) {
+        if (!isFresh(s, p, fp, ph)) {
+          val committed = commitBuild(s, p) { tmp =>
+            buildsRun.incrementAndGet()
+            build(tmp)
+            writeManifest(s, tmp, fp, ph)
+          }
+          // a refused rename can only mean a concurrent writer from another
+          // process committed first; their artifact must pass the same gate
+          if (!committed && !isFresh(s, p, fp, ph))
+            sys.error(s"IndexStore: commit rename refused at $p and the " +
+              "surviving artifact is stale — concurrent writer with " +
+              "different inputs?")
         }
-        // a refused rename can only mean a concurrent writer from another
-        // process committed first; their artifact must pass the same gate
-        if (!committed && !isFresh(s, p, fp, ph))
-          sys.error(s"IndexStore: commit rename refused at $p and the " +
-            "surviving artifact is stale — concurrent writer with " +
-            "different inputs?")
+        freshMemo.put(p, (fp, ph))
       }
       p
     }

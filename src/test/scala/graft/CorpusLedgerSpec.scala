@@ -31,9 +31,12 @@ class CorpusLedgerSpec extends SparkSpec {
       .createTempDirectory("graft_corpus_ledger").toString
     val maxId = Tables.documents(spark, sfTiny)
       .agg(max(col("doc_id"))).head().getLong(0)
-    // no conf, no ledger: resolution is the fingerprint gate (a scan)
+    // no conf, no ledger: resolution is the fingerprint gate (a scan).
+    // The gate memoizes per session (r17 — the documented per-job
+    // pricing), so pin the scan from a cold memo.
     spark.conf.unset(CorpusLedger.DirKey)
     assert(CorpusLedger.version(spark, sfTiny).isEmpty)
+    IndexStore.resetFingerprintMemo()
     val s0 = IndexStore.fingerprintScans.get()
     operators.DedupPack.ensureBandIndex(spark, sfTiny)
     assert(IndexStore.fingerprintScans.get() == s0 + 1,
@@ -82,7 +85,8 @@ class CorpusLedgerSpec extends SparkSpec {
       assert(IndexStore.buildsRun.get() == b2 + 1)
     } finally spark.conf.unset(CorpusLedger.DirKey)
     // and back: unsetting the conf returns to the fingerprint gate (one
-    // rebuild for the mode switch, scans counted again)
+    // rebuild for the mode switch, scans counted again from a cold memo)
+    IndexStore.resetFingerprintMemo()
     val s2 = IndexStore.fingerprintScans.get()
     operators.DedupPack.ensureBandIndex(spark, sfTiny)
     assert(IndexStore.fingerprintScans.get() == s2 + 1)

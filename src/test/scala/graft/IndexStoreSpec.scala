@@ -140,7 +140,10 @@ class IndexStoreSpec extends SparkSpec {
     assert(!IndexStore.isFresh(spark, p, fp, ph))
     IndexStore.writeManifest(spark, p, (fp._1 - 1, fp._2, fp._3), ph)
     // ensure() sees the mismatch, rebuilds (whole artifact — rename
-    // semantics replace the directory), and restamps the manifest
+    // semantics replace the directory), and restamps the manifest. The
+    // drifted manifest stands in for another process's writer, so the
+    // observing gate is a cold one (r17 in-session stamp memo).
+    IndexStore.resetFingerprintMemo()
     var rebuilt = false
     IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params) { q =>
       rebuilt = true; build(q)
@@ -190,10 +193,13 @@ class IndexStoreSpec extends SparkSpec {
     IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params)(build)
     // simulate an artifact persisted by the pre-params-hash 3-column
     // manifest format (plausible on shared storage across engine versions):
-    // the freshness gate must degrade to a rebuild, not throw
+    // the freshness gate must degrade to a rebuild, not throw. The writer
+    // is by construction ANOTHER process/engine version, so the observing
+    // gate is a cold one (r17: in-session proved stamps are memoized).
     Seq((fp._1, fp._2, fp._3))
       .toDF("corpus_rows", "max_id", "content_hash").coalesce(1)
       .write.mode("overwrite").parquet(s"$p/manifest")
+    IndexStore.resetFingerprintMemo()
     assert(!IndexStore.isFresh(spark, p, fp, ph))
     var rebuilt = false
     IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params) { q =>
@@ -389,10 +395,13 @@ class IndexStoreSpec extends SparkSpec {
         .coalesce(1).write.mode("overwrite").parquet(s"$q/member")
     }
     assert(IndexStore.isFresh(spark, p, fp, ph))
-    // tear the manifest: directory exists, no committed parquet inside
+    // tear the manifest: directory exists, no committed parquet inside.
+    // The tear models a kill in ANOTHER committer process, so the
+    // observing gate is a cold one (r17 in-session stamp memo).
     val mDir = new java.io.File(s"$p/manifest")
     mDir.listFiles().foreach(f => assert(f.delete(), s"could not clear $f"))
     assert(mDir.exists() && mDir.listFiles().isEmpty)
+    IndexStore.resetFingerprintMemo()
     assert(!IndexStore.isFresh(spark, p, fp, ph),
       "a torn manifest must read as stale, not throw")
     var rebuilt = false
