@@ -44,14 +44,16 @@ object GraphPack {
 
   /** Undirected bipartite edges, both directions, in one integer node-id
     * space: part p → node 2p, supplier s → node 2s+1. */
-  private def edges(s: SparkSession, d: String): DataFrame = {
+  private def edges(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame = {
     val pairs = Tables.lineitem(s, d)
       .select((col("l_partkey") * 2).as("p"),
         (col("l_suppkey") * 2 + 1).as("q"))
       .distinct()
     pairs.select(col("p").as("src"), col("q").as("dst"))
       .unionByName(pairs.select(col("q").as("src"), col("p").as("dst")))
-      .transform(df => Checkpointed("GraphPack.edges", df))
+      .transform(df =>
+        if (materialize) Checkpointed("GraphPack.edges", df) else df)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -61,34 +63,63 @@ object GraphPack {
     // rarer than parts with ~20× the degree, so they surface as the
     // hubs — the spec pins that structural fact, the oracle pins the
     // VALUES.
-    "g1_pagerank" -> ((s, d) => {
-      val e = edges(s, d)
-      val deg = e.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg"))
-      var ranks = deg.select(col("node"), lit(PrScale).as("r"))
-      for (_ <- 1 to PrIters) {
-        val rd = ranks.join(deg, "node")
-          .select(col("node").as("src"), expr("r div deg").as("contrib"))
-        ranks = e.join(broadcast(rd), "src")
-          .groupBy(col("dst").as("node"))
-          .agg(expr(s"${PrBase}L + (sum(contrib) * ${PrDampPct}L) div 100")
-            .as("r"))
-      }
-      ranks
-        .select(
-          when(col("node") % 2 === 0, lit("part"))
-            .otherwise(lit("supplier")).as("node_type"),
-          expr("node div 2").as("key"), col("r").as("rank"))
-        .orderBy(col("rank").desc, col("node_type"), col("key"))
-        .limit(100)
-    }),
+    "g1_pagerank" -> ((s, d) => pagerankFrame(s, d, materialize = true)),
 
     "g2_triangles" -> ((s, d) => trianglesQuery(s, d)),
+    // (g1's body lives in [[pagerankFrame]] — the same materialize/plan-
+    // visibility split as trianglesFrame, so PlanSpec can see the round
+    // joins that the served entry's checkpoints would hide.)
     "g2_triangles_approx" -> ((s, d) => trianglesApproxQuery(s, d)),
     "g3_neighbor_jaccard" -> ((s, d) => neighborJaccardQuery(s, d)),
     "g4_kcore_profile" -> ((s, d) => kcoreProfileQuery(s, d)),
     "g5_bfs_layers" -> ((s, d) => bfsLayersQuery(s, d))
   )
+
+  // ---- g1: damped PageRank, 4 integer-exact rounds ----------------------
+  /** `materialize = true` (the served entry) checkpoints deg, each
+    * round's ranks and the final page, freeing every intermediate once
+    * the 100-row page is materialized. The per-round checkpoint is
+    * LOAD-BEARING for performance (r17): each round's broadcast
+    * contribution build executes its own subtree, so without the
+    * truncation round i re-runs rounds 1..i−1 inside the broadcast job —
+    * quadratic re-execution of the edge rollup. `materialize = false`
+    * leaves the WHOLE chain lazy so PlanSpec can assert the round joins
+    * (a checkpoint boundary hides everything behind it as a leaf). */
+  private[graft] def pagerankFrame(s: SparkSession, d: String,
+      materialize: Boolean): DataFrame = {
+    val pinned = collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ck(label: String, df: DataFrame): DataFrame =
+      if (!materialize) df
+      else { val c = Checkpointed(label, df); pinned += c; c }
+    val e = edges(s, d, materialize)
+    val deg = ck("GraphPack.pagerank.deg",
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+    var ranks = deg.select(col("node"), lit(PrScale).as("r"))
+    for (_ <- 1 to PrIters) {
+      val rd = ranks.join(deg, "node")
+        .select(col("node").as("src"), expr("r div deg").as("contrib"))
+      ranks = ck("GraphPack.pagerank.rank",
+        e.join(broadcast(rd), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(expr(s"${PrBase}L + (sum(contrib) * ${PrDampPct}L) div 100")
+            .as("r")))
+    }
+    val page = ranks
+      .select(
+        when(col("node") % 2 === 0, lit("part"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("node div 2").as("key"), col("r").as("rank"))
+      .orderBy(col("rank").desc, col("node_type"), col("key"))
+      .limit(100)
+    if (!materialize) page
+    else {
+      // materialize the 100-row page, then free every intermediate block
+      // (components pattern — resid_rdds is the canary)
+      val result = Checkpointed("GraphPack.pagerank.page", page)
+      e.unpersist(); pinned.foreach(_.unpersist())
+      result
+    }
+  }
 
   // ---- g5: multi-source BFS layer profile -------------------------------
   // Frontier expansion from a seed set — the reachability primitive under

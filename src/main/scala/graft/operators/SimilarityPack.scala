@@ -828,17 +828,22 @@ object SimilarityPack {
       .withColumn("cnrm", sqrt(gridDot(col("cv"), col("cv"))))
 
   /** One E-step: every vector to its nearest (cosine, ties → lower cell)
-    * centroid. K centroid rows broadcast against a linear corpus scan. */
-  private def tunedAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("score").desc, col("cell"))
+    * centroid. K centroid rows broadcast against a linear corpus scan.
+    * The argmax is a `max_by` AGGREGATE, not a window (r17): the window
+    * form shuffled the full corpus×K scored frame by vec_id and sorted
+    * it; `max_by` partial-aggregates map-side — the K scored rows of a
+    * vector collapse where they were produced, so the exchange carries
+    * one row per vector. Tie semantics preserved exactly: maximize
+    * (score, −cell) ⇔ highest score, ties to the LOWER cell. */
+  private def tunedAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents))
       .withColumn("score",
         gridDot(col("iv"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("iv"), col("nrm"), col("cell"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("iv"), col("nrm"), col("cell")),
+        struct(col("score"), (-col("cell")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.iv").as("iv"),
+        col("best.nrm").as("nrm"), col("best.cell").as("cell"))
 
   /** [[IvfTunedIters]] Lloyd iterations from the id-modulo init → (trained
     * centroids, trained assignment). Each iteration is one K-row centroid
@@ -852,6 +857,10 @@ object SimilarityPack {
     val vecs = gridVecs(s, d)
     var assign = vecs.withColumn("cell",
       col("vec_id") % IvfTunedCells)
+    // Per-iteration checkpoints are LOAD-BEARING: each round's broadcast
+    // centroid build executes its own subtree, so without the truncation
+    // iteration i re-runs iterations 1..i−1 inside the broadcast job —
+    // quadratic re-execution (r17 re-measured: 3.6 s → 5.5 s without).
     for (_ <- 1 to IvfTunedIters)
       assign = Checkpointed("SimilarityPack.ivfTuned.iter",
         tunedAssign(vecs, tunedCentroids(assign)))

@@ -809,13 +809,23 @@ object StatsPack {
       // once in depth·width longs
       val toks = Tables.documents(s, d)
         .select(explode(wordShingles(col("text"), DedupPack.ShingleN)).as("tk"))
-      val grid = cmsGrid(toks.select(col("tk").as("k")))
+      // ONE (shingle, count) rollup serves both halves (r17): the grid
+      // over the FULL stream equals the count-weighted cell sum over the
+      // rollup (addition commutes — cell c's counter is Σ_tk n(tk)·[tk
+      // hits c]), so the second shingle explosion over the corpus (the
+      // regex-split pass cmsGrid's raw stream form pays) collapses into
+      // a vocabulary-sized posexplode, and exchange reuse shares the
+      // rollup between the grid and the df ≥ 2 point-query keys.
+      val rollup = toks.groupBy(col("tk")).agg(count(lit(1)).as("n_exact"))
+      val grid = rollup
+        .select(col("n_exact"),
+          posexplode(cmsCells(col("tk"))).as(Seq("row", "bucket")))
+        .groupBy(col("row"), col("bucket")).agg(sum(col("n_exact")).as("c"))
       // point-query the repeated shingles (df ≥ 2 — the dedup-relevant
-      // ones); the grid itself is built over the FULL stream. The exact
-      // count is the gate-scale calibration column; the deployment probe
-      // is [[cmsEstimateFor]] (no exact counting anywhere).
-      val keys = toks.groupBy(col("tk")).agg(count(lit(1)).as("n_exact"))
-        .filter(col("n_exact") >= 2)
+      // ones). The exact count is the gate-scale calibration column; the
+      // deployment probe is [[cmsEstimateFor]] (no exact counting
+      // anywhere).
+      val keys = rollup.filter(col("n_exact") >= 2)
       keys
         .select(col("tk"), col("n_exact"),
           posexplode(cmsCells(col("tk"))).as(Seq("row", "bucket")))
@@ -907,8 +917,14 @@ object StatsPack {
       import graft.functions.HashFunctions.wordShingles
       val sh = Tables.documents(s, d)
         .select(col("source"), explode(wordShingles(col("text"), 3)).as("w"))
-      val est = Skew.kmvOverlap(sh, "source", col("w"), k = 64)
+      // ONE deduped token frame feeds both the sketch and the exact
+      // calibration: KMV is duplicate-invariant (kmvDraws distincts its
+      // (group, hash) draws), so handing it the already-distinct frame is
+      // value-identical while letting exchange reuse collapse what used
+      // to be two independent shingle explosions over the corpus (r17 —
+      // the regex split is the dominant per-row cost here)
       val toks = sh.distinct()
+      val est = Skew.kmvOverlap(toks, "source", col("w"), k = 64)
       val ex = toks.select(col("source").as("src_a"), col("w"))
         .join(toks.select(col("source").as("src_b"), col("w")), Seq("w"))
         .filter(col("src_a") < col("src_b"))

@@ -592,7 +592,11 @@ class PlanSpec extends SparkSpec {
 
   test("g1_pagerank rounds broadcast the node-sized rank frame onto the " +
     "edges — the edge list never sort-merges") {
-    val plan = planText(run("g1_pagerank"))
+    // the UNmaterialized frame: the served entry's per-round checkpoints
+    // (r17 — they stop each round's broadcast build re-running all prior
+    // rounds) would hide the round joins behind ExistingRDD leaves
+    val plan = planText(
+      operators.GraphPack.pagerankFrame(spark, sfTiny, materialize = false))
     assert(plan.contains("BroadcastHashJoin"),
       s"g1_pagerank: rank frame not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
