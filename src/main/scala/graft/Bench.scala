@@ -111,8 +111,8 @@ object Bench {
     // contamination from the bench's self-induced load.
     val loadPre = loadavg()
     val prepT0 = System.nanoTime()
-    // The 30 prepare units ((4 bucketed layouts + partitioned events +
-    // 10 artifact families) x 2 dirs) are mutually independent — each
+    // The 36 prepare units ((4 bucketed layouts + partitioned events +
+    // 13 artifact families) x 2 dirs) are mutually independent — each
     // reads raw parquet and writes its own layout/artifact path, and
     // Tables/IndexStore lock per table/path — so they fan out across a
     // fixed pool instead of paying their SUM serially (r8 recorded
@@ -132,6 +132,16 @@ object Bench {
             operators.SimilarityPack.ensureTunedIndex,
             operators.SimilarityPack.ensurePqIndex,
             operators.SimilarityPack.ensureIvfPqIndex,
+            // r18: sq8/bm25/stats-ledger were MISSING from this list, so
+            // on a cold artifact root their first sfDir build landed
+            // INSIDE a timed attempt (BENCH_r17's 101.6 s ann_sq8 on the
+            // driver host: a cold-root first build amplified by capture-
+            // time IO contention). Every ensure* an entry serves from
+            // belongs here — the build is ingest-time work, recorded
+            // untimed in prepare_sec.
+            operators.SimilarityPack.ensureSq8Index,
+            operators.TextPack.ensureBm25Index,
+            operators.StatsPack.ensureStatsLedger,
             operators.DedupPack.ensureBandIndex,
             operators.TextPack.ensureLmIndex,
             operators.TextPack.ensureBigramLmIndex,

@@ -352,13 +352,21 @@ object MLPack {
       val memAdd = enCmdsK
         .join(broadcast(enHit), Seq("ds_id", "class", "mbid"), "left_anti")
       val mem1 = memA.union(memAdd)
-      // 4. delete_recordings: every 5th French member (an edit batch —
-      // bounded by the delete command list, hence broadcastable)
-      val frDel = docs.filter(col("lang") === "fr" && col("doc_id") % 5 === 0)
-        .select(col("source").as("ds_id"), lit("fr").as("class"),
-          mbid(col("doc_id")).as("mbid"))
+      // 4. delete_recordings: every 5th French member. The delete batch
+      // here is CORPUS-proportional (every 5th fr doc — ADVICE r17: the
+      // former broadcast(frDel) anti-join priced it as a bounded edit
+      // batch, which at 100 TB it is not), and the predicate is
+      // row-DERIVABLE: mbid encodes doc_id bijectively (its last 12 hex
+      // chars are lpad(hex(doc_id))), every class='fr' member row in
+      // mem1 is the mem0 row of exactly that fr document (memNew adds
+      // all/rest, memAdd adds en — neither contributes fr), so the
+      // anti-join is equivalent to a map-only filter: drop fr members
+      // whose decoded doc_id is ≡ 0 (mod 5). Zero joins, zero broadcast,
+      // linear at any scale; row-equivalence is oracle-checked.
+      val delDoc = conv(substring(col("mbid"), -12, 12), 16, 10)
+        .cast(LongType)
       val mem2 = mem1
-        .join(broadcast(frDel), Seq("ds_id", "class", "mbid"), "left_anti")
+        .filter(!(col("class") === "fr" && delDoc % 5 === 0))
       // 5. delete_class 'zh' everywhere, members cascading
       val cls2 = cls1.filter(col("class") =!= "zh")
       val mem3 = mem2.filter(col("class") =!= "zh")

@@ -430,7 +430,22 @@ object SimilarityPack {
     //      O(n · cell_size), never O(n²), and the cap skips pathological
     //      hot cells loudly-by-construction rather than blowing up. ------
     "dd_semantic_dedup" -> ((s, d) => {
-      val a1 = kmeansTrain(s, d)._2.withColumn("nrm", l2Norm(col("v")))
+      // r18: the cell labels now SERVE from the persisted IVF artifact
+      // (the ann_recall/dd_lsh_recall pattern — a production SemDeDup
+      // pass consumes the deployed quantizer's assignments, not a
+      // per-run retrain): row-identical by construction (the artifact
+      // stores kmeansTrain's full-corpus assignment; IndexStoreSpec pins
+      // served ≡ trained), and the training chain stays oracle-gated —
+      // this row's own unrolled-training oracle now gates the ARTIFACT
+      // content, a strictly stronger pin. Saves the two training scans +
+      // two window passes per run (r17 "not yet optimized" item).
+      val p = ensureKmeansIndex(s, d)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val a1 = s.read.parquet(s"$p/assignments")
+        .join(emb, Seq("vec_id"))
+        .select(col("vec_id"), col("v"), col("cell"))
+        .withColumn("nrm", l2Norm(col("v")))
       val sizes = a1.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
         .filter(col("cn").between(2, MaxCosineBucket))
       // the qualifying-cell set is bounded by the cell VOCABULARY (K rows)

@@ -71,42 +71,64 @@ object IndexStore {
     * silently serve a stale index; it costs one extra aggregate over the
     * same scan the count already pays. */
   def fingerprint(corpus: DataFrame, idCol: String): (Long, Long, Long) = {
-    // Session-scoped memo, keyed on the corpus frame's CANONICALIZED plan
-    // (structural equality — two frames over the same files with the same
-    // transforms share one entry; a different filter/limit/dir is a
-    // different key). The scaladoc has always priced the fingerprint as a
-    // PER-JOB gate; without the memo every query that serves an artifact
-    // re-paid the corpus aggregate per CONSTRUCTION (ann_recall resolves
-    // six artifacts over one corpus = six identical scans per run — r17
-    // measured ~0.3 s per gate at bench scale, and at 100 TB each gate is
-    // a full corpus scan). Within one application the corpus tables are
-    // immutable inputs (the engine's own incremental paths present new
-    // frames, which miss the memo by construction); external mid-session
-    // corpus replacement was never detected reliably anyway (Spark caches
-    // file listings per plan) and cross-SESSION freshness is unchanged —
-    // every new JVM re-fingerprints once.
-    val key = (idCol, corpus.queryExecution.analyzed.canonicalized)
-    val hit = fpMemo.get(key)
-    if (hit != null) hit
-    else {
-      fingerprintScans.incrementAndGet()
-      val r = corpus.agg(count(lit(1)), coalesce(max(col(idCol)), lit(-1L)),
-          coalesce(bit_xor(xxhash64(corpus.columns.map(col).toIndexedSeq: _*)),
-            lit(0L)))
-        .head()
-      val fp = (r.getLong(0), r.getLong(1), r.getLong(2))
-      fpMemo.put(key, fp)
-      fp
+    // Session-scoped memo, keyed on an MD5 DIGEST of the corpus frame's
+    // CANONICALIZED plan string (structural equality — two frames over
+    // the same files with the same transforms share one entry; a
+    // different filter/limit/dir is a different key; the digest key
+    // means the memo retains 16 bytes per entry instead of a live
+    // LogicalPlan tree with its relation/FileIndex references — ADVICE
+    // r17). The map is LRU-BOUNDED at [[FpMemoMax]] entries so a
+    // long-lived session constructing many distinct corpus frames can
+    // never grow it without bound. The scaladoc has always priced the
+    // fingerprint as a PER-JOB gate; without the memo every query that
+    // serves an artifact re-paid the corpus aggregate per CONSTRUCTION
+    // (ann_recall resolves six artifacts over one corpus = six identical
+    // scans per run — r17 measured ~0.3 s per gate at bench scale, and
+    // at 100 TB each gate is a full corpus scan). Within one application
+    // the corpus tables are immutable inputs (the engine's own
+    // incremental paths present new frames, which miss the memo by
+    // construction). KNOWN BLIND SPOT (documented, unchanged by the
+    // memo): a re-read of the same PATH that picks up new files has the
+    // same canonical plan, so it returns the memoized fingerprint for
+    // the rest of the session — Spark itself caches file listings per
+    // plan, so mid-session same-path corpus replacement was never
+    // detected reliably. Cross-SESSION freshness is unchanged — every
+    // new JVM re-fingerprints once — and observed cross-process writer
+    // contention invalidates the freshness memo (see [[commitBuild]]).
+    val key = (idCol, md5Hex(
+      corpus.queryExecution.analyzed.canonicalized.toString))
+    fpMemo.synchronized {
+      val hit = fpMemo.get(key)
+      if (hit != null) return hit
     }
+    fingerprintScans.incrementAndGet()
+    val r = corpus.agg(count(lit(1)), coalesce(max(col(idCol)), lit(-1L)),
+        coalesce(bit_xor(xxhash64(corpus.columns.map(col).toIndexedSeq: _*)),
+          lit(0L)))
+      .head()
+    val fp = (r.getLong(0), r.getLong(1), r.getLong(2))
+    fpMemo.synchronized { fpMemo.put(key, fp) }
+    fp
   }
 
-  private val fpMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
-    (Long, Long, Long)]()
+  private def md5Hex(sv: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sv.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private val FpMemoMax = 512
+  private val fpMemo = new java.util.LinkedHashMap[
+      (String, String), (Long, Long, Long)](64, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, String), (Long, Long, Long)]) =
+      size > FpMemoMax
+  }
 
   /** Test hook: drop the session fingerprint memo so a spec can pin the
     * scanned-fallback behavior from a known-cold state. */
-  private[graft] def resetFingerprintMemo(): Unit = { fpMemo.clear(); freshMemo.clear() }
+  private[graft] def resetFingerprintMemo(): Unit = {
+    fpMemo.synchronized { fpMemo.clear() }; freshMemo.clear()
+  }
 
   /** Last stamp this session RESOLVED per artifact path — the freshness
     * gate's second half (the manifest parquet read, ~0.1 s of driver work
@@ -269,7 +291,16 @@ object IndexStore {
     * are left alone, so the rewrite cost is bounded and the big-artifact
     * path at production scale is untouched. Runs before the sentinel
     * check + rename, so crash semantics are unchanged (a half-compacted
-    * tmp is swept like any other abandoned build). */
+    * tmp is swept like any other abandoned build).
+    *
+    * CONTRACT (ADVICE r17): the rewrite is read-parquet → coalesce →
+    * write, so it preserves ROWS only — writer options (codec, sorted
+    * file order usable for min/max pruning) and global row order across
+    * files are NOT preserved. Current members are all join/filter-read,
+    * which is why this is safe. A member carrying any NON-parquet
+    * sidecar file (metadata the rewrite would silently drop) is SKIPPED
+    * entirely; an order- or codec-dependent future member must opt out
+    * the same way (give it a sidecar or keep it ≥ the cap). */
   private def compactSmallMembers(s: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path): Unit = {
@@ -278,11 +309,15 @@ object IndexStore {
     val kids = try fs.listStatus(tmp).filter(_.isDirectory)
       catch { case scala.util.control.NonFatal(_) => Array.empty[org.apache.hadoop.fs.FileStatus] }
     for (k <- kids) {
-      val files = fs.listStatus(k.getPath)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val all = fs.listStatus(k.getPath).filter(_.isFile)
+      val files = all.filter(_.getPath.getName.endsWith(".parquet"))
+      // non-parquet sidecars (beyond Spark's own _SUCCESS marker) would
+      // be silently dropped by the rewrite — skip such members outright
+      val sidecars = all.exists(st => !st.getPath.getName.endsWith(".parquet")
+        && st.getPath.getName != "_SUCCESS")
       val bytes = files.map(_.getLen).sum
       val ideal = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-      if (files.length > ideal * 2 && bytes < rewriteCap) {
+      if (!sidecars && files.length > ideal * 2 && bytes < rewriteCap) {
         val member = k.getPath
         val compact = new org.apache.hadoop.fs.Path(tmp,
           member.getName + ".compact-tmp")
@@ -295,22 +330,61 @@ object IndexStore {
     }
   }
 
+  /** Grace window for the foreign-tmp sweep below, applied to tmps that
+    * still CARRY their sentinel (a builder mid-write — possibly live,
+    * possibly crashed; nothing cross-process can tell them apart except
+    * age): younger than this survives the sweep. Without the grace, two
+    * processes cold-starting on one root (e.g. two bench invocations
+    * sharing a fresh artifact root) mutually sweep each other's
+    * in-progress builds: each loser aborts at its sentinel check and —
+    * when the winner has not committed yet — fails its query loudly, so
+    * a shared-root race turned into spurious rebuild storms (BENCH_r17's
+    * driver captures). With the grace, a young live tmp survives until
+    * its builder commits (the rename removes it); a crashed one is swept
+    * by the next rebuild after the grace (it only costs disk until then,
+    * and rebuilds are the only writers here). A SENTINEL-LESS tmp needs
+    * no grace: the sentinel is deleted immediately before the rename, so
+    * its absence means a COMPLETED build whose rename was refused — that
+    * builder has already returned, and the orphan is swept on sight
+    * (the ShimHdfs swap-window contract). The sentinel abort remains the
+    * backstop for a long-running live builder swept past the grace. */
+  private val SweepGraceMs = 15L * 60 * 1000
+
+  /** Name of the in-tmp sentinel file guarding the sweep/commit race —
+    * created first inside a build tmp, deleted immediately before the
+    * commit rename (see [[commitBuild]]). */
+  private val SentinelName = ".build_intact"
+
   private[graft] def commitBuild(s: SparkSession, p: String)(
       writeTmp: String => Unit): Boolean = {
     val fs = hfs(s, p)
     val target = new org.apache.hadoop.fs.Path(p)
     if (target.getParent != null) fs.mkdirs(target.getParent)
     // sweep tmp garbage abandoned by crashed prior builders of THIS
-    // artifact (bounded: glob over one artifact's siblings); a live
-    // builder swept here aborts at its sentinel check instead of
-    // committing a partial artifact
+    // artifact (bounded: glob over one artifact's siblings; [[SweepGraceMs]]
+    // protects possibly-live concurrent builders); a live builder swept
+    // here aborts at its sentinel check instead of committing a partial
+    // artifact. Observing a foreign tmp at all means ANOTHER process is
+    // (or recently was) writing this artifact — drop this session's
+    // freshness memo for the path so later constructions re-prove
+    // against the survivor instead of serving the memoized stamp
+    // (ADVICE r17: the memo must not outlive observed contention).
     try {
       val stale = fs.globStatus(new org.apache.hadoop.fs.Path(s"$p.build-*"))
-      if (stale != null) stale.foreach(st => fs.delete(st.getPath, true))
+      if (stale != null && stale.nonEmpty) {
+        freshMemo.remove(p)
+        val now = System.currentTimeMillis
+        stale.foreach { st =>
+          val live = fs.exists(
+            new org.apache.hadoop.fs.Path(st.getPath, SentinelName))
+          if (!live || now - st.getModificationTime > SweepGraceMs)
+            fs.delete(st.getPath, true)
+        }
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
     val tmp = new org.apache.hadoop.fs.Path(
       s"$p.build-${java.util.UUID.randomUUID().toString.take(8)}")
-    val sentinel = new org.apache.hadoop.fs.Path(tmp, ".build_intact")
+    val sentinel = new org.apache.hadoop.fs.Path(tmp, SentinelName)
     var renamed = false
     var built = false // fully-built, sentinel-intact tmp exists on disk
     try {
@@ -328,6 +402,10 @@ object IndexStore {
           renamed = fs.rename(tmp, target)
         }
       }
+      // a refused rename or a swept-out sentinel both mean a concurrent
+      // writer raced this commit — invalidate the session freshness memo
+      // for the path so the next construction re-proves (ADVICE r17)
+      if (!renamed) freshMemo.remove(p)
       renamed
     } finally if (!renamed && !built) fs.delete(tmp, true)
   }

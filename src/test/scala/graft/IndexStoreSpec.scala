@@ -253,7 +253,26 @@ class IndexStoreSpec extends SparkSpec {
     assert(!IndexStore.isFresh(spark, p, fp, IndexStore.paramsHash(params2)),
       "the new params must still read stale — nothing was committed")
     // 3) the next ensure rebuilds, commits atomically, and sweeps the
-    // abandoned tmp dir
+    // abandoned tmp dir. An in-process exception is cleaned by
+    // commitBuild's own finally, so simulate the REAL abandonment mode —
+    // a killed process whose finally never ran — by planting a tmp
+    // sibling by hand. The sweep has a GRACE window (r18): a tmp younger
+    // than SweepGraceMs is a possibly-LIVE concurrent builder and
+    // survives — so first prove the young tmp is NOT swept, then age it
+    // past the grace (a real crashed tmp is old by the time anything
+    // rebuilds — the fingerprint gate only sends writers here on drift)
+    // and prove it IS.
+    val orphan = new java.io.File(s"$p.build-deadbeef")
+    assert(orphan.mkdirs(), s"could not plant orphan tmp at $orphan")
+    new java.io.File(orphan, ".build_intact").createNewFile()
+    IndexStore.commitBuild(spark, p) { q =>
+      Seq(("probe", 0L)).toDF("tag", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$q/member")
+      IndexStore.writeManifest(spark, q, fp, IndexStore.paramsHash("probe"))
+    }
+    assert(orphan.exists(),
+      "a young (possibly-live) foreign tmp must survive the sweep")
+    orphan.setLastModified(System.currentTimeMillis - 16L * 60 * 1000)
     var rebuilt = false
     IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params2) { q =>
       rebuilt = true
@@ -268,6 +287,48 @@ class IndexStoreSpec extends SparkSpec {
       .filter(_.getName.startsWith(s"$name.build-"))
     assert(leftovers.isEmpty,
       s"abandoned tmp dirs not swept: ${leftovers.mkString(", ")}")
+  }
+
+  test("observed cross-process contention invalidates the session " +
+    "freshness memo — the next ensure re-proves instead of serving the " +
+    "memoized stamp (ADVICE r17)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfTiny)
+    val params = s"memo=${System.nanoTime()}"
+    val name = "memo_probe"
+    val p = IndexStore.path(sfTiny, name)
+    val fp = IndexStore.fingerprint(emb, "vec_id")
+    // 1) prove fresh — the session memo now carries (fp, ph) for p
+    IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params) { q =>
+      Seq(("v1", 1L)).toDF("tag", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$q/member")
+    }
+    // 2) a concurrent-process writer REPLACES the artifact with
+    // different inputs while leaving race evidence (its own tmp dir);
+    // this process's committer observes the foreign tmp and must drop
+    // its memo entry for the path
+    val foreign = new java.io.File(s"$p.build-f0e1gn00")
+    assert(foreign.mkdirs())
+    IndexStore.commitBuild(spark, p) { q =>
+      Seq(("other", 9L)).toDF("tag", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$q/member")
+      IndexStore.writeManifest(spark, q, fp,
+        IndexStore.paramsHash("other-writer-params"))
+    }
+    foreign.delete()
+    // 3) the next ensure must RE-PROVE freshness (the artifact now
+    // stamps foreign params → stale) and rebuild — a still-memoized
+    // stamp would silently serve the foreign artifact instead
+    var rebuilt = false
+    IndexStore.ensure(spark, sfTiny, name, emb, "vec_id", params) { q =>
+      rebuilt = true
+      Seq(("v2", 2L)).toDF("tag", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$q/member")
+    }
+    assert(rebuilt, "memoized freshness served a foreign artifact after " +
+      "observed contention")
+    assert(spark.read.parquet(s"$p/member").select("tag").head()
+      .getString(0) == "v2")
   }
 
   test("cross-process commit seam: a second writer committing mid-build " +

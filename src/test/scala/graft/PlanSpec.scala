@@ -603,6 +603,29 @@ class PlanSpec extends SparkSpec {
       s"g1_pagerank: edge-side sort-merge join:\n$plan")
   }
 
+  test("g1_pagerank SERVED entry: the executed per-round plans between " +
+    "checkpoints broadcast the rank frame — no sort-merge sneaks in") {
+    // ADVICE r17: the unmaterialized assertion above cannot see the
+    // materialized path's executed shape (each round's plan is truncated
+    // at the previous round's checkpoint), so a broadcast→sort-merge
+    // regression INSIDE a round would pass it. Capture the pre-checkpoint
+    // round plans while the served entry executes and pin them directly.
+    graft.plans.Checkpointed.startCapture()
+    try {
+      operators.GraphPack.pagerankFrame(spark, sfTiny, materialize = true)
+      val rounds = graft.plans.Checkpointed.stopCapture()
+        .filter(_._1 == "GraphPack.pagerank.rank")
+      assert(rounds.nonEmpty, "g1_pagerank served entry captured no rounds")
+      rounds.foreach { case (_, p) =>
+        val t = p.toString
+        assert(t.contains("BroadcastHashJoin"),
+          s"g1_pagerank served round: rank frame not broadcast:\n$t")
+        assert(!t.contains("SortMergeJoin"),
+          s"g1_pagerank served round: edge-side sort-merge join:\n$t")
+      }
+    } finally graft.plans.Checkpointed.stopCapture()
+  }
+
   test("sk_priority_sample: the top-K is a distributed partial top-K " +
     "(TakeOrdered), never a global sort of the weighted table") {
     // assert on the UNcheckpointed top-(K+1) frame — the served entry's
