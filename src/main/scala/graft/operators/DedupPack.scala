@@ -376,10 +376,21 @@ object DedupPack {
     // construction, riding dd_minhash_lsh's output also pins artifact ≡
     // inline every verify run.
     "dd_lsh_recall" -> ((s, d) => {
-      val exact = Checkpointed("DedupPack.recall.exact",
-        prefixJaccardPairs(shingled(s, d)).select("doc_a", "doc_b"))
-      val cand = Checkpointed("DedupPack.recall.cand",
-        servedMinhashPairs(s, d))
+      // The exact side and the served candidate side are INDEPENDENT
+      // pipelines, each an eager one-job checkpoint — materialize them
+      // concurrently (guide §2.6: overlap independent jobs so the second
+      // back-fills the first's stage tails) instead of paying their sum;
+      // r18 measured the sequential construct as this row's entire cost.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val exactF = Future(Checkpointed("DedupPack.recall.exact",
+        prefixJaccardPairs(shingled(s, d)).select("doc_a", "doc_b")))
+      val candF = Future(Checkpointed("DedupPack.recall.cand",
+        servedMinhashPairs(s, d)))
+      val exact = Await.result(exactF,
+        scala.concurrent.duration.Duration.Inf)
+      val cand = Await.result(candF,
+        scala.concurrent.duration.Duration.Inf)
       val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
       val result = exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
@@ -440,15 +451,26 @@ object DedupPack {
     // The cross-doc span set can be corpus-sized, so the tag join stays a
     // shuffle join by design — never a broadcast assumption. ---------------
     "dd_exact_substr" -> ((s, d) => {
+      // r18 shuffle surgery (the rewrite r17 deferred with numbers): the
+      // former plan shuffled the FULL span stream twice — once into the
+      // doc-distinct df rollup's join and once into the per-doc count.
+      // The (doc_id, gh, multiplicity) rollup aggregates ON the doc_id
+      // bucket layout (zero exchange — hash(doc_id) clusters (doc_id,
+      // gh) groups), the cross-doc df is ONE gh-window over that rollup
+      // (rollup rows are distinct per (doc, gh), so the window count IS
+      // the doc-distinct df), and the per-doc counts are multiplicity-
+      // weighted sums — 2 data-proportional exchanges instead of 3, and
+      // both carry rollup rows, never raw span instances.
       val docs = Tables.documents(s, d)
       val spans = spanStream(docs).select(col("doc_id"), col("gh"))
-      val ddf = spans.distinct()
-        .groupBy(col("gh")).agg(count(lit(1)).as("ddf"))
-      val dup = ddf.filter(col("ddf") >= 2)
-        .select(col("gh")).withColumn("ind", lit(1))
-      val agg = spans.join(dup, Seq("gh"), "left")
+      val rolled = spans.groupBy(col("doc_id"), col("gh"))
+        .agg(count(lit(1)).as("k"))
+      val wDf = Window.partitionBy(col("gh"))
+      val agg = rolled.withColumn("ddf", count(lit(1)).over(wDf))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"), count(col("ind")).as("n_dup_spans"))
+        .agg(sum(col("k")).as("n_spans"),
+          coalesce(sum(when(col("ddf") >= 2, col("k"))), lit(0L))
+            .as("n_dup_spans"))
       docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_spans"), lit(0L)).as("n_spans"),
