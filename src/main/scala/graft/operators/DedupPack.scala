@@ -500,16 +500,24 @@ object DedupPack {
     // (doc_id)-keyed aggregate over the linear token stream — nothing
     // grows faster than the corpus token count. ---------------------------
     "dd_exact_substr_scrub" -> ((s, d) => {
+      // r18: the same rollup/gh-window surgery as the signal row above —
+      // the former plan shuffled the RAW span stream twice (a (doc,gh)
+      // distinct plus a gh-keyed join against the keeper set, whose build
+      // side was corpus-proportional). Now the only exchanged frame is
+      // the (doc_id, gh, positions) rollup (aggregated exchange-free on
+      // the doc_id bucket layout), one gh-window derives ddf AND keeper
+      // together (rollup rows are distinct per (doc, gh), so the window
+      // count IS the doc-distinct df), and non-keeper rows explode their
+      // own carried positions — no join anywhere before the rebuild.
       val docs = Tables.documents(s, d)
-      val spans = spanStream(docs)
-      val keepers = spans.select(col("doc_id"), col("gh")).distinct()
-        .groupBy(col("gh"))
-        .agg(count(lit(1)).as("ddf"), min(col("doc_id")).as("keeper"))
-        .filter(col("ddf") >= 2)
-        .select(col("gh"), col("keeper"))
-      // token positions covered by a non-keeper duplicated span
-      val dropped = spans.join(keepers, Seq("gh"))
-        .filter(col("keeper") =!= col("doc_id"))
+      val wG = Window.partitionBy(col("gh"))
+      val dropped = spanStream(docs)
+        .groupBy(col("doc_id"), col("gh"))
+        .agg(collect_list(col("i")).as("is"))
+        .withColumn("ddf", count(lit(1)).over(wG))
+        .withColumn("keeper", min(col("doc_id")).over(wG))
+        .filter(col("ddf") >= 2 && col("keeper") =!= col("doc_id"))
+        .select(col("doc_id"), explode(col("is")).as("i"))
         .select(col("doc_id"),
           explode(sequence(col("i"), col("i") + (SpanK - 1))).as("j"))
         .distinct()

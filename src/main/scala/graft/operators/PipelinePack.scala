@@ -437,11 +437,19 @@ object PipelinePack {
       .orderBy("doc_id")),
 
     // ---- split accounting: per-side doc and group counts -----------------
-    "pipe_split_stats" -> ((s, d) => leakSafeSplit(s, d)
-      .groupBy(col("side"))
-      .agg(count(lit(1)).as("n_docs"),
-        count_distinct(col("grp")).as("n_groups"))
-      .orderBy("side")),
+    // r18: the accounting monitor rides the PERSISTED component labels
+    // (the dd_semantic_dedup / ann_recall served-artifact pattern): a
+    // production split audit consumes the deployed label assignment, not
+    // a per-job rebuild of the pair graph. Rows identical by construction
+    // (pipe_split_indexed ≡ pipe_leak_safe_split is the pinned row-
+    // identity), and the recompute ORACLE now gates the artifact content
+    // — the strictly stronger pin. ------------------------------------------
+    "pipe_split_stats" -> ((s, d) =>
+      splitServe(s, d, Tables.documents(s, d))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("grp")).as("n_groups"))
+        .orderBy("side")),
 
     // ---- the split served from the PERSISTED component labels ------------
     // The production twin of `pipe_leak_safe_split` (the `_indexed`

@@ -873,26 +873,65 @@ object SimilarityPack {
       .select(col("vec_id"), col("best.iv").as("iv"),
         col("best.nrm").as("nrm"), col("best.cell").as("cell"))
 
+  /** One round's harvested quantizer state: the K (cell, grid-centroid,
+    * norm) rows of [[tunedCentroids]], collected to the driver. K·Dim
+    * longs — bounded METADATA (K=16), the same harvest discipline as the
+    * Gonzalez seed rounds (r18): every value is computed by the identical
+    * Spark expressions (exact BIGINT sums, the same round/cast, the same
+    * sqrt∘gridDot norm), only materialized instead of broadcast. */
+  private def harvestTunedCentroids(assign: DataFrame)
+      : Seq[(Long, Seq[Long], Double)] =
+    tunedCentroids(assign).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+      .sortBy(_._1)
+
+  /** Nearest-cell assignment as ONE map-side expression over (iv, nrm):
+    * the K harvested centroids bind in as literals, each cell's score is
+    * the identical gridDot/norm cosine the broadcast E-step computed, and
+    * the argmax is `greatest` over (score, −cell, cell) structs — the
+    * exact max_by tie rule (highest score, ties → lower cell) on the same
+    * doubles, with no join, no aggregate, no exchange. */
+  private def nearestCellExpr(
+      cents: Seq[(Long, Seq[Long], Double)]): org.apache.spark.sql.Column = {
+    val scored = cents.map { case (cell, cv, cnrm) =>
+      struct(
+        (gridDot(col("iv"), typedLit(cv)) / (col("nrm") * lit(cnrm)))
+          .as("score"),
+        lit(-cell).as("nc"), lit(cell).as("cell"))
+    }
+    (scored match {
+      case Seq() => return lit(0L) // empty corpus: no rows to label
+      case Seq(one) => one
+      case many => greatest(many: _*)
+    }).getField("cell")
+  }
+
   /** [[IvfTunedIters]] Lloyd iterations from the id-modulo init → (trained
-    * centroids, trained assignment). Each iteration is one K-row centroid
-    * aggregate plus one broadcast reassignment scan — O(corpus) per
-    * iteration, nothing grows with K beyond the broadcast. `localCheckpoint`
-    * truncates the lineage per iteration (same discipline as
-    * `dd_components`); at real scale the artifact would persist to shared
-    * storage via [[graft.sim.IndexStore]] instead. */
+    * centroids, trained assignment). Each round HARVESTS the K-row centroid
+    * aggregate to the driver and binds it into the next assignment as
+    * literals (guide §2.4 via the r18 Gonzalez discipline): one light
+    * scan+aggregate job per round instead of a broadcast-build job plus a
+    * corpus-proportional `localCheckpoint` plus a full-corpus vec_id
+    * exchange per round — and the final assignment is a MAP-ONLY
+    * expression over one corpus scan, so downstream plans (the serve rank,
+    * the artifact writers) carry no training lineage at all. Arithmetic is
+    * bit-identical: the per-round numbers are the same [[tunedCentroids]]
+    * outputs the broadcast form computed, merely collected (K·Dim longs of
+    * metadata, never corpus rows). */
   private def ivfTunedTrain(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
+    import s.implicits._
     val vecs = gridVecs(s, d)
-    var assign = vecs.withColumn("cell",
-      col("vec_id") % IvfTunedCells)
-    // Per-iteration checkpoints are LOAD-BEARING: each round's broadcast
-    // centroid build executes its own subtree, so without the truncation
-    // iteration i re-runs iterations 1..i−1 inside the broadcast job —
-    // quadratic re-execution (r17 re-measured: 3.6 s → 5.5 s without).
+    var cellExpr = col("vec_id") % IvfTunedCells
     for (_ <- 1 to IvfTunedIters)
-      assign = Checkpointed("SimilarityPack.ivfTuned.iter",
-        tunedAssign(vecs, tunedCentroids(assign)))
-    (tunedCentroids(assign), assign)
+      cellExpr = nearestCellExpr(
+        harvestTunedCentroids(vecs.withColumn("cell", cellExpr)))
+    val assign = vecs.withColumn("cell", cellExpr)
+    // the trained centroids are harvested once more and returned as a
+    // LOCAL relation: every consumer broadcasts them (query routing, the
+    // artifact writer), and a lazy aggregate here would re-run the whole
+    // assignment scan inside each consumer's broadcast job
+    (harvestTunedCentroids(assign).toDF("cell", "cv", "cnrm"), assign)
   }
 
   /** Tuned-IVF top-10 from a trained (vec_id, iv, nrm, cell) assignment and
