@@ -376,8 +376,17 @@ object GraphPack {
     // degree order, so a closing edge can only be oriented x→y
     val o1 = oriented.select(col("u"), col("v").as("x"), col("vo").as("xo"))
     val o2 = oriented.select(col("u"), col("v").as("y"), col("vo").as("yo"))
-    val tri = o1.join(o2, "u").filter(col("xo") < col("yo"))
-      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    // Both tri joins are EDGE-proportional on both sides, so the only
+    // strategy that exists at 100 TB is a shuffle join — and at gate
+    // scale the checkpointed frames' in-memory size ESTIMATE (a sampled
+    // SizeEstimator figure, jittery across JVMs) hovers at the broadcast
+    // cutoff, flipping the planner between BHJ and SMJ run-to-run
+    // (measured r18: 69.6 vs 205.4 MB shuffled, same binary, ~50/50 —
+    // unpinnable by any bytes ratchet). The merge hints pin the honest
+    // scale plan and make the bytes deterministic.
+    val tri = o1.join(o2.hint("merge"), "u").filter(col("xo") < col("yo"))
+      .join(oriented.select(col("u").as("x"), col("v").as("y"))
+        .hint("merge"), Seq("x", "y"))
     val page = tri.select(col("u").as("node"))
       .unionAll(tri.select(col("x").as("node")))
       .unionAll(tri.select(col("y").as("node")))

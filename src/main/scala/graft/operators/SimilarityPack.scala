@@ -786,16 +786,20 @@ object SimilarityPack {
         x => x.getField("c")).as("cv"))
 
   /** Nearest-centroid assignment by cosine (ties → lower cell id): K
-    * centroids broadcast against a linear scan of (vec_id, v). */
-  private[graft] def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cc").desc, col("cell"))
+    * centroids broadcast against a linear scan of (vec_id, v). The argmax
+    * is a `max_by` AGGREGATE, not a window (r18, the tunedAssign/r17
+    * discipline brought to the one-Lloyd BUILD chain): the window form
+    * shuffled the full corpus×K scored frame by vec_id and sorted it;
+    * max_by partial-aggregates map-side, so the exchange carries one row
+    * per vector. Ties preserved exactly: maximize (cc, −cell) ⇔ highest
+    * cosine, ties to the LOWER cell. */
+  private[graft] def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents))
       .withColumn("cc", cosine(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cell"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("cell")),
+        struct(col("cc"), (-col("cell")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.cell").as("cell"))
 
   // ---- tuned trained IVF (`ann_ivf_tuned`) --------------------------------
   // Parameters picked by measured recall@10 against the exact top-10 on the
