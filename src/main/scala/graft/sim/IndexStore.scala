@@ -186,9 +186,20 @@ object IndexStore {
         cols.forall(n => df.schema.fields.exists(f =>
           f.name == n && f.dataType == org.apache.spark.sql.types.LongType)) && {
           val m = df.select(cols.map(col): _*).head()
-          !m.anyNull &&
+          val ok = !m.anyNull &&
             (m.getLong(0), m.getLong(1), m.getLong(2)) == fp &&
             m.getLong(3) == ph
+          // A PRESENT manifest that fails the gate forces a full rebuild —
+          // at 100 TB that is hours of cluster time, so the reason must be
+          // attributable from logs (r18: one silent six-artifact rebuild
+          // event on an unchanged corpus could not be diagnosed after the
+          // fact). Missing manifests stay silent: a cold root is normal.
+          if (!ok) System.err.println(s"[IndexStore] stale manifest at $p " +
+            s"— recorded (rows=${m.get(0)}, max=${m.get(1)}, " +
+            s"content=${m.get(2)}, params=${m.get(3)}) vs computed " +
+            s"(rows=${fp._1}, max=${fp._2}, content=${fp._3}, " +
+            s"params=$ph) — rebuilding")
+          ok
         }
       }
     } catch { case scala.util.control.NonFatal(e) =>
